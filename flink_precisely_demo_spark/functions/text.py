@@ -1,0 +1,120 @@
+"""Text-analysis scalar functions (extension surface, SURVEY.md §2.3).
+
+All pure Spark column expressions — JVM-side, codegen'd, no Python in
+the hot path. Designed for the `documents` table (doc_id, text, lang,
+source, n_chars) but applicable to any string column. At 100 TB these
+run inside the parquet scan stage with zero shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the n-gram/stopword
+# heuristic language ID. Deliberately small and deterministic so the
+# DuckDB oracle can replicate them exactly.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "la", "los", "que", "es"),
+}
+
+STOPWORDS_EN = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "be", "this", "that",
+)
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization to array<string> (lowercased).
+
+    Filters empty strings so leading/trailing/double spaces don't
+    produce phantom tokens.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Sub-word-ish token count: splits on word/non-word boundaries and
+    counts runs of <=4 chars as single tokens, longer runs as
+    ceil(len/4) — a deterministic BPE-like proxy for LLM budgeting."""
+    c = F.col(col) if isinstance(col, str) else col
+    pieces = F.filter(
+        F.split(F.lower(c), r"[^0-9a-z]+"), lambda t: t != "")
+    per_piece = F.transform(
+        pieces, lambda t: F.ceil(F.length(t) / F.lit(4.0)).cast("long"))
+    return F.coalesce(
+        F.aggregate(per_piece, F.lit(0).cast("long"), lambda acc, x: acc + x),
+        F.lit(0).cast("long"),
+    )
+
+
+def _marker_hits(toks: Column, markers: tuple[str, ...]) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+
+def language_id(col: Column | str) -> Column:
+    """Heuristic language ID: argmax of stopword-marker hit counts,
+    'und' (undetermined) when no marker appears. Deterministic
+    tie-break: language key order en < de < fr < es by listing order
+    with strict greater-than comparisons."""
+    toks = tokens(col)
+    best_lang = F.lit("und")
+    best_hits = F.lit(0)
+    for lang, markers in LANG_MARKERS.items():
+        hits = _marker_hits(toks, markers)
+        take = hits > best_hits
+        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(take, hits).otherwise(best_hits)
+    return best_lang
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite quality score in [0,1]:
+       0.4 * length_score (saturating at 200 words)
+     + 0.3 * stopword ratio score (ideal band ~ [0.1, 0.6])
+     + 0.3 * alpha ratio (alpha chars / all chars).
+    Pure built-ins; rounded to 6 dp for cross-engine determinism."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(c)
+    n_tok = F.size(toks).cast("double")
+    length_score = F.least(n_tok / F.lit(200.0), F.lit(1.0))
+    stop_ratio = F.when(
+        n_tok > 0,
+        _marker_hits(toks, STOPWORDS_EN).cast("double") / n_tok,
+    ).otherwise(F.lit(0.0))
+    stop_score = F.when((stop_ratio >= 0.1) & (stop_ratio <= 0.6), F.lit(1.0)) \
+        .otherwise(F.lit(0.0))
+    n_chars = F.length(c).cast("double")
+    alpha_chars = F.length(F.regexp_replace(c, r"[^A-Za-z]", "")).cast("double")
+    alpha_ratio = F.when(n_chars > 0, alpha_chars / n_chars).otherwise(F.lit(0.0))
+    score = F.lit(0.4) * length_score + F.lit(0.3) * stop_score + F.lit(0.3) * alpha_ratio
+    return F.round(score, 6)
+
+
+def doc_fingerprint(col: Column | str) -> Column:
+    """Deterministic document fingerprint: first 16 hex chars of the
+    MD5 of the whitespace-normalized, lowercased text (64 bits of
+    entropy). Content-addressed identity for exact dedup / provenance;
+    identical in any engine with md5 (the DuckDB oracle reproduces it
+    bit-for-bit — hex string, not bigint, because hex->int conversion
+    isn't portable SQL)."""
+    c = F.col(col) if isinstance(col, str) else col
+    normalized = F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+    return F.substring(F.md5(normalized), 1, 16)
+
+
+def doc_fingerprint64(col: Column | str) -> Column:
+    """Spark-only bigint form of :func:`doc_fingerprint` (for numeric
+    bucketing / sortability)."""
+    return F.conv(F.substring(F.md5(
+        F.regexp_replace(F.trim(F.lower(F.col(col) if isinstance(col, str) else col)),
+                         r"\s+", " ")), 1, 15), 16, 10).cast("long")

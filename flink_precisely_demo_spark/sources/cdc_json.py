@@ -1,0 +1,88 @@
+"""Precisely CDC JSON envelope codec (S1/S2).
+
+The reference consumes Kafka topics of JSON CDC records and decodes
+them with a schema-driven JSON format (reference
+StreamingJob.java:153-203). Here the decode is ``from_json`` against
+the declared envelope StructType — identical semantics, and Catalyst
+prunes unused envelope fields out of the JSON parse when the query
+only touches ``after_image``.
+
+``decode_envelope`` works on ANY DataFrame with a string ``value``
+column — a batch DataFrame of JSON lines, or ``spark.readStream
+.format("kafka")``'s value column — so batch tests and the streaming
+pipeline share one code path.
+
+``synthesize_orders_envelope`` manufactures reference-shaped CDC rows
+from the driver's ``orders`` table so the literal reference pipeline
+can be exercised without a Kafka broker.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.datetime_fns import format_ts
+from ..schemas import envelope_schema
+
+
+def decode_envelope(raw: DataFrame, payload_schema: T.StructType,
+                    value_col: str = "value") -> DataFrame:
+    """JSON string -> envelope columns (15 sv_* + after_image struct)."""
+    schema = envelope_schema(payload_schema)
+    return raw.select(
+        F.from_json(F.col(value_col).cast("string"), schema).alias("r")
+    ).select("r.*")
+
+
+def flatten_after_image(env: DataFrame, extra: list[str] | None = None) -> DataFrame:
+    """P1 projection: unwrap after_image.* to top level (the
+    sql/{states,address,orders}.sql projections)."""
+    cols = [F.col(f"after_image.{f}") for f in
+            env.schema["after_image"].dataType.fieldNames()]
+    cols += [F.col(c) for c in (extra or [])]
+    return env.select(*cols)
+
+
+def synthesize_orders_envelope(orders: DataFrame) -> DataFrame:
+    """Build cdc-orders JSON lines from the driver's orders table.
+
+    Deterministic: every envelope field derives from order columns.
+    Monetary fields are kept integral (cents as ints scaled back in
+    the payload would alter values; instead we reuse o_totalprice
+    directly — JSON double round-trips are exact with shortest-repr
+    encoders on both sides).
+    """
+    ts_str = format_ts(F.col("o_orderdate"), 6)
+    payload = F.struct(
+        F.col("o_orderkey").cast("int").alias("SalesOrderId"),
+        ts_str.alias("OrderDate"),
+        ts_str.alias("DueDate"),
+        ts_str.alias("ShipDate"),
+        F.lit(5).alias("Status"),
+        F.col("o_custkey").cast("int").alias("ShipToAddressId"),
+        F.col("o_totalprice").alias("SubTotal"),
+        F.lit(0.0).alias("TaxAmt"),
+        F.lit(0.0).alias("Freight"),
+        F.col("o_totalprice").alias("TotalDue"),
+    )
+    envelope = F.struct(
+        F.lit("I").alias("sv_manip_type"),
+        F.col("o_orderkey").alias("sv_trans_id"),
+        F.lit(1).alias("sv_trans_row_seq"),
+        F.lit("SALES.ORDERS").alias("sv_sending_table"),
+        ts_str.alias("sv_trans_timestamp"),
+        F.lit("cdcuser").alias("sv_trans_username"),
+        F.lit("demo").alias("sv_program_name"),
+        F.lit("job").alias("sv_job_name"),
+        F.lit("juser").alias("sv_job_user"),
+        F.lit("1").alias("sv_job_number"),
+        ts_str.alias("sv_op_timestamp"),
+        F.lit("m").alias("sv_file_member"),
+        F.lit("lib").alias("sv_receiver_library"),
+        F.lit("recv").alias("sv_receiver_name"),
+        F.col("o_orderkey").cast("string").alias("sv_journal_seqno"),
+        payload.alias("after_image"),
+    )
+    return orders.select(F.to_json(envelope).alias("value"))

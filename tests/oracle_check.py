@@ -1,0 +1,71 @@
+"""Local replica of the driver's oracle-differential comparison.
+
+Runs a Spark query and its DuckDB oracle SQL over the same parquet,
+then compares row count, column names, and order-insensitive values.
+Stricter than needed (exact equality for most cells, 1e-9 relative
+tolerance fallback for floats) so anything passing here should pass
+the driver's hash compare.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+
+TABLES = ("region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings")
+
+
+def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
+    return df.sort_values(by=list(df.columns), na_position="last") \
+             .reset_index(drop=True)
+
+
+def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str,
+            float_rel_tol: float = 1e-9) -> list[str]:
+    """Return a list of mismatch descriptions (empty == pass)."""
+    problems: list[str] = []
+    s = spark_df.toPandas()
+    d = con.execute(sql).fetchdf()
+    if len(s) != len(d):
+        problems.append(f"row count: spark={len(s)} duckdb={len(d)}")
+    if sorted(s.columns) != sorted(d.columns):
+        problems.append(f"columns: spark={sorted(s.columns)} duckdb={sorted(d.columns)}")
+        return problems
+    s, d = _normalize(s), _normalize(d)
+    if len(s) != len(d):
+        return problems
+    for c in s.columns:
+        sv, dv = s[c], d[c]
+        if sv.dtype.kind == "f" or dv.dtype.kind == "f":
+            bad = 0
+            for a, b in zip(sv, dv):
+                na, nb = pd.isna(a), pd.isna(b)
+                if na and nb:
+                    continue
+                if na != nb or not math.isclose(a, b, rel_tol=float_rel_tol, abs_tol=1e-12):
+                    bad += 1
+            if bad:
+                problems.append(f"col {c}: {bad} float mismatches")
+        else:
+            neq = ~((sv == dv) | (sv.isna() & dv.isna()))
+            if neq.any():
+                i = neq.idxmax()
+                problems.append(
+                    f"col {c}: {int(neq.sum())} mismatches, first at {i}: "
+                    f"spark={sv[i]!r} duckdb={dv[i]!r}")
+    return problems

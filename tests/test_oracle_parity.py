@@ -1,0 +1,44 @@
+"""Oracle-differential tests: every registered query vs its DuckDB
+twin at sf0.001 (fast) — the driver runs the same comparison at
+sf0.01. ``test_oracle_parity_sf001`` is the primary correctness gate
+in CI; run with SF_DIR=/root/testdata/sf0.01 for the full-size check.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from flink_precisely_demo_spark.plans.queries import ORACLES, QUERIES
+
+from .oracle_check import compare, duckdb_con
+
+SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb_con(SF_DIR)
+    yield c
+    c.close()
+
+
+def test_every_query_has_callable():
+    assert QUERIES, "no queries registered"
+    for name, fn in QUERIES.items():
+        assert callable(fn), name
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_parity(name, spark, con):
+    df = QUERIES[name](spark, SF_DIR)
+    problems = compare(df, con, ORACLES[name])
+    assert not problems, f"{name}: {problems}"
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only(name, spark):
+    """Queries without an oracle must at least run and return rows."""
+    df = QUERIES[name](spark, SF_DIR)
+    assert df.count() >= 0
