@@ -13,6 +13,12 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from flink_precisely_demo_spark.plans import queries as _q
+# importing registers additional queries into _q.QUERIES / _q.ORACLES
+from flink_precisely_demo_spark.plans import (  # noqa: F401
+    dedup_queries,
+    similarity_queries,
+    text_queries,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:

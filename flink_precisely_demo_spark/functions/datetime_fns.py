@@ -28,10 +28,15 @@ def parse_ts(col: Column | str) -> Column:
     Strategy: parse the fixed 14-char prefix, then add the fractional
     part as microseconds. The fraction is right-padded to 6 digits
     ('123' -> 123000 us, i.e. 123 ms) and truncated past 6.
+
+    Deliberate deviation from the reference: malformed strings yield
+    NULL (try_to_timestamp/try_cast) instead of throwing — a single
+    poison-pill CDC record must not abort a 100 TB job; filter or
+    side-output NULLs downstream instead.
     """
     c = F.col(col) if isinstance(col, str) else col
-    base = F.to_timestamp(F.substring(c, 1, 14), "yyyyMMddHHmmss")
-    micros = F.rpad(F.substring(c, 15, 6), 6, "0").cast("long")
+    base = F.try_to_timestamp(F.substring(c, 1, 14), F.lit("yyyyMMddHHmmss"))
+    micros = F.rpad(F.substring(c, 15, 6), 6, "0").try_cast("long")
     return F.timestamp_add("MICROSECOND", micros, base)
 
 

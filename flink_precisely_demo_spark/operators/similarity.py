@@ -1,0 +1,100 @@
+"""Similarity search over embedding columns (SURVEY.md §2.3).
+
+Embeddings are ``array<float>`` columns; all arithmetic is JVM-side
+(`zip_with` + `aggregate` fold — sequential left-to-right double
+accumulation, deterministic and reproducible across engines).
+
+Two paths:
+- brute_force_topk: exact cosine top-k. The query set is broadcast
+  (it is small by construction); similarity is computed inside the
+  candidate scan stage, and per-query top-k uses a rank window that
+  Spark's WindowGroupLimit optimization turns into partial top-k
+  before the shuffle — the scalable exact baseline.
+- ivf_topk: IVF-style pruning with deterministic centroids: every
+  vector is assigned to its nearest centroid (argmin over a small
+  broadcast centroid set); a query only scans candidates in its own
+  cell (nprobe=1). At 100 TB this cuts the scanned fraction to
+  ~1/n_cells; the cell assignment doubles as a partitioning key.
+
+Determinism note: ranking uses (rounded similarity, candidate id) as
+the sort key. Rounding to 6 dp absorbs any sub-ulp engine difference
+in double summation; the id tiebreak makes equal-sim orders total.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product of two float arrays in double."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(candidates: DataFrame, queries: DataFrame, k: int = 3,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, sim, rank).
+
+    Self-matches are excluded. ``queries`` must be small enough to
+    broadcast (it is the probe set, not the corpus).
+    """
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("q_vec"))
+    c = candidates.select(F.col(id_col).alias("neighbor_id"),
+                          F.col(vec_col).alias("c_vec"))
+    sims = (c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+             .withColumn("sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6)))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (sims.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("query_id", "neighbor_id", "sim", "rank"))
+
+
+def assign_cells(vectors: DataFrame, centroids: DataFrame,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF cell assignment: nearest centroid by cosine (argmax sim,
+    centroid id as tiebreak). Centroids are broadcast; assignment is
+    a narrow map over the corpus — no shuffle."""
+    cent = centroids.select(F.col(id_col).alias("cell_id"),
+                            F.col(vec_col).alias("cent_vec"))
+    sims = vectors.join(F.broadcast(cent), how="cross").withColumn(
+        "cent_sim", F.round(cosine(F.col(vec_col), F.col("cent_vec")), 6))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cent_sim").desc(), F.col("cell_id").asc())
+    return (sims.withColumn("__r", F.row_number().over(w))
+                .filter(F.col("__r") == 1)
+                .select(id_col, vec_col, "cell_id"))
+
+
+def ivf_topk(candidates: DataFrame, queries: DataFrame, centroids: DataFrame,
+             k: int = 3, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """IVF(nprobe=1) approximate top-k: searches only the query's own
+    cell. Returns (query_id, neighbor_id, sim, rank)."""
+    cand_cells = assign_cells(candidates, centroids, id_col, vec_col)
+    query_cells = assign_cells(queries, centroids, id_col, vec_col)
+    q = query_cells.select(F.col(id_col).alias("query_id"),
+                           F.col(vec_col).alias("q_vec"), "cell_id")
+    c = cand_cells.select(F.col(id_col).alias("neighbor_id"),
+                          F.col(vec_col).alias("c_vec"), "cell_id")
+    sims = (c.join(F.broadcast(q), "cell_id")
+             .filter(F.col("query_id") != F.col("neighbor_id"))
+             .withColumn("sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6)))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (sims.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("query_id", "neighbor_id", "sim", "rank"))

@@ -1,0 +1,139 @@
+"""Dedup queries over `documents` with exact DuckDB oracle twins.
+
+The oracles replicate the md5-derived hashes bit-for-bit, so these
+are full value-hash checks, not rows-only. The SQL is the semantic
+spec; the Spark plans are the scalable formulation (see
+operators/dedup.py docstrings for the 100 TB layout notes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.dedup import (
+    exact_dedup,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_fingerprint,
+)
+from ..sources.parquet import load_table
+from .queries import query
+
+# shared SQL fragments (must stay in lockstep with functions/text.py
+# tokens() and operators/dedup.py word_shingles / _hex_bucket)
+_TOKS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
+
+_SHINGLES_CTE = f"""
+    toks AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    shingles AS (
+      SELECT DISTINCT t.doc_id,
+             array_to_string((t.toks)[CAST(s.i AS INT):CAST(s.i + 2 AS INT)], ' ') AS sh
+      FROM toks t
+      JOIN range(1, 100000) s(i)
+        ON s.i <= greatest(len(t.toks) - 2, 1)
+    )
+"""
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT substring(md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')), 1, 16)
+             AS fingerprint,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    mins AS (
+      SELECT sh.doc_id, s.seed,
+             MIN(substring(md5(CAST(s.seed AS VARCHAR) || ':' || sh.sh), 1, 12))
+               AS minhash
+      FROM shingles sh
+      CROSS JOIN range(0, 16) s(seed)
+      GROUP BY sh.doc_id, s.seed
+    ),
+    bands AS (
+      SELECT doc_id, CAST(seed // 4 AS INT) AS band_id,
+             string_agg(CAST(seed AS VARCHAR) || ':' || minhash, '|'
+                        ORDER BY CAST(seed AS VARCHAR) || ':' || minhash)
+               AS band_key
+      FROM mins GROUP BY 1, 2
+    )
+    SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+    FROM bands x
+    JOIN bands y ON x.band_id = y.band_id AND x.band_key = y.band_key
+    WHERE x.doc_id < y.doc_id
+    """,
+)
+def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_near_dup_pairs(
+        load_table(spark, sf_dir, "documents"),
+        num_hashes=16, bands=4, shingle_n=3)
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct({_TOKS})) AS t FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id,
+             (strpos('0123456789abcdef', substring(md5(t), 1, 1)) - 1) * 4096
+           + (strpos('0123456789abcdef', substring(md5(t), 2, 1)) - 1) * 256
+           + (strpos('0123456789abcdef', substring(md5(t), 3, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substring(md5(t), 4, 1)) - 1) AS h
+      FROM toks
+    ),
+    votes AS (
+      SELECT doc_id, j.j,
+             SUM(CASE WHEN (h >> CAST(j.j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM hashed CROSS JOIN range(0, 16) j(j)
+      GROUP BY doc_id, j.j
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END) AS INT)
+             AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
+def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id
+    ),
+    inter AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_common
+      FROM shingles x JOIN shingles y ON x.sh = y.sh
+      WHERE x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a, b,
+           round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = a
+    JOIN sizes sb ON sb.doc_id = b
+    WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.2
+    """,
+)
+def _dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.2)

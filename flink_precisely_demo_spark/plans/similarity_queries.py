@@ -1,0 +1,136 @@
+"""Similarity-search queries over `embeddings` with DuckDB oracles.
+
+The oracle replicates the engine's arithmetic exactly: float->double
+casts, sequential left-to-right summation (Spark `aggregate` fold ==
+DuckDB `list_aggregate('sum')`), identical cosine formula, rounding
+to 6 dp before ranking, candidate-id tiebreak.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.similarity import assign_cells, brute_force_topk, ivf_topk
+from ..sources.parquet import load_table
+from .queries import query
+
+_N_QUERIES = 8     # probe set: vec_id < 8
+_N_CENTROIDS = 8   # IVF cells: vec_id < 8 as fixed deterministic centroids
+
+_DOT = ("list_aggregate(list_transform(list_zip({a}, {b}), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')")
+_NORM = ("sqrt(list_aggregate(list_transform({a}, "
+         "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))")
+
+
+def _cos(a: str, b: str) -> str:
+    return (f"({_DOT.format(a=a, b=b)} / "
+            f"({_NORM.format(a=a)} * {_NORM.format(a=b)}))")
+
+
+@query(
+    "similarity_bruteforce_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS q_vec
+      FROM embeddings WHERE vec_id < {_N_QUERIES}
+    ),
+    sims AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             round({_cos('q.q_vec', 'e.embedding')}, 6) AS sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, sim, rnk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id ASC) AS rnk
+      FROM sims
+    ) WHERE rnk <= 3
+    """,
+)
+def _similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return brute_force_topk(emb, queries_df, k=3) \
+        .withColumnRenamed("rank", "rnk")
+
+
+@query(
+    "similarity_ivf_cells",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS cell_id, embedding AS cent_vec
+      FROM embeddings WHERE vec_id < {_N_CENTROIDS}
+    ),
+    sims AS (
+      SELECT e.vec_id, c.cell_id,
+             round({_cos('e.embedding', 'c.cent_vec')}, 6) AS cent_sim
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    assigned AS (
+      SELECT vec_id, cell_id
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cent_sim DESC, cell_id ASC) AS r
+        FROM sims
+      ) WHERE r = 1
+    )
+    SELECT cell_id, COUNT(*) AS n_vectors
+    FROM assigned GROUP BY cell_id
+    """,
+)
+def _similarity_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-assignment histogram — validates the partitioning step
+    of the ANN index (cell sizes are what balance the scale-out)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < _N_CENTROIDS)
+    cells = assign_cells(emb, cent)
+    return cells.groupBy("cell_id").agg(F.count(F.lit(1)).alias("n_vectors"))
+
+
+@query(
+    "similarity_ivf_topk",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS cell_id, embedding AS cent_vec
+      FROM embeddings WHERE vec_id < {_N_CENTROIDS}
+    ),
+    csims AS (
+      SELECT e.vec_id, e.embedding, c.cell_id,
+             round({_cos('e.embedding', 'c.cent_vec')}, 6) AS cent_sim
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, cell_id
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cent_sim DESC, cell_id ASC) AS r
+        FROM csims
+      ) WHERE r = 1
+    ),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS q_vec, cell_id
+      FROM assigned WHERE vec_id < {_N_QUERIES}
+    ),
+    sims AS (
+      SELECT q.query_id, a.vec_id AS neighbor_id,
+             round({_cos('q.q_vec', 'a.embedding')}, 6) AS sim
+      FROM assigned a JOIN q ON a.cell_id = q.cell_id
+      WHERE a.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, sim, rnk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id ASC) AS rnk
+      FROM sims
+    ) WHERE rnk <= 3
+    """,
+)
+def _similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < _N_CENTROIDS)
+    queries_df = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return ivf_topk(emb, queries_df, cent, k=3) \
+        .withColumnRenamed("rank", "rnk")

@@ -1,0 +1,151 @@
+"""Text-analysis queries over the `documents` table (SURVEY.md §2.3).
+
+Each query pairs the Spark column expressions from functions/text.py
+with a DuckDB oracle that replicates the token pipeline exactly
+(regexp split + filter + marker counting). All JVM-side built-ins —
+no Python UDFs — so at 100 TB these run inside the scan stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    LANG_MARKERS,
+    STOPWORDS_EN,
+    bpe_ish_token_count,
+    doc_fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+)
+from ..sources.parquet import load_table
+from .queries import query
+
+
+def _in_list(vals: tuple[str, ...]) -> str:
+    return ", ".join(f"'{v}'" for v in vals)
+
+
+# DuckDB token pipeline identical to functions.text.tokens()
+_TOKS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
+
+
+def _marker_count(markers: tuple[str, ...]) -> str:
+    return f"len(list_filter({_TOKS}, t -> t IN ({_in_list(markers)})))"
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+           length(text) AS n_chars_computed,
+           COALESCE(CAST(list_aggregate(list_transform(
+               list_filter(regexp_split_to_array(lower(text), '[^0-9a-z]+'), t -> t <> ''),
+               t -> CAST(ceil(length(t) / 4.0) AS BIGINT)), 'sum') AS BIGINT), 0)
+             AS n_bpe_ish,
+           substring(md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')), 1, 16)
+             AS fingerprint
+    FROM documents
+    """,
+)
+def _text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_computed"),
+        bpe_ish_token_count("text").alias("n_bpe_ish"),
+        doc_fingerprint("text").alias("fingerprint"),
+    )
+
+
+def _lang_case_sql() -> str:
+    """Argmax cascade identical to language_id(): first listed language
+    with a strictly greater hit count wins; 0 hits -> 'und'."""
+    letters = []
+    for lang, markers in LANG_MARKERS.items():
+        letters.append((lang, _marker_count(markers)))
+    # replicate the sequential strict-> comparison fold
+    expr = "'und'"
+    best = "0"
+    for lang, cnt in letters:
+        expr = f"CASE WHEN {cnt} > {best} THEN '{lang}' ELSE {expr} END"
+        best = f"greatest({cnt}, {best})"
+    return expr
+
+
+@query(
+    "text_language_id",
+    oracle=f"""
+    SELECT doc_id, lang AS labeled_lang,
+           {_lang_case_sql()} AS predicted_lang
+    FROM documents
+    """,
+)
+def _text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        language_id("text").alias("predicted_lang"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len({_TOKS}) AS DOUBLE) AS n_tok,
+             {_marker_count(STOPWORDS_EN)} AS stop_hits,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+               AS alpha_chars
+      FROM documents
+    )
+    SELECT doc_id,
+           round(
+             0.4 * least(n_tok / 200.0, 1.0)
+           + 0.3 * (CASE WHEN n_tok > 0
+                          AND stop_hits / n_tok >= 0.1
+                          AND stop_hits / n_tok <= 0.6
+                         THEN 1.0 ELSE 0.0 END)
+           + 0.3 * (CASE WHEN n_chars > 0 THEN alpha_chars / n_chars ELSE 0.0 END)
+           , 6) AS quality
+    FROM t
+    """,
+)
+def _text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score("text").alias("quality"))
+
+
+@query(
+    "text_filter_pipeline",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, source,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM t
+    WHERE n_tokens >= 10
+    GROUP BY lang, source
+    """,
+)
+def _text_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus curation shape: filter short docs, aggregate token budget
+    by language and source — the canonical pre-training triage query."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang", "source",
+                    token_count("text").cast("long").alias("n_tokens"))
+    return (toks.filter(F.col("n_tokens") >= 10)
+                .groupBy("lang", "source")
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.sum("n_tokens").alias("total_tokens")))

@@ -10,7 +10,10 @@ import os
 
 import pytest
 
-from flink_precisely_demo_spark.plans.queries import ORACLES, QUERIES
+import __spark_entry__ as entry_mod
+
+QUERIES = entry_mod.queries()
+ORACLES = entry_mod.oracle_sql()
 
 from .oracle_check import compare, duckdb_con
 
