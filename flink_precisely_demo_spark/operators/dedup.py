@@ -18,9 +18,10 @@ Four tiers, all shuffle-conscious:
 
 Portability: every hash is derived from md5 hex (identical in any
 engine) rather than Spark's murmur3, so the DuckDB oracles reproduce
-results bit-for-bit. md5-on-string is marginally slower than
-murmur3 but still JVM-side codegen; at 100 TB the cost is dominated
-by the shuffle, which this layout minimizes.
+results bit-for-bit. The MinHash family uses Kirsch-Mitzenmacher
+double hashing off a single digest, so the md5 cost is paid once per
+shingle regardless of signature width; at 100 TB the cost is
+dominated by the shuffle, which this layout minimizes.
 """
 
 from __future__ import annotations
@@ -29,6 +30,18 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import doc_fingerprint, tokens
+
+
+def _fan_out(df: DataFrame, key: str) -> DataFrame:
+    """Repartition before a compute-heavy expansion (shingling,
+    hashing). A small dimension-like input often arrives as one or
+    few scan partitions (single parquet file locally; a coalesced
+    scan on a cluster) — without this, the CPU-bound explode work
+    serializes on a handful of cores. Hash-partitioning on the id
+    also pre-locates the groupBy(id) that follows, so the extra
+    shuffle is one the plan needed anyway."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, key)
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
@@ -57,11 +70,7 @@ def word_shingles(text_col: str = "text", n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
-def _hex_bucket(c: Column, seed: int, width: int = 12) -> Column:
-    """Portable 48-bit hash of a string under a seed: md5 of the
-    seeded string, first `width` hex chars. Stays a hex string —
-    min() over hex strings == min() over the underlying integer."""
-    return F.substring(F.md5(F.concat(F.lit(f"{seed}:"), c)), 1, width)
+_KM_MOD = 1 << 48  # 48-bit hash space for double hashing
 
 
 def minhash_signature(df: DataFrame, text_col: str = "text",
@@ -69,13 +78,21 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
                       shingle_n: int = 3) -> DataFrame:
     """(id, seed, minhash) — one row per document per hash seed.
 
-    explode(shingles) -> min(hash) per seed: Spark computes all seeds
-    in one pass over the exploded shingles (a single groupBy(id)
-    with num_hashes MIN aggregates — map-side partial agg makes the
-    shuffle tiny: num_hashes short strings per doc).
+    One md5 per shingle; the per-seed hash family is Kirsch-
+    Mitzenmacher double hashing h_i = (h1 + i*h2) mod 2^48 with h1/h2
+    the two 48-bit halves of the digest — 16 seeds cost two hex->int
+    conversions instead of 16 md5s (was the bench hotspot: ~10x).
+    explode(shingles) -> min per seed in ONE groupBy(id) pass with
+    num_hashes MIN aggregates; map-side partial agg makes the shuffle
+    num_hashes longs per doc.
     """
-    ex = df.select(F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("sh"))
-    aggs = [F.min(_hex_bucket(F.col("sh"), s)).alias(f"mh_{s}")
+    ex = (_fan_out(df, id_col)
+            .select(F.col(id_col),
+                    F.explode(word_shingles(text_col, shingle_n)).alias("sh"))
+            .withColumn("__d", F.md5("sh"))
+            .withColumn("__h1", F.conv(F.substring("__d", 1, 12), 16, 10).cast("long"))
+            .withColumn("__h2", F.conv(F.substring("__d", 13, 12), 16, 10).cast("long")))
+    aggs = [F.min((F.col("__h1") + F.lit(s) * F.col("__h2")) % F.lit(_KM_MOD)).alias(f"mh_{s}")
             for s in range(num_hashes)]
     sig = ex.groupBy(id_col).agg(*aggs)
     # unpivot to long form (id, seed, minhash)
@@ -86,29 +103,114 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
                .select(id_col, "p.seed", "p.minhash"))
 
 
+def minhash_wide_signature(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", num_hashes: int = 16,
+                           shingle_n: int = 3, impl: str = "pandas") -> DataFrame:
+    """(id, mh_0..mh_{n-1}) — the signature in wide form.
+
+    Two implementations with IDENTICAL results:
+
+    - impl='pandas' (default): Arrow-batched ``mapInPandas``. Each
+      document is one row, so signatures are computed entirely
+      map-side — zero shuffle — with numpy vectorizing the
+      (h1 + s*h2) mod 2^48 family per document. Chosen because
+      Spark's higher-order lambdas (transform/filter/slice) are
+      CodegenFallback: the pure-expression pipeline runs interpreted
+      and is ~10x slower per row (measured; see git history).
+    - impl='sql': pure column expressions (explode shingles -> one
+      groupBy(id) with num_hashes MINs). Kept as the semantic spec
+      that mirrors the DuckDB oracle SQL line-for-line.
+    """
+    if impl == "sql":
+        ex = (_fan_out(df, id_col)
+                .select(F.col(id_col),
+                        F.explode(word_shingles(text_col, shingle_n)).alias("sh"))
+                .withColumn("__d", F.md5("sh"))
+                .withColumn("__h1", F.conv(F.substring("__d", 1, 12), 16, 10).cast("long"))
+                .withColumn("__h2", F.conv(F.substring("__d", 13, 12), 16, 10).cast("long")))
+        aggs = [F.min((F.col("__h1") + F.lit(s) * F.col("__h2")) % F.lit(_KM_MOD)).alias(f"mh_{s}")
+                for s in range(num_hashes)]
+        return ex.groupBy(id_col).agg(*aggs)
+
+    import hashlib
+    import re as _re
+
+    import numpy as np
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = ", ".join([f"{id_col} {id_type}"] +
+                       [f"mh_{s} long" for s in range(num_hashes)])
+    seeds = list(range(num_hashes))
+    n = shingle_n
+    mod = _KM_MOD
+
+    def compute(batches):
+        seeds_arr = np.array(seeds, dtype=np.uint64)
+        for pdf in batches:
+            ids, sigs = [], []
+            for id_val, text in zip(pdf[id_col], pdf[text_col]):
+                toks = [t for t in _re.split(r"\s+", (text or "").lower()) if t]
+                if len(toks) >= n:
+                    grams = {" ".join(toks[i:i + n])
+                             for i in range(len(toks) - n + 1)}
+                else:
+                    grams = {" ".join(toks)}
+                h = np.array(
+                    [(int(d[:12], 16), int(d[12:24], 16))
+                     for d in (hashlib.md5(g.encode("utf-8")).hexdigest()
+                               for g in grams)],
+                    dtype=np.uint64)
+                mins = ((h[:, 0:1] + seeds_arr * h[:, 1:2]) % mod).min(axis=0)
+                ids.append(id_val)
+                sigs.append(mins.astype(np.int64))
+            out = pd.DataFrame(sigs, columns=[f"mh_{s}" for s in seeds]) \
+                if sigs else pd.DataFrame(columns=[f"mh_{s}" for s in seeds])
+            out.insert(0, id_col, pd.Series(ids, dtype=pdf[id_col].dtype))
+            yield out
+
+    return _fan_out(df, id_col).select(id_col, text_col) \
+        .mapInPandas(compute, schema=schema)
+
+
 def minhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", num_hashes: int = 16,
                            bands: int = 4, shingle_n: int = 3) -> DataFrame:
     """Candidate near-duplicate pairs (a < b) sharing >= 1 LSH band.
 
     num_hashes minhashes split into `bands` bands of r = num_hashes /
-    bands rows; docs collide when an entire band matches. The pair
-    join is an equi-join on (band_id, band_key): at 100 TB the only
-    shuffle keys are short band digests, and AQE's skew-join handles
-    hot buckets (e.g. boilerplate documents).
+    bands rows; docs collide when an entire band matches. Single-pass
+    plan: band keys are built directly from the wide signature (no
+    unpivot/regroup), bucketed by (band_id, band_key), and pairs are
+    emitted per bucket — the signature pipeline is computed exactly
+    once (a naive self-join would recompute the whole shingle+hash
+    lineage for each side). At 100 TB the only shuffled payload is
+    (band digest, id); hot buckets (boilerplate docs) are bounded by
+    emitting pairs from sorted in-bucket id lists.
     """
     r = num_hashes // bands
-    sig = minhash_signature(df, text_col, id_col, num_hashes, shingle_n)
-    banded = (sig.withColumn("band_id", (F.col("seed") / r).cast("int"))
-                 .groupBy(id_col, "band_id")
-                 .agg(F.concat_ws("|", F.array_sort(
-                     F.collect_list(F.concat_ws(":", "seed", "minhash"))))
-                      .alias("band_key")))
-    a = banded.select(F.col(id_col).alias("a"), "band_id", "band_key")
-    b = banded.select(F.col(id_col).alias("b"), "band_id", "band_key")
-    return (a.join(b, ["band_id", "band_key"])
-             .filter(F.col("a") < F.col("b"))
-             .select("a", "b").distinct())
+    sig = minhash_wide_signature(df, text_col, id_col, num_hashes, shingle_n)
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.concat_ws("|", *[
+                F.concat_ws(":", F.lit(str(s)), F.col(f"mh_{s}"))
+                for s in range(b * r, (b + 1) * r)
+            ]).alias("band_key"))
+        for b in range(bands)])
+    banded = (sig.select(F.col(id_col), F.explode(band_structs).alias("bd"))
+                 .select(id_col, "bd.band_id", "bd.band_key"))
+    buckets = (banded.groupBy("band_id", "band_key")
+                     .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+                     .filter(F.size("ids") >= 2))
+    # pairwise combinations of the sorted bucket members (a < b)
+    combos = F.flatten(F.transform(
+        F.col("ids"),
+        lambda x, i: F.transform(
+            F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+            lambda y: F.struct(x.alias("a"), y.alias("b")))))
+    return (buckets.select(F.explode(combos).alias("p"))
+                   .select("p.a", "p.b").distinct())
 
 
 def simhash_fingerprint(df: DataFrame, text_col: str = "text",
@@ -117,8 +219,9 @@ def simhash_fingerprint(df: DataFrame, text_col: str = "text",
     of bit j across the md5-derived hashes of the document's distinct
     tokens. Computed with explode + conditional sums — one shuffle on
     doc_id with map-side combine. Returns (id, simhash)."""
-    tok = df.select(F.col(id_col),
-                    F.explode(F.array_distinct(tokens(text_col))).alias("t"))
+    tok = _fan_out(df, id_col).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens(text_col))).alias("t"))
     # 16 bits from the first 4 md5 hex chars of each token
     h = F.conv(F.substring(F.md5(F.col("t")), 1, 4), 16, 10).cast("int")
     tok = tok.withColumn("h", h)
@@ -143,8 +246,9 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     shingle itself — pairs that share nothing never meet. Returns
     (a, b, jaccard) with a < b; jaccard rounded to 6 dp.
     """
-    sh = df.select(F.col(id_col),
-                   F.explode(word_shingles(text_col, shingle_n)).alias("sh"))
+    sh = _fan_out(df, id_col).select(
+        F.col(id_col),
+        F.explode(word_shingles(text_col, shingle_n)).alias("sh"))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("a"), "sh")
     b = sh.select(F.col(id_col).alias("b"), "sh")

@@ -27,6 +27,14 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _fan_out(df: DataFrame, key: str) -> DataFrame:
+    """Spread the candidate corpus across cores before the per-row
+    cosine arithmetic — a single-file scan otherwise serializes the
+    CPU-bound vector math on one task."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, key)
+
+
 def _dot(a: Column, b: Column) -> Column:
     """Sequential-fold dot product of two float arrays in double."""
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
@@ -52,8 +60,8 @@ def brute_force_topk(candidates: DataFrame, queries: DataFrame, k: int = 3,
     """
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("q_vec"))
-    c = candidates.select(F.col(id_col).alias("neighbor_id"),
-                          F.col(vec_col).alias("c_vec"))
+    c = _fan_out(candidates, id_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
     sims = (c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
              .withColumn("sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6)))
     w = Window.partitionBy("query_id").orderBy(
@@ -70,7 +78,7 @@ def assign_cells(vectors: DataFrame, centroids: DataFrame,
     a narrow map over the corpus — no shuffle."""
     cent = centroids.select(F.col(id_col).alias("cell_id"),
                             F.col(vec_col).alias("cent_vec"))
-    sims = vectors.join(F.broadcast(cent), how="cross").withColumn(
+    sims = _fan_out(vectors, id_col).join(F.broadcast(cent), how="cross").withColumn(
         "cent_sim", F.round(cosine(F.col(vec_col), F.col("cent_vec")), 6))
     w = Window.partitionBy(id_col).orderBy(
         F.col("cent_sim").desc(), F.col("cell_id").asc())

@@ -58,16 +58,17 @@ def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_SHINGLES_CTE},
     mins AS (
       SELECT sh.doc_id, s.seed,
-             MIN(substring(md5(CAST(s.seed AS VARCHAR) || ':' || sh.sh), 1, 12))
-               AS minhash
+             MIN((('0x' || substring(md5(sh.sh), 1, 12))::BIGINT
+                  + s.seed * ('0x' || substring(md5(sh.sh), 13, 12))::BIGINT)
+                 % 281474976710656) AS minhash
       FROM shingles sh
       CROSS JOIN range(0, 16) s(seed)
       GROUP BY sh.doc_id, s.seed
     ),
     bands AS (
       SELECT doc_id, CAST(seed // 4 AS INT) AS band_id,
-             string_agg(CAST(seed AS VARCHAR) || ':' || minhash, '|'
-                        ORDER BY CAST(seed AS VARCHAR) || ':' || minhash)
+             string_agg(CAST(seed AS VARCHAR) || ':' || CAST(minhash AS VARCHAR), '|'
+                        ORDER BY seed)
                AS band_key
       FROM mins GROUP BY 1, 2
     )
