@@ -1,0 +1,114 @@
+"""Streaming flagship pipeline (reference StreamingJob.java:66-135).
+
+Topology, per the reference:
+
+    JSON CDC envelopes (Kafka topics / files)      S1,S2
+      -> schema-driven decode + projection          P1,P2
+      -> parse_ts event time                        F1
+      -> enrichment joins                           J1
+      -> watermark 10 min                           W1
+      -> 10-min tumbling SUM by country/state       W2,W3,A1
+      -> JSON sink                                  S3
+
+Source/sink here are file-based for local testing (a Kafka cluster
+is not available in this container); ``kafka.py`` carries the Kafka
+wiring behind an availability gate. The transformations between
+source and sink are IDENTICAL objects for both — ``decode_envelope``
+takes any DataFrame with a string `value` column, batch or stream.
+
+Enrichment strategy in the streaming flagship: dims are joined as
+stream-static joins when dim DataFrames are batch (each micro-batch
+sees the dim snapshot — the converged latest-value semantics), or
+with the faithful stateful operator (`stateful_join.enrich_stream`)
+when both sides stream. The reference's late-data policy (L1) falls
+out of append mode + watermark: rows later than watermark past
+window end are dropped, state evicted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.datetime_fns import parse_ts
+from ..operators.windowed_agg import sum_exact
+from ..schemas import ORDERS_PAYLOAD
+from ..sources.cdc_json import decode_envelope
+
+
+def streaming_flagship(spark: SparkSession, envelope_dir: str,
+                       address_dim: DataFrame, states_dim: DataFrame,
+                       window: str = "10 minutes",
+                       watermark: str = "10 minutes",
+                       max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-streamed CDC orders -> enrich -> windowed SUM (append).
+
+    ``envelope_dir``: directory of JSON-lines files, one envelope per
+    line (the cdc-orders topic shape). ``address_dim`` /
+    ``states_dim``: batch dimension snapshots (AddressID ->
+    StateProvinceID -> CountryRegionCode/StateName).
+    """
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.load(envelope_dir)
+
+    env = decode_envelope(raw, ORDERS_PAYLOAD)
+    orders = env.select(
+        F.col("after_image.SalesOrderId").alias("SalesOrderId"),
+        F.col("after_image.ShipToAddressId").alias("AddressId"),
+        F.col("after_image.TotalDue").alias("TotalDue"),
+        parse_ts("sv_op_timestamp").alias("OrderAsOf"),
+    )
+
+    # stream-static enrichment (J1, converged latest-value semantics);
+    # dims broadcast — no shuffle of the streaming side
+    addr = address_dim.select(
+        F.col("AddressID").alias("AddressId"), "StateProvinceID")
+    states = states_dim.select(
+        "StateProvinceID", "CountryRegionCode",
+        F.col("Name").alias("StateName"))
+    enriched = (orders
+                .join(F.broadcast(addr), "AddressId")
+                .join(F.broadcast(states), "StateProvinceID"))
+
+    agg = (enriched
+           .withWatermark("OrderAsOf", watermark)
+           .groupBy(F.window("OrderAsOf", window),
+                    "CountryRegionCode", "StateName")
+           .agg(sum_exact("TotalDue").alias("TotalDue")))
+    # sink shape (reference sql/output.sql + StreamingJob.java:142-151)
+    return agg.select(
+        F.col("window.start").alias("OrderPeriod"),
+        F.col("TotalDue"),
+        F.col("CountryRegionCode").alias("Country"),
+        F.col("StateName").alias("State"),
+    )
+
+
+def run_to_memory(df: DataFrame, name: str, spark: SparkSession,
+                  timeout: int = 120, output_mode: str = "append") -> DataFrame:
+    """Drive a streaming DataFrame to completion against the memory
+    sink (test/dev helper; production uses kafka/foreachBatch).
+
+    Append mode only emits windows the watermark has closed (L1);
+    pass output_mode='complete' (aggregations only) to observe every
+    window including ones still within the watermark.
+    """
+    q = (df.writeStream.outputMode(output_mode)
+         .format("memory").queryName(name)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(timeout)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def write_json_sink(df: DataFrame, path: str, checkpoint: str):
+    """S3 equivalent for local runs: append-mode JSON files (the
+    reference writes JSON rows to a Kafka topic; same payload shape).
+    Returns the StreamingQuery."""
+    return (df.selectExpr("to_json(struct(*)) AS value")
+              .writeStream.outputMode("append")
+              .format("text")
+              .option("path", path)
+              .option("checkpointLocation", checkpoint)
+              .start())

@@ -1,0 +1,169 @@
+"""Streaming semantics tests (SURVEY.md §5.3).
+
+Exercises the reference's streaming behaviors on file-backed
+micro-batches: watermark late-drop (W1/L1), tumbling windows in
+append mode (W2/W3/A1), the end-to-end streaming flagship
+(S1/S2/P1/F1/J1/W*/A1), and the faithful stateful enrichment join
+(EnrichmentJoin.java buffer/flush/latest-wins paths).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_precisely_demo_spark.streaming.pipeline import (
+    run_to_memory,
+    streaming_flagship,
+)
+from flink_precisely_demo_spark.streaming.stateful_join import enrich_stream
+
+
+def _write_jsonl(path, rows):
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _envelope(order_id, address_id, total, ts_str):
+    return {
+        "sv_manip_type": "I", "sv_trans_id": order_id,
+        "sv_trans_row_seq": 1, "sv_sending_table": "SALES.ORDERS",
+        "sv_trans_timestamp": ts_str, "sv_trans_username": "u",
+        "sv_program_name": "p", "sv_job_name": "j", "sv_job_user": "ju",
+        "sv_job_number": "1", "sv_op_timestamp": ts_str,
+        "sv_file_member": "m", "sv_receiver_library": "l",
+        "sv_receiver_name": "r", "sv_journal_seqno": str(order_id),
+        "after_image": {
+            "SalesOrderId": order_id, "OrderDate": ts_str,
+            "DueDate": ts_str, "ShipDate": ts_str, "Status": 5,
+            "ShipToAddressId": address_id, "SubTotal": total,
+            "TaxAmt": 0.0, "Freight": 0.0, "TotalDue": total,
+        },
+    }
+
+
+@pytest.fixture()
+def dims(spark):
+    address = spark.createDataFrame(
+        [(1, "1 Main St", "Springfield", 10, "11111", "20200101000000"),
+         (2, "2 Oak Ave", "Shelbyville", 20, "22222", "20200101000000")],
+        "AddressID int, AddressLine1 string, City string, "
+        "StateProvinceID int, PostalCode string, ModifiedDate string")
+    states = spark.createDataFrame(
+        [(10, "US", "Illinois"), (20, "US", "Kentucky")],
+        "StateProvinceID int, CountryRegionCode string, Name string")
+    return address, states
+
+
+def test_streaming_flagship_end_to_end(spark, dims, tmp_path):
+    address, states = dims
+    env_dir = tmp_path / "orders"
+    env_dir.mkdir()
+    rows = [
+        _envelope(1, 1, 100.0, "20200402100100123"),  # window 10:00
+        _envelope(2, 1, 50.0, "20200402100500"),      # window 10:00
+        _envelope(3, 2, 25.0, "20200402101500"),      # window 10:10
+        _envelope(4, 1, 10.0, "20200402200000"),      # window 20:00
+    ]
+    _write_jsonl(env_dir / "batch1.json", rows)
+
+    out = streaming_flagship(spark, str(env_dir), address, states)
+    res = run_to_memory(out, "flagship_stream", spark,
+                        output_mode="complete")
+    got = {(r["OrderPeriod"].isoformat(), r["State"]): r["TotalDue"]
+           for r in res.collect()}
+    assert got[("2020-04-02T10:00:00", "Illinois")] == 150.0
+    assert got[("2020-04-02T10:10:00", "Kentucky")] == 25.0
+    assert got[("2020-04-02T20:00:00", "Illinois")] == 10.0
+    assert res.columns == ["OrderPeriod", "TotalDue", "Country", "State"]
+
+
+def test_watermark_late_drop(spark, dims, tmp_path):
+    """L1: a row later than watermark past window end is dropped.
+
+    Timing nuance vs the reference (documented, deliberate): Spark
+    filters late input with the watermark as of the batch BEFORE the
+    previous one (`watermarkForLateEvents` lags eviction by one
+    micro-batch), while Flink's continuous watermark would drop a
+    straggler as soon as any earlier record advanced the watermark.
+    So the straggler here arrives after TWO high-watermark batches;
+    final state is identical either way.
+    """
+    address, states = dims
+    env_dir = tmp_path / "orders_late"
+    env_dir.mkdir()
+    import os
+    _write_jsonl(env_dir / "b1.json",
+                 [_envelope(1, 1, 100.0, "20200402100100")])
+    _write_jsonl(env_dir / "b2.json",
+                 [_envelope(2, 1, 5.0, "20200402120000")])    # watermark -> 11:50
+    _write_jsonl(env_dir / "b3.json",
+                 [_envelope(3, 1, 7.0, "20200402120100")])    # propagate watermark
+    _write_jsonl(env_dir / "b4.json",
+                 [_envelope(4, 1, 999.0, "20200402100100")])  # late straggler
+    # the file source orders micro-batches by modification time —
+    # make the intended order unambiguous
+    for i, f in enumerate(["b1.json", "b2.json", "b3.json", "b4.json"]):
+        os.utime(env_dir / f, (1000000000 + i * 10, 1000000000 + i * 10))
+
+    out = streaming_flagship(spark, str(env_dir), address, states,
+                             max_files_per_trigger=1)
+    res = run_to_memory(out, "late_stream", spark, output_mode="append")
+    by_window = {r["OrderPeriod"].isoformat(): r["TotalDue"]
+                 for r in res.collect()}
+    # the 10:00 window was finalized at 100.0; the late 999.0 never lands
+    assert by_window.get("2020-04-02T10:00:00") == 100.0
+
+
+def test_stateful_enrich_buffer_and_flush(spark, tmp_path):
+    """EnrichmentJoin paths: fact-before-dim buffers then flushes on
+    first dim arrival (:58-60,:64-70); fact-after-dim emits
+    immediately (:54-57); dim update applies only to later facts
+    (no retraction)."""
+    fact_dir = tmp_path / "facts"; fact_dir.mkdir()
+    dim_dir = tmp_path / "dims"; dim_dir.mkdir()
+    # t=1: fact for key 7 arrives before any dim -> buffered
+    # t=2: dim for key 7 arrives -> flush (fact1 joins v1)
+    # t=3: fact arrives after dim -> immediate join with v1
+    # t=4: dim update v2
+    # t=5: fact joins v2; fact1/fact3 results unchanged
+    _write_jsonl(fact_dir / "f.json", [
+        {"k": 7, "ord": 1.0, "fval": "f1"},
+        {"k": 7, "ord": 3.0, "fval": "f2"},
+        {"k": 7, "ord": 5.0, "fval": "f3"},
+        {"k": 9, "ord": 3.0, "fval": "lonely"},   # no dim ever -> never emitted
+    ])
+    _write_jsonl(dim_dir / "d.json", [
+        {"k": 7, "ord": 2.0, "dval": "v1"},
+        {"k": 7, "ord": 4.0, "dval": "v2"},
+    ])
+    fact = (spark.readStream.schema("k int, ord double, fval string")
+            .json(str(fact_dir)))
+    dim = (spark.readStream.schema("k int, ord double, dval string")
+           .json(str(dim_dir)))
+    joined = enrich_stream(fact, dim, "k", "ord")
+    res = run_to_memory(joined, "enrich_stream_t", spark)
+    rows = {(r["fval"]): r["dval"] for r in res.collect()}
+    assert rows == {"f1": "v1", "f2": "v1", "f3": "v2"}
+
+
+def test_stateful_enrich_cross_batch_state(spark, tmp_path):
+    """State survives micro-batches: dim arrives in batch 1, facts in
+    batch 2 join against remembered state."""
+    src_dir = tmp_path / "union_src"
+    fact_dir = src_dir / "facts"; fact_dir.mkdir(parents=True)
+    dim_dir = src_dir / "dims"; dim_dir.mkdir(parents=True)
+    _write_jsonl(dim_dir / "d1.json", [{"k": 1, "ord": 1.0, "dval": "d-early"}])
+    _write_jsonl(fact_dir / "f1.json", [{"k": 1, "ord": 10.0, "fval": "late-fact"}])
+
+    fact = (spark.readStream.schema("k int, ord double, fval string")
+            .option("maxFilesPerTrigger", 1).json(str(fact_dir)))
+    dim = (spark.readStream.schema("k int, ord double, dval string")
+           .option("maxFilesPerTrigger", 1).json(str(dim_dir)))
+    res = run_to_memory(enrich_stream(fact, dim, "k", "ord"),
+                        "enrich_cross_batch", spark)
+    rows = res.collect()
+    assert len(rows) == 1 and rows[0]["dval"] == "d-early"
