@@ -1,0 +1,204 @@
+"""Multimodal column operators (SURVEY.md §2.3).
+
+Image/audio/video payloads are opaque ``binary`` columns with a typed
+metadata struct — the lakehouse-native layout for multimodal training
+data (payload bytes stay columnar; metadata prunes without touching
+bytes). The Spark-side plumbing here — schemas, partitioning, Arrow
+batch shapes, UDF signatures — is real and tested; the actual codec
+calls are STUBBED with deterministic fakes because image/audio
+libraries are not available in this container. Each stub is marked
+``# STUB:`` and isolated in a `_decode_*` function whose body is the
+only thing a real deployment replaces (e.g. with PIL / torchaudio /
+pyav), keeping batch shapes and schemas unchanged.
+
+Scale notes:
+- decode/feature work is embarrassingly parallel: ``mapInPandas``
+  over row groups; repartition by id first so one giant file's rows
+  fan out (same rule as dedup._fan_out).
+- Arrow moves the binary payloads zero-copy into the Python worker;
+  the returned feature arrays are small, so the expensive direction
+  (bytes in) never crosses twice.
+- ``spark.read.format("binaryFile")`` ingests raw media directories
+  into this layout (path, modificationTime, length, content).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META = T.StructType([
+    T.StructField("media_type", T.StringType()),   # image|audio|video
+    T.StructField("format", T.StringType()),       # png|jpeg|wav|mp4|...
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("n_channels", T.IntegerType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("duration_ms", T.LongType()),
+])
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("meta", MEDIA_META),
+    T.StructField("payload", T.BinaryType()),
+])
+
+
+def ingest_binary_dir(spark, path: str) -> DataFrame:
+    """Raw media directory -> (media_id, meta, payload) rows via the
+    binaryFile source. Metadata is inferred from the file suffix only
+    (full probe happens at decode time)."""
+    raw = spark.read.format("binaryFile").load(path)
+    fmt = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
+    media_type = (F.when(fmt.isin("png", "jpg", "jpeg", "gif"), "image")
+                   .when(fmt.isin("wav", "mp3", "flac"), "audio")
+                   .when(fmt.isin("mp4", "avi", "mkv"), "video")
+                   .otherwise("unknown"))
+    meta = F.struct(
+        media_type.alias("media_type"), fmt.alias("format"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("n_channels"),
+        F.lit(None).cast("int").alias("sample_rate"),
+        F.lit(None).cast("long").alias("duration_ms"))
+    return raw.select(
+        F.xxhash64("path").alias("media_id"),
+        meta.alias("meta"),
+        F.col("content").alias("payload"))
+
+
+# ---------------------------------------------------------------- stubs
+
+def _decode_image(payload: bytes, fmt: str) -> np.ndarray:
+    """# STUB: deterministic fake decoder (no image libs in this
+    container). A real deployment replaces this body with e.g.
+    ``np.asarray(PIL.Image.open(io.BytesIO(payload)))``. The fake
+    derives a (h, w, 3) uint8 array from the payload bytes so that
+    every downstream shape/statistic is exercised genuinely."""
+    h = 8 + payload[0] % 8 if payload else 8
+    w = 8 + payload[1] % 8 if len(payload) > 1 else 8
+    arr = np.frombuffer(
+        (payload * ((h * w * 3) // max(len(payload), 1) + 1))[: h * w * 3],
+        dtype=np.uint8)
+    return arr.reshape(h, w, 3)
+
+
+def _decode_audio(payload: bytes, fmt: str) -> tuple[np.ndarray, int]:
+    """# STUB: fake PCM decode — real impl: soundfile/torchaudio.
+    Returns (mono float32 samples in [-1,1], sample_rate)."""
+    samples = (np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
+               - 127.5) / 127.5
+    return samples, 16_000
+
+
+# ------------------------------------------------------------ operators
+
+IMAGE_FEATURES_SCHEMA = ("media_id long, width int, height int, "
+                         "n_channels int, mean_luma double, payload_bytes long")
+
+
+def image_features(media: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Decode + feature-extract images: (media_id, width, height,
+    n_channels, mean_luma, payload_bytes)."""
+    n = partitions or media.sparkSession.sparkContext.defaultParallelism
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, meta, payload in zip(pdf["media_id"], pdf["meta"],
+                                          pdf["payload"]):
+                arr = _decode_image(bytes(payload), meta["format"])
+                luma = (0.2126 * arr[..., 0] + 0.7152 * arr[..., 1]
+                        + 0.0722 * arr[..., 2])
+                out.append((mid, arr.shape[1], arr.shape[0], arr.shape[2],
+                            round(float(luma.mean()), 6), len(payload)))
+            yield pd.DataFrame(out, columns=[
+                "media_id", "width", "height", "n_channels",
+                "mean_luma", "payload_bytes"])
+
+    return (media.filter(F.col("meta.media_type") == "image")
+                 .repartition(n, "media_id")
+                 .mapInPandas(compute, schema=IMAGE_FEATURES_SCHEMA))
+
+
+def image_resize(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Resize (nearest-neighbor on the fake decode) and re-emit as
+    binary rows — shape (media_id, meta, payload) is preserved so
+    resize composes with any other media operator."""
+    n = media.sparkSession.sparkContext.defaultParallelism
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas, payloads = [], []
+            for meta, payload in zip(pdf["meta"], pdf["payload"]):
+                arr = _decode_image(bytes(payload), meta["format"])
+                ys = (np.arange(out_h) * arr.shape[0] // out_h)
+                xs = (np.arange(out_w) * arr.shape[1] // out_w)
+                resized = arr[ys][:, xs]
+                m = dict(meta)
+                m.update(width=out_w, height=out_h, n_channels=3)
+                metas.append(m)
+                payloads.append(resized.tobytes())
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "meta": metas,
+                "payload": payloads})
+
+    return (media.filter(F.col("meta.media_type") == "image")
+                 .repartition(n, "media_id")
+                 .mapInPandas(compute, schema=MEDIA_SCHEMA))
+
+
+AUDIO_FEATURES_SCHEMA = ("media_id long, n_samples long, sample_rate int, "
+                         "rms double, duration_ms long")
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Decode + feature-extract audio: RMS energy and duration."""
+    n = media.sparkSession.sparkContext.defaultParallelism
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, meta, payload in zip(pdf["media_id"], pdf["meta"],
+                                          pdf["payload"]):
+                samples, rate = _decode_audio(bytes(payload), meta["format"])
+                rms = float(np.sqrt((samples ** 2).mean())) if len(samples) else 0.0
+                out.append((mid, len(samples), rate, round(rms, 6),
+                            int(len(samples) * 1000 / rate)))
+            yield pd.DataFrame(out, columns=[
+                "media_id", "n_samples", "sample_rate", "rms", "duration_ms"])
+
+    return (media.filter(F.col("meta.media_type") == "audio")
+                 .repartition(n, "media_id")
+                 .mapInPandas(compute, schema=AUDIO_FEATURES_SCHEMA))
+
+
+def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video -> sampled frame rows (media_id, frame_idx, ts_ms, frame
+    as binary). # STUB: frames are fixed-stride byte slices of the
+    payload standing in for real demuxed frames (pyav in production);
+    the explode shape (one row per sampled frame) is the real part."""
+    n = media.sparkSession.sparkContext.defaultParallelism
+    schema = "media_id long, frame_idx int, ts_ms long, frame binary"
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                n_frames = max(len(b) // 256, 1)
+                for i in range(0, n_frames, max(every_ms // 40, 1)):
+                    out.append((mid, i, i * 40,
+                                b[i * 256:(i + 1) * 256] or b"\x00"))
+            yield pd.DataFrame(out, columns=[
+                "media_id", "frame_idx", "ts_ms", "frame"])
+
+    return (media.filter(F.col("meta.media_type") == "video")
+                 .repartition(n, "media_id")
+                 .mapInPandas(compute, schema=schema))

@@ -1,0 +1,104 @@
+"""Unit tests for scalar functions.
+
+parse_ts is property-tested against Python datetime over 0-9
+fractional digits (reference DateParser.java handles 1..n digits via
+its generated format string; SURVEY.md §7 hard-part 2).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from flink_precisely_demo_spark.functions.datetime_fns import (
+    format_ts,
+    parse_ts,
+    parse_ts_millis,
+)
+from flink_precisely_demo_spark.functions.text import (
+    doc_fingerprint,
+    language_id,
+    token_count,
+)
+
+
+@st.composite
+def cdc_timestamps(draw):
+    dt = draw(st.datetimes(min_value=datetime(1970, 1, 2),
+                           max_value=datetime(2100, 1, 1)))
+    n_frac = draw(st.integers(min_value=0, max_value=9))
+    frac = draw(st.integers(min_value=0, max_value=10 ** n_frac - 1)) \
+        if n_frac else 0
+    s = dt.strftime("%Y%m%d%H%M%S") + (f"{frac:0{n_frac}d}" if n_frac else "")
+    # expected: micros = fraction right-padded to 6, truncated past 6
+    frac_str = (f"{frac:0{n_frac}d}" if n_frac else "").ljust(6, "0")[:6]
+    expected = dt.replace(tzinfo=timezone.utc, microsecond=int(frac_str))
+    return s, expected
+
+
+class TestParseTs:
+    @pytest.fixture(autouse=True)
+    def _spark(self, spark):
+        self.spark = spark
+
+    @settings(max_examples=30, deadline=None)
+    @given(cases=st.lists(cdc_timestamps(), min_size=1, max_size=50))
+    def test_property_roundtrip(self, cases):
+        df = self.spark.createDataFrame([(s,) for s, _ in cases], ["s"])
+        got = [r["ts"] for r in
+               df.select(parse_ts("s").alias("ts")).collect()]
+        want = [e for _, e in cases]
+        assert [g.replace(tzinfo=timezone.utc) for g in got] == want
+
+    def test_fraction_digit_counts(self):
+        """1, 3, 6, 9 fractional digits (FIXTURES.md requirement)."""
+        rows = [
+            ("20200402103015", (2020, 4, 2, 10, 30, 15, 0)),
+            ("202004021030151", (2020, 4, 2, 10, 30, 15, 100000)),
+            ("20200402103015123", (2020, 4, 2, 10, 30, 15, 123000)),
+            ("20200402103015123456", (2020, 4, 2, 10, 30, 15, 123456)),
+            ("20200402103015123456789", (2020, 4, 2, 10, 30, 15, 123456)),
+        ]
+        df = self.spark.createDataFrame([(s,) for s, _ in rows], ["s"])
+        got = [r["ts"] for r in df.select(parse_ts("s").alias("ts")).collect()]
+        assert [tuple(g.timetuple())[:6] + (g.microsecond,) for g in got] == \
+            [w for _, w in rows]
+
+    def test_millis_variant_matches_reference_contract(self):
+        """DateParser.java returns epoch millis (long)."""
+        df = self.spark.createDataFrame([("19700101000001500",)], ["s"])
+        assert df.select(parse_ts_millis("s").alias("ms")).first()["ms"] == 1500
+
+    def test_malformed_yields_null(self):
+        df = self.spark.createDataFrame(
+            [("garbage",), ("2020",), ("",)], ["s"])
+        got = df.select(parse_ts("s").alias("ts")).collect()
+        assert all(r["ts"] is None for r in got)
+
+    def test_format_parse_inverse(self):
+        src = self.spark.createDataFrame(
+            [(datetime(2021, 6, 1, 12, 34, 56, 789012),)], ["ts"])
+        out = src.select(
+            parse_ts(format_ts("ts", 6)).alias("rt")).first()["rt"]
+        assert (out.year, out.microsecond) == (2021, 789012)
+
+
+def test_text_functions_edge_cases(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "the the the"), (4, "Der und das ist gut"),
+         (5, None)],
+        "doc_id int, text string")
+    got = {r["doc_id"]: (r["n"], r["lang"], r["fp"]) for r in df.select(
+        "doc_id",
+        token_count("text").alias("n"),
+        language_id("text").alias("lang"),
+        doc_fingerprint("text").alias("fp")).collect()}
+    assert got[1][0] == 0 and got[2][0] == 0
+    assert got[3] [1] == "en"
+    assert got[4][1] == "de"
+    assert got[5][0] is None  # null text propagates null, not a crash
+    assert got[1][2] == got[2][2]  # whitespace-only normalizes equal
