@@ -19,6 +19,7 @@ from flink_precisely_demo_spark.plans import (  # noqa: F401
     olap_queries,
     similarity_queries,
     text_queries,
+    window_queries,
 )
 
 

@@ -167,3 +167,72 @@ def test_stateful_enrich_cross_batch_state(spark, tmp_path):
                         "enrich_cross_batch", spark)
     rows = res.collect()
     assert len(rows) == 1 and rows[0]["dval"] == "d-early"
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Streaming twin of exact dedup (SURVEY.md §2.3):
+    dropDuplicatesWithinWatermark keeps the first occurrence per key
+    with state bounded by the watermark instead of growing forever —
+    the only dedup formulation that survives an unbounded stream."""
+    import os
+    d = tmp_path / "dups"
+    d.mkdir()
+    _write_jsonl(d / "b1.json", [
+        {"id": 1, "ts": "2020-01-01T10:00:00", "v": "first"},
+        {"id": 1, "ts": "2020-01-01T10:00:30", "v": "dup-same-batch"},
+        {"id": 2, "ts": "2020-01-01T10:01:00", "v": "other"},
+    ])
+    _write_jsonl(d / "b2.json", [
+        {"id": 1, "ts": "2020-01-01T10:02:00", "v": "dup-next-batch"},
+    ])
+    for i, f in enumerate(["b1.json", "b2.json"]):
+        os.utime(d / f, (1000000000 + i * 10,) * 2)
+    src = (spark.readStream.schema("id int, ts timestamp, v string")
+           .option("maxFilesPerTrigger", 1).json(str(d)))
+    deduped = (src.withWatermark("ts", "10 minutes")
+               .dropDuplicatesWithinWatermark(["id"]))
+    res = run_to_memory(deduped, "stream_dedup", spark)
+    got = sorted((r["id"], r["v"]) for r in res.collect())
+    assert got == [(1, "first"), (2, "other")]
+
+
+def test_stateful_enrich_tws_variant(spark, tmp_path):
+    """transformWithStateInPandas twin (ValueState/ListState 1:1 with
+    the reference) produces the same buffer/flush/latest results."""
+    # the TWS state protocol needs protobuf, absent in this container
+    pytest.importorskip("google.protobuf.descriptor")
+    pytest.importorskip("pyspark.sql.streaming.stateful_processor")
+    from flink_precisely_demo_spark.streaming.stateful_join_tws import (
+        enrich_stream_tws,
+        tws_session_confs,
+    )
+    old = {}
+    for k, v in tws_session_confs().items():
+        old[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    try:
+        fact_dir = tmp_path / "facts"; fact_dir.mkdir()
+        dim_dir = tmp_path / "dims"; dim_dir.mkdir()
+        _write_jsonl(fact_dir / "f.json", [
+            {"k": 7, "ord": 1.0, "fval": "f1"},
+            {"k": 7, "ord": 3.0, "fval": "f2"},
+            {"k": 7, "ord": 5.0, "fval": "f3"},
+        ])
+        _write_jsonl(dim_dir / "d.json", [
+            {"k": 7, "ord": 2.0, "dval": "v1"},
+            {"k": 7, "ord": 4.0, "dval": "v2"},
+        ])
+        fact = (spark.readStream.schema("k int, ord double, fval string")
+                .json(str(fact_dir)))
+        dim = (spark.readStream.schema("k int, ord double, dval string")
+               .json(str(dim_dir)))
+        res = run_to_memory(enrich_stream_tws(fact, dim, "k", "ord"),
+                            "enrich_tws", spark)
+        rows = {r["fval"]: r["dval"] for r in res.collect()}
+        assert rows == {"f1": "v1", "f2": "v1", "f3": "v2"}
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
