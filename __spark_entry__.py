@@ -18,6 +18,7 @@ from flink_precisely_demo_spark.plans import (  # noqa: F401
     dedup_queries,
     olap_queries,
     similarity_queries,
+    sketch_queries,
     text_queries,
     window_queries,
 )

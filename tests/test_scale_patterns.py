@@ -1,0 +1,96 @@
+"""Scale-pattern tests: the mechanisms that matter at 100 TB,
+verified on small data by inspecting plans and equivalence.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_precisely_demo_spark.operators.skew import (
+    hot_keys,
+    salted_broadcast_left,
+    salted_grouped_agg,
+)
+from flink_precisely_demo_spark.operators.windowed_agg import sum_exact
+from flink_precisely_demo_spark.sources.parquet import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_flagship_broadcasts_all_dims(spark):
+    from flink_precisely_demo_spark.plans.flagship import flagship_query
+    plan = _physical(flagship_query(spark, SF))
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_parquet_pushdown_and_pruning(spark):
+    li = load_table(spark, SF, "lineitem")
+    q = li.filter(F.col("l_shipdate") <= "1996-01-01") \
+          .select("l_orderkey", "l_quantity")
+    plan = _physical(q)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # projection pruned to the 3 referenced columns
+    read = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "l_extendedprice" not in read and "l_quantity" in read
+
+
+def test_salted_agg_equals_plain_agg(spark):
+    ev = load_table(spark, SF, "events")
+    plain = {r["user_id"]: (r["total"], r["n"]) for r in
+             ev.groupBy("user_id").agg(
+                 sum_exact("value").alias("total"),
+                 F.count(F.lit(1)).alias("n")).collect()}
+    salted = {r["user_id"]: (r["total"], r["n"]) for r in
+              salted_grouped_agg(
+                  ev, "user_id",
+                  aggs=[F.sum(F.col("value").cast("decimal(28,6)")).alias("p_sum"),
+                        F.count(F.lit(1)).alias("p_n")],
+                  reaggs=[F.sum("p_sum").cast("double").alias("total"),
+                          F.sum("p_n").alias("n")]).collect()}
+    assert plain == salted
+
+
+def test_salted_join_equals_plain_join(spark):
+    orders = load_table(spark, SF, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, SF, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey")
+    plain = sorted((r["o_orderkey"], r["c_nationkey"]) for r in
+                   orders.join(cust, "o_custkey").collect())
+    salted = sorted((r["o_orderkey"], r["c_nationkey"]) for r in
+                    salted_broadcast_left(orders, cust, "o_custkey").collect())
+    assert plain == salted
+
+
+def test_hot_keys_detects_skew(spark):
+    df = spark.range(1000).select(
+        F.when(F.col("id") < 600, F.lit(7)).otherwise(F.col("id")).alias("k"))
+    hot = hot_keys(df, "k", min_fraction=0.1).collect()
+    assert [(r["k"], r["n"]) for r in hot] == [(7, 600)]
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Write-side bucketing: a join between two tables bucketed on the
+    key needs no Exchange on either side — the co-location survives
+    to the join. This is the 100 TB fact-fact join strategy."""
+    orders = load_table(spark, SF, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    try:
+        orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey") \
+            .mode("overwrite").saveAsTable("b_orders")
+        li.withColumnRenamed("l_orderkey", "o_orderkey") \
+            .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey") \
+            .mode("overwrite").saveAsTable("b_lineitem")
+        joined = spark.table("b_orders").join(
+            spark.table("b_lineitem"), "o_orderkey")
+        plan = _physical(joined)
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert joined.count() == li.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
