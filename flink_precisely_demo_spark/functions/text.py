@@ -38,8 +38,17 @@ def tokens(col: Column | str) -> Column:
 
 
 def token_count(col: Column | str) -> Column:
-    """Whitespace token count."""
-    return F.size(tokens(col))
+    """Whitespace token count.
+
+    Formulated without array lambdas (split on trimmed text has no
+    empty tokens, so the filter is unnecessary) — higher-order
+    functions are CodegenFallback and would interpret this hot-path
+    expression row-at-a-time. NULL propagates; empty/blank -> 0.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    trimmed = F.trim(c)
+    return F.when(trimmed == "", F.lit(0)) \
+            .otherwise(F.size(F.split(trimmed, r"\s+")))
 
 
 def bpe_ish_token_count(col: Column | str) -> Column:

@@ -23,6 +23,7 @@ in double summation; the id tiebreak makes equal-sim orders total.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -47,8 +48,41 @@ def _norm(a: Column) -> Column:
         F.lit(0.0), lambda acc, x: acc + x))
 
 
-def cosine(a: Column, b: Column) -> Column:
+def cosine_expr(a: Column, b: Column) -> Column:
+    """Pure-expression cosine — the semantic spec mirrored by the
+    DuckDB oracles (sequential left-to-right double accumulation)."""
     return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+_COSINE_UDF = None
+
+
+def _cosine_pandas_udf():
+    """Arrow-vectorized cosine (lazy: pandas_udf registration needs an
+    active session, so it cannot run at import time). numpy's
+    pairwise-summed dot differs from the sequential fold only at
+    ~1e-15 relative — invisible after the 6-dp rounding every
+    consumer applies before comparing or ranking
+    (P(flip) ~ err/granularity ~ 1e-9 per value)."""
+    global _COSINE_UDF
+    if _COSINE_UDF is None:
+        def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+            import numpy as np
+            va = np.stack(a.to_numpy()).astype(np.float64)
+            vb = np.stack(b.to_numpy()).astype(np.float64)
+            num = (va * vb).sum(axis=1)
+            den = (np.sqrt((va * va).sum(axis=1))
+                   * np.sqrt((vb * vb).sum(axis=1)))
+            return pd.Series(num / den)
+        _COSINE_UDF = F.pandas_udf(_cos, "double")
+    return _COSINE_UDF
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Default cosine: Arrow-vectorized (Spark's array higher-order
+    lambdas are CodegenFallback — interpreted row-at-a-time — so the
+    pandas path is ~10x faster on wide vectors; see BASELINE.md)."""
+    return _cosine_pandas_udf()(a, b)
 
 
 def brute_force_topk(candidates: DataFrame, queries: DataFrame, k: int = 3,
