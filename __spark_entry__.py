@@ -16,6 +16,7 @@ from flink_precisely_demo_spark.plans import queries as _q
 # importing registers additional queries into _q.QUERIES / _q.ORACLES
 from flink_precisely_demo_spark.plans import (  # noqa: F401
     dedup_queries,
+    misc_queries,
     olap_queries,
     similarity_queries,
     sketch_queries,

@@ -236,3 +236,48 @@ def test_stateful_enrich_tws_variant(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_checkpoint_restart_preserves_state(spark, tmp_path):
+    """Fault tolerance (M3/SURVEY §5.3): stop a windowed-agg query,
+    append more data, restart from the same checkpoint — the restarted
+    query resumes with its aggregation state (Flink analogue:
+    checkpointed job restore)."""
+    import os
+    src = tmp_path / "cp_src"; src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    _write_jsonl(src / "b1.json", [
+        {"ts": "2020-01-01T10:01:00", "k": "a", "v": 10.0},
+        {"ts": "2020-01-01T10:02:00", "k": "a", "v": 5.0},
+    ])
+    os.utime(src / "b1.json", (1000000000,) * 2)
+
+    def start():
+        stream = (spark.readStream.schema("ts timestamp, k string, v double")
+                  .json(str(src)))
+        agg = (stream.groupBy(F.window("ts", "10 minutes"), "k")
+               .agg(F.sum(F.col("v").cast("decimal(28,6)"))
+                     .cast("double").alias("total")))
+        return (agg.writeStream.outputMode("complete")
+                .format("memory").queryName("cp_agg")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True).start())
+
+    q = start()
+    q.awaitTermination(120)
+    first = {r["k"]: r["total"] for r in spark.sql("SELECT * FROM cp_agg").collect()}
+    assert first == {"a": 15.0}
+
+    # more data arrives while the query is down
+    _write_jsonl(src / "b2.json", [
+        {"ts": "2020-01-01T10:03:00", "k": "a", "v": 1.0},
+        {"ts": "2020-01-01T10:04:00", "k": "b", "v": 2.0},
+    ])
+    os.utime(src / "b2.json", (1000000010,) * 2)
+
+    q2 = start()
+    q2.awaitTermination(120)
+    second = {r["k"]: r["total"] for r in spark.sql("SELECT * FROM cp_agg").collect()}
+    # restored state: a = 15 + 1 (not recomputed from scratch without
+    # b1 -- and not 1.0, which is what losing state would produce)
+    assert second == {"a": 16.0, "b": 2.0}
