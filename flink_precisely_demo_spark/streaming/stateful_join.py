@@ -60,12 +60,14 @@ def _join_output_schema(fact: DataFrame, dim: DataFrame, key: str) -> T.StructTy
 
 
 def enrich_stream(fact: DataFrame, dim: DataFrame, key: str,
-                  order_col: str) -> DataFrame:
+                  order_col: str, dim_order_col: str | None = None) -> DataFrame:
     """Streaming enrichment join of two streaming DataFrames.
 
     ``fact`` and ``dim`` must share the join key column name ``key``
-    (resolve case-mismatch before calling — SURVEY.md §2.1 quirk 1)
-    and an event-time/ordering column ``order_col``.
+    (resolve case-mismatch before calling — SURVEY.md §2.1 quirk 1).
+    ``order_col`` orders the fact side; ``dim_order_col`` (defaults
+    to ``order_col``) orders the dim side — CDC streams each carry
+    their own AsOf column.
     """
     out_schema = _join_output_schema(fact, dim, key)
     fact_cols = [f.name for f in fact.schema.fields]
@@ -74,15 +76,16 @@ def enrich_stream(fact: DataFrame, dim: DataFrame, key: str,
     dim_carry = [c for c in dim_cols if c != key and c not in fact_cols]
 
     # tagged union: side 0 = dim, side 1 = fact, payload as JSON
-    def pack(df: DataFrame, side: int) -> DataFrame:
+    def pack(df: DataFrame, side: int, ord_name: str) -> DataFrame:
         return df.select(
             F.col(key).alias("__key"),
-            F.col(order_col).cast("double").alias("__ord"),
+            F.col(ord_name).cast("double").alias("__ord"),
             F.lit(side).alias("__side"),
             F.to_json(F.struct(*df.columns)).alias("__payload"),
         )
 
-    unioned = pack(dim, 0).unionByName(pack(fact, 1))
+    unioned = pack(dim, 0, dim_order_col or order_col) \
+        .unionByName(pack(fact, 1, order_col))
 
     def process(key_tuple: Any, pdfs: Iterator[pd.DataFrame],
                 state: GroupState) -> Iterator[pd.DataFrame]:

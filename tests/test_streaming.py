@@ -281,3 +281,44 @@ def test_checkpoint_restart_preserves_state(spark, tmp_path):
     # restored state: a = 15 + 1 (not recomputed from scratch without
     # b1 -- and not 1.0, which is what losing state would produce)
     assert second == {"a": 16.0, "b": 2.0}
+
+
+def test_fully_streaming_three_source_pipeline(spark, tmp_path):
+    """All three CDC sources streamed, both enrichment hops stateful
+    (the reference's exact topology, StreamingJob.java:112-113),
+    staged across queries — dim rows arrive both before AND after
+    their facts to exercise buffer and immediate-join paths across
+    the full pipeline."""
+    from flink_precisely_demo_spark.streaming.full_pipeline import (
+        streaming_flagship_full,
+    )
+    od = tmp_path / "orders"; od.mkdir()
+    ad = tmp_path / "addr"; ad.mkdir()
+    sd = tmp_path / "states"; sd.mkdir()
+    _write_jsonl(sd / "s.json", [
+        {"StateProvinceID": 10, "CountryRegionCode": "US",
+         "StateName": "Illinois", "StatesAsOf": 1.0},
+    ])
+    _write_jsonl(ad / "a.json", [
+        # arrives "before" its state row per AsOf -> buffered, then flushed
+        {"AddressID": 1, "City": "Springfield", "StateProvinceID": 10,
+         "AddressAsOf": 0.5},
+        {"AddressID": 2, "City": "Chicago", "StateProvinceID": 10,
+         "AddressAsOf": 2.0},
+    ])
+    _write_jsonl(od / "o.json", [
+        {"SalesOrderId": 1, "AddressId": 1, "TotalDue": 100.0,
+         "OrderAsOf": "2020-04-02T10:01:00"},
+        {"SalesOrderId": 2, "AddressId": 2, "TotalDue": 50.0,
+         "OrderAsOf": "2020-04-02T10:05:00"},
+        {"SalesOrderId": 3, "AddressId": 1, "TotalDue": 25.0,
+         "OrderAsOf": "2020-04-02T10:15:00"},
+        {"SalesOrderId": 4, "AddressId": 99, "TotalDue": 999.0,  # no address
+         "OrderAsOf": "2020-04-02T10:16:00"},
+    ])
+    res = streaming_flagship_full(
+        spark, str(od), str(ad), str(sd), str(tmp_path / "work"))
+    got = {r["OrderPeriod"].isoformat(): r["TotalDue"] for r in res.collect()}
+    assert got == {"2020-04-02T10:00:00": 150.0,
+                   "2020-04-02T10:10:00": 25.0}
+    assert res.columns == ["OrderPeriod", "TotalDue", "Country", "State"]
