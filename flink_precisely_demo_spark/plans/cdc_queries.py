@@ -1,0 +1,59 @@
+"""CDC materialization query: a deterministic I/U/D change stream
+synthesized from `orders`, applied to produce current state.
+
+The oracle is ground truth derived directly from the generation rule
+(not a re-implementation of the operator) — the strongest form of
+differential check:
+
+    every order gets an INSERT at t0;
+    keys % 5 == 0 get an UPDATE at t0+1d (TotalDue += 1000);
+    keys % 10 == 0 get a DELETE at t0+2d
+    => expected state: keys %10==0 absent, %5==0 updated, rest original.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.datetime_fns import format_ts
+from ..operators.cdc_apply import apply_cdc_snapshot
+from ..sources.parquet import load_table
+from .queries import query
+
+
+def _envelope_rows(orders: DataFrame, manip: str, day_shift: int,
+                   total_adj: float) -> DataFrame:
+    ts = format_ts(F.col("o_orderdate") + F.expr(f"INTERVAL {day_shift} DAY"), 6)
+    payload = F.struct(
+        F.col("o_orderkey").cast("int").alias("SalesOrderId"),
+        (F.col("o_totalprice") + total_adj).alias("TotalDue"),
+        F.lit(5).alias("Status"))
+    return orders.select(
+        F.lit(manip).alias("sv_manip_type"),
+        F.col("o_orderkey").alias("sv_trans_id"),
+        F.lit(1).alias("sv_trans_row_seq"),
+        ts.alias("sv_op_timestamp"),
+        payload.alias("after_image"))
+
+
+@query(
+    "cdc_apply_snapshot",
+    oracle="""
+    SELECT CAST(o_orderkey AS INT) AS SalesOrderId,
+           CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000.0
+                ELSE o_totalprice END AS TotalDue,
+           5 AS Status
+    FROM orders
+    WHERE o_orderkey % 10 != 0
+    """,
+)
+def _cdc_apply_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    inserts = _envelope_rows(orders, "I", 0, 0.0)
+    updates = _envelope_rows(
+        orders.filter(F.col("o_orderkey") % 5 == 0), "U", 1, 1000.0)
+    deletes = _envelope_rows(
+        orders.filter(F.col("o_orderkey") % 10 == 0), "D", 2, 0.0)
+    changes = inserts.unionByName(updates).unionByName(deletes)
+    return apply_cdc_snapshot(changes, "SalesOrderId")
