@@ -94,3 +94,18 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_no_query_has_unintended_cartesian(spark):
+    """Meta-audit over the whole query surface: no plan may contain a
+    CartesianProduct (an un-broadcast cross join is the classic
+    would-never-survive-100TB accident). Broadcast nested-loop joins
+    against deliberately tiny sides (probe sets, centroid lists,
+    salt ranges) are allowed."""
+    import __spark_entry__ as entry_mod
+    bad = {}
+    for name, fn in entry_mod.queries().items():
+        plan = _physical(fn(spark, SF))
+        if "CartesianProduct" in plan:
+            bad[name] = "CartesianProduct"
+    assert not bad, bad
