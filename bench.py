@@ -25,9 +25,13 @@ HEADLINE = [
     "top_k_per_group",
     "sessionization",
     "asof_join_prior_click",
+    "range_join_events",
+    "window_analytics",
+    "cdc_apply_snapshot",
     "dedup_exact",
     "dedup_minhash_lsh",
     "similarity_bruteforce_topk",
+    "similarity_ivf_topk",
     "text_filter_pipeline",
 ]
 

@@ -60,7 +60,8 @@ def _join_output_schema(fact: DataFrame, dim: DataFrame, key: str) -> T.StructTy
 
 
 def enrich_stream(fact: DataFrame, dim: DataFrame, key: str,
-                  order_col: str, dim_order_col: str | None = None) -> DataFrame:
+                  order_col: str, dim_order_col: str | None = None,
+                  state_ttl_ms: int | None = None) -> DataFrame:
     """Streaming enrichment join of two streaming DataFrames.
 
     ``fact`` and ``dim`` must share the join key column name ``key``
@@ -68,6 +69,13 @@ def enrich_stream(fact: DataFrame, dim: DataFrame, key: str,
     ``order_col`` orders the fact side; ``dim_order_col`` (defaults
     to ``order_col``) orders the dim side — CDC streams each carry
     their own AsOf column.
+
+    ``state_ttl_ms``: the reference keeps dim state forever
+    (EnrichmentJoin.java has no TTL) — faithful default. At 100 TB an
+    unbounded key space needs bounded state: a TTL evicts a key's
+    state after that many ms without any activity (processing-time,
+    per key); a later fact for an evicted key buffers again until the
+    dim re-arrives, which is the reference's own cold-start path.
     """
     out_schema = _join_output_schema(fact, dim, key)
     fact_cols = [f.name for f in fact.schema.fields]
@@ -87,8 +95,13 @@ def enrich_stream(fact: DataFrame, dim: DataFrame, key: str,
     unioned = pack(dim, 0, dim_order_col or order_col) \
         .unionByName(pack(fact, 1, order_col))
 
+    ttl = state_ttl_ms
+
     def process(key_tuple: Any, pdfs: Iterator[pd.DataFrame],
                 state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
         if state.exists:
             dim_json, buffer_json = state.get
         else:
@@ -123,6 +136,8 @@ def enrich_stream(fact: DataFrame, dim: DataFrame, key: str,
 
         state.update((json.dumps(dim_row) if dim_row else None,
                       json.dumps(buffer)))
+        if ttl is not None:
+            state.setTimeoutDuration(ttl)
         if out_rows:
             out = pd.DataFrame(out_rows, columns=out_cols)
             # JSON round-trips timestamps as ISO strings; restore them
@@ -132,7 +147,8 @@ def enrich_stream(fact: DataFrame, dim: DataFrame, key: str,
             yield out
 
     grouped = unioned.groupBy("__key")
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout
+               if state_ttl_ms is not None else GroupStateTimeout.NoTimeout)
     result = grouped.applyInPandasWithState(
-        process, out_schema, _STATE_SCHEMA, "append",
-        GroupStateTimeout.NoTimeout)
+        process, out_schema, _STATE_SCHEMA, "append", timeout)
     return result

@@ -322,3 +322,40 @@ def test_fully_streaming_three_source_pipeline(spark, tmp_path):
     assert got == {"2020-04-02T10:00:00": 150.0,
                    "2020-04-02T10:10:00": 25.0}
     assert res.columns == ["OrderPeriod", "TotalDue", "Country", "State"]
+
+
+def test_stateful_enrich_ttl_evicts_state(spark, tmp_path):
+    """state_ttl_ms bounds state for unbounded key spaces: after the
+    TTL passes with no activity for the key, the dim state is
+    evicted, so a later fact buffers (cold-start path) instead of
+    joining — versus the faithful no-TTL default where it joins."""
+    import os
+    fact_dir = tmp_path / "facts"; fact_dir.mkdir()
+    dim_dir = tmp_path / "dims"; dim_dir.mkdir()
+    # each trigger consumes one file from EACH source. GroupState
+    # timeouts only fire for keys with NO data in a batch, so the
+    # timeline is: batch1 dim(k=1) sets TTL; batch2 (unrelated keys)
+    # fires the timeout and evicts k=1; batch3 delivers the fact.
+    _write_jsonl(dim_dir / "d1.json", [{"k": 1, "ord": 1.0, "dval": "v1"}])
+    _write_jsonl(dim_dir / "d2.json", [{"k": 50, "ord": 2.0, "dval": "x"}])
+    _write_jsonl(dim_dir / "d3.json", [{"k": 51, "ord": 3.0, "dval": "x"}])
+    _write_jsonl(fact_dir / "f1.json", [{"k": 98, "ord": 1.0, "fval": "x"}])
+    _write_jsonl(fact_dir / "f2.json", [{"k": 99, "ord": 2.0, "fval": "x"}])
+    _write_jsonl(fact_dir / "f3.json", [{"k": 1, "ord": 10.0, "fval": "late"}])
+    for i, (d, f) in enumerate([(dim_dir, "d"), (fact_dir, "f")]):
+        for j in range(1, 4):
+            os.utime(d / f"{f}{j}.json", (1000000000 + j * 10,) * 2)
+
+    def run(name, ttl):
+        fact = (spark.readStream.schema("k int, ord double, fval string")
+                .option("maxFilesPerTrigger", 1).json(str(fact_dir)))
+        dim = (spark.readStream.schema("k int, ord double, dval string")
+               .option("maxFilesPerTrigger", 1).json(str(dim_dir)))
+        return run_to_memory(
+            enrich_stream(fact, dim, "k", "ord", state_ttl_ms=ttl),
+            name, spark).collect()
+
+    with_ttl = run("enrich_ttl_1ms", 1)       # expires before the fact batch
+    without = run("enrich_ttl_none", None)
+    assert with_ttl == []
+    assert len(without) == 1 and without[0]["dval"] == "v1"
