@@ -125,7 +125,14 @@ def ivf_topk(candidates: DataFrame, queries: DataFrame, centroids: DataFrame,
              k: int = 3, id_col: str = "vec_id",
              vec_col: str = "embedding") -> DataFrame:
     """IVF(nprobe=1) approximate top-k: searches only the query's own
-    cell. Returns (query_id, neighbor_id, sim, rank)."""
+    cell. Returns (query_id, neighbor_id, sim, rank).
+
+    The corpus-side cell assignment is the expensive pass (the query
+    probe set is tiny); a served ANN index materializes that
+    assignment once (partitioned by cell) and amortizes it across
+    queries — here it is computed inline because each call is a
+    standalone query.
+    """
     cand_cells = assign_cells(candidates, centroids, id_col, vec_col)
     query_cells = assign_cells(queries, centroids, id_col, vec_col)
     q = query_cells.select(F.col(id_col).alias("query_id"),
