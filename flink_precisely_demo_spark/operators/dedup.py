@@ -215,25 +215,74 @@ def minhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
 
 def simhash_fingerprint(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", bits: int = 16) -> DataFrame:
-    """16-bit SimHash: bit j of the fingerprint is the majority vote
-    of bit j across the md5-derived hashes of the document's distinct
-    tokens. Computed with explode + conditional sums — one shuffle on
-    doc_id with map-side combine. Returns (id, simhash)."""
+    """SimHash (up to 60 bits): bit j of the fingerprint is the
+    majority vote of bit j across the md5-derived hashes of the
+    document's distinct tokens. Computed with explode + conditional
+    sums — one shuffle on doc_id with map-side combine. Returns
+    (id, simhash). Fingerprint width trades sketch size against
+    bucket sparsity in the hamming-LSH pair search (16 bits is a
+    compact demo sketch; 60 bits is the near-dup workhorse)."""
+    assert bits <= 60, "bits > 60 would overflow a signed 64-bit hash"
     tok = _fan_out(df, id_col).select(
         F.col(id_col),
         F.explode(F.array_distinct(tokens(text_col))).alias("t"))
-    # 16 bits from the first 4 md5 hex chars of each token
-    h = F.conv(F.substring(F.md5(F.col("t")), 1, 4), 16, 10).cast("int")
+    hex_chars = (bits + 3) // 4
+    h = F.conv(F.substring(F.md5(F.col("t")), 1, hex_chars), 16, 10).cast("long")
     tok = tok.withColumn("h", h)
     votes = [
         F.sum(F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1)
                .otherwise(-1)).alias(f"v_{j}")
         for j in range(bits)]
     agg = tok.groupBy(id_col).agg(*votes)
-    fp = F.lit(0)
+    fp = F.lit(0).cast("long")
     for j in range(bits):
-        fp = fp + F.when(F.col(f"v_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return agg.select(id_col, fp.cast("int").alias("simhash"))
+        fp = fp + F.when(F.col(f"v_{j}") > 0, F.lit(1 << j).cast("long")) \
+                   .otherwise(F.lit(0).cast("long"))
+    out_type = "int" if bits <= 31 else "long"
+    return agg.select(id_col, fp.cast(out_type).alias("simhash"))
+
+
+def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", bits: int = 60,
+                           max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming.
+
+    Pigeonhole LSH for hamming space: split the fingerprint into
+    (max_hamming + 1) bands — any pair within the distance budget
+    must match EXACTLY on at least one band, so candidates meet in an
+    equi-join on (band_id, band_value), never a cross join; the exact
+    hamming filter (bit_count of xor) then prunes false candidates.
+    Returns (a, b, hamming).
+    """
+    n_bands = max_hamming + 1
+    band_bits = bits // n_bands
+    sig = simhash_fingerprint(df, text_col, id_col, bits)
+    bands = F.array(*[
+        F.struct(F.lit(b).alias("band_id"),
+                 F.shiftright(F.col("simhash"), b * band_bits)
+                  .bitwiseAND((1 << band_bits) - 1).alias("band_val"))
+        for b in range(n_bands)])
+    banded = (sig.select(id_col, "simhash", F.explode(bands).alias("bd"))
+                 .select(id_col, "simhash", "bd.band_id", "bd.band_val"))
+    # bucket + in-bucket pair emission (not a self-join): the simhash
+    # lineage is computed once, same single-pass layout as
+    # minhash_near_dup_pairs
+    buckets = (banded.groupBy("band_id", "band_val")
+               .agg(F.sort_array(F.collect_list(
+                   F.struct(F.col(id_col).alias("i"),
+                            F.col("simhash").alias("s")))).alias("ms"))
+               .filter(F.size("ms") >= 2))
+    combos = F.flatten(F.transform(
+        F.col("ms"),
+        lambda x, i: F.transform(
+            F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+            lambda y: F.struct(x["i"].alias("a"), y["i"].alias("b"),
+                               F.bit_count(x["s"].bitwiseXOR(y["s"]))
+                                .alias("hamming")))))
+    return (buckets.select(F.explode(combos).alias("p"))
+                   .select("p.a", "p.b", "p.hamming")
+                   .filter(F.col("hamming") <= max_hamming)
+                   .distinct())
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",

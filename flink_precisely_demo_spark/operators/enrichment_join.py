@@ -81,7 +81,11 @@ def enrich(fact: DataFrame, dim: DataFrame, join_key: str,
         d = F.broadcast(d)
 
     joined = fact.join(d, fact[fact_key] == d[dim_key], "inner")
-    # drop the dim-side key copy, keep everything else
+    # drop the dim-side key copy and any dim column whose name collides
+    # with a fact column (the reference's positional row concat would
+    # produce an ambiguous schema there — same rule as the streaming
+    # twin, streaming/stateful_join._join_output_schema)
+    taken = set(fact.columns) | {dim_key}
     keep = [fact[c] for c in fact.columns] + \
-           [d[c] for c in d.columns if c != dim_key]
+           [d[c] for c in d.columns if c not in taken]
     return joined.select(*keep)

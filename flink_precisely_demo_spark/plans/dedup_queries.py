@@ -15,6 +15,7 @@ from ..operators.dedup import (
     minhash_near_dup_pairs,
     ngram_jaccard_pairs,
     simhash_fingerprint,
+    simhash_near_dup_pairs,
 )
 from ..sources.parquet import load_table
 from .queries import query
@@ -138,3 +139,53 @@ def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(
         load_table(spark, sf_dir, "documents"), threshold=0.2)
+
+
+_SIMHASH_CTE = """
+    toks AS (
+      SELECT doc_id, unnest(list_distinct(list_filter(
+        regexp_split_to_array(lower(text), '\\s+'), t -> t <> ''))) AS t
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, ('0x' || substring(md5(t), 1, 15))::BIGINT AS h
+      FROM toks
+    ),
+    votes AS (
+      SELECT doc_id, j.j,
+             SUM(CASE WHEN (h >> CAST(j.j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM hashed CROSS JOIN range(0, 60) j(j)
+      GROUP BY doc_id, j.j
+    ),
+    sig AS (
+      SELECT doc_id,
+             SUM(CASE WHEN v > 0 THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END)
+               AS simhash
+      FROM votes GROUP BY doc_id
+    )
+"""
+
+
+@query(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH {_SIMHASH_CTE},
+    banded AS (
+      SELECT doc_id, simhash, b.b AS band_id,
+             (simhash >> CAST(b.b * 15 AS INT)) & 32767 AS band_val
+      FROM sig CROSS JOIN range(0, 4) b(b)
+    )
+    SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+           CAST(bit_count(CAST(xor(x.simhash, y.simhash) AS BIT)) AS INT) AS hamming
+    FROM banded x
+    JOIN banded y ON x.band_id = y.band_id AND x.band_val = y.band_val
+    WHERE x.doc_id < y.doc_id
+      AND bit_count(CAST(xor(x.simhash, y.simhash) AS BIT)) <= 3
+    """,
+)
+def _dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-LSH near-dup pairs: fingerprints within hamming<=3 must
+    share one of 4 exact 4-bit bands (pigeonhole) — candidates meet in
+    band buckets, never a cross join."""
+    return simhash_near_dup_pairs(
+        load_table(spark, sf_dir, "documents"), bits=60, max_hamming=3)

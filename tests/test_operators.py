@@ -92,3 +92,13 @@ def test_sum_exact_order_independent(spark):
     b = df.orderBy(F.desc("i")).repartition(7).agg(
         sum_exact("v").alias("s")).first()["s"]
     assert a == b
+
+def test_enrich_drops_colliding_dim_columns(spark):
+    """Dim columns that collide with fact names are dropped (same rule
+    as the streaming twin) — no ambiguous output schema."""
+    fact = spark.createDataFrame([(1, 5, "f")], "k int, shared int, fv string")
+    dim = spark.createDataFrame([(1, 9, "d")], "k int, shared int, dv string")
+    out = enrich(fact, dim, "k")
+    assert out.columns == ["k", "shared", "fv", "dv"]
+    row = out.collect()[0]
+    assert row["shared"] == 5 and row["dv"] == "d"  # fact side wins
