@@ -109,3 +109,20 @@ def test_no_query_has_unintended_cartesian(spark):
         if "CartesianProduct" in plan:
             bad[name] = "CartesianProduct"
     assert not bad, bad
+
+
+def test_topk_uses_window_group_limit(spark):
+    """rank<=k filters compile to WindowGroupLimit (partial per-
+    partition top-k before the shuffle) — the property that makes
+    window-based top-k viable at 100 TB instead of a full sort."""
+    import __spark_entry__ as entry_mod
+    plan = _physical(entry_mod.queries()["top_k_per_group"](spark, SF))
+    assert "WindowGroupLimit" in plan
+
+
+def test_kafka_probe_degrades_gracefully(spark):
+    """No broker/connector in this container: the availability probe
+    reports False instead of raising, so callers fall back to file
+    sources."""
+    from flink_precisely_demo_spark.sources.kafka import kafka_available
+    assert kafka_available(spark) is False
