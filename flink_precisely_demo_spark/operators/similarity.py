@@ -1,39 +1,44 @@
 """Similarity search over embedding columns (SURVEY.md §2.3).
 
-Embeddings are ``array<float>`` columns; all arithmetic is JVM-side
-(`zip_with` + `aggregate` fold — sequential left-to-right double
-accumulation, deterministic and reproducible across engines).
+Embeddings are ``array<float>`` columns. Two paths:
 
-Two paths:
-- brute_force_topk: exact cosine top-k. The query set is broadcast
-  (it is small by construction); similarity is computed inside the
-  candidate scan stage, and per-query top-k uses a rank window that
-  Spark's WindowGroupLimit optimization turns into partial top-k
-  before the shuffle — the scalable exact baseline.
-- ivf_topk: IVF-style pruning with deterministic centroids: every
-  vector is assigned to its nearest centroid (argmin over a small
-  broadcast centroid set); a query only scans candidates in its own
-  cell (nprobe=1). At 100 TB this cuts the scanned fraction to
-  ~1/n_cells; the cell assignment doubles as a partitioning key.
+- brute_force_topk: exact cosine top-k. The probe set is tiny by
+  construction, so it is collected to the driver once and shipped to
+  every task inside the kernel closure (the same legitimacy argument
+  as k-means centroids: q x dim floats). Each corpus partition then
+  computes a single (batch x dim) @ (dim x q) matmul, emits its LOCAL
+  top-k per query, and a final window over (partitions x q x k) rows
+  resolves the global top-k — the classic distributed exact-ANN
+  shape. No corpus inflation, no broadcast join, ONE Python stage.
+- ivf_topk: IVF-style pruning. Every corpus vector is assigned to
+  its nearest centroid map-side (argmax over the broadcast centroid
+  matrix — a per-row computation, NOT a cross join + window shuffle);
+  a query only scans candidates in its own cell (nprobe=1). At 100 TB
+  this cuts the scanned fraction to ~1/n_cells and the cell id
+  doubles as the index partitioning key (see operators/ann_index.py
+  for the materialized form with nprobe>1).
 
-Determinism note: ranking uses (rounded similarity, candidate id) as
-the sort key. Rounding to 6 dp absorbs any sub-ulp engine difference
-in double summation; the id tiebreak makes equal-sim orders total.
+Scale notes: the kernels are narrow maps over the scan partitions —
+parallelism comes from the source layout (at 100 TB the parquet scan
+yields thousands of partitions), so no repartition shuffle is needed
+before the CPU work; the only shuffle anywhere is the final
+(partitions x q x k)-row top-k resolution, which is negligible.
+
+Determinism: cosine is rounded to 6 dp before ranking (absorbs the
+~1e-15 summation-order difference between numpy's pairwise matmul
+and the oracle's sequential fold) and ties break on the lowest
+candidate/cell id (np.argmax / lexsort take the first maximum, and
+ids are sorted ascending), mirroring the DuckDB oracles exactly.
 """
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-
-
-def _fan_out(df: DataFrame, key: str) -> DataFrame:
-    """Spread the candidate corpus across cores before the per-row
-    cosine arithmetic — a single-file scan otherwise serializes the
-    CPU-bound vector math on one task."""
-    n = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(n, key)
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -58,16 +63,13 @@ _COSINE_UDF = None
 
 
 def _cosine_pandas_udf():
-    """Arrow-vectorized cosine (lazy: pandas_udf registration needs an
-    active session, so it cannot run at import time). numpy's
-    pairwise-summed dot differs from the sequential fold only at
-    ~1e-15 relative — invisible after the 6-dp rounding every
-    consumer applies before comparing or ranking
-    (P(flip) ~ err/granularity ~ 1e-9 per value)."""
+    """Arrow-vectorized pairwise cosine (lazy: pandas_udf registration
+    needs an active session). Used by consumers that already have the
+    two vectors side by side in one row (e.g. the label-blocked
+    embedding near-dup self-join)."""
     global _COSINE_UDF
     if _COSINE_UDF is None:
         def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
-            import numpy as np
             va = np.stack(a.to_numpy()).astype(np.float64)
             vb = np.stack(b.to_numpy()).astype(np.float64)
             num = (va * vb).sum(axis=1)
@@ -79,10 +81,100 @@ def _cosine_pandas_udf():
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Default cosine: Arrow-vectorized (Spark's array higher-order
-    lambdas are CodegenFallback — interpreted row-at-a-time — so the
-    pandas path is ~10x faster on wide vectors; see BASELINE.md)."""
+    """Default pairwise cosine: Arrow-vectorized (Spark's array
+    higher-order lambdas are CodegenFallback — interpreted
+    row-at-a-time — so the pandas path is ~10x faster on wide
+    vectors; see BASELINE.md)."""
     return _cosine_pandas_udf()(a, b)
+
+
+def collect_vectors(df: DataFrame, id_col: str = "vec_id",
+                    vec_col: str = "embedding"
+                    ) -> tuple[np.ndarray, np.ndarray]:
+    """Driver-side (ids, matrix) of a SMALL frame (probe set /
+    centroid list — q x dim floats), sorted by id ascending so that
+    first-maximum argmax resolves ties toward the lowest id. The
+    corpus itself is never collected."""
+    rows = df.select(id_col, vec_col).collect()
+    rows.sort(key=lambda r: r[0])
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    return ids, mat
+
+
+def _cosine_matrix(batch: np.ndarray, mat: np.ndarray) -> np.ndarray:
+    """(b x dim) vs (m x dim) -> (b x m) cosine, rounded to 6 dp."""
+    num = batch @ mat.T
+    den = (np.sqrt((batch * batch).sum(axis=1, keepdims=True))
+           * np.sqrt((mat * mat).sum(axis=1))[None, :])
+    return np.round(num / den, 6)
+
+
+def _nearest_cell(batch: np.ndarray, cent_mat: np.ndarray,
+                  cell_ids: np.ndarray) -> np.ndarray:
+    """Map-side argmax cell assignment (ties -> lowest cell id)."""
+    sims = _cosine_matrix(batch, cent_mat)
+    return cell_ids[np.argmax(sims, axis=1)]
+
+
+def assign_cells(vectors: DataFrame, centroids: DataFrame,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF cell assignment: nearest centroid by cosine (argmax sim,
+    lowest cell id as tiebreak). The centroid matrix rides inside the
+    kernel closure; assignment is a narrow single-pass map over the
+    corpus — no row inflation, no shuffle (the round-1 form cross
+    joined corpus x centroids and resolved the argmax with a
+    row_number window, shuffling the x-k-inflated corpus)."""
+    cell_ids, cent_mat = collect_vectors(centroids, id_col, vec_col)
+    id_type = vectors.schema[id_col].dataType.simpleString()
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            batch = np.stack(pdf[vec_col].map(
+                lambda v: np.asarray(v, dtype=np.float64)).to_numpy())
+            out = pdf[[id_col, vec_col]].copy()
+            out["cell_id"] = _nearest_cell(batch, cent_mat, cell_ids)
+            yield out
+
+    return vectors.select(id_col, vec_col).mapInPandas(
+        kernel, schema=f"{id_col} {id_type}, {vec_col} array<float>, cell_id long")
+
+
+def _local_topk(sims: np.ndarray, neighbor_ids: np.ndarray,
+                query_ids: np.ndarray, k: int,
+                mask: np.ndarray | None = None) -> pd.DataFrame:
+    """Per-partition top-k per query from a (b x q) sim matrix.
+    Ordering is (sim desc, neighbor_id asc) — identical to the final
+    global window, so top-k(union of local top-k) == global top-k."""
+    frames = []
+    for j, qid in enumerate(query_ids):
+        col = sims[:, j]
+        valid = neighbor_ids != qid
+        if mask is not None:
+            valid &= mask[:, j]
+        if not valid.any():
+            continue
+        nid, s = neighbor_ids[valid], col[valid]
+        order = np.lexsort((nid, -s))[:k]
+        frames.append(pd.DataFrame({
+            "query_id": qid, "neighbor_id": nid[order], "sim": s[order]}))
+    return (pd.concat(frames, ignore_index=True) if frames
+            else pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                               "neighbor_id": pd.Series(dtype="int64"),
+                               "sim": pd.Series(dtype="float64")}))
+
+
+def _global_topk(local: DataFrame, k: int) -> DataFrame:
+    """Resolve (partitions x q x k) local candidates to the global
+    top-k — a window over a tiny frame (WindowGroupLimit keeps even
+    this partial)."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (local.withColumn("rank", F.row_number().over(w))
+                 .filter(F.col("rank") <= k)
+                 .select("query_id", "neighbor_id", "sim", "rank"))
 
 
 def brute_force_topk(candidates: DataFrame, queries: DataFrame, k: int = 3,
@@ -90,35 +182,23 @@ def brute_force_topk(candidates: DataFrame, queries: DataFrame, k: int = 3,
     """Exact cosine top-k: (query_id, neighbor_id, sim, rank).
 
     Self-matches are excluded. ``queries`` must be small enough to
-    broadcast (it is the probe set, not the corpus).
+    collect (it is the probe set, not the corpus).
     """
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("q_vec"))
-    c = _fan_out(candidates, id_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
-    sims = (c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-             .withColumn("sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6)))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("neighbor_id").asc())
-    return (sims.withColumn("rank", F.row_number().over(w))
-                .filter(F.col("rank") <= k)
-                .select("query_id", "neighbor_id", "sim", "rank"))
+    query_ids, q_mat = collect_vectors(queries, id_col, vec_col)
 
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            batch = np.stack(pdf[vec_col].map(
+                lambda v: np.asarray(v, dtype=np.float64)).to_numpy())
+            nids = pdf[id_col].to_numpy(dtype=np.int64)
+            sims = _cosine_matrix(batch, q_mat)
+            yield _local_topk(sims, nids, query_ids, k)
 
-def assign_cells(vectors: DataFrame, centroids: DataFrame,
-                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """IVF cell assignment: nearest centroid by cosine (argmax sim,
-    centroid id as tiebreak). Centroids are broadcast; assignment is
-    a narrow map over the corpus — no shuffle."""
-    cent = centroids.select(F.col(id_col).alias("cell_id"),
-                            F.col(vec_col).alias("cent_vec"))
-    sims = _fan_out(vectors, id_col).join(F.broadcast(cent), how="cross").withColumn(
-        "cent_sim", F.round(cosine(F.col(vec_col), F.col("cent_vec")), 6))
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("cent_sim").desc(), F.col("cell_id").asc())
-    return (sims.withColumn("__r", F.row_number().over(w))
-                .filter(F.col("__r") == 1)
-                .select(id_col, vec_col, "cell_id"))
+    local = candidates.select(id_col, vec_col).mapInPandas(
+        kernel, schema="query_id long, neighbor_id long, sim double")
+    return _global_topk(local, k)
 
 
 def ivf_topk(candidates: DataFrame, queries: DataFrame, centroids: DataFrame,
@@ -127,23 +207,34 @@ def ivf_topk(candidates: DataFrame, queries: DataFrame, centroids: DataFrame,
     """IVF(nprobe=1) approximate top-k: searches only the query's own
     cell. Returns (query_id, neighbor_id, sim, rank).
 
-    The corpus-side cell assignment is the expensive pass (the query
-    probe set is tiny); a served ANN index materializes that
-    assignment once (partitioned by cell) and amortizes it across
-    queries — here it is computed inline because each call is a
-    standalone query.
+    Fused single-pass plan: each corpus partition assigns its own
+    rows to cells (map-side argmax), masks candidates to the cell of
+    each query (query cells are resolved on the driver — q x k sims),
+    and emits local top-k; one tiny window resolves the global
+    answer. The round-1 form ran two cross-join+window assignment
+    subplans and a bucket join — three shuffles of inflated rows,
+    now zero corpus shuffles. For a served index that amortizes the
+    assignment across many query batches, see operators/ann_index.py.
     """
-    cand_cells = assign_cells(candidates, centroids, id_col, vec_col)
-    query_cells = assign_cells(queries, centroids, id_col, vec_col)
-    q = query_cells.select(F.col(id_col).alias("query_id"),
-                           F.col(vec_col).alias("q_vec"), "cell_id")
-    c = cand_cells.select(F.col(id_col).alias("neighbor_id"),
-                          F.col(vec_col).alias("c_vec"), "cell_id")
-    sims = (c.join(F.broadcast(q), "cell_id")
-             .filter(F.col("query_id") != F.col("neighbor_id"))
-             .withColumn("sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6)))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("neighbor_id").asc())
-    return (sims.withColumn("rank", F.row_number().over(w))
-                .filter(F.col("rank") <= k)
-                .select("query_id", "neighbor_id", "sim", "rank"))
+    cell_ids, cent_mat = collect_vectors(centroids, id_col, vec_col)
+    query_ids, q_mat = collect_vectors(queries, id_col, vec_col)
+    q_cells = _nearest_cell(q_mat, cent_mat, cell_ids)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            batch = np.stack(pdf[vec_col].map(
+                lambda v: np.asarray(v, dtype=np.float64)).to_numpy())
+            nids = pdf[id_col].to_numpy(dtype=np.int64)
+            cells = _nearest_cell(batch, cent_mat, cell_ids)
+            # (b x q) mask: candidate in the query's cell
+            mask = cells[:, None] == q_cells[None, :]
+            if not mask.any():
+                continue
+            sims = _cosine_matrix(batch, q_mat)
+            yield _local_topk(sims, nids, query_ids, k, mask=mask)
+
+    local = candidates.select(id_col, vec_col).mapInPandas(
+        kernel, schema="query_id long, neighbor_id long, sim double")
+    return _global_topk(local, k)
