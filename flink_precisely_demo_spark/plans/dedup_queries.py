@@ -29,11 +29,15 @@ _SHINGLES_CTE = f"""
       SELECT doc_id, {_TOKS} AS toks FROM documents
     ),
     shingles AS (
-      SELECT DISTINCT t.doc_id,
-             array_to_string((t.toks)[CAST(s.i AS INT):CAST(s.i + 2 AS INT)], ' ') AS sh
-      FROM toks t
-      JOIN range(1, 100000) s(i)
-        ON s.i <= greatest(len(t.toks) - 2, 1)
+      -- per-document unnest(range(...)) derives the shingle count from
+      -- the document itself (no fixed cap to silently truncate)
+      SELECT DISTINCT doc_id,
+             array_to_string(toks[CAST(i AS INT):CAST(i + 2 AS INT)], ' ') AS sh
+      FROM (
+        SELECT doc_id, toks,
+               unnest(range(1, greatest(len(toks) - 2, 1) + 1)) AS i
+        FROM toks
+      )
     )
 """
 
@@ -184,8 +188,9 @@ _SIMHASH_CTE = """
     """,
 )
 def _dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hamming-LSH near-dup pairs: fingerprints within hamming<=3 must
-    share one of 4 exact 4-bit bands (pigeonhole) — candidates meet in
-    band buckets, never a cross join."""
+    """Hamming-LSH near-dup pairs: 60-bit fingerprints within
+    hamming<=3 must match EXACTLY on one of 4 15-bit bands
+    (pigeonhole) — candidates meet in band buckets, never a cross
+    join."""
     return simhash_near_dup_pairs(
         load_table(spark, sf_dir, "documents"), bits=60, max_hamming=3)

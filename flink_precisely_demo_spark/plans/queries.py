@@ -374,15 +374,19 @@ def _pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sessionization",
     oracle="""
     WITH marked AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, event_id, ts, value,
              CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w <= 1800000000
                   THEN 0 ELSE 1 END AS new_session
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sessions AS (
+      -- event_id tiebreak matches the Spark window; BIGINT cast keeps
+      -- DuckDB's HUGEINT sum from materializing as float64 in pandas
       SELECT user_id, ts, value,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(SUM(new_session) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_id
       FROM marked
     )
     SELECT user_id, session_id,

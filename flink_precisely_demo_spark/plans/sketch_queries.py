@@ -1,9 +1,14 @@
 """Approximate/sketch and iterative queries.
 
-These are the driver contract's "weaker check" category: k-means is
-iterative (not SQL-expressible), and approximate sketches are
-algorithm-specific (Spark's HLL++ and DuckDB's approx_count_distinct
-legitimately disagree) — so they register without oracles and the
+k-means IS oracle-checkable despite being iterative: training rounds
+every centroid coordinate to 6 dp per round (operators/kmeans.py), so
+with a FIXED iteration count the whole run is reproducible in ANSI
+SQL — the oracle below unrolls the 3 iterations as CTE pairs
+(assign aK / update cK). Early convergence on the Spark side is safe
+because a converged round is idempotent (same centroids -> same
+assignment -> same means), so the unrolled SQL lands on the same
+model. Approximate sketches stay rows-only: Spark's HLL++ /
+GK-quantile and DuckDB's sketches legitimately disagree, and the
 unit tests assert accuracy bounds against exact answers instead
 (tests/test_sketches.py).
 """
@@ -16,19 +21,80 @@ from pyspark.sql import functions as F
 from ..operators.kmeans import kmeans_assignments
 from ..sources.parquet import load_table
 from .queries import query
+from .similarity_queries import _cos
+
+_K = 8
+_ITERS = 3
 
 
-@query("kmeans_ivf_index")  # rows-only: iterative algorithm
+def _kmeans_oracle(k: int, iters: int) -> str:
+    """Unrolled k-means-by-cosine training + final assignment, exactly
+    mirroring kmeans_fit/kmeans_assignments: lowest-id init, 6-dp
+    rounded sims with lowest-cell-id tiebreak, 6-dp rounded centroid
+    means, empty cells keeping the previous centroid."""
+    cos_c = _cos("e.embedding", "c.c")
+    parts = [f"""
+    e AS (SELECT vec_id, embedding FROM embeddings),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell_id,
+             list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS c
+      FROM (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT {k})
+    )"""]
+    for i in range(1, iters + 1):
+        parts.append(f"""
+    a{i} AS (
+      SELECT vec_id, embedding, cell_id FROM (
+        SELECT e.vec_id, e.embedding, c.cell_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY round({cos_c}, 6) DESC,
+                                           c.cell_id ASC) AS r
+        FROM e CROSS JOIN c{i - 1} c
+      ) WHERE r = 1
+    ),
+    c{i} AS (
+      SELECT p.cell_id, coalesce(u.c, p.c) AS c
+      FROM c{i - 1} p LEFT JOIN (
+        SELECT cell_id, list(m ORDER BY i) AS c
+        FROM (
+          SELECT cell_id, i, round(avg(x), 6) AS m
+          FROM (
+            SELECT cell_id,
+                   unnest(range(1, len(embedding) + 1)) AS i,
+                   unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+            FROM a{i}
+          )
+          GROUP BY cell_id, i
+        )
+        GROUP BY cell_id
+      ) u ON u.cell_id = p.cell_id
+    )""")
+    return f"""
+    WITH {','.join(parts)}
+    SELECT vec_id, cell_id, sim FROM (
+      SELECT e.vec_id, c.cell_id, round({cos_c}, 6) AS sim,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY round({cos_c}, 6) DESC,
+                                         c.cell_id ASC) AS r
+      FROM e CROSS JOIN c{iters} c
+    ) WHERE r = 1
+    """
+
+
+@query("kmeans_ivf_index", oracle=_kmeans_oracle(_K, _ITERS))
 def _kmeans_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return kmeans_assignments(emb, k=8, max_iter=3)
+    return kmeans_assignments(emb, k=_K, max_iter=_ITERS)
 
 
 @query("approx_sketches")  # rows-only: engine-specific sketch values
 def _approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar percentile columns (p50/p95/p99), not one array column:
+    the driver canonicalizes results by sorting a pandas frame, and an
+    array<double> cell is unhashable there (round-1 `err`)."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
-        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000)
-         .alias("value_quantiles"),
+        F.percentile_approx("value", 0.5, 10000).alias("p50"),
+        F.percentile_approx("value", 0.95, 10000).alias("p95"),
+        F.percentile_approx("value", 0.99, 10000).alias("p99"),
         F.count(F.lit(1)).alias("n"))

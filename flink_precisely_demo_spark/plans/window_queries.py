@@ -48,14 +48,17 @@ def _sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "session_window_events",
     oracle="""
     WITH marked AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, event_id, ts, value,
              CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w <= 1800000000
                   THEN 0 ELSE 1 END AS new_session
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sessions AS (
+      -- event_id tiebreak: duplicate-ts rows must accumulate in the
+      -- same order the session marks were computed in
       SELECT user_id, ts, value,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS sid
       FROM marked
     )
