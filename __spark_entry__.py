@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from flink_precisely_demo_spark.plans import queries as _q
 # importing registers additional queries into _q.QUERIES / _q.ORACLES
 from flink_precisely_demo_spark.plans import (  # noqa: F401
+    ann_queries,
     cdc_queries,
     dedup_queries,
     misc_queries,

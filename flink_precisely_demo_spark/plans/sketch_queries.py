@@ -27,11 +27,12 @@ _K = 8
 _ITERS = 3
 
 
-def _kmeans_oracle(k: int, iters: int) -> str:
-    """Unrolled k-means-by-cosine training + final assignment, exactly
-    mirroring kmeans_fit/kmeans_assignments: lowest-id init, 6-dp
-    rounded sims with lowest-cell-id tiebreak, 6-dp rounded centroid
-    means, empty cells keeping the previous centroid."""
+def kmeans_ctes(k: int, iters: int) -> str:
+    """CTE body (``e``, ``c0``, ``a1``..``c{iters}``) that replays
+    k-means-by-cosine training in SQL, exactly mirroring kmeans_fit:
+    lowest-id init, 6-dp rounded sims with lowest-cell-id tiebreak,
+    6-dp rounded centroid means, empty cells keeping the previous
+    centroid. Reused by the ann_index oracle (plans/ann_queries.py)."""
     cos_c = _cos("e.embedding", "c.c")
     parts = [f"""
     e AS (SELECT vec_id, embedding FROM embeddings),
@@ -68,8 +69,14 @@ def _kmeans_oracle(k: int, iters: int) -> str:
         GROUP BY cell_id
       ) u ON u.cell_id = p.cell_id
     )""")
+    return ",".join(parts)
+
+
+def _kmeans_oracle(k: int, iters: int) -> str:
+    """Unrolled training + final (vec_id, cell_id, sim) assignment."""
+    cos_c = _cos("e.embedding", "c.c")
     return f"""
-    WITH {','.join(parts)}
+    WITH {kmeans_ctes(k, iters)}
     SELECT vec_id, cell_id, sim FROM (
       SELECT e.vec_id, c.cell_id, round({cos_c}, 6) AS sim,
              row_number() OVER (PARTITION BY e.vec_id
