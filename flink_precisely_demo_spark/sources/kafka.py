@@ -42,6 +42,30 @@ def kafka_options(bootstrap_servers: str, client_props: dict[str, str] | None = 
     return opts
 
 
+def reference_default_client_props() -> dict[str, str]:
+    """The client properties the reference bakes into every source
+    table DDL (StreamingJob.java createTableOptions:
+    'connector.properties.group.id'='cdc-raw-read',
+    'connector.properties.client.id'='precisely_processed')."""
+    return {"group.id": "cdc-raw-read", "client.id": "precisely_processed"}
+
+
+def cdc_source_options(topic: str, bootstrap_servers: str,
+                       client_props: dict[str, str] | None = None,
+                       starting_offsets: str = "earliest") -> dict[str, str]:
+    """The COMPLETE Spark option map for a CDC source topic — the
+    twin of the reference's WITH(...) clause (StreamingJob.java
+    createTableOptions): 'connector.topic' -> subscribe,
+    'connector.startup-mode'='earliest-offset' -> startingOffsets=
+    earliest, 'connector.properties.X' -> kafka.X. Pure function so
+    the contract is testable without a broker."""
+    props = dict(reference_default_client_props())
+    props.update(client_props or {})
+    opts = {"subscribe": topic, "startingOffsets": starting_offsets}
+    opts.update(kafka_options(bootstrap_servers, props))
+    return opts
+
+
 def read_cdc_topic(spark: SparkSession, topic: str, payload_schema: T.StructType,
                    bootstrap_servers: str,
                    client_props: dict[str, str] | None = None,
@@ -50,12 +74,18 @@ def read_cdc_topic(spark: SparkSession, topic: str, payload_schema: T.StructType
     'json', 'connector.startup-mode'='earliest-offset') equivalent
     (reference StreamingJob.java:153-203): subscribe + schema-driven
     JSON decode into envelope rows."""
-    reader = (spark.readStream.format("kafka")
-              .option("subscribe", topic)
-              .option("startingOffsets", starting_offsets))
-    for k, v in kafka_options(bootstrap_servers, client_props).items():
+    reader = spark.readStream.format("kafka")
+    for k, v in cdc_source_options(topic, bootstrap_servers, client_props,
+                                   starting_offsets).items():
         reader = reader.option(k, v)
     return decode_envelope(reader.load(), payload_schema)
+
+
+def json_payload(df: DataFrame) -> DataFrame:
+    """Row -> single ``value`` string column: the sink's JSON payload
+    ('format.type'='json' twin). Field order follows the schema, so
+    the serialization is contract-testable in batch."""
+    return df.selectExpr("to_json(struct(*)) AS value")
 
 
 def write_json_topic(df: DataFrame, topic: str, bootstrap_servers: str,
@@ -63,7 +93,7 @@ def write_json_topic(df: DataFrame, topic: str, bootstrap_servers: str,
                      client_props: dict[str, str] | None = None):
     """INSERT INTO output (JSON Kafka sink, reference
     StreamingJob.java:130-131,142-151). Returns the StreamingQuery."""
-    writer = (df.selectExpr("to_json(struct(*)) AS value")
+    writer = (json_payload(df)
                 .writeStream.format("kafka")
                 .option("topic", topic)
                 .option("checkpointLocation", checkpoint))
