@@ -17,6 +17,7 @@ from flink_precisely_demo_spark.plans import queries as _q
 from flink_precisely_demo_spark.plans import (  # noqa: F401
     ann_queries,
     cdc_queries,
+    curation_queries,
     ddl_queries,
     dedup_queries,
     misc_queries,

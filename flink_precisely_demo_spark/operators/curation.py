@@ -1,0 +1,93 @@
+"""Dataset-curation operators for training-data pipelines
+(SURVEY.md §2.3 extension scope): deterministic sampling, train/
+val/test splitting, benchmark-contamination detection, token-budget
+packing.
+
+All of them avoid the two classic curation scale-traps:
+
+- Random sampling (`df.sample`) is irreproducible across runs and
+  engines. Every selection here is a pure function of the row key —
+  ``md5(salt || key) % 100`` — so a 10% sample is the SAME 10% on
+  any engine, any partitioning, any day: re-runs are incremental and
+  auditable, and the DuckDB oracles reproduce them bit-for-bit.
+- Global ordering (one big sort / one cumulative window) serializes
+  at 100 TB. Packing runs per shard group (e.g. lang x source): the
+  cumsum window parallelizes across groups, matching how a real
+  corpus is sharded.
+
+Contamination is the LSH-free exact form of cross-set overlap: an
+inverted-index equi-join on shingles (corpus docs only ever meet
+benchmark docs that share a shingle — never a cross join), the same
+sparse-join shape as ngram_jaccard_pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import _fan_out, word_shingles
+
+
+def hash_bucket(key: Column, salt: str = "", buckets: int = 100) -> Column:
+    """Deterministic [0, buckets) bucket from md5(salt || key) — the
+    reproducible-sampling primitive (16 hex chars = 64 bits, so
+    bucket skew is negligible)."""
+    h = F.md5(F.concat(F.lit(salt), key.cast("string")))
+    return (F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % buckets).cast("int")
+
+
+def deterministic_sample(df: DataFrame, key_col: str, pct: int,
+                         salt: str = "") -> DataFrame:
+    """Keep rows whose hash bucket < pct (a stable pct% sample)."""
+    return df.filter(hash_bucket(F.col(key_col), salt) < pct)
+
+
+def train_val_test_split(df: DataFrame, key_col: str, val_pct: int = 10,
+                         test_pct: int = 10, salt: str = "split") -> DataFrame:
+    """Adds a ``split`` column ('train'/'val'/'test') by hash bucket:
+    the assignment is stable under corpus growth — a doc never moves
+    between splits when new docs arrive (the leakage-safety property
+    random splitting lacks)."""
+    b = hash_bucket(F.col(key_col), salt)
+    return df.withColumn(
+        "split",
+        F.when(b < 100 - val_pct - test_pct, F.lit("train"))
+         .when(b < 100 - test_pct, F.lit("val"))
+         .otherwise(F.lit("test")))
+
+
+def contamination_pairs(corpus: DataFrame, benchmark: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        shingle_n: int = 5, min_overlap: int = 3) -> DataFrame:
+    """(corpus_id, benchmark_id, n_shared) for pairs sharing >=
+    ``min_overlap`` distinct word n-grams — the decontamination check
+    run before training on scraped data. Inverted-index equi-join on
+    the shingle: cost bounded by shingle collision lists."""
+    c = _fan_out(corpus, id_col).select(
+        F.col(id_col).alias("corpus_id"),
+        F.explode(word_shingles(text_col, shingle_n)).alias("sh"))
+    b = benchmark.select(
+        F.col(id_col).alias("benchmark_id"),
+        F.explode(word_shingles(text_col, shingle_n)).alias("sh"))
+    return (c.join(b, "sh")
+             .filter(F.col("corpus_id") != F.col("benchmark_id"))
+             .groupBy("corpus_id", "benchmark_id")
+             .agg(F.count(F.lit(1)).alias("n_shared"))
+             .filter(F.col("n_shared") >= min_overlap))
+
+
+def pack_token_chunks(df: DataFrame, group_cols: list[str],
+                      token_count: Column, order_col: str = "doc_id",
+                      budget: int = 2048) -> DataFrame:
+    """Assign documents to fixed-token-budget chunks WITHIN each shard
+    group: chunk_id = floor(exclusive-prefix-tokens / budget) in
+    ``order_col`` order. Deterministic, and the window partitions by
+    the shard key so packing parallelizes across groups instead of
+    forcing a global sort."""
+    w = (Window.partitionBy(*group_cols).orderBy(order_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    before = F.coalesce(F.sum(token_count).over(w), F.lit(0))
+    return df.withColumn("__tokens", token_count) \
+             .withColumn("chunk_id", F.floor(before / budget)) \
+             .withColumnRenamed("__tokens", "n_tokens")

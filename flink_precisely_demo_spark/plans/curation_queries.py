@@ -1,0 +1,136 @@
+"""Dataset-curation queries over `documents` with DuckDB oracles.
+
+Sampling and splitting are hash-deterministic (operators/curation.py)
+so the oracles reproduce the exact row sets — no tolerance games.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import token_count
+from ..operators.curation import (
+    contamination_pairs,
+    deterministic_sample,
+    pack_token_chunks,
+    train_val_test_split,
+)
+from ..sources.parquet import load_table
+from .queries import query
+
+_TOKS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
+
+
+def _bucket_sql(salt: str) -> str:
+    return (f"CAST(('0x' || substring(md5('{salt}' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+            " % 100 AS INT)")
+
+
+@query(
+    "curation_sample",
+    oracle=f"""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE {_bucket_sql('')} < 10
+    """,
+)
+def _curation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable 10% sample: the same rows on every run and engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    return deterministic_sample(docs, "doc_id", 10) \
+        .select("doc_id", "lang", "source", "n_chars")
+
+
+@query(
+    "curation_split",
+    oracle=f"""
+    WITH b AS (
+      SELECT lang, n_chars, {_bucket_sql('split')} AS bucket FROM documents
+    ), s AS (
+      SELECT CASE WHEN bucket < 80 THEN 'train'
+                  WHEN bucket < 90 THEN 'val'
+                  ELSE 'test' END AS split,
+             lang, n_chars
+      FROM b
+    )
+    SELECT split, COUNT(*) AS n_docs,
+           AVG(n_chars) AS avg_chars,
+           COUNT(DISTINCT lang) AS n_langs
+    FROM s GROUP BY split
+    """,
+)
+def _curation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 hash split summary — the assignment is growth-stable
+    (a doc never changes split when the corpus grows)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (train_val_test_split(docs, "doc_id")
+            .groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.avg("n_chars").alias("avg_chars"),
+                 F.countDistinct("lang").alias("n_langs")))
+
+
+@query(
+    "curation_contamination",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(toks[CAST(i AS INT):CAST(i + 4 AS INT)], ' ') AS sh
+      FROM (
+        SELECT doc_id, toks,
+               unnest(range(1, greatest(len(toks) - 4, 1) + 1)) AS i
+        FROM toks
+      )
+    )
+    SELECT c.doc_id AS corpus_id, b.doc_id AS benchmark_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM sh c
+    JOIN (SELECT * FROM sh WHERE doc_id % 50 = 0) b ON c.sh = b.sh
+    WHERE c.doc_id <> b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 3
+    """,
+)
+def _curation_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing >= 3 distinct
+    5-gram shingles with any benchmark doc (deterministic benchmark
+    subset: doc_id % 50 = 0)."""
+    docs = load_table(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 50 == 0)
+    return contamination_pairs(docs, benchmark, shingle_n=5, min_overlap=3)
+
+
+@query(
+    "curation_pack_chunks",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, source, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT lang, source, n_tokens,
+             CAST(floor(coalesce(SUM(n_tokens) OVER (
+                    PARTITION BY lang, source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  / 512.0) AS BIGINT) AS chunk_id
+      FROM t
+    )
+    SELECT lang, source, chunk_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS chunk_tokens
+    FROM c GROUP BY 1, 2, 3
+    """,
+)
+def _curation_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget packing (512/chunk) within (lang, source) shard
+    groups; reports per-chunk doc count and token totals."""
+    docs = load_table(spark, sf_dir, "documents")
+    packed = pack_token_chunks(docs, ["lang", "source"],
+                               token_count("text").cast("long"),
+                               order_col="doc_id", budget=512)
+    return (packed.groupBy("lang", "source", "chunk_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("chunk_tokens")))
