@@ -291,3 +291,87 @@ def _dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
               .filter(F.col("sim") >= 0.4)
               .select("a", "b", "sim"))
     return pairs
+
+@query(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6)))
+                AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1995-07-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def _q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: the 6-table star-with-a-twist (the
+    c_nationkey = s_nationkey "local supplier" correlation). Scale
+    plan: region filter reduces nation to a handful of rows,
+    broadcast down the dim chain (region -> nation -> supplier);
+    the only big-big join is lineitem x date-filtered orders, one
+    shuffle on the order key; the nationkey correlation rides the
+    customer join as an extra predicate, never a separate join.
+    Supplier/customer broadcasts are left to AQE: tiny here, but at
+    very large SF they exceed any broadcast threshold and AQE picks
+    the shuffle join instead — same query text either way."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-07-01").cast("timestamp_ntz")) &
+        (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz")))
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+    return (li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+              .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+              .join(c, (F.col("o_custkey") == F.col("c_custkey")) &
+                       (F.col("c_nationkey") == F.col("s_nationkey")))
+              .groupBy("n_name")
+              .agg(sum_exact(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                   .alias("revenue")))
+
+
+@query(
+    "q18_large_volume_customer",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS total_qty
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) > 180
+    )
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice, b.total_qty
+    FROM big b
+    JOIN orders o   ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def _q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: a HAVING-filtered aggregate over the fact
+    table drives the rest of the query. Scale plan: the lineitem
+    groupBy is the one fact-sized shuffle (map-side partial sums);
+    its survivors (a tiny fraction) join orders on the already-
+    grouped key and the customer dim last — the aggregate result is
+    reused directly instead of re-joining lineitem a second time as
+    the literal TPC-H text does."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (li.groupBy("l_orderkey")
+             .agg(sum_exact("l_quantity").alias("total_qty"))
+             .filter(F.col("total_qty") > 180))
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+               .join(c, F.col("o_custkey") == F.col("c_custkey"))
+               .select("c_name", "o_orderkey", "o_orderdate",
+                       "o_totalprice", "total_qty"))
