@@ -22,6 +22,34 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def flatten_envelope(envelopes: DataFrame, pk: str,
+                     ts_col: str = "sv_op_timestamp",
+                     manip_col: str = "sv_manip_type",
+                     seq_cols: tuple[str, ...] = ("sv_trans_id", "sv_trans_row_seq"),
+                     ) -> DataFrame:
+    """Envelope rows -> (__manip, __ts, __seq*, __pk, after_image):
+    the merge-ready shape shared by the batch snapshot and the
+    streaming upsert store (streaming/cdc_upsert.py)."""
+    return envelopes.select(
+        F.col(manip_col).alias("__manip"),
+        F.col(ts_col).alias("__ts"),
+        *[F.col(c).alias(f"__seq{i}") for i, c in enumerate(seq_cols)],
+        F.col(f"after_image.{pk}").alias("__pk"),
+        "after_image")
+
+
+def latest_per_key(flat: DataFrame, n_seq: int = 2) -> DataFrame:
+    """Latest version per key by (ts, seq...) — tombstones (D rows)
+    INCLUDED, so out-of-order history arriving later cannot
+    resurrect a deleted key when states are merged incrementally."""
+    order = [F.col("__ts").desc()] + \
+        [F.col(f"__seq{i}").desc() for i in range(n_seq)]
+    w = Window.partitionBy("__pk").orderBy(*order)
+    return (flat.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn"))
+
+
 def apply_cdc_snapshot(envelopes: DataFrame, pk: str,
                        ts_col: str = "sv_op_timestamp",
                        manip_col: str = "sv_manip_type",
@@ -33,16 +61,7 @@ def apply_cdc_snapshot(envelopes: DataFrame, pk: str,
     key (a key whose latest op is D disappears entirely).
     """
     payload_fields = envelopes.schema["after_image"].dataType.fieldNames()
-    flat = envelopes.select(
-        F.col(manip_col).alias("__manip"),
-        F.col(ts_col).alias("__ts"),
-        *[F.col(c).alias(f"__seq{i}") for i, c in enumerate(seq_cols)],
-        F.col(f"after_image.{pk}").alias("__pk"),
-        "after_image")
-    order = [F.col("__ts").desc()] + \
-        [F.col(f"__seq{i}").desc() for i in range(len(seq_cols))]
-    w = Window.partitionBy("__pk").orderBy(*order)
-    latest = (flat.withColumn("__rn", F.row_number().over(w))
-                  .filter(F.col("__rn") == 1)
-                  .filter(F.col("__manip") != "D"))
+    flat = flatten_envelope(envelopes, pk, ts_col, manip_col, seq_cols)
+    latest = latest_per_key(flat, len(seq_cols)) \
+        .filter(F.col("__manip") != "D")
     return latest.select(*[F.col(f"after_image.{c}") for c in payload_fields])
