@@ -21,6 +21,7 @@ from flink_precisely_demo_spark.plans import (  # noqa: F401
     ddl_queries,
     dedup_queries,
     misc_queries,
+    multimodal_queries,
     olap_queries,
     similarity_queries,
     sketch_queries,

@@ -202,3 +202,18 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     return (media.filter(F.col("meta.media_type") == "video")
                  .repartition(n, "media_id")
                  .mapInPandas(compute, schema=schema))
+
+
+def binary_manifest(media: DataFrame, payload_col: str = "payload",
+                    id_col: str = "media_id") -> DataFrame:
+    """(id, content_md5, byte_len): content addressing of binary
+    payloads — the manifest every multimodal pipeline builds first
+    (dedup by content id, storage accounting, cache keys). Pure
+    JVM-side column expressions over the binary column; at 100 TB
+    this runs inside the scan stage with zero shuffle, and the
+    16-byte digest — not the payload — is what any downstream
+    grouping shuffles."""
+    return media.select(
+        F.col(id_col),
+        F.md5(F.col(payload_col)).alias("content_md5"),
+        F.length(F.col(payload_col)).cast("long").alias("byte_len"))
