@@ -134,3 +134,58 @@ def _curation_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (packed.groupBy("lang", "source", "chunk_id")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_tokens").alias("chunk_tokens")))
+
+
+@query(
+    "curation_pipeline_e2e",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang, text,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+             substring(md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')), 1, 16)
+               AS fingerprint
+      FROM documents
+      WHERE text IS NOT NULL
+    ),
+    kept AS (
+      SELECT * FROM (
+        SELECT *, MIN(doc_id) OVER (PARTITION BY fingerprint) AS keep_id
+        FROM scored WHERE n_tokens >= 10
+      ) WHERE doc_id = keep_id
+    ),
+    split AS (
+      SELECT lang, n_tokens,
+             CASE WHEN {_bucket_sql('split')} < 80 THEN 'train'
+                  WHEN {_bucket_sql('split')} < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM kept
+    )
+    SELECT split, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM split GROUP BY split, lang
+    """,
+)
+def _curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pipeline, end-to-end in one plan:
+    quality filter (min token count) -> exact-dedup keeping the
+    lowest-id representative -> growth-stable train/val/test split ->
+    per-split token budgets. One fingerprint shuffle + one group
+    shuffle; the split assignment is a pure map. This is the whole
+    pre-training triage flow the individual operators exist for,
+    hash-checked as a unit."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    from ..functions.text import doc_fingerprint
+    scored = docs.select(
+        "doc_id", "lang",
+        token_count("text").cast("long").alias("n_tokens"),
+        doc_fingerprint("text").alias("fingerprint"),
+    ).filter(F.col("n_tokens") >= 10)
+    from pyspark.sql import Window
+    keep = F.min("doc_id").over(Window.partitionBy("fingerprint"))
+    kept = scored.withColumn("keep_id", keep) \
+                 .filter(F.col("doc_id") == F.col("keep_id"))
+    return (train_val_test_split(kept, "doc_id")
+            .groupBy("split", "lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens")))
