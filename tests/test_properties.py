@@ -1,0 +1,82 @@
+"""Property-based differential tests (hypothesis): the operators whose
+correctness depends on ORDERING and MERGE rules are checked against
+independent pure-Python references over randomized inputs — a
+different axis than the DuckDB oracles (which use fixed datasets)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from flink_precisely_demo_spark.operators.cdc_apply import apply_cdc_snapshot
+from flink_precisely_demo_spark.operators.curation import hash_bucket
+
+# --- CDC snapshot vs a pure-Python fold ------------------------------
+
+ops = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),          # key
+        st.sampled_from(["I", "U", "D"]),               # manip
+        st.integers(min_value=0, max_value=3),          # ts bucket
+        st.floats(min_value=0, max_value=1000,
+                  allow_nan=False, allow_infinity=False),
+    ),
+    min_size=1, max_size=40)
+
+
+def _python_fold(rows):
+    """Reference: per key, the (ts, trans_id, row_seq)-max row wins;
+    D removes the key."""
+    latest = {}
+    for trans_id, (key, manip, ts, val) in enumerate(rows):
+        cur = latest.get(key)
+        sort_key = (ts, trans_id, 1)
+        if cur is None or sort_key > cur[0]:
+            latest[key] = (sort_key, manip, val)
+    return {k: round(v, 6) for k, (_, manip, v) in latest.items()
+            if manip != "D"}
+
+
+@settings(max_examples=12, deadline=None)
+@given(rows=ops)
+def test_cdc_snapshot_matches_python_fold(spark, rows):
+    data = [
+        (manip, trans_id, 1, f"2024-01-0{ts + 1} 00:00:00.000000",
+         {"SalesOrderId": key, "TotalDue": float(val), "Status": 5})
+        for trans_id, (key, manip, ts, val) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data,
+        "sv_manip_type string, sv_trans_id long, sv_trans_row_seq int,"
+        "sv_op_timestamp string,"
+        "after_image struct<SalesOrderId:int, TotalDue:double, Status:int>")
+    got = {r["SalesOrderId"]: round(r["TotalDue"], 6)
+           for r in apply_cdc_snapshot(df, "SalesOrderId").collect()}
+    assert got == _python_fold(rows)
+
+
+# --- hash bucket invariants ------------------------------------------
+
+@settings(max_examples=8, deadline=None)
+@given(keys=st.lists(st.integers(min_value=0, max_value=10**9),
+                     min_size=1, max_size=50, unique=True),
+       salt=st.sampled_from(["", "a", "split"]))
+def test_hash_bucket_range_and_determinism(spark, keys, salt):
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    out1 = {r["k"]: r["b"] for r in
+            df.select("k", hash_bucket(F.col("k"), salt).alias("b")).collect()}
+    out2 = {r["k"]: r["b"] for r in
+            df.select("k", hash_bucket(F.col("k"), salt).alias("b")).collect()}
+    assert out1 == out2
+    assert all(0 <= b < 100 for b in out1.values())
+
+
+def test_hash_bucket_is_roughly_uniform(spark):
+    df = spark.range(20000).select(
+        hash_bucket(F.col("id")).alias("b"))
+    counts = {r["b"]: r["n"] for r in
+              df.groupBy("b").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == set(range(100))
+    # each bucket within 3x of fair share (loose: binomial tails)
+    assert all(60 < n < 600 for n in counts.values()), sorted(counts.values())[:3]
