@@ -359,3 +359,67 @@ def test_stateful_enrich_ttl_evicts_state(spark, tmp_path):
     without = run("enrich_ttl_none", None)
     assert with_ttl == []
     assert len(without) == 1 and without[0]["dval"] == "v1"
+
+
+def test_streaming_session_window_merges_and_splits(spark, tmp_path):
+    """Session windows in streaming mode (beyond the reference's
+    single tumbling window): events within the 30-min gap merge into
+    one session per user; a larger gap starts a new session. The
+    streaming result must equal the batch session_window over the
+    same rows (one engine, two execution modes)."""
+    rows = [
+        {"user": "u1", "ts": "2024-01-01 10:00:00", "value": 1.0},
+        {"user": "u1", "ts": "2024-01-01 10:10:00", "value": 2.0},
+        {"user": "u1", "ts": "2024-01-01 11:30:00", "value": 4.0},
+        {"user": "u2", "ts": "2024-01-01 10:05:00", "value": 8.0},
+    ]
+    src = tmp_path / "sess"
+    src.mkdir()
+    _write_jsonl(src / "a.jsonl", rows)
+    schema = "user string, ts timestamp, value double"
+
+    stream = spark.readStream.schema(schema).json(str(src))
+    agg = (stream.groupBy("user", F.session_window("ts", "30 minutes"))
+                 .agg(F.sum("value").alias("total")))
+    got = sorted(
+        (r["user"], r["session_window"]["start"].isoformat(), r["total"])
+        for r in run_to_memory(agg, "sess_stream", spark,
+                               output_mode="complete").collect())
+
+    batch = spark.read.schema(schema).json(str(src))
+    expected = sorted(
+        (r["user"], r["session_window"]["start"].isoformat(), r["total"])
+        for r in batch.groupBy("user", F.session_window("ts", "30 minutes"))
+                      .agg(F.sum("value").alias("total")).collect())
+    assert got == expected
+    assert len(got) == 3  # u1 x2 sessions, u2 x1
+
+
+def test_streaming_sliding_window_overlap(spark, tmp_path):
+    """Sliding windows (10 min size, 5 min slide) in streaming mode:
+    each event lands in two windows; totals equal the batch plan."""
+    rows = [
+        {"user": "u1", "ts": "2024-01-01 10:02:00", "value": 1.0},
+        {"user": "u1", "ts": "2024-01-01 10:07:00", "value": 2.0},
+        {"user": "u1", "ts": "2024-01-01 10:12:00", "value": 4.0},
+    ]
+    src = tmp_path / "slide"
+    src.mkdir()
+    _write_jsonl(src / "a.jsonl", rows)
+    schema = "user string, ts timestamp, value double"
+
+    stream = spark.readStream.schema(schema).json(str(src))
+    agg = (stream.groupBy(F.window("ts", "10 minutes", "5 minutes"))
+                 .agg(F.sum("value").alias("total")))
+    got = sorted(
+        (r["window"]["start"].isoformat(), r["total"])
+        for r in run_to_memory(agg, "slide_stream", spark,
+                               output_mode="complete").collect())
+    batch = spark.read.schema(schema).json(str(src))
+    expected = sorted(
+        (r["window"]["start"].isoformat(), r["total"])
+        for r in batch.groupBy(F.window("ts", "10 minutes", "5 minutes"))
+                      .agg(F.sum("value").alias("total")).collect())
+    assert got == expected
+    # 10:02 -> [9:55,10:05)+[10:00,10:10); 10:12 -> [10:05,10:15)+[10:10,10:20)
+    assert len(got) == 4
