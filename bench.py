@@ -67,12 +67,18 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        best = float("inf")
+        runs = []
         for _ in range(2):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        if max(runs) > 2 * min(runs):
+            # the two runs disagree wildly -> a contention blip hit one
+            # of them; a third sample keeps the min honest
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs), 3)
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
 
     streaming_eps = _streaming_throughput(spark, sf_dir)
