@@ -43,6 +43,10 @@ def _fan_out(df: DataFrame, key: str) -> DataFrame:
     core count — per-task fixed costs (Python worker handoff, Arrow
     framing, scheduling) dominate when small CPU work is oversplit
     (measured: 8-way beat 32-way 2.4x on the sf0.1 minhash bench)."""
+    if df.isStreaming:
+        # no RDD inspection on a stream; micro-batch parallelism
+        # comes from the source (maxFilesPerTrigger / topic partitions)
+        return df
     sc = df.sparkSession.sparkContext
     target = max(8, sc.defaultParallelism // 4)
     if df.rdd.getNumPartitions() >= target:

@@ -84,6 +84,23 @@ def run_cdc_upsert(envelopes: DataFrame, target_path: str, pk: str,
     return q
 
 
+def vacuum_store(target_path: str, keep: int = 2) -> list[int]:
+    """Drop all but the newest ``keep`` state versions (the older
+    ones exist only to make crash-replay idempotent — once the
+    checkpoint has committed past batch N, versions < N-1 are dead
+    weight). Returns the removed version numbers. ``keep >= 2`` keeps
+    replay of the newest batch safe."""
+    import shutil
+
+    assert keep >= 2, "keep < 2 would break replay idempotence"
+    versions = _versions(target_path)
+    doomed = versions[:-keep] if len(versions) > keep else []
+    for v in doomed:
+        shutil.rmtree(os.path.join(target_path, f"state_v{v}"),
+                      ignore_errors=True)
+    return doomed
+
+
 def cdc_current_state(spark: SparkSession, target_path: str) -> DataFrame:
     """Read the materialized current state (tombstones filtered,
     payload unwrapped) from the newest store version."""

@@ -86,3 +86,23 @@ def test_upsert_replay_is_idempotent(spark, tmp_path):
     # no-op on the state (latest-wins merge absorbs it)
     sink(waves[0], 2)
     assert _state_rows(spark, store) == before
+
+
+def test_vacuum_keeps_replay_safe(spark, tmp_path):
+    from flink_precisely_demo_spark.streaming.cdc_upsert import vacuum_store
+
+    waves = _change_waves(spark)
+    store = str(tmp_path / "store")
+    sink = cdc_upsert_sink(store, "SalesOrderId")
+    for i, w in enumerate(waves):
+        sink(w, i)
+    assert _versions(store) == [0, 1, 2, 3]
+    state = _state_rows(spark, store)
+
+    removed = vacuum_store(store, keep=2)
+    assert removed == [0, 1]
+    assert _versions(store) == [2, 3]
+    # current state unchanged, and replaying the newest batch still works
+    assert _state_rows(spark, store) == state
+    sink(waves[3], 3)
+    assert _state_rows(spark, store) == state

@@ -423,3 +423,37 @@ def test_streaming_sliding_window_overlap(spark, tmp_path):
     assert got == expected
     # 10:02 -> [9:55,10:05)+[10:00,10:10); 10:12 -> [10:05,10:15)+[10:10,10:20)
     assert len(got) == 4
+
+
+def test_streaming_near_dup_suppression(spark, tmp_path):
+    """Near-dup dedup on a STREAM: minhash signatures are computed by
+    the same mapInPandas kernel (it runs unchanged on streaming
+    DataFrames) and near-identical docs are suppressed by
+    dropDuplicates on the signature — the streaming twin of the batch
+    MinHash dedup, with state bounded by the watermark column."""
+    import json as _json
+
+    from flink_precisely_demo_spark.operators.dedup import (
+        minhash_wide_signature,
+    )
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base},                       # exact dup
+        {"doc_id": 3, "text": "completely different content here that shares nothing with the fox"},
+    ]
+    with open(src / "a.jsonl", "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+
+    stream = spark.readStream.schema("doc_id long, text string").json(str(src))
+    sig = minhash_wide_signature(stream, num_hashes=8)
+    sig_cols = [c for c in sig.columns if c.startswith("mh_")]
+    deduped = sig.dropDuplicates(sig_cols)
+    out = run_to_memory(deduped, "stream_neardup", spark,
+                        output_mode="append").collect()
+    kept = sorted(r["doc_id"] for r in out)
+    assert kept == [1, 3] or kept == [2, 3]  # one of the dup pair survives
