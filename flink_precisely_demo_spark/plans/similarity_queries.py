@@ -134,3 +134,53 @@ def _similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") < _N_QUERIES)
     return ivf_topk(emb, queries_df, cent, k=3) \
         .withColumnRenamed("rank", "rnk")
+
+
+@query(
+    "embedding_quantize_stats",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_max(list_transform(embedding,
+                      x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+      FROM embeddings
+    )
+    SELECT e.vec_id,
+           round(q.scale, 6) AS scale,
+           round(CASE WHEN q.scale = 0 THEN 0.0 ELSE
+             list_max(list_transform(e.embedding,
+               x -> abs(CAST(x AS DOUBLE)
+                        - round(CAST(x AS DOUBLE) / q.scale) * q.scale)))
+           END, 6) AS max_abs_err,
+           CAST(list_max(list_transform(e.embedding,
+                x -> abs(round(CAST(x AS DOUBLE) / q.scale)))) AS BIGINT)
+             AS max_code
+    FROM embeddings e JOIN q ON e.vec_id = q.vec_id
+    """,
+)
+def _embedding_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization audit for embedding storage: per
+    vector, the max-abs/127 scale, the worst reconstruction error,
+    and the largest code (must be <= 127 by construction). Pure
+    column expressions — the quantizer itself is a zero-Python,
+    zero-shuffle map, which is what a 100 TB embedding-compression
+    pass needs (the int8 arrays land 4x smaller on disk)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = F.transform("embedding", lambda v: F.abs(v.cast("double")))
+    scale = F.array_max(x) / F.lit(127.0)
+    # NB: the raw scale column must not share a name with the rounded
+    # output alias — Spark's lateral column alias resolution would
+    # silently rebind F.col("scale") in sibling expressions to the
+    # ROUNDED value (measured: max_abs_err flipped at the 6th dp)
+    q = emb.select("vec_id", "embedding", scale.alias("__scale_raw"))
+    raw = F.col("__scale_raw")
+    code = lambda v: F.round(v.cast("double") / raw)  # noqa: E731
+    err = F.array_max(F.transform(
+        "embedding", lambda v: F.abs(v.cast("double") - code(v) * raw)))
+    return q.select(
+        "vec_id",
+        F.round(raw, 6).alias("scale"),
+        F.round(F.when(raw == 0, F.lit(0.0)).otherwise(err), 6)
+         .alias("max_abs_err"),
+        F.array_max(F.transform("embedding", lambda v: F.abs(code(v))))
+         .cast("long").alias("max_code"))
