@@ -57,3 +57,41 @@ def _cdc_apply_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.filter(F.col("o_orderkey") % 10 == 0), "D", 2, 0.0)
     changes = inserts.unionByName(updates).unionByName(deletes)
     return apply_cdc_snapshot(changes, "SalesOrderId")
+
+
+@query(
+    "cdc_state_asof",
+    oracle="""
+    SELECT CAST(o_orderkey AS INT) AS SalesOrderId,
+           CASE WHEN o_orderkey % 5 = 0
+                 AND o_orderdate + INTERVAL 1 DAY <= TIMESTAMP '1998-06-15'
+                THEN o_totalprice + 1000.0
+                ELSE o_totalprice END AS TotalDue,
+           5 AS Status
+    FROM orders
+    WHERE o_orderdate <= TIMESTAMP '1998-06-15'
+      AND NOT (o_orderkey % 10 = 0
+               AND o_orderdate + INTERVAL 2 DAY <= TIMESTAMP '1998-06-15')
+    """,
+)
+def _cdc_state_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the change log: the table state AS OF a global
+    cutoff T — filter the envelope stream to ops with op_timestamp <=
+    T, then the same latest-per-key materialization. The oracle is
+    ground truth from the generation rule again: at T, orders not yet
+    inserted are absent, deletes whose day+2 passed are gone, updates
+    whose day+1 passed are applied. At 100 TB this is one
+    predicate-pushdown filter cheaper than the full snapshot."""
+    from ..functions.datetime_fns import parse_ts
+
+    orders = load_table(spark, sf_dir, "orders")
+    inserts = _envelope_rows(orders, "I", 0, 0.0)
+    updates = _envelope_rows(
+        orders.filter(F.col("o_orderkey") % 5 == 0), "U", 1, 1000.0)
+    deletes = _envelope_rows(
+        orders.filter(F.col("o_orderkey") % 10 == 0), "D", 2, 0.0)
+    changes = inserts.unionByName(updates).unionByName(deletes)
+    cutoff = F.lit("1998-06-15 00:00:00").cast("timestamp_ntz")
+    asof = changes.filter(
+        parse_ts("sv_op_timestamp").cast("timestamp_ntz") <= cutoff)
+    return apply_cdc_snapshot(asof, "SalesOrderId")
