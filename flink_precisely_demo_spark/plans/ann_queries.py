@@ -33,7 +33,8 @@ _INDEX_CACHE: dict[str, str] = {}
 
 def ann_index_path(spark: SparkSession, sf_dir: str) -> str:
     """Build (once per process+dataset) and return the index path."""
-    if sf_dir not in _INDEX_CACHE:
+    cached = _INDEX_CACHE.get(sf_dir)
+    if cached is None or not os.path.isdir(os.path.join(cached, "centroids")):
         slug = re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir.strip("/"))
         path = os.path.join(tempfile.gettempdir(), f"ann_index_{slug}")
         emb = load_table(spark, sf_dir, "embeddings")
