@@ -23,6 +23,7 @@ from flink_precisely_demo_spark.plans import (  # noqa: F401
     misc_queries,
     multimodal_queries,
     olap_queries,
+    reference_sql,
     similarity_queries,
     sketch_queries,
     text_queries,
