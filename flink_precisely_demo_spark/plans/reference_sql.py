@@ -83,3 +83,158 @@ def _reference_sql_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(*[
         F.col(c).cast("timestamp_ntz").alias(c) if c in ts_cols else F.col(c)
         for c in out.columns])
+
+
+# reference sql/states.sql, verbatim
+REFERENCE_STATES_SQL = """SELECT
+    after_image.StateProvinceID,
+    after_image.CountryRegionCode,
+    after_image.Name as StateName,
+    parseTs(sv_op_timestamp) as StatesAsOf
+FROM cdc_States"""
+
+# reference sql/address.sql, verbatim
+REFERENCE_ADDRESS_SQL = """SELECT
+    after_image.AddressID,
+    after_image.AddressLine1,
+    after_image.City,
+    after_image.StateProvinceID,
+    after_image.PostalCode,
+    parseTs(after_image.ModifiedDate) as ModifiedDate,
+    parseTs(sv_op_timestamp) as AddressAsOf
+FROM cdc_Address"""
+
+# reference sql/output.sql, verbatim (runs through the TUMBLE shim)
+REFERENCE_OUTPUT_SQL = """INSERT INTO output
+    SELECT
+        TUMBLE_START(OrderAsOf, INTERVAL '10' MINUTE) as OrderPeriod,
+        sum(TotalDue) as TotalDue,
+        CountryRegionCode,
+        StateName
+    FROM ordersWithAddress
+    GROUP BY
+        CountryRegionCode,
+        StateName,
+        TUMBLE(OrderAsOf, INTERVAL '10' MINUTE)"""
+
+
+def translate_flink_tumble(sql: str) -> str:
+    """Mechanical Flink->Spark dialect shim for group windows:
+    ``TUMBLE_START(c, INTERVAL 'n' MINUTE)`` -> ``window(c, 'n
+    minutes').start`` and ``TUMBLE(c, ...)`` -> ``window(c, ...)``.
+    Nothing else is touched, so a user's Flink SQL runs after one
+    regex pass."""
+    import re as _re
+
+    sql = _re.sub(
+        r"TUMBLE_START\(\s*(\w+)\s*,\s*INTERVAL\s*'(\d+)'\s*MINUTE\s*\)",
+        r"window(\1, '\2 minutes').start", sql)
+    return _re.sub(
+        r"TUMBLE\(\s*(\w+)\s*,\s*INTERVAL\s*'(\d+)'\s*MINUTE\s*\)",
+        r"window(\1, '\2 minutes')", sql)
+
+
+def _envelope_json(df: DataFrame, payload, key_col: str,
+                   ts_string) -> DataFrame:
+    """Minimal envelope JSON lines (decode fills unlisted sv_* fields
+    with NULL — same tolerance as a real partial feed)."""
+    envelope = F.struct(
+        F.lit("I").alias("sv_manip_type"),
+        F.col(key_col).cast("long").alias("sv_trans_id"),
+        F.lit(1).alias("sv_trans_row_seq"),
+        ts_string.alias("sv_op_timestamp"),
+        payload.alias("after_image"),
+    )
+    return df.select(F.to_json(envelope).alias("value"))
+
+
+@query(
+    "reference_pipeline_verbatim",
+    oracle="""
+    SELECT make_timestamp((epoch_us(o.o_orderdate) // 600000000) * 600000000)
+               AS OrderPeriod,
+           round(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 4)
+               AS TotalDue,
+           'XX' AS Country,
+           n.n_name AS State
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1, 4
+    """,
+)
+def _reference_pipeline_verbatim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE reference program replayed from its own SQL text:
+    states.sql / address.sql / orders.sql verbatim over cdc_* views,
+    the two enrichment joins (EnrichmentJoin semantics), a DDL-created
+    ``output`` table, and output.sql through the TUMBLE dialect shim
+    (Spark has no TUMBLE; the regex pass is the only edit). Fixture
+    mapping per FIXTURES.md §B: nation plays states (Country 'XX'),
+    customer plays address. The wrapper rounds TotalDue to 4 dp —
+    output.sql's ``sum(TotalDue)`` is a plain double sum, and 4 dp
+    absorbs its ~1e-12 summation-order wobble against the oracle's
+    exact decimal sum."""
+    from ..operators.enrichment_join import enrich
+    from ..schemas import ADDRESS_PAYLOAD, STATES_PAYLOAD
+    from ..sources.cdc_json import format_ts
+
+    register_parse_ts_sql(spark)
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+
+    fixed_ts = F.lit("20200101000000")
+    states_payload = F.struct(
+        F.col("n_nationkey").cast("int").alias("StateProvinceID"),
+        F.lit("XX").alias("CountryRegionCode"),
+        F.col("n_name").alias("Name"))
+    decode_envelope(
+        _envelope_json(nation, states_payload, "n_nationkey", fixed_ts),
+        STATES_PAYLOAD).createOrReplaceTempView("cdc_States")
+
+    address_payload = F.struct(
+        F.col("c_custkey").cast("int").alias("AddressID"),
+        F.lit("1 Main St").alias("AddressLine1"),
+        F.lit("Springfield").alias("City"),
+        F.col("c_nationkey").cast("int").alias("StateProvinceID"),
+        F.lit("00000").alias("PostalCode"),
+        fixed_ts.alias("ModifiedDate"))
+    decode_envelope(
+        _envelope_json(customer, address_payload, "c_custkey", fixed_ts),
+        ADDRESS_PAYLOAD).createOrReplaceTempView("cdc_Address")
+
+    decode_envelope(synthesize_orders_envelope(orders), ORDERS_PAYLOAD) \
+        .createOrReplaceTempView("cdc_Orders")
+
+    states = spark.sql(REFERENCE_STATES_SQL)
+    address = spark.sql(REFERENCE_ADDRESS_SQL)
+    orders_proj = spark.sql(REFERENCE_ORDERS_SQL)
+
+    address_with_state = enrich(address, states, "StateProvinceID",
+                                dim_order_col="StatesAsOf")
+    orders_with_address = enrich(orders_proj, address_with_state, "AddressId",
+                                 dim_order_col="AddressAsOf")
+    orders_with_address.createOrReplaceTempView("ordersWithAddress")
+
+    import os
+    import re
+    import shutil
+    import tempfile
+
+    slug = re.sub(r"[^A-Za-z0-9]+", "_", sf_dir.strip("/"))
+    sink_loc = os.path.join(tempfile.gettempdir(), f"ref_output_{slug}")
+    spark.sql("DROP TABLE IF EXISTS output")
+    # external table: dropping leaves the files — clear them so the
+    # verbatim INSERT INTO (append) starts from an empty sink
+    shutil.rmtree(sink_loc, ignore_errors=True)
+    spark.sql(f"""
+        CREATE TABLE output (
+          OrderPeriod TIMESTAMP, TotalDue DOUBLE, Country STRING, State STRING
+        ) USING parquet LOCATION '{sink_loc}'
+    """)
+    spark.sql(translate_flink_tumble(REFERENCE_OUTPUT_SQL))
+    out = spark.table("output")
+    return out.select(
+        F.col("OrderPeriod").cast("timestamp_ntz").alias("OrderPeriod"),
+        F.round("TotalDue", 4).alias("TotalDue"),
+        "Country", "State")
