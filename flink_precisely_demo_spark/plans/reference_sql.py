@@ -176,7 +176,6 @@ def _reference_pipeline_verbatim(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact decimal sum."""
     from ..operators.enrichment_join import enrich
     from ..schemas import ADDRESS_PAYLOAD, STATES_PAYLOAD
-    from ..sources.cdc_json import format_ts
 
     register_parse_ts_sql(spark)
     nation = load_table(spark, sf_dir, "nation")
