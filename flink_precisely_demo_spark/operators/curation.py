@@ -31,8 +31,9 @@ from .dedup import _fan_out, word_shingles
 
 def hash_bucket(key: Column, salt: str = "", buckets: int = 100) -> Column:
     """Deterministic [0, buckets) bucket from md5(salt || key) — the
-    reproducible-sampling primitive (16 hex chars = 64 bits, so
-    bucket skew is negligible)."""
+    reproducible-sampling primitive (15 hex chars = 60 bits — one
+    nibble under 64 so the value always fits a signed BIGINT in the
+    DuckDB oracle twin; skew at 60 bits is still negligible)."""
     h = F.md5(F.concat(F.lit(salt), key.cast("string")))
     return (F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % buckets).cast("int")
 
@@ -59,14 +60,26 @@ def train_val_test_split(df: DataFrame, key_col: str, val_pct: int = 10,
 
 def contamination_pairs(corpus: DataFrame, benchmark: DataFrame,
                         text_col: str = "text", id_col: str = "doc_id",
-                        shingle_n: int = 5, min_overlap: int = 3) -> DataFrame:
+                        shingle_n: int = 5, min_overlap: int = 3,
+                        max_df: int = 1000) -> DataFrame:
     """(corpus_id, benchmark_id, n_shared) for pairs sharing >=
     ``min_overlap`` distinct word n-grams — the decontamination check
     run before training on scraped data. Inverted-index equi-join on
-    the shingle: cost bounded by shingle collision lists."""
-    c = _fan_out(corpus, id_col).select(
+    the shingle: cost bounded by shingle collision lists.
+
+    Corpus-side shingles with document frequency > ``max_df`` are
+    dropped before the join (a boilerplate 5-gram in k corpus docs
+    meeting m benchmark docs is k*m join rows from one key). The df
+    window partitions on the join key, so no extra shuffle; dropped
+    stop-shingles only lose pairs whose entire overlap is
+    boilerplate — not contamination evidence."""
+    raw_c = _fan_out(corpus, id_col).select(
         F.col(id_col).alias("corpus_id"),
         F.explode(word_shingles(text_col, shingle_n)).alias("sh"))
+    w = Window.partitionBy("sh")
+    c = (raw_c.withColumn("__df", F.count(F.lit(1)).over(w))
+              .filter(F.col("__df") <= max_df)
+              .drop("__df"))
     b = benchmark.select(
         F.col(id_col).alias("benchmark_id"),
         F.explode(word_shingles(text_col, shingle_n)).alias("sh"))

@@ -194,21 +194,10 @@ def minhash_wide_signature(df: DataFrame, text_col: str = "text",
         .mapInPandas(compute, schema=schema)
 
 
-def minhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
-                           id_col: str = "doc_id", num_hashes: int = 16,
-                           bands: int = 4, shingle_n: int = 3) -> DataFrame:
-    """Candidate near-duplicate pairs (a < b) sharing >= 1 LSH band.
-
-    num_hashes minhashes split into `bands` bands of r = num_hashes /
-    bands rows; docs collide when an entire band matches. Single-pass
-    plan: band keys are built directly from the wide signature (no
-    unpivot/regroup), bucketed by (band_id, band_key), and pairs are
-    emitted per bucket — the signature pipeline is computed exactly
-    once (a naive self-join would recompute the whole shingle+hash
-    lineage for each side). At 100 TB the only shuffled payload is
-    (band digest, id); hot buckets (boilerplate docs) are bounded by
-    emitting pairs from sorted in-bucket id lists.
-    """
+def _minhash_banded(df: DataFrame, text_col: str, id_col: str,
+                    num_hashes: int, bands: int,
+                    shingle_n: int) -> DataFrame:
+    """(id, band_id, band_key) — one row per document per LSH band."""
     r = num_hashes // bands
     sig = minhash_wide_signature(df, text_col, id_col, num_hashes, shingle_n)
     band_structs = F.array(*[
@@ -219,19 +208,85 @@ def minhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
                 for s in range(b * r, (b + 1) * r)
             ]).alias("band_key"))
         for b in range(bands)])
-    banded = (sig.select(F.col(id_col), F.explode(band_structs).alias("bd"))
-                 .select(id_col, "bd.band_id", "bd.band_key"))
-    buckets = (banded.groupBy("band_id", "band_key")
-                     .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
-                     .filter(F.size("ids") >= 2))
-    # pairwise combinations of the sorted bucket members (a < b)
+    return (sig.select(F.col(id_col), F.explode(band_structs).alias("bd"))
+               .select(id_col, "bd.band_id", "bd.band_key"))
+
+
+def _bucket_pairs(banded: DataFrame, bucket_cols: list[str],
+                  member: Column, pair_fields: "callable",
+                  max_bucket_size: int) -> DataFrame:
+    """Emit in-bucket pairwise combinations with a hard bucket cap.
+
+    The cap is enforced BEFORE the collect: a `count() over (partition
+    by bucket)` window shares its shuffle with the groupBy on the same
+    keys (one exchange in the plan), and the window operator spills
+    oversized partitions to disk — so a degenerate 10^6-member bucket
+    never reaches the collect_list agg buffer, which only ever holds
+    <= max_bucket_size elements. Without this, one boilerplate-heavy
+    bucket concentrates an O(m^2) explode and an unbounded array in a
+    single task. Oversized buckets are *dropped here*; callers that
+    need the audit trail read them from the matching
+    `*_oversized_buckets` side output and log/route them.
+    """
+    w = Window.partitionBy(*bucket_cols)
+    sized = banded.withColumn("__bn", F.count(F.lit(1)).over(w))
+    buckets = (sized
+               .filter((F.col("__bn") >= 2) &
+                       (F.col("__bn") <= max_bucket_size))
+               .groupBy(*bucket_cols)
+               .agg(F.sort_array(F.collect_list(member)).alias("ms")))
     combos = F.flatten(F.transform(
-        F.col("ids"),
+        F.col("ms"),
         lambda x, i: F.transform(
-            F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-            lambda y: F.struct(x.alias("a"), y.alias("b")))))
-    return (buckets.select(F.explode(combos).alias("p"))
-                   .select("p.a", "p.b").distinct())
+            F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+            lambda y: pair_fields(x, y))))
+    return buckets.select(F.explode(combos).alias("p"))
+
+
+def minhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", num_hashes: int = 16,
+                           bands: int = 4, shingle_n: int = 3,
+                           max_bucket_size: int = 4096) -> DataFrame:
+    """Candidate near-duplicate pairs (a < b) sharing >= 1 LSH band.
+
+    num_hashes minhashes split into `bands` bands of r = num_hashes /
+    bands rows; docs collide when an entire band matches. Single-pass
+    plan: band keys are built directly from the wide signature (no
+    unpivot/regroup), bucketed by (band_id, band_key), and pairs are
+    emitted per bucket — the signature pipeline is computed exactly
+    once (a naive self-join would recompute the whole shingle+hash
+    lineage for each side). At 100 TB the only shuffled payload is
+    (band digest, id).
+
+    Buckets larger than ``max_bucket_size`` are excluded from pair
+    emission (adversarial/boilerplate corpora can put 10^5+ docs in
+    one band — O(m^2) pairs from a single task). A production dedup
+    run writes `minhash_oversized_buckets` alongside as the logged
+    side output and handles those cohorts separately (exact-dedup
+    them first, or re-band with a longer signature).
+    """
+    banded = _minhash_banded(df, text_col, id_col, num_hashes, bands,
+                             shingle_n)
+    pairs = _bucket_pairs(
+        banded, ["band_id", "band_key"], F.col(id_col),
+        lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+        max_bucket_size)
+    return pairs.select("p.a", "p.b").distinct()
+
+
+def minhash_oversized_buckets(df: DataFrame, text_col: str = "text",
+                              id_col: str = "doc_id", num_hashes: int = 16,
+                              bands: int = 4, shingle_n: int = 3,
+                              max_bucket_size: int = 4096) -> DataFrame:
+    """Side output for `minhash_near_dup_pairs`: the buckets the cap
+    excluded, as (band_id, band_key, n_ids) — one row per hot bucket,
+    never the member list itself (that array is the thing being
+    bounded)."""
+    banded = _minhash_banded(df, text_col, id_col, num_hashes, bands,
+                             shingle_n)
+    return (banded.groupBy("band_id", "band_key")
+                  .agg(F.count(F.lit(1)).alias("n_ids"))
+                  .filter(F.col("n_ids") > max_bucket_size))
 
 
 def simhash_fingerprint(df: DataFrame, text_col: str = "text",
@@ -263,18 +318,9 @@ def simhash_fingerprint(df: DataFrame, text_col: str = "text",
     return agg.select(id_col, fp.cast(out_type).alias("simhash"))
 
 
-def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
-                           id_col: str = "doc_id", bits: int = 60,
-                           max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance <= max_hamming.
-
-    Pigeonhole LSH for hamming space: split the fingerprint into
-    (max_hamming + 1) bands — any pair within the distance budget
-    must match EXACTLY on at least one band, so candidates meet in an
-    equi-join on (band_id, band_value), never a cross join; the exact
-    hamming filter (bit_count of xor) then prunes false candidates.
-    Returns (a, b, hamming).
-    """
+def _simhash_banded(df: DataFrame, text_col: str, id_col: str,
+                    bits: int, max_hamming: int) -> DataFrame:
+    """(id, simhash, band_id, band_val) — pigeonhole hamming bands."""
     n_bands = max_hamming + 1
     band_bits = bits // n_bands
     sig = simhash_fingerprint(df, text_col, id_col, bits)
@@ -283,42 +329,78 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
                  F.shiftright(F.col("simhash"), b * band_bits)
                   .bitwiseAND((1 << band_bits) - 1).alias("band_val"))
         for b in range(n_bands)])
-    banded = (sig.select(id_col, "simhash", F.explode(bands).alias("bd"))
-                 .select(id_col, "simhash", "bd.band_id", "bd.band_val"))
-    # bucket + in-bucket pair emission (not a self-join): the simhash
-    # lineage is computed once, same single-pass layout as
-    # minhash_near_dup_pairs
-    buckets = (banded.groupBy("band_id", "band_val")
-               .agg(F.sort_array(F.collect_list(
-                   F.struct(F.col(id_col).alias("i"),
-                            F.col("simhash").alias("s")))).alias("ms"))
-               .filter(F.size("ms") >= 2))
-    combos = F.flatten(F.transform(
-        F.col("ms"),
-        lambda x, i: F.transform(
-            F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
-            lambda y: F.struct(x["i"].alias("a"), y["i"].alias("b"),
-                               F.bit_count(x["s"].bitwiseXOR(y["s"]))
-                                .alias("hamming")))))
-    return (buckets.select(F.explode(combos).alias("p"))
-                   .select("p.a", "p.b", "p.hamming")
-                   .filter(F.col("hamming") <= max_hamming)
-                   .distinct())
+    return (sig.select(id_col, "simhash", F.explode(bands).alias("bd"))
+               .select(id_col, "simhash", "bd.band_id", "bd.band_val"))
+
+
+def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", bits: int = 60,
+                           max_hamming: int = 3,
+                           max_bucket_size: int = 4096) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming.
+
+    Pigeonhole LSH for hamming space: split the fingerprint into
+    (max_hamming + 1) bands — any pair within the distance budget
+    must match EXACTLY on at least one band, so candidates meet in an
+    equi-join on (band_id, band_value), never a cross join; the exact
+    hamming filter (bit_count of xor) then prunes false candidates.
+    Returns (a, b, hamming). Buckets over ``max_bucket_size`` are
+    excluded (see minhash_near_dup_pairs — same bound, same logged
+    side output via `simhash_oversized_buckets`).
+    """
+    banded = _simhash_banded(df, text_col, id_col, bits, max_hamming)
+    member = F.struct(F.col(id_col).alias("i"), F.col("simhash").alias("s"))
+    pairs = _bucket_pairs(
+        banded, ["band_id", "band_val"], member,
+        lambda x, y: F.struct(x["i"].alias("a"), y["i"].alias("b"),
+                              F.bit_count(x["s"].bitwiseXOR(y["s"]))
+                               .alias("hamming")),
+        max_bucket_size)
+    return (pairs.select("p.a", "p.b", "p.hamming")
+                 .filter(F.col("hamming") <= max_hamming)
+                 .distinct())
+
+
+def simhash_oversized_buckets(df: DataFrame, text_col: str = "text",
+                              id_col: str = "doc_id", bits: int = 60,
+                              max_hamming: int = 3,
+                              max_bucket_size: int = 4096) -> DataFrame:
+    """Side output: hamming-LSH buckets the cap excluded, as
+    (band_id, band_val, n_ids)."""
+    banded = _simhash_banded(df, text_col, id_col, bits, max_hamming)
+    return (banded.groupBy("band_id", "band_val")
+                  .agg(F.count(F.lit(1)).alias("n_ids"))
+                  .filter(F.col("n_ids") > max_bucket_size))
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", shingle_n: int = 3,
-                        threshold: float = 0.8) -> DataFrame:
+                        threshold: float = 0.8,
+                        max_df: int = 1000) -> DataFrame:
     """Exact Jaccard >= threshold pairs via inverted-index self-join.
 
     |A ∩ B| = count of shared shingles (group the exploded index by
     pair); |A ∪ B| = |A| + |B| − |A∩B|. The self-join key is the
     shingle itself — pairs that share nothing never meet. Returns
     (a, b, jaccard) with a < b; jaccard rounded to 6 dp.
+
+    Shingles whose document frequency exceeds ``max_df`` are dropped
+    from the index BEFORE the self-join — a stop-phrase shared by k
+    docs would otherwise emit k^2 join rows from one key. The df
+    window partitions on the shingle, the same key the join shuffles
+    on, so the cap adds no extra exchange. Sizes are computed over
+    the kept shingles too, so the reported value is the exact Jaccard
+    of the filtered shingle space — pairs sharing *only* stop-
+    shingles are below any useful threshold anyway.
     """
-    sh = _fan_out(df, id_col).select(
+    raw_sh = _fan_out(df, id_col).select(
         F.col(id_col),
         F.explode(word_shingles(text_col, shingle_n)).alias("sh"))
+    # word_shingles is distinct per doc, so count(*) per shingle = df
+    w = Window.partitionBy("sh")
+    sh = (raw_sh.withColumn("__df", F.count(F.lit(1)).over(w))
+                .filter(F.col("__df") <= max_df)
+                .drop("__df"))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("a"), "sh")
     b = sh.select(F.col(id_col).alias("b"), "sh")

@@ -76,17 +76,22 @@ def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ORDER BY seed)
                AS band_key
       FROM mins GROUP BY 1, 2
+    ),
+    -- hot-bucket cap (mirrors max_bucket_size=4096 in the Spark plan)
+    sized AS (
+      SELECT *, COUNT(*) OVER (PARTITION BY band_id, band_key) AS bn
+      FROM bands
     )
     SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-    FROM bands x
-    JOIN bands y ON x.band_id = y.band_id AND x.band_key = y.band_key
-    WHERE x.doc_id < y.doc_id
+    FROM sized x
+    JOIN sized y ON x.band_id = y.band_id AND x.band_key = y.band_key
+    WHERE x.doc_id < y.doc_id AND x.bn <= 4096
     """,
 )
 def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_dup_pairs(
         load_table(spark, sf_dir, "documents"),
-        num_hashes=16, bands=4, shingle_n=3)
+        num_hashes=16, bands=4, shingle_n=3, max_bucket_size=4096)
 
 
 @query(
@@ -178,12 +183,17 @@ _SIMHASH_CTE = """
       SELECT doc_id, simhash, b.b AS band_id,
              (simhash >> CAST(b.b * 15 AS INT)) & 32767 AS band_val
       FROM sig CROSS JOIN range(0, 4) b(b)
+    ),
+    -- hot-bucket cap (mirrors max_bucket_size=4096 in the Spark plan)
+    sized AS (
+      SELECT *, COUNT(*) OVER (PARTITION BY band_id, band_val) AS bn
+      FROM banded
     )
     SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
            CAST(bit_count(CAST(xor(x.simhash, y.simhash) AS BIT)) AS INT) AS hamming
-    FROM banded x
-    JOIN banded y ON x.band_id = y.band_id AND x.band_val = y.band_val
-    WHERE x.doc_id < y.doc_id
+    FROM sized x
+    JOIN sized y ON x.band_id = y.band_id AND x.band_val = y.band_val
+    WHERE x.doc_id < y.doc_id AND x.bn <= 4096
       AND bit_count(CAST(xor(x.simhash, y.simhash) AS BIT)) <= 3
     """,
 )
@@ -193,4 +203,5 @@ def _dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pigeonhole) — candidates meet in band buckets, never a cross
     join."""
     return simhash_near_dup_pairs(
-        load_table(spark, sf_dir, "documents"), bits=60, max_hamming=3)
+        load_table(spark, sf_dir, "documents"), bits=60, max_hamming=3,
+        max_bucket_size=4096)

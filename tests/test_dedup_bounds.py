@@ -1,0 +1,101 @@
+"""Adversarial-input bounds for the pair-emitting dedup operators.
+
+The LSH pair emitters must survive degenerate corpora (boilerplate-
+heavy data where one bucket holds everything) with bounded task
+memory and bounded output — the failure mode the cap exists for is a
+single task owning an O(m^2) explode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_precisely_demo_spark.operators.curation import contamination_pairs
+from flink_precisely_demo_spark.operators.dedup import (
+    minhash_near_dup_pairs,
+    minhash_oversized_buckets,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+    simhash_oversized_buckets,
+)
+
+
+def _degenerate_corpus(spark, n=10_000):
+    """n near-identical docs: identical text -> identical signatures
+    -> every LSH band puts all n docs in one bucket."""
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate legal disclaimer text repeated "
+              "verbatim across every scraped page of this site").alias("text"))
+
+
+def test_minhash_hot_bucket_capped(spark):
+    docs = _degenerate_corpus(spark)
+    # without the cap this would be 4 buckets x C(10k,2) ~ 200M pairs
+    # in single tasks; with it the hot buckets are excluded entirely
+    assert minhash_near_dup_pairs(docs, max_bucket_size=64).count() == 0
+    over = minhash_oversized_buckets(docs, max_bucket_size=64).collect()
+    assert len(over) == 4  # one per band
+    assert all(r.n_ids == 10_000 for r in over)
+
+
+def test_simhash_hot_bucket_capped(spark):
+    docs = _degenerate_corpus(spark)
+    assert simhash_near_dup_pairs(docs, max_bucket_size=64).count() == 0
+    over = simhash_oversized_buckets(docs, max_bucket_size=64).collect()
+    assert len(over) == 4
+    assert all(r.n_ids == 10_000 for r in over)
+
+
+def test_cap_no_op_on_normal_corpus(spark):
+    """On a healthy corpus the cap changes nothing: tiny cap vs huge
+    cap give identical pairs as long as no bucket exceeds either."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    small = {(r.a, r.b) for r in
+             minhash_near_dup_pairs(docs, max_bucket_size=50).collect()}
+    huge = {(r.a, r.b) for r in
+            minhash_near_dup_pairs(docs, max_bucket_size=10**9).collect()}
+    assert small == huge
+
+
+def _stop_shingle_corpus(spark):
+    """50 docs sharing only a boilerplate prefix (a df=50 stop-
+    shingle cluster) + one genuinely duplicated pair of rare docs."""
+    rows = [(i, f"alpha beta gamma delta epsilon uq{i}a uq{i}b uq{i}c")
+            for i in range(50)]
+    rows += [(100, "zeta eta theta iota kappa lambda"),
+             (101, "zeta eta theta iota kappa lambda")]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_ngram_df_cap_drops_stop_shingle_pairs(spark):
+    docs = _stop_shingle_corpus(spark)
+    # uncapped: the 50 boilerplate docs all pair up through the shared
+    # prefix shingles (jaccard 3/9 = 0.333) -> C(50,2) join blowup
+    uncapped = ngram_jaccard_pairs(docs, threshold=0.3, max_df=10**9)
+    assert uncapped.filter(F.col("a") < 50).count() == 50 * 49 // 2
+    # capped: df=50 stop-shingles leave the index; only the true
+    # duplicate pair (shingles with df=2) survives
+    capped = ngram_jaccard_pairs(docs, threshold=0.3, max_df=10).collect()
+    assert {(r.a, r.b) for r in capped} == {(100, 101)}
+    assert capped[0].jaccard == 1.0
+
+
+def test_contamination_df_cap(spark):
+    corpus_rows = [(i, f"c1 c2 c3 c4 c5 u{i}a u{i}b u{i}c u{i}d u{i}e")
+                   for i in range(50)]
+    # doc 999 is a verbatim copy of the benchmark item (real leakage)
+    corpus_rows.append((999, "c1 c2 c3 c4 c5 b1 b2 b3 b4 b5"))
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    # id 7777 avoids the corpus_id != benchmark_id self-filter
+    bench = spark.createDataFrame(
+        [(7777, "c1 c2 c3 c4 c5 b1 b2 b3 b4 b5")], "doc_id long, text string")
+    # uncapped with min_overlap=1: every boilerplate doc "contaminates"
+    uncapped = contamination_pairs(corpus, bench, min_overlap=1,
+                                   max_df=10**9)
+    assert uncapped.count() == 51
+    # capped: the df=51 boilerplate 5-gram leaves the index; only the
+    # verbatim copy remains flagged, through its rare shingles
+    capped = contamination_pairs(corpus, bench, min_overlap=1,
+                                 max_df=10).collect()
+    assert {(r.corpus_id, r.benchmark_id) for r in capped} == {(999, 7777)}
