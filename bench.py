@@ -34,6 +34,10 @@ HEADLINE = [
     "similarity_ivf_topk",
     "ann_index_topk",
     "text_filter_pipeline",
+    "curation_pipeline_e2e",
+    "q5_local_supplier_volume",
+    "q18_large_volume_customer",
+    "reference_pipeline_verbatim",
 ]
 
 

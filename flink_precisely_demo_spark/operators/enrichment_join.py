@@ -63,13 +63,24 @@ def latest_per_key(dim: DataFrame, key: str, order_col: str,
 def enrich(fact: DataFrame, dim: DataFrame, join_key: str,
            dim_order_col: str | None = None,
            dim_tiebreak: list[str] | None = None,
-           broadcast_dim: bool = False) -> DataFrame:
+           broadcast_dim: bool = True) -> DataFrame:
     """Batch enrichment join mirroring ``enrich(stream, enrichment,
     joinKey)`` (EnrichmentJoin.java:23-36).
 
     Output columns = all fact columns + dim columns minus the dim's
     join key (EnrichmentJoin.java:78-95). Inner join: the reference
     never emits a fact row that found no dim match.
+
+    ``broadcast_dim`` defaults to True: the reference holds the dim
+    side entirely in per-key state (ValueState,
+    EnrichmentJoin.java:44), i.e. its contract already assumes the
+    dim fits in memory — broadcasting it is the same assumption and
+    keeps the 100 TB fact side shuffle-free. It also guards against a
+    statless-lineage misplan: a fact built from ``from_json`` has no
+    size stats, and Spark has been observed broadcasting the FACT
+    side of this join (BuildLeft on 150 k decoded rows) without the
+    hint. Pass False only for a dim too large to broadcast — that's
+    a sort-merge join and a different deployment conversation.
     """
     fact_key = _resolve(fact, join_key)
     dim_key = _resolve(dim, join_key)

@@ -4,12 +4,14 @@ Image/audio/video payloads are opaque ``binary`` columns with a typed
 metadata struct — the lakehouse-native layout for multimodal training
 data (payload bytes stay columnar; metadata prunes without touching
 bytes). The Spark-side plumbing here — schemas, partitioning, Arrow
-batch shapes, UDF signatures — is real and tested; the actual codec
-calls are STUBBED with deterministic fakes because image/audio
-libraries are not available in this container. Each stub is marked
-``# STUB:`` and isolated in a `_decode_*` function whose body is the
-only thing a real deployment replaces (e.g. with PIL / torchaudio /
-pyav), keeping batch shapes and schemas unchanged.
+batch shapes, UDF signatures — is real and tested. Codecs that need
+no external library decode FOR REAL: WAV/PCM16 (stdlib ``wave`` +
+numpy), uncompressed 24-bit BMP and binary PPM (pure numpy).
+Compressed formats (jpeg/png/mp3/...) are STUBBED with deterministic
+fakes because their libraries are not in this container; each stub
+is marked ``# STUB:`` inside a `_decode_*` function whose body is
+the only thing a real deployment replaces (PIL / torchaudio / pyav),
+keeping batch shapes and schemas unchanged.
 
 Scale notes:
 - decode/feature work is embarrassingly parallel: ``mapInPandas``
@@ -55,7 +57,8 @@ def ingest_binary_dir(spark, path: str) -> DataFrame:
     (full probe happens at decode time)."""
     raw = spark.read.format("binaryFile").load(path)
     fmt = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
-    media_type = (F.when(fmt.isin("png", "jpg", "jpeg", "gif"), "image")
+    media_type = (F.when(fmt.isin("png", "jpg", "jpeg", "gif", "bmp",
+                                  "ppm", "pnm"), "image")
                    .when(fmt.isin("wav", "mp3", "flac"), "audio")
                    .when(fmt.isin("mp4", "avi", "mkv"), "video")
                    .otherwise("unknown"))
@@ -72,14 +75,76 @@ def ingest_binary_dir(spark, path: str) -> DataFrame:
         F.col("content").alias("payload"))
 
 
-# ---------------------------------------------------------------- stubs
+# --------------------------------------------------------------- codecs
+#
+# WAV/PCM16, BMP and PPM are decoded FOR REAL (stdlib `wave` + pure
+# numpy — no external media libraries needed). Compressed formats
+# (jpeg/png/mp3/...) keep deterministic fakes marked `# STUB:` —
+# those codecs need libraries this container doesn't have; a real
+# deployment swaps only the stub bodies (PIL / soundfile / pyav),
+# batch shapes and schemas unchanged.
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP (BITMAPINFOHEADER) -> (h, w, 3) RGB
+    uint8. Pure numpy: header fields are little-endian at fixed
+    offsets; rows are 4-byte padded, BGR, bottom-up (negative height
+    = top-down)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    comp = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"only 24-bit uncompressed BMP (got bpp={bpp}, "
+                         f"compression={comp})")
+    top_down, h = h < 0, abs(h)
+    stride = ((w * 3 + 3) // 4) * 4
+    rows = np.frombuffer(payload, dtype=np.uint8,
+                         count=stride * h, offset=off).reshape(h, stride)
+    bgr = rows[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        bgr = bgr[::-1]
+    return bgr[..., ::-1].copy()  # BGR -> RGB
+
+
+def _decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) -> (h, w, 3) RGB uint8. Pure numpy; handles
+    whitespace/comment-tolerant headers."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":  # comment to end of line
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM supported")
+    arr = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3,
+                        offset=pos)
+    return arr.reshape(h, w, 3).copy()
+
 
 def _decode_image(payload: bytes, fmt: str) -> np.ndarray:
-    """# STUB: deterministic fake decoder (no image libs in this
-    container). A real deployment replaces this body with e.g.
-    ``np.asarray(PIL.Image.open(io.BytesIO(payload)))``. The fake
-    derives a (h, w, 3) uint8 array from the payload bytes so that
-    every downstream shape/statistic is exercised genuinely."""
+    """(h, w, 3) uint8 RGB. BMP/PPM decode for real; compressed
+    formats fall through to the stub."""
+    if fmt == "bmp":
+        return _decode_bmp(payload)
+    if fmt in ("ppm", "pnm"):
+        return _decode_ppm(payload)
+    # STUB: jpeg/png/gif need an image library (PIL in production:
+    # np.asarray(PIL.Image.open(io.BytesIO(payload)))). The fake
+    # derives a (h, w, 3) uint8 array from the payload bytes so that
+    # every downstream shape/statistic is exercised genuinely.
     h = 8 + payload[0] % 8 if payload else 8
     w = 8 + payload[1] % 8 if len(payload) > 1 else 8
     arr = np.frombuffer(
@@ -88,9 +153,31 @@ def _decode_image(payload: bytes, fmt: str) -> np.ndarray:
     return arr.reshape(h, w, 3)
 
 
+def _decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF WAV PCM16 -> (mono float32 samples in [-1, 1], rate).
+    stdlib `wave` + numpy; multi-channel is mean-mixed to mono."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        if wf.getsampwidth() != 2:
+            raise ValueError("only PCM16 WAV supported")
+        nch = wf.getnchannels()
+        rate = wf.getframerate()
+        frames = wf.readframes(wf.getnframes())
+    samples = np.frombuffer(frames, dtype="<i2").astype(np.float32)
+    if nch > 1:
+        samples = samples.reshape(-1, nch).mean(axis=1)
+    return samples / 32768.0, rate
+
+
 def _decode_audio(payload: bytes, fmt: str) -> tuple[np.ndarray, int]:
-    """# STUB: fake PCM decode — real impl: soundfile/torchaudio.
-    Returns (mono float32 samples in [-1,1], sample_rate)."""
+    """(mono float32 samples in [-1,1], sample_rate). WAV decodes for
+    real; compressed audio falls through to the stub."""
+    if fmt == "wav":
+        return _decode_wav(payload)
+    # STUB: mp3/flac need an audio library (soundfile/torchaudio in
+    # production). Deterministic fake PCM derived from the bytes.
     samples = (np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
                - 127.5) / 127.5
     return samples, 16_000

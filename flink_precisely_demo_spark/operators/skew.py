@@ -23,10 +23,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def hot_keys(df: DataFrame, key: str, min_fraction: float = 0.01,
-             approx_rsd: float = 0.05) -> DataFrame:
-    """Keys holding more than ``min_fraction`` of rows (single cheap
-    aggregation pass; count is exact, the fraction cut is the point)."""
+def hot_keys(df: DataFrame, key: str,
+             min_fraction: float = 0.01) -> DataFrame:
+    """Keys holding more than ``min_fraction`` of rows. One exact
+    aggregation pass — groupBy(key).count() with map-side combine
+    shuffles one row per distinct key, already the cheap shape; a
+    sketch pre-pass would save nothing here (a prior ``approx_rsd``
+    parameter advertised one without implementing it)."""
     total = df.count()
     return (df.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
               .filter(F.col("n") >= total * min_fraction)

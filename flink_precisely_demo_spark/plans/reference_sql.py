@@ -118,26 +118,52 @@ REFERENCE_OUTPUT_SQL = """INSERT INTO output
         TUMBLE(OrderAsOf, INTERVAL '10' MINUTE)"""
 
 
+_TUMBLE_UNITS = {"SECOND": "seconds", "MINUTE": "minutes",
+                 "HOUR": "hours", "DAY": "days"}
+
+_TUMBLE_RE = None  # compiled lazily below
+
+
 def translate_flink_tumble(sql: str) -> str:
-    """Mechanical Flink->Spark dialect shim for group windows:
-    ``TUMBLE_START(c, INTERVAL 'n' MINUTE)`` -> ``window(c, 'n
-    minutes').start`` and ``TUMBLE(c, ...)`` -> ``window(c, ...)``.
-    Nothing else is touched, so a user's Flink SQL runs after one
-    regex pass."""
+    """Mechanical Flink->Spark dialect shim for group windows.
+
+    Supported grammar (case-insensitive keywords, any count of
+    occurrences): ``TUMBLE(col, INTERVAL 'n' <unit>)`` ->
+    ``window(col, 'n <unit>s')``; ``TUMBLE_START(...)`` /
+    ``TUMBLE_END(...)`` -> the same with ``.start`` / ``.end``;
+    units SECOND | MINUTE | HOUR | DAY. The first argument must be a
+    bare column name (Flink's group-window functions take exactly
+    that in the reference SQL). Nothing else in the text is touched,
+    so a user's Flink SQL runs after one regex pass; grammar is
+    pinned by tests/test_properties.py."""
     import re as _re
 
-    sql = _re.sub(
-        r"TUMBLE_START\(\s*(\w+)\s*,\s*INTERVAL\s*'(\d+)'\s*MINUTE\s*\)",
-        r"window(\1, '\2 minutes').start", sql)
-    return _re.sub(
-        r"TUMBLE\(\s*(\w+)\s*,\s*INTERVAL\s*'(\d+)'\s*MINUTE\s*\)",
-        r"window(\1, '\2 minutes')", sql)
+    global _TUMBLE_RE
+    if _TUMBLE_RE is None:
+        _TUMBLE_RE = _re.compile(
+            r"(TUMBLE_START|TUMBLE_END|TUMBLE)\(\s*(\w+)\s*,\s*"
+            r"INTERVAL\s*'(\d+)'\s*(SECOND|MINUTE|HOUR|DAY)\s*\)",
+            _re.IGNORECASE)
+
+    def repl(m: "_re.Match[str]") -> str:
+        fn, col, n, unit = m.groups()
+        w = f"window({col}, '{n} {_TUMBLE_UNITS[unit.upper()]}')"
+        fn = fn.upper()
+        if fn == "TUMBLE_START":
+            return w + ".start"
+        if fn == "TUMBLE_END":
+            return w + ".end"
+        return w
+
+    return _TUMBLE_RE.sub(repl, sql)
 
 
 def _envelope_json(df: DataFrame, payload, key_col: str,
                    ts_string) -> DataFrame:
     """Minimal envelope JSON lines (decode fills unlisted sv_* fields
     with NULL — same tolerance as a real partial feed)."""
+    from ..sources.cdc_json import widen_feed
+    df = widen_feed(df)
     envelope = F.struct(
         F.lit("I").alias("sv_manip_type"),
         F.col(key_col).cast("long").alias("sv_trans_id"),

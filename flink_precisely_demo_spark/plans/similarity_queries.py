@@ -152,9 +152,10 @@ def _similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                x -> abs(CAST(x AS DOUBLE)
                         - round(CAST(x AS DOUBLE) / q.scale) * q.scale)))
            END, 6) AS max_abs_err,
-           CAST(list_max(list_transform(e.embedding,
-                x -> abs(round(CAST(x AS DOUBLE) / q.scale)))) AS BIGINT)
-             AS max_code
+           CASE WHEN q.scale = 0 THEN 0 ELSE
+             CAST(list_max(list_transform(e.embedding,
+                  x -> abs(round(CAST(x AS DOUBLE) / q.scale)))) AS BIGINT)
+           END AS max_code
     FROM embeddings e JOIN q ON e.vec_id = q.vec_id
     """,
 )
@@ -182,5 +183,10 @@ def _embedding_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(raw, 6).alias("scale"),
         F.round(F.when(raw == 0, F.lit(0.0)).otherwise(err), 6)
          .alias("max_abs_err"),
-        F.array_max(F.transform("embedding", lambda v: F.abs(code(v))))
+        # same zero guard as max_abs_err: an all-zero embedding makes
+        # scale 0 and code(v) = round(0/0) = NaN, where Spark/DuckDB
+        # division and cast semantics diverge
+        F.when(raw == 0, F.lit(0))
+         .otherwise(F.array_max(F.transform("embedding",
+                                            lambda v: F.abs(code(v)))))
          .cast("long").alias("max_code"))

@@ -7,10 +7,10 @@ SQL — the oracle below unrolls the 3 iterations as CTE pairs
 (assign aK / update cK). Early convergence on the Spark side is safe
 because a converged round is idempotent (same centroids -> same
 assignment -> same means), so the unrolled SQL lands on the same
-model. Approximate sketches stay rows-only: Spark's HLL++ /
-GK-quantile and DuckDB's sketches legitimately disagree, and the
-unit tests assert accuracy bounds against exact answers instead
-(tests/test_sketches.py).
+model. Approximate sketches can't hash-match raw values (Spark's
+HLL++/GK-quantile and DuckDB's sketches legitimately disagree), so
+the query emits accuracy-verdict booleans computed against exact
+in-plan answers — see _approx_sketches below.
 """
 
 from __future__ import annotations
@@ -93,15 +93,51 @@ def _kmeans_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_assignments(emb, k=_K, max_iter=_ITERS)
 
 
-@query("approx_sketches")  # rows-only: engine-specific sketch values
+@query(
+    "approx_sketches",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS n_users,
+           TRUE AS users_ok, TRUE AS p50_ok,
+           TRUE AS p95_ok, TRUE AS p99_ok
+    FROM events GROUP BY event_type
+    """,
+)
 def _approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar percentile columns (p50/p95/p99), not one array column:
-    the driver canonicalizes results by sorting a pandas frame, and an
-    array<double> cell is unhashable there (round-1 `err`)."""
+    """Sketch accuracy as a hash-checkable contract.
+
+    Raw HLL++/GK-quantile sketch values are engine-specific, so they
+    can never hash-match a DuckDB oracle (this row was the one
+    non-green driver entry in r01/r02). Instead the plan computes
+    BOTH the sketch and the exact answer and emits deterministic
+    accuracy verdicts: booleans asserting each sketch lands within
+    5% of the exact value (measured error at sf0.01 is <=0.7%, so
+    the bound has ~7x margin without being vacuous). The oracle
+    computes the exact-computable columns and literal TRUEs — a
+    drifting sketch flips a boolean and fails the hash compare, so
+    the driver check now actually enforces the accuracy bound.
+    Finer-grained bounds (rank error, rsd) stay in
+    tests/test_sketches.py.
+    """
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.percentile_approx("value", 0.5, 10000).alias("p50"),
-        F.percentile_approx("value", 0.95, 10000).alias("p95"),
-        F.percentile_approx("value", 0.99, 10000).alias("p99"),
-        F.count(F.lit(1)).alias("n"))
+
+    def ok(approx, exact):
+        return (F.abs(approx - exact)
+                <= 0.05 * F.greatest(F.abs(exact), F.lit(1.0))).alias
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.approx_count_distinct("user_id").alias("__au"),
+        F.percentile_approx("value", 0.5, 10000).alias("__a50"),
+        F.percentile("value", 0.5).alias("__e50"),
+        F.percentile_approx("value", 0.95, 10000).alias("__a95"),
+        F.percentile("value", 0.95).alias("__e95"),
+        F.percentile_approx("value", 0.99, 10000).alias("__a99"),
+        F.percentile("value", 0.99).alias("__e99"))
+    return agg.select(
+        "event_type", "n", "n_users",
+        ok(F.col("__au"), F.col("n_users"))("users_ok"),
+        ok(F.col("__a50"), F.col("__e50"))("p50_ok"),
+        ok(F.col("__a95"), F.col("__e95"))("p95_ok"),
+        ok(F.col("__a99"), F.col("__e99"))("p99_ok"))

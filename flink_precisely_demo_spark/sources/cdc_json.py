@@ -45,6 +45,24 @@ def flatten_after_image(env: DataFrame, extra: list[str] | None = None) -> DataF
     return env.select(*cols)
 
 
+def widen_feed(df: DataFrame) -> DataFrame:
+    """Widen a synthetic feed to engine parallelism (never shrinks).
+
+    A real CDC feed is a multi-partition Kafka topic; the synthetic
+    stand-in often derives from a single parquet file and arrives as
+    1 scan partition, which would serialize the whole to_json +
+    from_json codec on one core (measured: 4.8 s of a 9.8 s query at
+    sf0.1). On a real many-partition source this is a no-op.
+    """
+    if df.isStreaming:
+        return df
+    sc = df.sparkSession.sparkContext
+    target = max(8, sc.defaultParallelism // 2)
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def synthesize_orders_envelope(orders: DataFrame) -> DataFrame:
     """Build cdc-orders JSON lines from the driver's orders table.
 
@@ -54,6 +72,7 @@ def synthesize_orders_envelope(orders: DataFrame) -> DataFrame:
     directly — JSON double round-trips are exact with shortest-repr
     encoders on both sides).
     """
+    orders = widen_feed(orders)
     ts_str = format_ts(F.col("o_orderdate"), 6)
     payload = F.struct(
         F.col("o_orderkey").cast("int").alias("SalesOrderId"),

@@ -59,6 +59,22 @@ def cdc_upsert_sink(target_path: str, pk: str,
     of envelope rows into the versioned state store at ``target_path``."""
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # State versions are keyed to Spark's batch_id, which restarts
+        # at 0 when a query runs with a fresh/deleted checkpoint. If
+        # that happens against an EXISTING store, merges would silently
+        # ignore all live state (versions < 0 is empty) while readers
+        # keep serving the stale old max version — fail fast instead.
+        # batch_id == an existing version is a legitimate foreachBatch
+        # retry (the overwrite below is idempotent); only strictly
+        # NEWER live versions indicate a checkpoint/store mismatch.
+        newer = [v for v in _versions(target_path) if v > batch_id]
+        if newer:
+            raise RuntimeError(
+                f"cdc_upsert_sink: store {target_path!r} already holds "
+                f"state_v{max(newer)} but this query is writing batch "
+                f"{batch_id} — the checkpoint does not belong to this "
+                "store (deleted/replaced checkpoint?). Restore the "
+                "matching checkpoint or point the sink at a new path.")
         flat = flatten_envelope(batch_df, pk, ts_col, manip_col, seq_cols)
         prev = _latest_version_before(target_path, batch_id)
         if prev is not None:

@@ -75,8 +75,8 @@ def test_query_scan_is_partition_pruned(spark, index_path):
     queries = emb.filter(F.col("vec_id") < 2)
     df = query_ann(spark, index_path, queries, k=3, nprobe=1)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters: [cell_id" in plan.replace("#", " #").replace(
-        "cell_id #", "cell_id#") or "PartitionFilters" in plan
-    # and the filter is non-empty (pruning actually happens)
+    assert "PartitionFilters: [" in plan
+    # the filter segment must actually name cell_id (an empty
+    # `PartitionFilters: []` means the scan reads every cell)
     seg = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
     assert "cell_id" in seg

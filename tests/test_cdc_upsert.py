@@ -106,3 +106,21 @@ def test_vacuum_keeps_replay_safe(spark, tmp_path):
     assert _state_rows(spark, store) == state
     sink(waves[3], 3)
     assert _state_rows(spark, store) == state
+
+
+def test_fresh_checkpoint_against_live_store_fails_fast(spark, tmp_path):
+    """A deleted/replaced checkpoint restarts batch ids at 0; merging
+    those into a store with newer live versions would silently ignore
+    all prior state while readers keep serving the stale max version.
+    The sink must refuse instead of diverging."""
+    import pytest
+
+    waves = _change_waves(spark)
+    store = str(tmp_path / "store")
+    sink = cdc_upsert_sink(store, "SalesOrderId")
+    sink(waves[0], 0)
+    sink(waves[1], 5)
+    with pytest.raises(RuntimeError, match="checkpoint"):
+        sink(waves[2], 1)  # restarted ids: 1 < live version 5
+    # same-version retry is still allowed (idempotent overwrite)
+    sink(waves[1], 5)

@@ -45,3 +45,17 @@ def test_rows_only(name, spark):
     """Queries without an oracle must at least run and return rows."""
     df = QUERIES[name](spark, SF_DIR)
     assert df.count() >= 0
+
+
+def test_parity_queries_inside_driver_window():
+    """The driver snapshots the first 50 registered queries; the
+    reference-parity entries must never rotate out of that window."""
+    import __spark_entry__ as e
+    first50 = list(e.queries())[:50]
+    for name in ["flagship_cdc_window_sum", "flagship_sql_path",
+                 "reference_pipeline_verbatim", "reference_sql_orders",
+                 "q5_local_supplier_volume", "q18_large_volume_customer",
+                 "cdc_envelope_decode", "projection_flatten",
+                 "parse_ts_roundtrip", "enrichment_latest_join",
+                 "tumbling_window_events"]:
+        assert name in first50, f"{name} fell outside the driver window"

@@ -80,3 +80,75 @@ def test_hash_bucket_is_roughly_uniform(spark):
     assert set(counts) == set(range(100))
     # each bucket within 3x of fair share (loose: binomial tails)
     assert all(60 < n < 600 for n in counts.values()), sorted(counts.values())[:3]
+
+
+# ------------------------------------------------ TUMBLE dialect shim
+
+_UNITS = {"SECOND": "seconds", "MINUTE": "minutes",
+          "HOUR": "hours", "DAY": "days"}
+
+
+def _mixed_case(s: str, pattern: int) -> str:
+    return "".join(c.lower() if (pattern >> (i % 8)) & 1 else c.upper()
+                   for i, c in enumerate(s))
+
+
+@given(
+    col=st.from_regex(r"[A-Za-z_][A-Za-z0-9_]{0,10}", fullmatch=True),
+    n=st.integers(min_value=1, max_value=9999),
+    unit=st.sampled_from(sorted(_UNITS)),
+    fn=st.sampled_from(["TUMBLE", "TUMBLE_START", "TUMBLE_END"]),
+    case=st.integers(min_value=0, max_value=255),
+    spaces=st.sampled_from(["", " ", "  "]),
+)
+@settings(max_examples=200, deadline=None)
+def test_tumble_shim_grammar(col, n, unit, fn, case, spaces):
+    """Every utterance of the supported grammar — any unit, any
+    keyword casing, any padding, TUMBLE/_START/_END — translates to
+    the matching window() expression, and surrounding text is
+    untouched."""
+    from flink_precisely_demo_spark.plans.reference_sql import (
+        translate_flink_tumble,
+    )
+    src = (f"SELECT {_mixed_case(fn, case)}({spaces}{col},{spaces}"
+           f"{_mixed_case('INTERVAL', case)} '{n}'{spaces}"
+           f"{_mixed_case(unit, case)}{spaces}) AS w FROM t")
+    out = translate_flink_tumble(src)
+    expected = f"window({col}, '{n} {_UNITS[unit]}')"
+    expected += {"TUMBLE": "", "TUMBLE_START": ".start",
+                 "TUMBLE_END": ".end"}[fn]
+    assert out == f"SELECT {expected} AS w FROM t"
+
+
+def test_tumble_shim_multi_window_and_reference_text():
+    from flink_precisely_demo_spark.plans.reference_sql import (
+        REFERENCE_OUTPUT_SQL,
+        translate_flink_tumble,
+    )
+    multi = ("SELECT TUMBLE_START(ts, INTERVAL '1' HOUR) a, "
+             "TUMBLE_END(ts, INTERVAL '1' HOUR) b, count(*) "
+             "FROM t GROUP BY TUMBLE(ts, INTERVAL '1' HOUR)")
+    out = translate_flink_tumble(multi)
+    assert out == ("SELECT window(ts, '1 hours').start a, "
+                   "window(ts, '1 hours').end b, count(*) "
+                   "FROM t GROUP BY window(ts, '1 hours')")
+    # the reference output.sql translates exactly as it did before
+    ref = translate_flink_tumble(REFERENCE_OUTPUT_SQL)
+    assert "window(OrderAsOf, '10 minutes').start as OrderPeriod" in ref
+    assert ref.rstrip().endswith("window(OrderAsOf, '10 minutes')")
+    assert "TUMBLE" not in ref
+
+
+def test_tumble_shim_output_runs_on_spark(spark):
+    """A translated multi-unit query must actually execute."""
+    from flink_precisely_demo_spark.plans.reference_sql import (
+        translate_flink_tumble,
+    )
+    from flink_precisely_demo_spark.sources.parquet import load_table
+    load_table(spark, "/root/testdata/sf0.001", "events") \
+        .createOrReplaceTempView("ev_tumble")
+    sql = ("SELECT TUMBLE_START(ts, INTERVAL '1' HOUR) h, "
+           "TUMBLE_END(ts, INTERVAL '1' HOUR) e, count(*) n "
+           "FROM ev_tumble GROUP BY TUMBLE(ts, INTERVAL '1' HOUR)")
+    rows = spark.sql(translate_flink_tumble(sql)).collect()
+    assert rows and all(r.n > 0 for r in rows)
