@@ -52,7 +52,11 @@ _DEFERRED = [
     "distinct_agg", "grouping_sets", "histogram_buckets",
     "intersect_keys", "percentile_exact", "pivot_events",
     "regex_extract_props", "rollup_agg", "set_ops",
-    "unpivot_measures",
+    "unpivot_measures", "string_math_funcs", "full_outer_join_nulls",
+    "subquery_in_exists",
+    # breadth additions parked in the tail until a window slot frees
+    # (they are covered by tests/test_oracle_parity.py regardless)
+    "q6_forecast_revenue", "q14_promo_revenue", "q10_returned_items",
 ]
 
 

@@ -127,3 +127,51 @@ def doc_fingerprint64(col: Column | str) -> Column:
     return F.conv(F.substring(F.md5(
         F.regexp_replace(F.trim(F.lower(F.col(col) if isinstance(col, str) else col)),
                          r"\s+", " ")), 1, 15), 16, 10).cast("long")
+
+
+def repetition_stats(col: Column | str) -> Column:
+    """Gopher-style repetition signals as one struct column:
+    ``n_tokens``, ``distinct_ratio`` (distinct/total tokens),
+    ``top_token_frac`` (share of the single most frequent token),
+    ``mean_word_len``. The repetition ratios are the standard
+    boilerplate/spam detectors for pretraining corpora (Gopher,
+    Rae et al. 2021 §A1.1 use the same family of filters).
+
+    Per-row compute only (no shuffle): top_token_frac scans the token
+    array once per distinct token — O(d*n) per document, which for
+    natural documents (d ~ n) is the same order as tokenizing, and at
+    100 TB stays embarrassingly parallel inside the scan stage.
+    Ratios round to 6 dp for cross-engine determinism.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(c)
+    n = F.size(toks).cast("double")
+    distinct_n = F.size(F.array_distinct(toks)).cast("double")
+    top_freq = F.array_max(F.transform(
+        F.array_distinct(toks),
+        lambda t: F.size(F.filter(toks, lambda x: x == t))))
+    total_len = F.aggregate(
+        toks, F.lit(0).cast("long"),
+        lambda acc, t: acc + F.length(t)).cast("double")
+    return F.struct(
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.when(n > 0, F.round(distinct_n / n, 6)).otherwise(F.lit(0.0))
+         .alias("distinct_ratio"),
+        F.when(n > 0, F.round(top_freq.cast("double") / n, 6))
+         .otherwise(F.lit(0.0)).alias("top_token_frac"),
+        F.when(n > 0, F.round(total_len / n, 6)).otherwise(F.lit(0.0))
+         .alias("mean_word_len"),
+    )
+
+
+def gopher_pass(stats: Column) -> Column:
+    """Boolean pretraining-quality gate over a ``repetition_stats``
+    struct: token count in [20, 100000], mean word length in [2, 12],
+    distinct-token ratio >= 0.2, top-token share <= 0.35 — the
+    Gopher-rule shape with thresholds loose enough for short
+    synthetic fixtures while still splitting the corpus."""
+    return ((stats["n_tokens"] >= 20) & (stats["n_tokens"] <= 100000)
+            & (stats["mean_word_len"] >= 2.0)
+            & (stats["mean_word_len"] <= 12.0)
+            & (stats["distinct_ratio"] >= 0.2)
+            & (stats["top_token_frac"] <= 0.35))

@@ -90,6 +90,32 @@ def contamination_pairs(corpus: DataFrame, benchmark: DataFrame,
              .filter(F.col("n_shared") >= min_overlap))
 
 
+def stratified_sample(df: DataFrame, group_cols: list[str], key_col: str,
+                      pct: int, salt: str = "") -> DataFrame:
+    """EXACT pct% per stratum: rank rows inside each group by
+    md5(salt || key) and keep ``ceil(pct/100 * group_size)``.
+
+    `deterministic_sample` gives pct% only in expectation — small or
+    skewed strata can land far off, which is exactly when stratification
+    matters (balancing languages/sources in a training mix). Ranking
+    by the key hash keeps the selection a pure function of (salt,
+    key, stratum membership): engine-reproducible and stable under
+    row order. One shuffle on the stratum key; both windows share
+    that partitioning. Under corpus GROWTH a stratum's selection can
+    change (the quota is a function of group size) — that's inherent
+    to exact quotas; use `deterministic_sample` when growth-stability
+    matters more than exactness.
+    """
+    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    w_rank = Window.partitionBy(*group_cols).orderBy(h, F.col(key_col))
+    w_all = Window.partitionBy(*group_cols)
+    return (df.withColumn("__r", F.row_number().over(w_rank))
+              .withColumn("__n", F.count(F.lit(1)).over(w_all))
+              .filter(F.col("__r") <=
+                      F.ceil(F.col("__n") * pct / F.lit(100.0)))
+              .drop("__r", "__n"))
+
+
 def pack_token_chunks(df: DataFrame, group_cols: list[str],
                       token_count: Column, order_col: str = "doc_id",
                       budget: int = 2048) -> DataFrame:

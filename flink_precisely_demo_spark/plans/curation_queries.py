@@ -189,3 +189,36 @@ def _curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("split", "lang")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_tokens").alias("total_tokens")))
+
+
+@query(
+    "curation_stratified",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, lang, source,
+             row_number() OVER (
+               PARTITION BY lang, source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r,
+             COUNT(*) OVER (PARTITION BY lang, source) AS n
+      FROM documents
+    )
+    SELECT lang, source,
+           COUNT(*) AS n_sampled,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+    FROM ranked
+    WHERE r <= ceil(n * 10 / 100.0)
+    GROUP BY lang, source
+    """,
+)
+def _curation_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 10% per (lang, source) stratum via hash-order ranking —
+    the balanced-mixture sampler (`operators/curation.
+    stratified_sample`). Aggregated per stratum so the oracle checks
+    both quota exactness and WHICH rows were selected (min sampled
+    id is selection-sensitive)."""
+    from ..operators.curation import stratified_sample
+    docs = load_table(spark, sf_dir, "documents")
+    s = stratified_sample(docs, ["lang", "source"], "doc_id", 10)
+    return (s.groupBy("lang", "source")
+             .agg(F.count(F.lit(1)).alias("n_sampled"),
+                  F.min("doc_id").alias("min_doc_id")))

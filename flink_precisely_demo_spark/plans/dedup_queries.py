@@ -57,10 +57,9 @@ def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(load_table(spark, sf_dir, "documents"))
 
 
-@query(
-    "dedup_minhash_lsh",
-    oracle=f"""
-    WITH {_SHINGLES_CTE},
+# CTE body ending in `pairs` = the capped MinHash-LSH candidate
+# pairs; shared by the pair query and the clustering query
+_MINHASH_PAIRS_CTES = f"""{_SHINGLES_CTE},
     mins AS (
       SELECT sh.doc_id, s.seed,
              MIN((('0x' || substring(md5(sh.sh), 1, 12))::BIGINT
@@ -81,15 +80,56 @@ def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized AS (
       SELECT *, COUNT(*) OVER (PARTITION BY band_id, band_key) AS bn
       FROM bands
-    )
-    SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-    FROM sized x
-    JOIN sized y ON x.band_id = y.band_id AND x.band_key = y.band_key
-    WHERE x.doc_id < y.doc_id AND x.bn <= 4096
+    ),
+    pairs AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM sized x
+      JOIN sized y ON x.band_id = y.band_id AND x.band_key = y.band_key
+      WHERE x.doc_id < y.doc_id AND x.bn <= 4096
+    )"""
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_MINHASH_PAIRS_CTES}
+    SELECT a, b FROM pairs
     """,
 )
 def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_dup_pairs(
+        load_table(spark, sf_dir, "documents"),
+        num_hashes=16, bands=4, shingle_n=3, max_bucket_size=4096)
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+    edges AS (
+      SELECT a AS src, b AS dst FROM pairs
+      UNION
+      SELECT b AS src, a AS dst FROM pairs
+    ),
+    reach(node, lab) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.lab FROM edges e JOIN reach r ON r.node = e.dst
+    ),
+    comp AS (SELECT node, MIN(lab) AS cluster_id FROM reach GROUP BY node)
+    SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    """,
+)
+def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: LSH pairs -> connected components (min
+    reachable doc id) -> every document labeled with its cluster
+    representative. The oracle computes the same components by
+    recursive transitive closure — tractable at oracle scale, while
+    the Spark side uses bounded min-label-propagation rounds
+    (operators/dedup.connected_components)."""
+    from ..operators.dedup import near_dup_clusters
+    return near_dup_clusters(
         load_table(spark, sf_dir, "documents"),
         num_hashes=16, bands=4, shingle_n=3, max_bucket_size=4096)
 

@@ -375,3 +375,112 @@ def _q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
                .join(c, F.col("o_custkey") == F.col("c_custkey"))
                .select("c_name", "o_orderkey", "o_orderdate",
                        "o_totalprice", "total_qty"))
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,6)))
+                AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.02 AND 0.06
+      AND l_quantity < 24
+    """,
+)
+def _q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate, zero joins — the
+    query whose entire cost is how much of the scan the engine can
+    skip. All three predicates reach the parquet reader as
+    PushedFilters (min/max row-group pruning at 100 TB); the
+    aggregation is a single global decimal sum, map-side partials
+    shuffling one row per task."""
+    li = _t(spark, sf_dir, "lineitem")
+    f = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz")) &
+        (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz")) &
+        (F.col("l_discount") >= 0.02) & (F.col("l_discount") <= 0.06) &
+        (F.col("l_quantity") < 24))
+    return f.agg(
+        sum_exact(F.col("l_extendedprice") * F.col("l_discount"))
+            .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"))
+
+
+@query(
+    "q14_promo_revenue",
+    oracle="""
+    SELECT round(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN
+             CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))
+             ELSE 0 END) AS DOUBLE)
+           / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(28,6))) AS DOUBLE), 6)
+             AS promo_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1996-07-01'
+    """,
+)
+def _q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-revenue ratio over a fact-dim
+    join. part is broadcast (a dim at any SF that fits; AQE would
+    demote to shuffle join past the threshold with the same text);
+    both sums come out of ONE aggregation pass — the CASE lives
+    inside the aggregate, not in two scans of the join."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz")) &
+        (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp_ntz")))
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    return j.agg(
+        F.round(100.0 * sum_exact(promo) / sum_exact(rev), 6)
+         .alias("promo_pct"))
+
+
+@query(
+    "q10_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def _q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-N customers by returned-item revenue.
+    Scale plan: the returnflag + date filters cut the fact side at
+    the scan; lineitem x orders is the one big shuffle (on the order
+    key); nation broadcasts (25 rows at any SF) while customer is
+    LEFT TO AQE — it scales with SF, so past the broadcast threshold
+    the same text correctly becomes a shuffle join; the ORDER BY ...
+    LIMIT is a TakeOrderedAndProject — each partition keeps its local
+    top 20 and only partitions*20 candidate rows reach the driver-
+    side merge, never the full aggregate. Tie-broken on c_custkey
+    for determinism."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz")) &
+        (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp_ntz")))
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+              .join(c, F.col("o_custkey") == F.col("c_custkey"))
+              .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+              .groupBy("c_custkey", "c_name", "n_name")
+              .agg(sum_exact(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                   .alias("revenue"))
+              .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+              .limit(20))

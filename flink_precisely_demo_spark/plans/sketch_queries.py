@@ -111,33 +111,45 @@ def _approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     can never hash-match a DuckDB oracle (this row was the one
     non-green driver entry in r01/r02). Instead the plan computes
     BOTH the sketch and the exact answer and emits deterministic
-    accuracy verdicts: booleans asserting each sketch lands within
-    5% of the exact value (measured error at sf0.01 is <=0.7%, so
-    the bound has ~7x margin without being vacuous). The oracle
-    computes the exact-computable columns and literal TRUEs — a
+    accuracy verdicts the oracle asserts as literal TRUEs — a
     drifting sketch flips a boolean and fails the hash compare, so
-    the driver check now actually enforces the accuracy bound.
-    Finer-grained bounds (rank error, rsd) stay in
-    tests/test_sketches.py.
+    the driver check enforces the bound.
+
+    The quantile verdict asserts the sketch's ACTUAL guarantee —
+    rank error, not value error: the sketch value must land between
+    the exact percentiles at p±0.01 (100x the accuracy=10000
+    guarantee of 1e-4, still a real assertion). A value-relative
+    bound is scale-unstable: in small groups the gap between
+    adjacent tail order statistics can exceed any fixed % of the
+    value, so a 5%-of-value check that passed at sf0.01 failed at
+    sf0.001 — rank bounds hold at every SF by construction. The
+    HLL verdict keeps the relative form (5% on a cardinality,
+    vs rsd=0.05 worst case; measured 0.7% at sf0.01). Finer
+    bounds stay in tests/test_sketches.py.
     """
     ev = load_table(spark, sf_dir, "events")
 
-    def ok(approx, exact):
-        return (F.abs(approx - exact)
-                <= 0.05 * F.greatest(F.abs(exact), F.lit(1.0))).alias
+    def rank_ok(approx, lo, hi):
+        return ((approx >= lo) & (approx <= hi)).alias
     agg = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.count_distinct("user_id").alias("n_users"),
         F.approx_count_distinct("user_id").alias("__au"),
         F.percentile_approx("value", 0.5, 10000).alias("__a50"),
-        F.percentile("value", 0.5).alias("__e50"),
+        F.percentile("value", 0.49).alias("__lo50"),
+        F.percentile("value", 0.51).alias("__hi50"),
         F.percentile_approx("value", 0.95, 10000).alias("__a95"),
-        F.percentile("value", 0.95).alias("__e95"),
+        F.percentile("value", 0.94).alias("__lo95"),
+        F.percentile("value", 0.96).alias("__hi95"),
         F.percentile_approx("value", 0.99, 10000).alias("__a99"),
-        F.percentile("value", 0.99).alias("__e99"))
+        F.percentile("value", 0.98).alias("__lo99"),
+        F.percentile("value", 1.0).alias("__hi99"))
+    users_ok = (F.abs(F.col("__au") - F.col("n_users"))
+                <= 0.05 * F.greatest(F.col("n_users").cast("double"),
+                                     F.lit(1.0)))
     return agg.select(
         "event_type", "n", "n_users",
-        ok(F.col("__au"), F.col("n_users"))("users_ok"),
-        ok(F.col("__a50"), F.col("__e50"))("p50_ok"),
-        ok(F.col("__a95"), F.col("__e95"))("p95_ok"),
-        ok(F.col("__a99"), F.col("__e99"))("p99_ok"))
+        users_ok.alias("users_ok"),
+        rank_ok(F.col("__a50"), F.col("__lo50"), F.col("__hi50"))("p50_ok"),
+        rank_ok(F.col("__a95"), F.col("__lo95"), F.col("__hi95"))("p95_ok"),
+        rank_ok(F.col("__a99"), F.col("__lo99"), F.col("__hi99"))("p99_ok"))

@@ -149,3 +149,46 @@ def _text_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .groupBy("lang", "source")
                 .agg(F.count(F.lit(1)).alias("n_docs"),
                      F.sum("n_tokens").alias("total_tokens")))
+
+
+@query(
+    "text_repetition_quality",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CASE WHEN len(toks) > 0 THEN
+               round(len(list_distinct(toks)) / len(toks), 6)
+             ELSE 0.0 END AS distinct_ratio,
+             CASE WHEN len(toks) > 0 THEN
+               round(list_max(list_transform(list_distinct(toks),
+                       t -> len(list_filter(toks, x -> x = t)))) / len(toks), 6)
+             ELSE 0.0 END AS top_token_frac,
+             CASE WHEN len(toks) > 0 THEN
+               round(list_aggregate(list_transform(toks, t -> length(t)),
+                                    'sum') / len(toks), 6)
+             ELSE 0.0 END AS mean_word_len
+      FROM t
+    )
+    SELECT doc_id, n_tokens, distinct_ratio, top_token_frac, mean_word_len,
+           (n_tokens >= 20 AND n_tokens <= 100000
+            AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
+            AND distinct_ratio >= 0.2 AND top_token_frac <= 0.35)
+             AS gopher_ok
+    FROM s
+    """,
+)
+def _text_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/quality gate per document: token count,
+    distinct-token ratio, top-token share, mean word length, and the
+    boolean pretraining filter verdict. Pure column expressions — the
+    whole thing runs inside the scan stage at 100 TB."""
+    from ..functions.text import gopher_pass, repetition_stats
+    d = load_table(spark, sf_dir, "documents")
+    st = d.select("doc_id", repetition_stats("text").alias("s"))
+    return st.select(
+        "doc_id", "s.n_tokens", "s.distinct_ratio", "s.top_token_frac",
+        "s.mean_word_len", gopher_pass(F.col("s")).alias("gopher_ok"))

@@ -14,7 +14,10 @@ import time
 
 from pyspark.sql import functions as F
 
-from flink_precisely_demo_spark.operators.dedup import minhash_near_dup_pairs
+from flink_precisely_demo_spark.operators.dedup import (
+    minhash_near_dup_pairs,
+    near_dup_clusters,
+)
 from flink_precisely_demo_spark.operators.similarity import (
     brute_force_topk,
     ivf_topk,
@@ -64,7 +67,9 @@ def main():
     r["brute_10x"] = timed("bruteforce_topk 10x (20k vecs)", lambda: brute_force_topk(emb10, q))
     r["ivf_1x"] = timed("ivf_topk 1x", lambda: ivf_topk(emb, q, cent))
     r["ivf_10x"] = timed("ivf_topk 10x", lambda: ivf_topk(emb10, q, cent))
-    for op in ("minhash", "brute", "ivf"):
+    r["clusters_1x"] = timed("near_dup_clusters 1x", lambda: near_dup_clusters(docs))
+    r["clusters_10x"] = timed("near_dup_clusters 10x", lambda: near_dup_clusters(docs10))
+    for op in ("minhash", "brute", "ivf", "clusters"):
         print(f"{op}: {r[f'{op}_10x'] / r[f'{op}_1x']:.2f}x time at 10x data")
     spark.stop()
 

@@ -83,3 +83,25 @@ def test_pack_chunks_budget_and_order(spark):
             # every doc STARTS within the budget of its chunk
             assert run < 512
             run += r["n_tokens"]
+
+
+def test_stratified_sample_exact_quota_and_determinism(spark):
+    from flink_precisely_demo_spark.operators.curation import (
+        stratified_sample,
+    )
+    rows = [(i, "en" if i % 3 else "de", f"s{i % 2}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, source string")
+    s = stratified_sample(df, ["lang", "source"], "doc_id", 10)
+    got = {(r.lang, r.source): r.n for r in
+           s.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    import math
+    expected = {}
+    for i in range(200):
+        k = ("en" if i % 3 else "de", f"s{i % 2}")
+        expected[k] = expected.get(k, 0) + 1
+    assert got == {k: math.ceil(n * 0.10) for k, n in expected.items()}
+    # selection (not just counts) is deterministic across runs
+    ids1 = sorted(r.doc_id for r in s.collect())
+    ids2 = sorted(r.doc_id for r in
+                  stratified_sample(df, ["lang", "source"], "doc_id", 10).collect())
+    assert ids1 == ids2

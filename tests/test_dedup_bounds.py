@@ -99,3 +99,27 @@ def test_contamination_df_cap(spark):
     capped = contamination_pairs(corpus, bench, min_overlap=1,
                                  max_df=10).collect()
     assert {(r.corpus_id, r.benchmark_id) for r in capped} == {(999, 7777)}
+
+
+def test_connected_components_chain_and_islands(spark):
+    from flink_precisely_demo_spark.operators.dedup import (
+        connected_components,
+    )
+    # a 5-node path (needs multiple propagation rounds) + a 2-node
+    # island + untouched singletons (absent from edges entirely)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "a long, b long")
+    got = {r.node: r.label
+           for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
+def test_near_dup_clusters_transitive(spark):
+    from flink_precisely_demo_spark.operators.dedup import near_dup_clusters
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(1, text), (2, text), (3, text),          # one dup cluster
+            (50, "completely different words here nothing shared at all")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.cluster_id for r in near_dup_clusters(docs).collect()}
+    # the dup cluster collapses to its min id; the singleton labels itself
+    assert got == {1: 1, 2: 1, 3: 1, 50: 50}

@@ -102,3 +102,22 @@ def test_text_functions_edge_cases(spark):
     assert got[4][1] == "de"
     assert got[5][0] is None  # null text propagates null, not a crash
     assert got[1][2] == got[2][2]  # whitespace-only normalizes equal
+
+
+def test_repetition_stats_and_gopher_gate(spark):
+    from flink_precisely_demo_spark.functions.text import (
+        gopher_pass,
+        repetition_stats,
+    )
+    from pyspark.sql import functions as F
+    diverse = " ".join(f"word{i}" for i in range(40))          # passes
+    spammy = "buy " * 40                                        # top-token 1.0
+    rows = [(1, diverse), (2, spammy), (3, "too short")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in df.select(
+        "doc_id", repetition_stats("text").alias("s"),
+        gopher_pass(repetition_stats("text")).alias("ok")).collect()}
+    assert out[1].ok and out[1].s.distinct_ratio == 1.0
+    assert not out[2].ok and out[2].s.top_token_frac == 1.0
+    assert not out[3].ok  # below the 20-token floor
+    assert abs(out[2].s.mean_word_len - 3.0) < 1e-9

@@ -51,7 +51,15 @@ def test_parity_queries_inside_driver_window():
     """The driver snapshots the first 50 registered queries; the
     reference-parity entries must never rotate out of that window."""
     import __spark_entry__ as e
-    first50 = list(e.queries())[:50]
+    qs = list(e.queries())
+    # the head (everything before the deferred tail) must be EXACTLY
+    # the 50 snapshot slots: smaller wastes driver evidence, larger
+    # silently pushes the last head entries out of the window — any
+    # new registration must make a conscious deferral choice
+    assert len(qs) - len(e._DEFERRED) == 50, (
+        f"head holds {len(qs) - len(e._DEFERRED)} queries; "
+        "extend _DEFERRED so exactly 50 remain in the driver window")
+    first50 = qs[:50]
     for name in ["flagship_cdc_window_sum", "flagship_sql_path",
                  "reference_pipeline_verbatim", "reference_sql_orders",
                  "q5_local_supplier_volume", "q18_large_volume_customer",
