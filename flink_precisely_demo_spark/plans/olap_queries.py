@@ -484,3 +484,119 @@ def _q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .alias("revenue"))
               .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
               .limit(20))
+
+
+@query(
+    "q7_volume_shipping",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS l_year,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2, 3
+    """,
+)
+def _q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume — the two-role
+    dimension join (nation joins twice under different roles) with a
+    disjunctive cross-row predicate. Scale plan: both nation roles
+    broadcast; the nation-name filter cannot be pushed into either
+    scan alone (it correlates the two roles), so it runs right after
+    the broadcasts, before the wide aggregation; lineitem x orders
+    stays the single big shuffle."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz")) &
+        (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz")))
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation"))
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation"))
+    j = (li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+           .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+           .join(c, F.col("o_custkey") == F.col("c_custkey"))
+           .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+           .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+           .filter(((F.col("supp_nation") == "NATION_1") &
+                    (F.col("cust_nation") == "NATION_2")) |
+                   ((F.col("supp_nation") == "NATION_2") &
+                    (F.col("cust_nation") == "NATION_1"))))
+    return (j.groupBy("supp_nation", "cust_nation",
+                      F.year("l_shipdate").cast("int").alias("l_year"))
+             .agg(sum_exact(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                  .alias("revenue")))
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+    WITH all_nations AS (
+      SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+             CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))
+               AS volume,
+             n2.n_name AS supp_nation
+      FROM part p
+      JOIN lineitem l ON l.l_partkey = p.p_partkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+      JOIN region r   ON n1.n_regionkey = r.r_regionkey
+      JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'ASIA'
+        AND p.p_type = 'PROMO'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    )
+    SELECT o_year,
+           round(CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN volume
+                               ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+    FROM all_nations GROUP BY o_year
+    """,
+)
+def _q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share — an 8-table join where
+    one nation role feeds a region filter (customer side) and the
+    other feeds the CASE numerator (supplier side), with the share
+    computed in ONE aggregation pass. Scale plan: part/supplier/
+    customer/nation/region all broadcast down the chain (part is
+    filtered to one type first); lineitem x orders is again the only
+    big shuffle."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz")) &
+        (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz")))
+    c = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), "n_regionkey")
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation"))
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+           .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+           .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+           .join(c, F.col("o_custkey") == F.col("c_custkey"))
+           .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nkey"))
+           .join(F.broadcast(r.select("r_regionkey")),
+                 F.col("n_regionkey") == F.col("r_regionkey"))
+           .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nkey")))
+    num = F.when(F.col("supp_nation") == "NATION_2", vol).otherwise(F.lit(0.0))
+    return (j.groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+             .agg(F.round(sum_exact(num) / sum_exact(vol), 6)
+                  .alias("mkt_share")))
