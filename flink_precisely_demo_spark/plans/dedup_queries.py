@@ -9,6 +9,7 @@ operators/dedup.py docstrings for the 100 TB layout notes).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.dedup import (
     exact_dedup,
@@ -245,3 +246,52 @@ def _dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup_pairs(
         load_table(spark, sf_dir, "documents"), bits=60, max_hamming=3,
         max_bucket_size=4096)
+
+
+@query(
+    "dedup_pipeline_e2e",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+    edges AS (
+      SELECT a AS src, b AS dst FROM pairs
+      UNION
+      SELECT b AS src, a AS dst FROM pairs
+    ),
+    reach(node, lab) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.lab FROM edges e JOIN reach r ON r.node = e.dst
+    ),
+    comp AS (SELECT node, MIN(lab) AS cluster_id FROM reach GROUP BY node),
+    labeled AS (
+      SELECT d.doc_id, d.lang,
+             COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT cluster_id) AS n_kept,
+           COUNT(*) - COUNT(DISTINCT cluster_id) AS n_removed,
+           round(COUNT(DISTINCT cluster_id) / COUNT(*), 6) AS keep_ratio
+    FROM labeled GROUP BY lang
+    """,
+)
+def _dedup_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole dedup flow as ONE hash-checked unit: MinHash-LSH
+    candidate pairs -> connected-component clusters -> keep the min-id
+    representative per cluster -> per-language retention report. This
+    is the number a curation run actually publishes ("we removed X%
+    of Y as near-duplicates"), so checking the composition end-to-end
+    guards against each stage being individually right but composed
+    wrong (e.g. pairwise keep-min dropping both ends of a chain)."""
+    from ..operators.dedup import near_dup_clusters
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = near_dup_clusters(docs).join(
+        docs.select("doc_id", "lang"), "doc_id")
+    return (labeled.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.count_distinct("cluster_id").alias("n_kept"),
+                 (F.count(F.lit(1)) - F.count_distinct("cluster_id"))
+                 .alias("n_removed"),
+                 F.round(F.count_distinct("cluster_id") / F.count(F.lit(1)), 6)
+                 .alias("keep_ratio")))
