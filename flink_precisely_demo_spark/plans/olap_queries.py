@@ -600,3 +600,42 @@ def _q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (j.groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
              .agg(F.round(sum_exact(num) / sum_exact(vol), 6)
                   .alias("mkt_share")))
+
+
+@query(
+    "q19_disjunctive_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 21)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity >= 15 AND l.l_quantity <= 35)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity >= 25 AND l.l_quantity <= 45)
+    """,
+)
+def _q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: a three-branch OR of conjunctive predicates
+    spanning BOTH join sides. The optimizer-relevant part: Catalyst
+    derives the branch-union bounds as single-side filters it CAN
+    push (p_brand IN (...), the l_quantity envelope) while the full
+    cross-side disjunction evaluates after the broadcast join — so
+    the scans shrink even though the OR itself can't be pushed. The
+    join stays a broadcast of the filtered part dim; one aggregation
+    pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    b = (((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+          & F.col("l_quantity").between(1, 21))
+         | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(15, 35))
+         | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(25, 45)))
+    return j.filter(b).agg(
+        sum_exact(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"))
