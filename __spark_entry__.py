@@ -58,6 +58,8 @@ _DEFERRED = [
     # (they are covered by tests/test_oracle_parity.py regardless)
     "q6_forecast_revenue", "q14_promo_revenue", "q10_returned_items",
     "q7_volume_shipping", "q8_market_share", "q19_disjunctive_revenue",
+    "q13_customer_distribution", "q15_top_supplier",
+    "q17_small_quantity_revenue",
     # deferred in r3 to free a window slot for dedup_pipeline_e2e
     # (double-green in r01+r02, still covered locally)
     "window_analytics",

@@ -639,3 +639,110 @@ def _q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         sum_exact(F.col("l_extendedprice") * (1 - F.col("l_discount")))
             .alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"))
+
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM per_cust GROUP BY c_count
+    """,
+)
+def _q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the order-count histogram over a LEFT join —
+    customers with zero orders must appear (COUNT of a nullable
+    column counts only matches). Two aggregations: the first shuffles
+    on custkey (map-side combine), the second on the tiny count
+    domain."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per = (c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left")
+             .groupBy("c_custkey")
+             .agg(F.count("o_orderkey").alias("c_count")))
+    return per.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(28,6))) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def _q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: argmax over an aggregate (the 'view' of the
+    original). Expressed as an unpartitioned max window over the
+    grouped revenue — the aggregate is computed ONCE and reused for
+    both the value and the max (the literal SQL recomputes the view
+    for the scalar subquery); the global window sees one row per
+    supplier, not per lineitem, so its single-partition stage is
+    dim-sized."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz")) &
+        (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz")))
+    rev = (li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+             .agg(sum_exact(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                  .alias("total_revenue")))
+    w = Window.partitionBy()
+    top = (rev.withColumn("__max", F.max("total_revenue").over(w))
+              .filter(F.col("total_revenue") == F.col("__max"))
+              .drop("__max"))
+    s = _t(spark, sf_dir, "supplier")
+    return (top.join(F.broadcast(s),
+                     F.col("supplier_no") == F.col("s_suppkey"))
+               .select("s_suppkey", "s_name", "total_revenue"))
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH avg_qty AS (
+      SELECT l_partkey,
+             0.5 * (CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+                    / COUNT(*)) AS half_avg
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,6)))
+                     / 7.0 AS DECIMAL(38,6)) AS DOUBLE) AS avg_yearly
+    FROM lineitem l
+    JOIN part p    ON p.p_partkey = l.l_partkey
+    JOIN avg_qty a ON a.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND l.l_quantity < a.half_avg
+    """,
+)
+def _q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: the correlated per-group average (each
+    lineitem compares against ITS part's mean quantity). De-
+    correlated as an aggregate-then-self-join on the part key — the
+    classic rewrite; both sides shuffle on l_partkey so the join is
+    co-partitioned with the aggregation that feeds it. The decimal
+    average divides exact sum by exact count (doubles drift across
+    engines)."""
+    li = _t(spark, sf_dir, "lineitem")
+    avg_half = (li.groupBy(F.col("l_partkey").alias("a_partkey"))
+                  .agg((0.5 * (sum_exact("l_quantity") / F.count(F.lit(1))))
+                       .alias("half_avg")))
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    j = (li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+           .join(avg_half, F.col("l_partkey") == F.col("a_partkey"))
+           .filter(F.col("l_quantity") < F.col("half_avg")))
+    return j.agg(
+        (sum_exact("l_extendedprice") / F.lit(7.0)).cast("decimal(38,6)")
+        .cast("double").alias("avg_yearly"))
