@@ -15,6 +15,10 @@ Four tiers, all shuffle-conscious:
   index self-join (|A∩B| from a shingle->doc explode, |A∪B| by
   inclusion-exclusion) — no pairwise cross join; cost is bounded by
   shingle collision lists, the standard sparse-similarity-join shape.
+- connected_components / near_dup_clusters: the post-pair step —
+  candidate pairs to duplicate CLUSTERS by bounded min-label
+  propagation, so a pipeline keeps one representative per cluster
+  rather than resolving pairs independently.
 
 Portability: every hash is derived from md5 hex (identical in any
 engine) rather than Spark's murmur3, so the DuckDB oracles reproduce

@@ -86,9 +86,14 @@ def _curation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM toks
       )
     )
+    ,
+    -- corpus-side document-frequency cap (mirrors max_df=1000)
+    sized AS (
+      SELECT *, COUNT(*) OVER (PARTITION BY sh) AS df FROM sh
+    )
     SELECT c.doc_id AS corpus_id, b.doc_id AS benchmark_id,
            CAST(COUNT(*) AS BIGINT) AS n_shared
-    FROM sh c
+    FROM (SELECT * FROM sized WHERE df <= 1000) c
     JOIN (SELECT * FROM sh WHERE doc_id % 50 = 0) b ON c.sh = b.sh
     WHERE c.doc_id <> b.doc_id
     GROUP BY 1, 2

@@ -169,12 +169,20 @@ def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH {_SHINGLES_CTE},
+    -- stop-shingle document-frequency cap (mirrors max_df=1000);
+    -- sizes count the KEPT shingles so jaccard is exact over the
+    -- filtered shingle space, same as the Spark plan
+    kept AS (
+      SELECT doc_id, sh FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY sh) AS df FROM shingles
+      ) WHERE df <= 1000
+    ),
     sizes AS (
-      SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id
+      SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id
     ),
     inter AS (
       SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_common
-      FROM shingles x JOIN shingles y ON x.sh = y.sh
+      FROM kept x JOIN kept y ON x.sh = y.sh
       WHERE x.doc_id < y.doc_id
       GROUP BY 1, 2
     )
