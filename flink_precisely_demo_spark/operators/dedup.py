@@ -294,7 +294,7 @@ def minhash_oversized_buckets(df: DataFrame, text_col: str = "text",
 
 
 def connected_components(edges: DataFrame, a: str = "a", b: str = "b",
-                         max_iter: int = 10) -> DataFrame:
+                         max_iter: int = 30) -> DataFrame:
     """(node, component) for the undirected graph given as edge pairs
     — component = the smallest node id reachable from the node.
 
@@ -341,6 +341,7 @@ def connected_components(edges: DataFrame, a: str = "a", b: str = "b",
                  .select("node", F.col("node").alias("label"))
                  .localCheckpoint(eager=True))
     prev_sum = labels.agg(F.sum("label")).first()[0]
+    converged = False
     for _ in range(max_iter):
         nb = (sym.join(labels, sym["dst"] == labels["node"])
                  .groupBy("src").agg(F.min("label").alias("nb_label")))
@@ -354,9 +355,19 @@ def connected_components(edges: DataFrame, a: str = "a", b: str = "b",
         cur_sum = new.agg(F.sum("label")).first()[0]
         labels = new
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
     ec.unpersist()
+    if not converged:
+        # an unconverged result is silently WRONG (labels mid-
+        # propagation), not just slow — refuse to return it. A graph
+        # needing >30 rounds has diameter >30: not a near-dup cluster
+        # shape; that workload wants large-star/small-star, not this.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "rounds — graph diameter exceeds the label-propagation "
+            "budget; raise max_iter or use a doubling algorithm")
     return labels
 
 

@@ -123,3 +123,18 @@ def test_near_dup_clusters_transitive(spark):
     got = {r.doc_id: r.cluster_id for r in near_dup_clusters(docs).collect()}
     # the dup cluster collapses to its min id; the singleton labels itself
     assert got == {1: 1, 2: 1, 3: 1, 50: 50}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """A graph whose diameter exceeds the round budget must FAIL, not
+    return mid-propagation labels that look like an answer."""
+    import pytest
+
+    from flink_precisely_demo_spark.operators.dedup import (
+        connected_components,
+    )
+    # 8-node path needs ~7 rounds; cap at 2
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "a long, b long")
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(edges, max_iter=2)
