@@ -152,3 +152,35 @@ def test_tumble_shim_output_runs_on_spark(spark):
            "FROM ev_tumble GROUP BY TUMBLE(ts, INTERVAL '1' HOUR)")
     rows = spark.sql(translate_flink_tumble(sql)).collect()
     assert rows and all(r.n > 0 for r in rows)
+
+
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=40),
+                   min_size=1, max_size=5),
+    pct=st.integers(min_value=1, max_value=99),
+)
+@settings(max_examples=20, deadline=None)
+def test_stratified_sample_quota_property(spark, sizes, pct):
+    """For ANY group structure and pct, every stratum yields exactly
+    ceil(pct/100 * size) rows, and the selection is a deterministic
+    function of the keys (re-run -> identical ids)."""
+    import math
+
+    from flink_precisely_demo_spark.operators.curation import (
+        stratified_sample,
+    )
+    rows, k = [], 0
+    for g, n in enumerate(sizes):
+        for _ in range(n):
+            rows.append((k, f"g{g}"))
+            k += 1
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    s = stratified_sample(df, ["lang"], "doc_id", pct)
+    got = {r.lang: r.n for r in
+           s.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == {f"g{g}": math.ceil(n * pct / 100.0)
+                   for g, n in enumerate(sizes)}
+    ids = sorted(r.doc_id for r in s.collect())
+    again = sorted(r.doc_id for r in
+                   stratified_sample(df, ["lang"], "doc_id", pct).collect())
+    assert ids == again

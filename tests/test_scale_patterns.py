@@ -126,3 +126,28 @@ def test_kafka_probe_degrades_gracefully(spark):
     sources."""
     from flink_precisely_demo_spark.sources.kafka import kafka_available
     assert kafka_available(spark) is False
+
+
+def test_q6_predicates_reach_the_scan(spark):
+    """TPC-H Q6's whole value is scan reduction: all three predicates
+    must appear as DataFilters on the lineitem FileScan (and at the
+    parquet reader as pushed filters for row-group pruning)."""
+    import __spark_entry__ as entry_mod
+    plan = _physical(entry_mod.queries()["q6_forecast_revenue"](spark, SF))
+    scan = [ln for ln in plan.splitlines() if "FileScan" in ln][0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in scan, f"{col} not in scan filters"
+
+
+def test_q19_or_envelope_pushed_per_side(spark):
+    """The cross-side OR can't be pushed whole, but Catalyst must
+    derive each side's branch-union envelope: quantity bounds on the
+    lineitem scan, brand/size disjunction on the part scan."""
+    import __spark_entry__ as entry_mod
+    plan = _physical(
+        entry_mod.queries()["q19_disjunctive_revenue"](spark, SF))
+    scans = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    li_scan = [s for s in scans if "l_quantity" in s][0]
+    p_scan = [s for s in scans if "p_brand" in s][0]
+    assert "l_quantity" in li_scan
+    assert "p_brand" in p_scan and "p_size" in p_scan
