@@ -58,6 +58,10 @@ def main() -> None:
     warm_dir = "/root/testdata/sf0.001"
     qs["flagship_cdc_window_sum"](spark, warm_dir).write.mode("overwrite").format("noop").save()
     qs["dedup_minhash_lsh"](spark, warm_dir).write.mode("overwrite").format("noop").save()
+    # the verbatim replay exercises codegen paths nothing else does
+    # (to_json/from_json of three envelope schemas, the SQL-scalar
+    # parseTs, catalog DDL) — warm them at sf0.001 like the rest
+    qs["reference_pipeline_verbatim"](spark, warm_dir).write.mode("overwrite").format("noop").save()
     # build the served ANN index once, untimed: a served system
     # amortizes the build across its query traffic; the timed entry
     # measures the query path (partition-pruned nprobe scan)
