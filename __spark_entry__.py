@@ -38,31 +38,40 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver snapshots the FIRST 50 registered queries for its
-# oracle-differential correctness run. Registration order is module-
-# import order, which buried the reference-parity entries (verbatim
-# SQL replay, TPC-H q5/q18) past the window while 13 slots went to
-# misc function-coverage queries that had already been driver-green
-# in BOTH r01 and r02. `_DEFERRED` rotates exactly those multi-round-
-# green entries to the tail; everything else — all §2.1 parity
-# surfaces, the verbatim reference replay, and every operator family
-# — lands inside the snapshot. All 60+ pairs still run in
+# oracle-differential correctness run. `_DEFERRED` rotates entries to
+# the tail (outside the snapshot) so the window prioritizes code that
+# still NEEDS external validation. The deferral criterion is
+# mechanical, enforced by tests/test_oracle_parity.py::
+# test_deferred_entries_have_driver_green_history: an entry may sit in
+# _DEFERRED only with >= 2 prior driver-green rounds recorded in the
+# CORRECTNESS_r*.json artifacts — never-driver-validated queries must
+# take a window slot first. Round-4 rotation: the nine TPC-H tail
+# queries + window_analytics (0-2 prior green rounds as a set, the
+# TPC-H nine had none) move INTO the window; ten multi-round-green
+# extension entries move out. All §2.1 parity surfaces stay in the
+# window unconditionally (guarded below). All 76 pairs still run in
 # tests/test_oracle_parity.py regardless of position.
 _DEFERRED = [
+    # misc function-coverage queries, driver-green in r01+r02
     "anti_semi_join", "array_functions_embeddings", "cube_agg",
     "distinct_agg", "grouping_sets", "histogram_buckets",
     "intersect_keys", "percentile_exact", "pivot_events",
     "regex_extract_props", "rollup_agg", "set_ops",
     "unpivot_measures", "string_math_funcs", "full_outer_join_nulls",
     "subquery_in_exists",
-    # breadth additions parked in the tail until a window slot frees
-    # (they are covered by tests/test_oracle_parity.py regardless)
-    "q6_forecast_revenue", "q14_promo_revenue", "q10_returned_items",
-    "q7_volume_shipping", "q8_market_share", "q19_disjunctive_revenue",
-    "q13_customer_distribution", "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    # deferred in r3 to free a window slot for dedup_pipeline_e2e
-    # (double-green in r01+r02, still covered locally)
-    "window_analytics",
+    # rotated out in r4 for the TPC-H tail; each is >= double-green
+    # (rounds noted), and every operator family keeps >= 3 entries
+    # inside the window
+    "top_k_per_group",            # r1 r2 r3
+    "similarity_bruteforce_topk",  # r1 r2 r3
+    "similarity_ivf_cells",        # r1 r2 r3
+    "dedup_simhash",               # r1 r2 r3
+    "dedup_simhash_pairs",         # r1 r2 r3
+    "dedup_ngram_jaccard",         # r1 r2 r3
+    "curation_sample",             # r2 r3
+    "curation_split",              # r2 r3
+    "text_language_id",            # r1 r3
+    "text_quality_score",          # r1 r3
 ]
 
 

@@ -99,6 +99,11 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "streaming_orders_per_sec": streaming_eps,
+        "streaming_metric": ("engine-accounted steady-state rate: "
+                             "max-of-3 of sum(numInputRows)/"
+                             "sum(triggerExecution) over the same "
+                             "progress entries, after an untimed "
+                             "warm-up run"),
     }))
     spark.stop()
 
@@ -113,7 +118,12 @@ def _run_stream_once(spark, env_dir, address, states, name):
     q = (out.writeStream.outputMode("complete")
          .format("memory").queryName(name)
          .trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    finished = q.awaitTermination(300)
+    if not finished:
+        q.stop()
+        raise RuntimeError(
+            f"streaming bench query {name!r} did not finish in 300 s — "
+            "refusing to report a rate from a partial run")
     return q
 
 
@@ -133,7 +143,6 @@ def _streaming_throughput(spark, sf_dir: str) -> float:
     from flink_precisely_demo_spark.sources.parquet import load_table
 
     orders = load_table(spark, sf_dir, "orders")
-    n = orders.count()
     env_dir = tempfile.mkdtemp(prefix="bench_cdc_")
     try:
         synthesize_orders_envelope(orders).write.mode("overwrite").text(env_dir)
@@ -167,20 +176,26 @@ def _streaming_throughput(spark, sf_dir: str) -> float:
             # it absorbs 20x contention blips from unrelated load
             # (r02: the same pipeline measured 3.4k orders/s by
             # contended wall clock vs 23k+ by batch accounting).
-            # min-of-3 on batch time matches the batch-query
-            # estimator above: contention only ever adds time.
-            times = []
+            # max-of-3 on the per-run rate matches the batch-query
+            # min-of-time estimator above: contention only ever adds
+            # time. Rows and seconds both come from the SAME progress
+            # entries (recentProgress is capped at ~100 entries, so a
+            # precomputed total row count over a partial entry list
+            # would overstate the rate; numerator and denominator must
+            # share the window).
+            rates = []
             for i in range(3):
                 q = _run_stream_once(spark, env_dir, address, states,
                                      f"bench_stream_{i}")
-                batch_sec = sum(
-                    p["durationMs"]["triggerExecution"]
-                    for p in q.recentProgress
-                    if p["numInputRows"] > 0) / 1000.0
-                times.append(batch_sec)
+                progress = [p for p in q.recentProgress
+                            if p["numInputRows"] > 0]
+                rows = sum(p["numInputRows"] for p in progress)
+                secs = sum(p["durationMs"]["triggerExecution"]
+                           for p in progress) / 1000.0
+                rates.append(rows / secs)
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", old_parts)
-        return round(n / min(times), 1)
+        return round(max(rates), 1)
     finally:
         shutil.rmtree(env_dir, ignore_errors=True)
 

@@ -48,12 +48,23 @@ def _fan_out(df: DataFrame, key: str) -> DataFrame:
     framing, scheduling) dominate when small CPU work is oversplit
     (measured: 8-way beat 32-way 2.4x on the sf0.1 minhash bench)."""
     if df.isStreaming:
-        # no RDD inspection on a stream; micro-batch parallelism
+        # no plan inspection on a stream; micro-batch parallelism
         # comes from the source (maxFilesPerTrigger / topic partitions)
         return df
     sc = df.sparkSession.sparkContext
     target = max(8, sc.defaultParallelism // 4)
-    if df.rdd.getNumPartitions() >= target:
+    # Estimate scan width from the leaf input files instead of
+    # df.rdd.getNumPartitions(): converting the plan to an RDD builds
+    # the physical RDD lineage on every call. File count is the right
+    # proxy for the narrow-input case this guards against (one or few
+    # local parquet files); at warehouse scale the file count dwarfs
+    # `target` and this stays a no-op. Few-giant-files inputs are
+    # under-counted (splits > files) and pay one extra repartition
+    # before compute-heavy expansion — harmless, never a shrink.
+    # Non-file sources (in-memory test frames) report no input files
+    # and are treated as narrow.
+    est = len(df.inputFiles())
+    if est >= target:
         return df
     return df.repartition(target, key)
 
@@ -293,8 +304,81 @@ def minhash_oversized_buckets(df: DataFrame, text_col: str = "text",
                   .filter(F.col("n_ids") > max_bucket_size))
 
 
+def connected_components_star(edges: DataFrame, a: str = "a",
+                              b: str = "b",
+                              max_iter: int = 60) -> DataFrame:
+    """(node, component) via alternating large-star/small-star
+    rounds (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC '14) — the doubling algorithm for graphs whose
+    diameter makes per-round label propagation too slow. Converges in
+    O(log^2 n) rounds independent of diameter (a diameter-10^6 chain
+    finishes in ~20 rounds where propagation would need 10^6).
+
+    Each round is two star operations; each is one groupBy + one
+    equi-join on the node id, pre-partitioned on that id so the join
+    reuses the groupBy's exchange. The edge set only ever shrinks
+    toward the star forest (child -> component-min), so per-round
+    cost decreases; localCheckpoint per round keeps the plan flat
+    exactly as in `connected_components`. Works for any orderable id
+    type (numeric, string).
+
+    Output contract matches `connected_components`: one (node, label)
+    row per node present in ``edges``, label = min node id of its
+    component.
+    """
+    e = (edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
+              .filter(F.col("u") != F.col("v")).distinct())
+    n_edges = e.count()
+    p = max(8, min(2048, n_edges // 1_000_000 + 8))
+    e = e.repartition(p, "u").localCheckpoint(eager=True)
+    converged = False
+    for _ in range(max_iter):
+        # large-star: every node links its LARGER neighbors to the
+        # min of its closed neighborhood
+        sym = e.union(e.select(F.col("v").alias("u"),
+                               F.col("u").alias("v")))
+        mins = (sym.groupBy("u").agg(F.min("v").alias("mv"))
+                   .select("u", F.least("mv", "u").alias("m")))
+        large = (sym.join(mins, "u")
+                    .filter(F.col("v") > F.col("u"))
+                    .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                    .filter(F.col("u") != F.col("v"))
+                    .distinct()
+                    .repartition(p, "u").localCheckpoint(eager=True))
+        # small-star: orient edges large->small; every node links its
+        # smaller neighbors (and itself) to the neighborhood min
+        d = large.select(F.greatest("u", "v").alias("u"),
+                         F.least("u", "v").alias("v"))
+        mins2 = d.groupBy("u").agg(F.min("v").alias("m"))
+        small = (d.join(mins2, "u")
+                  .filter(F.col("v") != F.col("m"))
+                  .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                  .union(mins2.select("u", F.col("m").alias("v")))
+                  .filter(F.col("u") != F.col("v"))
+                  .distinct()
+                  .repartition(p, "u").localCheckpoint(eager=True))
+        # fixed point: the (deduplicated) edge set stopped changing.
+        # count equality + one-sided except-emptiness <=> set equality.
+        if small.count() == e.count() and small.exceptAll(e).isEmpty():
+            e = small
+            converged = True
+            break
+        e = small
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} "
+            "rounds — pathological input (should not happen: bound is "
+            "O(log^2 n) rounds)")
+    # fixed point is a star forest: every edge is (node, component-min)
+    comp = e.select(F.col("u").alias("node"), F.col("v").alias("label"))
+    roots = (e.select(F.col("v").alias("node")).distinct()
+              .select("node", F.col("node").alias("label")))
+    return comp.union(roots).distinct()
+
+
 def connected_components(edges: DataFrame, a: str = "a", b: str = "b",
-                         max_iter: int = 30) -> DataFrame:
+                         max_iter: int = 30,
+                         fallback: str | None = "star") -> DataFrame:
     """(node, component) for the undirected graph given as edge pairs
     — component = the smallest node id reachable from the node.
 
@@ -304,13 +388,16 @@ def connected_components(edges: DataFrame, a: str = "a", b: str = "b",
     candidate graphs are star/clique-shaped (diameter 2-3), so the
     driver-controlled loop runs 2-4 shuffle-join rounds in practice —
     the same bounded-iteration pattern as kmeans_fit. Convergence is
-    detected from sum(labels), which is monotone non-increasing and
-    strictly decreases iff any label changed (labels only ever move
-    down). Each round is one equi-join + one groupBy on the node id —
-    key-partitioned shuffles that scale horizontally; for
-    billion-edge graphs with large-diameter components you'd switch
-    to large-star/small-star (Kiveris et al.), which this surface
-    intentionally keeps out of scope.
+    detected by comparing each round's labels against the previous
+    round's (an emptiness check on `new != old` over the already-
+    checkpointed frame) — type-agnostic, so string node ids work;
+    the earlier sum(label)-equality check silently "converged" after
+    one round on non-numeric ids because SUM of a string column is
+    NULL every round. Each round is one equi-join + one groupBy on
+    the node id — key-partitioned shuffles that scale horizontally;
+    for billion-edge graphs with large-diameter components use
+    connected_components_star (large-star/small-star), the doubling
+    variant behind the same output contract.
     """
     # cache the edge list: it joins into EVERY propagation round, and
     # without the cache each round would recompute the whole upstream
@@ -340,41 +427,54 @@ def connected_components(edges: DataFrame, a: str = "a", b: str = "b",
                  .repartition(p, "node")
                  .select("node", F.col("node").alias("label"))
                  .localCheckpoint(eager=True))
-    prev_sum = labels.agg(F.sum("label")).first()[0]
     converged = False
     for _ in range(max_iter):
         nb = (sym.join(labels, sym["dst"] == labels["node"])
                  .groupBy("src").agg(F.min("label").alias("nb_label")))
+        # carry the previous label through the checkpoint so the
+        # convergence probe (any label != old_label?) is a flat scan
+        # of checkpointed data, not a re-join — and is label-type
+        # agnostic (strings included), unlike a SUM-based check.
         new = (labels.alias("l")
                .join(nb, F.col("l.node") == nb["src"], "left")
                .select(F.col("l.node").alias("node"),
+                       F.col("l.label").alias("old_label"),
                        F.least(F.col("l.label"),
                                F.coalesce(nb["nb_label"], F.col("l.label"))
                                ).alias("label"))
                .repartition(p, "node").localCheckpoint(eager=True))
-        cur_sum = new.agg(F.sum("label")).first()[0]
-        labels = new
-        if cur_sum == prev_sum:
+        changed_any = not new.filter(
+            F.col("label") != F.col("old_label")).isEmpty()
+        labels = new.select("node", "label")
+        if not changed_any:
             converged = True
             break
-        prev_sum = cur_sum
-    ec.unpersist()
     if not converged:
         # an unconverged result is silently WRONG (labels mid-
-        # propagation), not just slow — refuse to return it. A graph
-        # needing >30 rounds has diameter >30: not a near-dup cluster
-        # shape; that workload wants large-star/small-star, not this.
+        # propagation), not just slow — never return it. A graph
+        # needing more rounds than the budget has diameter > max_iter:
+        # not a near-dup cluster shape. Default: hand the graph to the
+        # O(log^2 n) large-star/small-star variant, which is
+        # diameter-independent. fallback=None restores the strict
+        # refuse-and-raise behavior.
+        if fallback == "star":
+            out = connected_components_star(ec, "src", "dst")
+            ec.unpersist()
+            return out
+        ec.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} "
             "rounds — graph diameter exceeds the label-propagation "
-            "budget; raise max_iter or use a doubling algorithm")
+            "budget; raise max_iter or use connected_components_star")
+    ec.unpersist()
     return labels
 
 
 def near_dup_clusters(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_hashes: int = 16,
                       bands: int = 4, shingle_n: int = 3,
-                      max_bucket_size: int = 4096) -> DataFrame:
+                      max_bucket_size: int = 4096,
+                      cc_max_iter: int = 30) -> DataFrame:
     """(doc_id, cluster_id) for EVERY document: near-duplicate
     candidate pairs (MinHash-LSH) -> connected components -> each doc
     labeled with the min doc id of its duplicate cluster (singletons
@@ -384,7 +484,7 @@ def near_dup_clusters(df: DataFrame, text_col: str = "text",
     chain a-b, b-c)."""
     pairs = minhash_near_dup_pairs(df, text_col, id_col, num_hashes,
                                    bands, shingle_n, max_bucket_size)
-    comp = connected_components(pairs, "a", "b")
+    comp = connected_components(pairs, "a", "b", max_iter=cc_max_iter)
     return (df.select(id_col)
               .join(comp, df[id_col] == comp["node"], "left")
               .select(F.col(id_col),

@@ -63,7 +63,7 @@ def latest_per_key(dim: DataFrame, key: str, order_col: str,
 def enrich(fact: DataFrame, dim: DataFrame, join_key: str,
            dim_order_col: str | None = None,
            dim_tiebreak: list[str] | None = None,
-           broadcast_dim: bool = True) -> DataFrame:
+           broadcast_dim: bool | None = None) -> DataFrame:
     """Batch enrichment join mirroring ``enrich(stream, enrichment,
     joinKey)`` (EnrichmentJoin.java:23-36).
 
@@ -71,16 +71,18 @@ def enrich(fact: DataFrame, dim: DataFrame, join_key: str,
     join key (EnrichmentJoin.java:78-95). Inner join: the reference
     never emits a fact row that found no dim match.
 
-    ``broadcast_dim`` defaults to True: the reference holds the dim
-    side entirely in per-key state (ValueState,
-    EnrichmentJoin.java:44), i.e. its contract already assumes the
-    dim fits in memory — broadcasting it is the same assumption and
-    keeps the 100 TB fact side shuffle-free. It also guards against a
-    statless-lineage misplan: a fact built from ``from_json`` has no
-    size stats, and Spark has been observed broadcasting the FACT
-    side of this join (BuildLeft on 150 k decoded rows) without the
-    hint. Pass False only for a dim too large to broadcast — that's
-    a sort-merge join and a different deployment conversation.
+    ``broadcast_dim``: True force-broadcasts the dim side (bypasses
+    autoBroadcastJoinThreshold — the caller asserts the dim fits in
+    executor memory), False forbids it, and the default None leaves
+    the strategy to Catalyst/AQE. The default is deliberately not
+    True: force-broadcasting an arbitrary caller's dimension risks
+    OOM with no opt-in. Callers whose FACT side has no size stats
+    (a ``from_json`` lineage — Spark has been observed BuildLeft-
+    broadcasting a 150 k-row decoded fact side there) should pass
+    True explicitly, as the verbatim-replay path does: the
+    reference's own contract holds the dim in per-key ValueState
+    (EnrichmentJoin.java:44), so dim-fits-in-memory is already its
+    assumption.
     """
     fact_key = _resolve(fact, join_key)
     dim_key = _resolve(dim, join_key)

@@ -235,10 +235,17 @@ def _reference_pipeline_verbatim(spark: SparkSession, sf_dir: str) -> DataFrame:
     address = spark.sql(REFERENCE_ADDRESS_SQL)
     orders_proj = spark.sql(REFERENCE_ORDERS_SQL)
 
+    # broadcast_dim=True (explicit): both fact sides here are
+    # stat-less from_json lineages — without the hint Spark has
+    # been observed BuildLeft-broadcasting the 150 k-row decoded
+    # FACT side; the dims (states/address) are the reference's
+    # ValueState-resident sides and fit in memory by its contract
     address_with_state = enrich(address, states, "StateProvinceID",
-                                dim_order_col="StatesAsOf")
+                                dim_order_col="StatesAsOf",
+                                broadcast_dim=True)
     orders_with_address = enrich(orders_proj, address_with_state, "AddressId",
-                                 dim_order_col="AddressAsOf")
+                                 dim_order_col="AddressAsOf",
+                                 broadcast_dim=True)
     orders_with_address.createOrReplaceTempView("ordersWithAddress")
 
     import os

@@ -123,9 +123,12 @@ def _approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     adjacent tail order statistics can exceed any fixed % of the
     value, so a 5%-of-value check that passed at sf0.01 failed at
     sf0.001 — rank bounds hold at every SF by construction. The
-    HLL verdict keeps the relative form (5% on a cardinality,
-    vs rsd=0.05 worst case; measured 0.7% at sf0.01). Finer
-    bounds stay in tests/test_sketches.py.
+    HLL verdict keeps the relative form, with the tolerance at 15%
+    = 3x the sketch's default rsd of 0.05: a bound equal to ~1
+    standard deviation of worst-case error can flake as group
+    cardinalities shift across SFs (measured error 0.7% at sf0.01,
+    so 3 sigma is still a real assertion). Finer bounds stay in
+    tests/test_sketches.py.
     """
     ev = load_table(spark, sf_dir, "events")
 
@@ -145,7 +148,7 @@ def _approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("value", 0.98).alias("__lo99"),
         F.percentile("value", 1.0).alias("__hi99"))
     users_ok = (F.abs(F.col("__au") - F.col("n_users"))
-                <= 0.05 * F.greatest(F.col("n_users").cast("double"),
+                <= 0.15 * F.greatest(F.col("n_users").cast("double"),
                                      F.lit(1.0)))
     return agg.select(
         "event_type", "n", "n_users",

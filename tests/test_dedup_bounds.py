@@ -125,9 +125,10 @@ def test_near_dup_clusters_transitive(spark):
     assert got == {1: 1, 2: 1, 3: 1, 50: 50}
 
 
-def test_connected_components_nonconvergence_raises(spark):
-    """A graph whose diameter exceeds the round budget must FAIL, not
-    return mid-propagation labels that look like an answer."""
+def test_connected_components_nonconvergence_strict_raises(spark):
+    """With fallback disabled, a graph whose diameter exceeds the
+    round budget must FAIL, not return mid-propagation labels that
+    look like an answer."""
     import pytest
 
     from flink_precisely_demo_spark.operators.dedup import (
@@ -137,4 +138,76 @@ def test_connected_components_nonconvergence_raises(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(8)], "a long, b long")
     with pytest.raises(RuntimeError, match="converge"):
-        connected_components(edges, max_iter=2)
+        connected_components(edges, max_iter=2, fallback=None)
+
+
+def test_connected_components_falls_back_to_star(spark):
+    """Default behavior past the propagation budget: switch to the
+    diameter-independent large-star/small-star algorithm and return
+    CORRECT labels (never mid-propagation ones)."""
+    from flink_precisely_demo_spark.operators.dedup import (
+        connected_components,
+    )
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)] + [(100, 101)], "a long, b long")
+    got = {r.node: r.label
+           for r in connected_components(edges, max_iter=2).collect()}
+    assert got == {**{i: 0 for i in range(9)}, 100: 100, 101: 100}
+
+
+def test_connected_components_star_diameter_50_path(spark):
+    """The doubling variant handles a diameter-50 path directly in
+    O(log^2 n) rounds — the shape min-label propagation cannot."""
+    from flink_precisely_demo_spark.operators.dedup import (
+        connected_components_star,
+    )
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)] + [(200, 201), (201, 202)],
+        "a long, b long")
+    got = {r.node: r.label
+           for r in connected_components_star(edges).collect()}
+    assert got == {**{i: 0 for i in range(51)},
+                   200: 200, 201: 200, 202: 200}
+
+
+def test_connected_components_string_ids(spark):
+    """String node ids: min-label is lexicographic; convergence must
+    be detected by label change, not a numeric SUM (which is NULL on
+    strings and once declared convergence after a single round)."""
+    from flink_precisely_demo_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+    # 4-hop chain: needs >1 propagation round, so a first-round false
+    # convergence returns wrong labels for d/e
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("x", "y")],
+        "a string, b string")
+    want = {"a": "a", "b": "a", "c": "a", "d": "a", "e": "a",
+            "x": "x", "y": "x"}
+    got = {r.node: r.label
+           for r in connected_components(edges).collect()}
+    assert got == want
+    got_star = {r.node: r.label
+                for r in connected_components_star(edges).collect()}
+    assert got_star == want
+
+
+def test_near_dup_clusters_chain_corpus(spark):
+    """A chain corpus a~b, b~c, ... where consecutive docs overlap but
+    distant ones don't: the candidate graph is a long path. With the
+    star fallback the pipeline succeeds and collapses the whole chain
+    into one cluster (propagation alone would exhaust its budget)."""
+    from flink_precisely_demo_spark.operators.dedup import near_dup_clusters
+    # sliding-window corpus: doc i = words w_i .. w_{i+9}; consecutive
+    # docs share 9 of 10 words (LSH-certain collision), distant docs
+    # share nothing -> the candidate graph is (at least) a 40-node path
+    rows = [(i, " ".join(f"w{i + k}" for k in range(10)))
+            for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # cc_max_iter=3 << path length guarantees propagation gives up and
+    # the star fallback finishes the job (pre-fallback this raised)
+    out = near_dup_clusters(docs, num_hashes=16, bands=8, shingle_n=2,
+                            cc_max_iter=3)
+    got = {r.doc_id: r.cluster_id for r in out.collect()}
+    assert got == {i: 0 for i in range(40)}

@@ -65,5 +65,39 @@ def test_parity_queries_inside_driver_window():
                  "q5_local_supplier_volume", "q18_large_volume_customer",
                  "cdc_envelope_decode", "projection_flatten",
                  "parse_ts_roundtrip", "enrichment_latest_join",
-                 "tumbling_window_events"]:
+                 "tumbling_window_events",
+                 # r4 rotation: the TPC-H tail must hold its slots
+                 # until it has driver-green evidence
+                 "q6_forecast_revenue", "q7_volume_shipping",
+                 "q8_market_share", "q10_returned_items",
+                 "q13_customer_distribution", "q14_promo_revenue",
+                 "q15_top_supplier", "q17_small_quantity_revenue",
+                 "q19_disjunctive_revenue", "window_analytics"]:
         assert name in first50, f"{name} fell outside the driver window"
+
+
+def test_deferred_entries_have_driver_green_history():
+    """Mechanical deferral criterion: a query may be parked outside
+    the driver's 50-slot snapshot ONLY after >= 2 driver-green rounds
+    recorded in the repo's CORRECTNESS_r*.json artifacts. This makes
+    hand-picking the externally-verified set impossible: new code must
+    earn its green rows inside the window before it can rotate out."""
+    import glob
+    import json
+    import os
+
+    import __spark_entry__ as e
+
+    root = os.path.dirname(os.path.abspath(e.__file__))
+    greens: dict[str, int] = {}
+    artifacts = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    assert artifacts, "no CORRECTNESS artifacts found next to the entry"
+    for path in artifacts:
+        with open(path) as f:
+            for name, row in json.load(f).items():
+                if (row.get("rows_match") and row.get("schema_match")
+                        and row.get("hash_match")):
+                    greens[name] = greens.get(name, 0) + 1
+    offenders = [n for n in e._DEFERRED if greens.get(n, 0) < 2]
+    assert not offenders, (
+        f"deferred without >= 2 prior driver-green rounds: {offenders}")
