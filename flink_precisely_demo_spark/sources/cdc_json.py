@@ -61,7 +61,12 @@ def widen_feed(df: DataFrame) -> DataFrame:
         return df
     sc = df.sparkSession.sparkContext
     target = max(8, sc.defaultParallelism)
-    if df.rdd.getNumPartitions() >= target:
+    # input-file count as the width estimate (no df.rdd conversion —
+    # see operators/dedup._fan_out for the rationale); a real
+    # many-file/many-partition source clears `target` and this is a
+    # no-op, the single-parquet-file synthetic case repartitions
+    est = len(df.inputFiles())
+    if est >= target:
         return df
     return df.repartition(target)
 
