@@ -308,13 +308,23 @@ def _reference_pipeline_verbatim(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  broadcast_dim=True)
     orders_with_address.createOrReplaceTempView("ordersWithAddress")
 
-    # session-scoped MANAGED sink table, created once and TRUNCATEd
-    # per run (the verbatim INSERT INTO appends, so the sink must
-    # start empty). Managed beats the earlier external-table
-    # DROP/CREATE + rmtree-per-run: one catalog op instead of three,
-    # and TRUNCATE also clears any stale files a previous process
-    # left under the warehouse location.
+    # session-scoped MANAGED sink table, created once per process and
+    # TRUNCATEd per run (the verbatim INSERT INTO appends, so the sink
+    # must start empty). Cross-process hazard: the default catalog is
+    # in-memory per process, but the managed warehouse directory
+    # persists on disk — so a fresh process sees tableExists()==False
+    # while `<warehouse>/output` still exists, and a bare CREATE dies
+    # with LOCATION_ALREADY_EXISTS. Before the once-per-process
+    # CREATE, delete any orphaned location through the Hadoop
+    # FileSystem API (scheme-agnostic: works the same on a cluster's
+    # DFS warehouse as on local files). Steady-state cost per run is
+    # still the single TRUNCATE.
     if not spark.catalog.tableExists("output"):
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        jvm = spark._jvm
+        loc = jvm.org.apache.hadoop.fs.Path(wh.rstrip("/") + "/output")
+        fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(loc, True)  # recursive; no-op if absent
         spark.sql("""
             CREATE TABLE output (
               OrderPeriod TIMESTAMP, TotalDue DOUBLE,
