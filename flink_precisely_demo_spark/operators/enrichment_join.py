@@ -73,8 +73,10 @@ def enrich(fact: DataFrame, dim: DataFrame, join_key: str,
 
     ``broadcast_dim``: True force-broadcasts the dim side (bypasses
     autoBroadcastJoinThreshold — the caller asserts the dim fits in
-    executor memory), False forbids it, and the default None leaves
-    the strategy to Catalyst/AQE. The default is deliberately not
+    executor memory), False forbids it (a MERGE hint on the dim side
+    pins a sort-merge join, which Catalyst honors over its own
+    broadcast preference — so not even AQE auto-broadcasts), and the
+    default None leaves the strategy to Catalyst/AQE. The default is deliberately not
     True: force-broadcasting an arbitrary caller's dimension risks
     OOM with no opt-in. Callers whose FACT side has no size stats
     (a ``from_json`` lineage — Spark has been observed BuildLeft-
@@ -92,6 +94,8 @@ def enrich(fact: DataFrame, dim: DataFrame, join_key: str,
         d = latest_per_key(d, dim_key, dim_order_col, dim_tiebreak)
     if broadcast_dim:
         d = F.broadcast(d)
+    elif broadcast_dim is False:
+        d = d.hint("merge")
 
     joined = fact.join(d, fact[fact_key] == d[dim_key], "inner")
     # drop the dim-side key copy and any dim column whose name collides

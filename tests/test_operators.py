@@ -102,3 +102,17 @@ def test_enrich_drops_colliding_dim_columns(spark):
     assert out.columns == ["k", "shared", "fv", "dv"]
     row = out.collect()[0]
     assert row["shared"] == 5 and row["dv"] == "d"  # fact side wins
+
+def test_enrich_broadcast_false_forbids_broadcast(spark):
+    """broadcast_dim=False must pin a sort-merge join even though the
+    dim is tiny enough for Catalyst/AQE to auto-broadcast — the MERGE
+    hint is a real opt-out, not just a skipped hint."""
+    fact = spark.range(1000).select(
+        (F.col("id") % 10).alias("k"), F.col("id").alias("fv"))
+    dim = spark.createDataFrame([(i, f"d{i}") for i in range(10)],
+                                "k long, dv string")
+    out = enrich(fact, dim, "k", broadcast_dim=False)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "SortMergeJoin" in plan, plan
+    assert out.count() == 1000
