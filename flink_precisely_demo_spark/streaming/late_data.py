@@ -27,7 +27,7 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -53,7 +53,9 @@ def late_data_splitter(ts_col: str, delay: str, main_sink, late_sink,
     by comparing ``ts_col`` against (high watermark − ``delay``).
 
     ``delay`` is a SQL interval string (e.g. ``'10 minutes'``),
-    matching ``withWatermark``'s argument.
+    matching ``withWatermark``'s argument. Sinks are only invoked for
+    non-empty halves (emptiness comes from the observed counts, so no
+    extra probe jobs run against the sources).
     """
     os.makedirs(state_dir, exist_ok=True)
     hwm_path = os.path.join(state_dir, "high_watermark.json")
@@ -61,16 +63,38 @@ def late_data_splitter(ts_col: str, delay: str, main_sink, late_sink,
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         hwm = _read_hwm(hwm_path)
         if hwm is None:
-            on_time, late = batch_df, batch_df.limit(0)
+            is_late = F.lit(False)
         else:
             threshold = F.lit(hwm).cast("timestamp") - F.expr(f"INTERVAL {delay}")
-            is_late = F.col(ts_col) < threshold
-            on_time, late = batch_df.filter(~is_late), batch_df.filter(is_late)
-        main_sink(on_time, batch_id)
-        late_sink(late, batch_id)
-        new_max = batch_df.agg(F.max(ts_col).alias("m")).collect()[0]["m"]
-        if new_max is not None and (hwm is None or str(new_max) > hwm):
-            _write_hwm(hwm_path, str(new_max))
+            is_late = F.coalesce(F.col(ts_col) < threshold, F.lit(False))
+        # One full scan computes the split counts AND the next high
+        # watermark as observed metrics of the same job; the sinks then
+        # read the cached tag column. No separate max() job, no driver
+        # collect, and no per-sink limit(1) existence probes.
+        obs = Observation()
+        tagged = (batch_df
+                  .withColumn("__is_late_row", is_late)
+                  .observe(obs,
+                           F.max(ts_col).alias("new_max"),
+                           F.sum(F.col("__is_late_row").cast("long"))
+                            .alias("n_late"),
+                           F.count(F.lit(1)).alias("n"))
+                  .persist())
+        try:
+            n_total = tagged.count()   # fires the observation, fills cache
+            stats = obs.get
+            n_late = stats["n_late"] or 0
+            if n_total - n_late > 0:
+                main_sink(tagged.filter(~F.col("__is_late_row"))
+                                .drop("__is_late_row"), batch_id)
+            if n_late > 0:
+                late_sink(tagged.filter(F.col("__is_late_row"))
+                                .drop("__is_late_row"), batch_id)
+            new_max = stats["new_max"]
+            if new_max is not None and (hwm is None or str(new_max) > hwm):
+                _write_hwm(hwm_path, str(new_max))
+        finally:
+            tagged.unpersist()
     return apply_batch
 
 
@@ -82,8 +106,7 @@ def run_with_late_capture(events: DataFrame, ts_col: str, delay: str,
     StreamingQuery."""
     def _sink(path):
         def write(df: DataFrame, batch_id: int) -> None:
-            if df.limit(1).count():
-                df.write.mode("append").parquet(path)
+            df.write.mode("append").parquet(path)
         return write
 
     q = (events.writeStream
