@@ -222,13 +222,25 @@ def materialize_reference_feed(spark: SparkSession, sf_dir: str) -> str:
     ANN index build (plans/ann_queries.ann_index_path): built and
     validated once per (process, sf_dir), with the replay query
     reading the text files the way the reference reads its topic.
-    Cache hits are revalidated by line count against the source table
-    (a stale or partial feed rebuilds); the check runs once per
-    process per sf_dir.
+
+    Cache hits are validated by a content fingerprint of the SOURCE
+    parquet (mtime+size, written as a marker file AFTER a successful
+    build, so marker-present implies build-complete): a regenerated
+    sf_dir with identical row counts but different content rebuilds,
+    and a partial build from a killed process never validates. Builds
+    go to a pid-unique temp dir first and swap in via rename, so a
+    concurrent reader never observes a half-written feed (the swap
+    window is rmtree+rename, microseconds, vs the seconds-long
+    overwrite-in-place window it replaces).
     """
     import os
     import re
+    import shutil
     import tempfile
+
+    def fingerprint(src_table: str) -> str:
+        st = os.stat(os.path.join(sf_dir, f"{src_table}.parquet"))
+        return f"{st.st_mtime_ns}:{st.st_size}"
 
     slug = re.sub(r"[^A-Za-z0-9]+", "_", sf_dir.strip("/"))
     base = os.path.join(tempfile.gettempdir(), f"ref_feed_{slug}")
@@ -236,15 +248,23 @@ def materialize_reference_feed(spark: SparkSession, sf_dir: str) -> str:
         return base
     for name, (src_table, build) in _FEEDS.items():
         path = os.path.join(base, name)
-        expected = load_table(spark, sf_dir, src_table).count()
-        ok = False
-        if os.path.isdir(path):
-            try:
-                ok = spark.read.text(path).count() == expected
-            except Exception:
-                ok = False
-        if not ok:
-            build(spark, sf_dir).write.mode("overwrite").text(path)
+        marker = os.path.join(path, "_FINGERPRINT")
+        want = fingerprint(src_table)
+        try:
+            with open(marker) as f:
+                if f.read() == want:
+                    continue
+        except OSError:
+            pass
+        tmp = f"{path}.tmp-{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        build(spark, sf_dir).write.mode("overwrite").text(tmp)
+        # leading "_" => Hadoop input listing treats it as hidden, so
+        # the marker never appears as a data line to spark.read.text
+        with open(os.path.join(tmp, "_FINGERPRINT"), "w") as f:
+            f.write(want)
+        shutil.rmtree(path, ignore_errors=True)
+        os.rename(tmp, path)
     _validated_feeds.add(base)
     return base
 

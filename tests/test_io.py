@@ -79,3 +79,38 @@ def test_compacted_write_controls_file_count(spark, tmp_path):
     import glob
     files = glob.glob(f"{out}/part-*.parquet")
     assert len(files) == 2
+
+def test_feed_cache_invalidated_by_source_fingerprint(spark, tmp_path):
+    """A regenerated sf_dir with the SAME row counts but different
+    content must rebuild the cached CDC feed — validation is a source
+    fingerprint (mtime+size marker written after a complete build),
+    not a row count."""
+    import glob
+    import os
+    import shutil
+
+    from flink_precisely_demo_spark.plans import reference_sql as rs
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    for t in ("nation", "customer", "orders"):
+        shutil.copy(f"{SF}/{t}.parquet", f"{sf}/{t}.parquet")
+
+    feed = rs.materialize_reference_feed(spark, sf)
+    first = {r["value"] for r in
+             spark.read.text(os.path.join(feed, "orders")).collect()}
+
+    # regenerate orders with identical row count, shifted totalprice
+    new = load_table(spark, sf, "orders").withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1.0)
+    new.toPandas().to_parquet(f"{sf}/orders.parquet.new")
+    os.replace(f"{sf}/orders.parquet.new", f"{sf}/orders.parquet")
+
+    rs._validated_feeds.discard(feed)   # simulate a fresh process
+    feed2 = rs.materialize_reference_feed(spark, sf)
+    second = {r["value"] for r in
+              spark.read.text(os.path.join(feed2, "orders")).collect()}
+    assert feed2 == feed
+    assert first != second          # rebuilt from the new content
+    assert len(first) == len(second)
+    assert not glob.glob(os.path.join(feed, "*.tmp-*"))  # swap cleaned up
