@@ -3,15 +3,16 @@
 Image/audio/video payloads are opaque ``binary`` columns with a typed
 metadata struct — the lakehouse-native layout for multimodal training
 data (payload bytes stay columnar; metadata prunes without touching
-bytes). The Spark-side plumbing here — schemas, partitioning, Arrow
-batch shapes, UDF signatures — is real and tested. Codecs that need
-no external library decode FOR REAL: WAV/PCM16 (stdlib ``wave`` +
-numpy), uncompressed 24-bit BMP and binary PPM (pure numpy).
-Compressed formats (jpeg/png/mp3/...) are STUBBED with deterministic
-fakes because their libraries are not in this container; each stub
-is marked ``# STUB:`` inside a `_decode_*` function whose body is
-the only thing a real deployment replaces (PIL / torchaudio / pyav),
-keeping batch shapes and schemas unchanged.
+bytes). Codecs that need no external library decode FOR REAL:
+baseline JPEG (:mod:`.jpeg`, pure numpy), WAV/PCM16 (stdlib ``wave``
++ numpy), uncompressed 24-bit BMP and binary PPM (pure numpy).
+Formats whose codecs are not implementable without external
+libraries here (png, gif, mp3, flac, real video demux) raise a typed
+:class:`~.jpeg.UnsupportedCodecError`, which the feature operators
+surface PER ROW in an ``error`` column — a corrupt or exotic payload
+can never abort a 100 TB decode job. A real deployment swaps the
+`_decode_*` bodies for PIL / soundfile / pyav; batch shapes, error
+semantics, and schemas stay unchanged.
 
 Scale notes:
 - decode/feature work is embarrassingly parallel: ``mapInPandas``
@@ -33,6 +34,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from .jpeg import UnsupportedCodecError, decode_jpeg, encode_jpeg
 
 MEDIA_META = T.StructType([
     T.StructField("media_type", T.StringType()),   # image|audio|video
@@ -77,12 +80,9 @@ def ingest_binary_dir(spark, path: str) -> DataFrame:
 
 # --------------------------------------------------------------- codecs
 #
-# WAV/PCM16, BMP and PPM are decoded FOR REAL (stdlib `wave` + pure
-# numpy — no external media libraries needed). Compressed formats
-# (jpeg/png/mp3/...) keep deterministic fakes marked `# STUB:` —
-# those codecs need libraries this container doesn't have; a real
-# deployment swaps only the stub bodies (PIL / soundfile / pyav),
-# batch shapes and schemas unchanged.
+# Baseline JPEG (operators/jpeg.py), WAV/PCM16, BMP and PPM decode
+# FOR REAL with no external media libraries. Everything else raises
+# UnsupportedCodecError, surfaced per row by the feature operators.
 
 def _decode_bmp(payload: bytes) -> np.ndarray:
     """Uncompressed 24-bit BMP (BITMAPINFOHEADER) -> (h, w, 3) RGB
@@ -135,22 +135,18 @@ def _decode_ppm(payload: bytes) -> np.ndarray:
 
 
 def _decode_image(payload: bytes, fmt: str) -> np.ndarray:
-    """(h, w, 3) uint8 RGB. BMP/PPM decode for real; compressed
-    formats fall through to the stub."""
+    """(h, w, 3) uint8 RGB. Baseline JPEG, BMP and PPM decode for
+    real; anything else raises UnsupportedCodecError (surfaced per
+    row by the operators below, never a job abort)."""
+    if fmt in ("jpeg", "jpg"):
+        return decode_jpeg(payload)
     if fmt == "bmp":
         return _decode_bmp(payload)
     if fmt in ("ppm", "pnm"):
         return _decode_ppm(payload)
-    # STUB: jpeg/png/gif need an image library (PIL in production:
-    # np.asarray(PIL.Image.open(io.BytesIO(payload)))). The fake
-    # derives a (h, w, 3) uint8 array from the payload bytes so that
-    # every downstream shape/statistic is exercised genuinely.
-    h = 8 + payload[0] % 8 if payload else 8
-    w = 8 + payload[1] % 8 if len(payload) > 1 else 8
-    arr = np.frombuffer(
-        (payload * ((h * w * 3) // max(len(payload), 1) + 1))[: h * w * 3],
-        dtype=np.uint8)
-    return arr.reshape(h, w, 3)
+    raise UnsupportedCodecError(
+        f"image format {fmt!r}: no codec in this build "
+        f"(production swaps in PIL here)")
 
 
 def _decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
@@ -173,25 +169,28 @@ def _decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
 
 def _decode_audio(payload: bytes, fmt: str) -> tuple[np.ndarray, int]:
     """(mono float32 samples in [-1,1], sample_rate). WAV decodes for
-    real; compressed audio falls through to the stub."""
+    real; compressed audio raises UnsupportedCodecError (surfaced per
+    row, never a job abort)."""
     if fmt == "wav":
         return _decode_wav(payload)
-    # STUB: mp3/flac need an audio library (soundfile/torchaudio in
-    # production). Deterministic fake PCM derived from the bytes.
-    samples = (np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
-               - 127.5) / 127.5
-    return samples, 16_000
+    raise UnsupportedCodecError(
+        f"audio format {fmt!r}: no codec in this build "
+        f"(production swaps in soundfile/torchaudio here)")
 
 
 # ------------------------------------------------------------ operators
 
 IMAGE_FEATURES_SCHEMA = ("media_id long, width int, height int, "
-                         "n_channels int, mean_luma double, payload_bytes long")
+                         "n_channels int, mean_luma double, "
+                         "payload_bytes long, error string")
 
 
 def image_features(media: DataFrame, partitions: int | None = None) -> DataFrame:
     """Decode + feature-extract images: (media_id, width, height,
-    n_channels, mean_luma, payload_bytes)."""
+    n_channels, mean_luma, payload_bytes, error). A row whose payload
+    fails to decode (unsupported codec, truncated/corrupt bytes)
+    comes back with null features and the error message — decode
+    failures are data, not job aborts, at 100 TB."""
     n = partitions or media.sparkSession.sparkContext.defaultParallelism
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -199,42 +198,60 @@ def image_features(media: DataFrame, partitions: int | None = None) -> DataFrame
             out = []
             for mid, meta, payload in zip(pdf["media_id"], pdf["meta"],
                                           pdf["payload"]):
-                arr = _decode_image(bytes(payload), meta["format"])
+                try:
+                    arr = _decode_image(bytes(payload), meta["format"])
+                except Exception as e:               # noqa: BLE001
+                    out.append((mid, None, None, None, None,
+                                len(payload), f"{type(e).__name__}: {e}"))
+                    continue
                 luma = (0.2126 * arr[..., 0] + 0.7152 * arr[..., 1]
                         + 0.0722 * arr[..., 2])
                 out.append((mid, arr.shape[1], arr.shape[0], arr.shape[2],
-                            round(float(luma.mean()), 6), len(payload)))
+                            round(float(luma.mean()), 6), len(payload),
+                            None))
             yield pd.DataFrame(out, columns=[
                 "media_id", "width", "height", "n_channels",
-                "mean_luma", "payload_bytes"])
+                "mean_luma", "payload_bytes", "error"])
 
     return (media.filter(F.col("meta.media_type") == "image")
                  .repartition(n, "media_id")
                  .mapInPandas(compute, schema=IMAGE_FEATURES_SCHEMA))
 
 
-def image_resize(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
-    """Resize (nearest-neighbor on the fake decode) and re-emit as
-    binary rows — shape (media_id, meta, payload) is preserved so
-    resize composes with any other media operator."""
+def image_resize(media: DataFrame, out_w: int, out_h: int,
+                 quality: int = 90) -> DataFrame:
+    """Decode, nearest-neighbor resize, re-encode as baseline JPEG,
+    and re-emit as (media_id, meta, payload) rows — the output schema
+    matches the input so resize composes with any other media
+    operator. Rows whose payload fails to decode are DROPPED (run
+    :func:`image_features` on the same input to audit them — its
+    ``error`` column names every undecodable row)."""
     n = media.sparkSession.sparkContext.defaultParallelism
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            metas, payloads = [], []
-            for meta, payload in zip(pdf["meta"], pdf["payload"]):
-                arr = _decode_image(bytes(payload), meta["format"])
+            ids, metas, payloads = [], [], []
+            for mid, meta, payload in zip(pdf["media_id"], pdf["meta"],
+                                          pdf["payload"]):
+                try:
+                    arr = _decode_image(bytes(payload), meta["format"])
+                except Exception:                    # noqa: BLE001
+                    continue
                 ys = (np.arange(out_h) * arr.shape[0] // out_h)
                 xs = (np.arange(out_w) * arr.shape[1] // out_w)
                 resized = arr[ys][:, xs]
                 m = dict(meta)
-                m.update(width=out_w, height=out_h, n_channels=3)
+                m.update(format="jpeg", width=out_w, height=out_h,
+                         n_channels=3)
+                ids.append(mid)
                 metas.append(m)
-                payloads.append(resized.tobytes())
+                payloads.append(encode_jpeg(resized, quality=quality))
+            # explicit dtypes: an all-dropped batch must still yield
+            # a struct-typed empty meta column, not a float64 one
             yield pd.DataFrame({
-                "media_id": pdf["media_id"],
-                "meta": metas,
-                "payload": payloads})
+                "media_id": pd.Series(ids, dtype="int64"),
+                "meta": pd.Series(metas, dtype="object"),
+                "payload": pd.Series(payloads, dtype="object")})
 
     return (media.filter(F.col("meta.media_type") == "image")
                  .repartition(n, "media_id")
@@ -242,11 +259,13 @@ def image_resize(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
 
 
 AUDIO_FEATURES_SCHEMA = ("media_id long, n_samples long, sample_rate int, "
-                         "rms double, duration_ms long")
+                         "rms double, duration_ms long, error string")
 
 
 def audio_features(media: DataFrame) -> DataFrame:
-    """Decode + feature-extract audio: RMS energy and duration."""
+    """Decode + feature-extract audio: RMS energy and duration, with
+    per-row decode errors surfaced in ``error`` (same contract as
+    :func:`image_features`)."""
     n = media.sparkSession.sparkContext.defaultParallelism
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -254,12 +273,19 @@ def audio_features(media: DataFrame) -> DataFrame:
             out = []
             for mid, meta, payload in zip(pdf["media_id"], pdf["meta"],
                                           pdf["payload"]):
-                samples, rate = _decode_audio(bytes(payload), meta["format"])
+                try:
+                    samples, rate = _decode_audio(bytes(payload),
+                                                  meta["format"])
+                except Exception as e:               # noqa: BLE001
+                    out.append((mid, None, None, None, None,
+                                f"{type(e).__name__}: {e}"))
+                    continue
                 rms = float(np.sqrt((samples ** 2).mean())) if len(samples) else 0.0
                 out.append((mid, len(samples), rate, round(rms, 6),
-                            int(len(samples) * 1000 / rate)))
+                            int(len(samples) * 1000 / rate), None))
             yield pd.DataFrame(out, columns=[
-                "media_id", "n_samples", "sample_rate", "rms", "duration_ms"])
+                "media_id", "n_samples", "sample_rate", "rms",
+                "duration_ms", "error"])
 
     return (media.filter(F.col("meta.media_type") == "audio")
                  .repartition(n, "media_id")

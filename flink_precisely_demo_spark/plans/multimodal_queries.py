@@ -11,10 +11,14 @@ column are all hash-checked — only the codec stubs
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.multimodal import binary_manifest
+from ..operators.multimodal import MEDIA_SCHEMA, binary_manifest, image_features
 from ..sources.parquet import load_table
 from .queries import query
 
@@ -44,3 +48,58 @@ def _multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.min("media_id").alias("keep_id"),
                   F.count(F.lit(1)).alias("n_copies"),
                   F.sum("byte_len").alias("total_bytes")))
+
+
+@query(
+    "multimodal_image_decode",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(8 + doc_id % 9 AS INTEGER) AS width,
+           CAST(8 + doc_id % 7 AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS n_channels,
+           CAST(NULL AS VARCHAR) AS error
+    FROM documents
+    WHERE doc_id % 20 = 0
+    """,
+)
+def _multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode through Spark: synthesize a deterministic
+    gradient image per document (dims are arithmetic in doc_id),
+    compress it with the pure-numpy baseline JPEG encoder
+    (operators/jpeg.py, alternating 4:4:4 / 4:2:0 per row), then run
+    operators.multimodal.image_features — whose decoder Huffman-
+    decodes, dequantizes, IDCTs and upsamples the payload — and
+    return the DECODED dimensions. The oracle recomputes the expected
+    dims arithmetically, so a hash match proves the full entropy-
+    coded round trip recovered every image's exact geometry, and the
+    all-null error column proves no row fell back to the error path."""
+    from ..operators.jpeg import encode_jpeg
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 20 == 0)
+            .select("doc_id"))
+
+    def synthesize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas, payloads = [], []
+            for did in pdf["doc_id"]:
+                h, w = 8 + did % 7, 8 + did % 9
+                yy, xx = np.mgrid[0:h, 0:w]
+                img = np.stack([(yy * 3 + did) % 256, (xx * 2 + did) % 256,
+                                ((yy + xx) * 2) % 256],
+                               axis=-1).astype(np.uint8)
+                sub = "4:2:0" if did % 2 else "4:4:4"
+                metas.append({"media_type": "image", "format": "jpeg",
+                              "width": None, "height": None,
+                              "n_channels": None, "sample_rate": None,
+                              "duration_ms": None})
+                payloads.append(encode_jpeg(img, quality=90,
+                                            subsampling=sub))
+            yield pd.DataFrame({
+                "media_id": pdf["doc_id"].astype("int64"),
+                "meta": pd.Series(metas, dtype="object"),
+                "payload": pd.Series(payloads, dtype="object")})
+
+    media = docs.mapInPandas(synthesize, schema=MEDIA_SCHEMA)
+    return image_features(media).select(
+        "media_id", "width", "height", "n_channels", "error")

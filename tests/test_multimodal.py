@@ -1,7 +1,8 @@
 """Multimodal tests: schemas, partitioning, Arrow batch shapes, and
-operator composition. WAV/BMP/PPM decode for real (round-trip tests
-on synthesized payloads below); compressed formats use the
-deterministic stub fakes (no media libs in the container).
+operator composition. JPEG/WAV/BMP/PPM decode for real (round-trip
+tests on synthesized payloads below — no media libraries in the
+container); unsupported codecs surface typed per-row errors instead
+of aborting the job.
 """
 
 from __future__ import annotations
@@ -14,6 +15,11 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
+from flink_precisely_demo_spark.operators.jpeg import (
+    UnsupportedCodecError,
+    decode_jpeg,
+    encode_jpeg,
+)
 from flink_precisely_demo_spark.operators.multimodal import (
     MEDIA_SCHEMA,
     _decode_bmp,
@@ -27,18 +33,34 @@ from flink_precisely_demo_spark.operators.multimodal import (
 )
 
 
+def _grad_img(h: int, w: int, seed: int = 0) -> np.ndarray:
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack([(yy * 3 + seed) % 256, (xx * 2 + seed) % 256,
+                     ((yy + xx) * 2 + seed) % 256], axis=-1).astype(np.uint8)
+
+
+def _meta(mt: str, fmt: str) -> dict:
+    return {"media_type": mt, "format": fmt, "width": None, "height": None,
+            "n_channels": None, "sample_rate": None, "duration_ms": None}
+
+
 @pytest.fixture()
 def media(spark):
+    """20 rows: real JPEG images, real WAV audio, stub-frame video."""
     rows = []
     for i in range(20):
-        payload = bytes([(i * 37 + j) % 256 for j in range(512)])
         mt = ["image", "audio", "video"][i % 3]
-        # png/mp3 route to the deterministic stub decoders; real-codec
-        # formats (wav/bmp/ppm) are exercised by the round-trip tests
-        fmt = {"image": "png", "audio": "mp3", "video": "mp4"}[mt]
-        rows.append((i, {"media_type": mt, "format": fmt, "width": None,
-                         "height": None, "n_channels": None,
-                         "sample_rate": None, "duration_ms": None}, payload))
+        if mt == "image":
+            payload = encode_jpeg(_grad_img(16 + i, 24, seed=i), quality=90)
+            fmt = "jpeg"
+        elif mt == "audio":
+            payload = _encode_wav(
+                0.25 * np.sin(np.arange(800) * (0.02 + 0.001 * i)), 8000)
+            fmt = "wav"
+        else:
+            payload = bytes([(i * 37 + j) % 256 for j in range(512)])
+            fmt = "mp4"
+        rows.append((i, _meta(mt, fmt), payload))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
@@ -46,9 +68,10 @@ def test_image_features(media):
     feats = image_features(media).collect()
     assert len(feats) == 7  # i % 3 == 0 -> images
     for r in feats:
-        assert r["width"] >= 8 and r["height"] >= 8 and r["n_channels"] == 3
+        assert r["error"] is None
+        assert r["width"] == 24 and r["height"] == 16 + r["media_id"]
+        assert r["n_channels"] == 3
         assert 0.0 <= r["mean_luma"] <= 255.0
-        assert r["payload_bytes"] == 512
     # deterministic: same input -> same features
     again = image_features(media).collect()
     assert sorted(map(tuple, feats)) == sorted(map(tuple, again))
@@ -57,19 +80,58 @@ def test_image_features(media):
 def test_image_resize_composes(media):
     resized = image_resize(media, 4, 4)
     assert resized.schema == MEDIA_SCHEMA
+    rows = resized.collect()
+    assert len(rows) == 7
+    for r in rows:
+        assert r["meta"]["format"] == "jpeg"
+        assert (r["meta"]["width"], r["meta"]["height"]) == (4, 4)
     feats = image_features(resized).collect()
     assert len(feats) == 7
     for r in feats:
-        # 4x4x3 uint8 payload after resize
-        assert r["payload_bytes"] == 48
+        assert r["error"] is None
+        assert (r["width"], r["height"]) == (4, 4)
 
 
 def test_audio_features(media):
     feats = audio_features(media).collect()
     assert len(feats) == 7
     for r in feats:
-        assert r["n_samples"] == 512 and r["sample_rate"] == 16000
-        assert 0.0 <= r["rms"] <= 1.0 and r["duration_ms"] == 32
+        assert r["error"] is None
+        assert r["n_samples"] == 800 and r["sample_rate"] == 8000
+        assert 0.0 <= r["rms"] <= 1.0 and r["duration_ms"] == 100
+
+
+def test_unsupported_codec_is_per_row_error_not_job_abort(spark):
+    """png/mp3 have no codec in this build: their rows surface a
+    typed error while the decodable rows in the SAME job succeed."""
+    rows = [
+        (1, _meta("image", "jpeg"), encode_jpeg(_grad_img(8, 8))),
+        (2, _meta("image", "png"), b"\x89PNG\r\n\x1a\n fake"),
+        (3, _meta("audio", "wav"),
+         _encode_wav(0.5 * np.ones(100), 8000)),
+        (4, _meta("audio", "mp3"), b"ID3 fake mp3 bytes"),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    img = {r["media_id"]: r for r in image_features(media).collect()}
+    assert img[1]["error"] is None and img[1]["width"] == 8
+    assert "UnsupportedCodecError" in img[2]["error"]
+    assert img[2]["width"] is None
+    aud = {r["media_id"]: r for r in audio_features(media).collect()}
+    assert aud[3]["error"] is None and aud[3]["n_samples"] == 100
+    assert "UnsupportedCodecError" in aud[4]["error"]
+    # resize drops the undecodable row, keeps the good one
+    assert [r["media_id"] for r in
+            image_resize(media, 4, 4).collect()] == [1]
+
+
+def test_corrupt_payload_is_per_row_error(spark):
+    truncated = encode_jpeg(_grad_img(16, 16))[:40]   # headers cut off
+    rows = [(1, _meta("image", "jpeg"), truncated),
+            (2, _meta("image", "jpeg"), encode_jpeg(_grad_img(8, 8)))]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in image_features(media).collect()}
+    assert out[1]["error"] is not None
+    assert out[2]["error"] is None
 
 
 def test_frame_sample(media):
@@ -153,12 +215,60 @@ def test_wav_decode_roundtrip():
     assert len(mixed) == 2000 and np.allclose(mixed, sine, atol=1e-4)
 
 
+# --------------------------------------------------- JPEG codec proper
+
+def test_jpeg_roundtrip_444_and_420():
+    img = _grad_img(45, 61)   # non-multiple-of-8/16 dims exercise padding
+    for sub, tol in (("4:4:4", 2.0), ("4:2:0", 3.0)):
+        dec = decode_jpeg(encode_jpeg(img, quality=95, subsampling=sub))
+        assert dec.shape == img.shape
+        assert np.abs(dec.astype(int) - img.astype(int)).mean() < tol, sub
+
+
+def test_jpeg_flat_color_is_exact():
+    flat = np.full((16, 16, 3), 120, np.uint8)
+    dec = decode_jpeg(encode_jpeg(flat, quality=90))
+    assert np.abs(dec.astype(int) - 120).max() <= 1
+
+
+def test_jpeg_grayscale():
+    yy, xx = np.mgrid[0:20, 0:28]
+    g = ((yy * 5 + xx * 3) % 256).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(g, quality=95))
+    assert dec.shape == (20, 28, 3)
+    assert np.array_equal(dec[..., 0], dec[..., 1])   # replicated gray
+    assert np.abs(dec[..., 0].astype(int) - g.astype(int)).mean() < 2.0
+
+
+def test_jpeg_restart_markers():
+    img = _grad_img(45, 61)
+    for ri in (1, 3):
+        dec = decode_jpeg(encode_jpeg(img, quality=95, restart_interval=ri))
+        assert np.abs(dec.astype(int) - img.astype(int)).mean() < 2.0
+    dec = decode_jpeg(encode_jpeg(img, quality=95, subsampling="4:2:0",
+                                  restart_interval=2))
+    assert np.abs(dec.astype(int) - img.astype(int)).mean() < 3.0
+
+
+def test_jpeg_progressive_raises_typed_error():
+    """A progressive stream (SOF2) must raise the typed error, not a
+    generic crash — synthesize one by patching the SOF marker."""
+    enc = bytearray(encode_jpeg(_grad_img(8, 8)))
+    i = enc.index(b"\xff\xc0")
+    enc[i + 1] = 0xC2
+    with pytest.raises(UnsupportedCodecError, match="baseline"):
+        decode_jpeg(bytes(enc))
+
+
+def test_jpeg_not_a_jpeg_raises_valueerror():
+    with pytest.raises(ValueError):
+        decode_jpeg(b"definitely not a jpeg")
+
+
 def test_wav_features_through_spark(spark):
     t = np.arange(2000) / 8000.0
     sine = 0.5 * np.sin(2 * np.pi * 440 * t)
-    rows = [(1, {"media_type": "audio", "format": "wav", "width": None,
-                 "height": None, "n_channels": None, "sample_rate": None,
-                 "duration_ms": None}, _encode_wav(sine, 8000))]
+    rows = [(1, _meta("audio", "wav"), _encode_wav(sine, 8000))]
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
     (r,) = audio_features(media).collect()
     assert r["n_samples"] == 2000 and r["sample_rate"] == 8000
@@ -169,12 +279,24 @@ def test_wav_features_through_spark(spark):
 
 def test_bmp_features_through_spark(spark):
     img = _test_img()
-    rows = [(1, {"media_type": "image", "format": "bmp", "width": None,
-                 "height": None, "n_channels": None, "sample_rate": None,
-                 "duration_ms": None}, _encode_bmp(img))]
+    rows = [(1, _meta("image", "bmp"), _encode_bmp(img))]
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
     (r,) = image_features(media).collect()
     assert (r["width"], r["height"], r["n_channels"]) == (3, 2, 3)
     luma = (0.2126 * img[..., 0] + 0.7152 * img[..., 1]
             + 0.0722 * img[..., 2]).mean()
     assert abs(r["mean_luma"] - luma) < 1e-6
+
+
+def test_jpeg_features_through_spark(spark):
+    """End-to-end: encode with our encoder, decode inside the Spark
+    operator, verify real dimensions come back."""
+    rows = [(i, _meta("image", "jpeg"),
+             encode_jpeg(_grad_img(8 * i, 16, seed=i), quality=90))
+            for i in range(1, 5)]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in image_features(media).collect()}
+    assert len(out) == 4
+    for i in range(1, 5):
+        assert out[i]["error"] is None
+        assert (out[i]["width"], out[i]["height"]) == (16, 8 * i)
