@@ -457,3 +457,71 @@ def test_streaming_near_dup_suppression(spark, tmp_path):
                         output_mode="append").collect()
     kept = sorted(r["doc_id"] for r in out)
     assert kept == [1, 3] or kept == [2, 3]  # one of the dup pair survives
+
+
+def test_streaming_near_dup_dedup(spark, tmp_path):
+    """Streaming NEAR-dup twin (SURVEY.md §2.3): minhash band digests
+    against a persistent bucket store suppress boilerplate variants
+    across micro-batches, with the batch kernels' keep=min rule
+    inside a batch. Exact-dup coverage is
+    test_streaming_dedup_within_watermark; this is the near-dup
+    variant the built-in operator cannot express."""
+    import os
+
+    from flink_precisely_demo_spark.streaming.streaming_dedup import (
+        dedup_survivors,
+        run_near_dup_dedup,
+        vacuum_buckets,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog while seventeen "
+            "sleepy pandas eat bamboo near a quiet river in the misty "
+            "morning light of an autumn day in the old forest")
+    variant1 = base.replace("autumn", "spring")          # near-dup of base
+    variant2 = base.replace("quiet river", "loud creek")  # near-dup of base
+    distinct1 = ("completely different subject matter entirely about "
+                 "compiler construction register allocation and static "
+                 "single assignment form with dominance frontiers and "
+                 "phi nodes inserted at join points of the control flow")
+    distinct2 = ("a third unrelated document describing ocean currents "
+                 "thermohaline circulation and the coriolis effect on "
+                 "large rotating bodies of water across the planet with "
+                 "salinity gradients driving deep water formation")
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    _write_jsonl(d / "b1.json", [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": variant1},      # in-batch near-dup of 1
+        {"doc_id": 3, "text": distinct1},
+    ])
+    _write_jsonl(d / "b2.json", [
+        {"doc_id": 4, "text": variant2},      # cross-batch near-dup of 1
+        {"doc_id": 5, "text": distinct2},
+        {"doc_id": 6, "text": None},          # no signature: passes through
+    ])
+    for i, f in enumerate(["b1.json", "b2.json"]):
+        os.utime(d / f, (1000000000 + i * 10,) * 2)
+
+    src = (spark.readStream.schema("doc_id long, text string")
+           .option("maxFilesPerTrigger", 1).json(str(d)))
+    store, out = str(tmp_path / "buckets"), str(tmp_path / "out")
+    run_near_dup_dedup(src, store, out, str(tmp_path / "ckpt"))
+
+    got = sorted(r["doc_id"] for r in
+                 dedup_survivors(spark, out).collect())
+    assert got == [1, 3, 5, 6]
+
+    # replaying the last batch rewrites the same versions (idempotent)
+    from flink_precisely_demo_spark.streaming.streaming_dedup import (
+        near_dup_dedup_sink,
+    )
+    batch2 = spark.read.schema("doc_id long, text string") \
+        .json(str(d / "b2.json"))
+    near_dup_dedup_sink(store, out)(batch2, 1)
+    got = sorted(r["doc_id"] for r in
+                 dedup_survivors(spark, out).collect())
+    assert got == [1, 3, 5, 6]
+
+    # vacuum: dropping old bucket versions lets an old doc re-enter
+    assert vacuum_buckets(store, before_version=1) == [0]
