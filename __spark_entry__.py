@@ -72,6 +72,11 @@ _DEFERRED = [
     "curation_split",              # r2 r3
     "text_language_id",            # r1 r3
     "text_quality_score",          # r1 r3
+    # rotated out in r5 so the never-driver-validated
+    # multimodal_image_decode (real JPEG decode round trip) takes a
+    # window slot; the window family keeps tumbling / session /
+    # window_analytics inside
+    "sliding_window_events",       # r2 r3 r4
 ]
 
 
