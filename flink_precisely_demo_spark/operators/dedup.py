@@ -61,9 +61,13 @@ def _fan_out(df: DataFrame, key: str) -> DataFrame:
     # `target` and this stays a no-op. Few-giant-files inputs are
     # under-counted (splits > files) and pay one extra repartition
     # before compute-heavy expansion — harmless, never a shrink.
-    # Non-file sources (in-memory test frames) report no input files
-    # and are treated as narrow.
     est = len(df.inputFiles())
+    if est == 0:
+        # non-file lineage (in-memory frame, post-shuffle/cached
+        # plan): no file proxy exists, so pay the one-off physical
+        # planning of .rdd rather than force an extra shuffle onto an
+        # already-wide lineage
+        est = df.rdd.getNumPartitions()
     if est >= target:
         return df
     return df.repartition(target, key)

@@ -61,11 +61,14 @@ def widen_feed(df: DataFrame) -> DataFrame:
         return df
     sc = df.sparkSession.sparkContext
     target = max(8, sc.defaultParallelism)
-    # input-file count as the width estimate (no df.rdd conversion —
-    # see operators/dedup._fan_out for the rationale); a real
-    # many-file/many-partition source clears `target` and this is a
-    # no-op, the single-parquet-file synthetic case repartitions
+    # input-file count as the width estimate, falling back to the
+    # physical partition count for non-file lineages (see
+    # operators/dedup._fan_out for the rationale); a real many-file/
+    # many-partition source clears `target` and this is a no-op, the
+    # single-parquet-file synthetic case repartitions
     est = len(df.inputFiles())
+    if est == 0:
+        est = df.rdd.getNumPartitions()
     if est >= target:
         return df
     return df.repartition(target)

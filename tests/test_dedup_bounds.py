@@ -211,3 +211,15 @@ def test_near_dup_clusters_chain_corpus(spark):
                             cc_max_iter=3)
     got = {r.doc_id: r.cluster_id for r in out.collect()}
     assert got == {i: 0 for i in range(40)}
+
+
+def test_fan_out_no_extra_shuffle_on_wide_lineage(spark):
+    """An already-wide non-file lineage (post-shuffle, inputFiles
+    empty) must NOT pay an extra repartition: _fan_out falls back to
+    the physical partition count instead of assuming narrow."""
+    from flink_precisely_demo_spark.operators.dedup import _fan_out
+    wide = spark.range(1000).repartition(64, "id")
+    out = _fan_out(wide, "id")
+    assert out is wide                       # no-op, no added shuffle
+    narrow = spark.range(10).coalesce(1)
+    assert _fan_out(narrow, "id").rdd.getNumPartitions() >= 8
