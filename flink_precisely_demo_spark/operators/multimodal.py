@@ -4,8 +4,9 @@ Image/audio/video payloads are opaque ``binary`` columns with a typed
 metadata struct — the lakehouse-native layout for multimodal training
 data (payload bytes stay columnar; metadata prunes without touching
 bytes). Codecs that need no external library decode FOR REAL:
-baseline JPEG (:mod:`.jpeg`, pure numpy), WAV/PCM16 (stdlib ``wave``
-+ numpy), uncompressed 24-bit BMP and binary PPM (pure numpy).
+baseline JPEG (:mod:`.jpeg`, pure numpy), MJPEG/AVI video demux
+(:mod:`.avi`, RIFF walk), WAV/PCM16 (stdlib ``wave`` + numpy),
+uncompressed 24-bit BMP and binary PPM (pure numpy).
 Formats whose codecs are not implementable without external
 libraries here (png, gif, mp3, flac, real video demux) raise a typed
 :class:`~.jpeg.UnsupportedCodecError`, which the feature operators
@@ -80,9 +81,10 @@ def ingest_binary_dir(spark, path: str) -> DataFrame:
 
 # --------------------------------------------------------------- codecs
 #
-# Baseline JPEG (operators/jpeg.py), WAV/PCM16, BMP and PPM decode
-# FOR REAL with no external media libraries. Everything else raises
-# UnsupportedCodecError, surfaced per row by the feature operators.
+# Baseline JPEG (operators/jpeg.py), MJPEG/AVI (operators/avi.py),
+# WAV/PCM16, BMP and PPM decode FOR REAL with no external media
+# libraries. Everything else raises UnsupportedCodecError, surfaced
+# per row by the feature operators.
 
 def _decode_bmp(payload: bytes) -> np.ndarray:
     """Uncompressed 24-bit BMP (BITMAPINFOHEADER) -> (h, w, 3) RGB
@@ -292,29 +294,43 @@ def audio_features(media: DataFrame) -> DataFrame:
                  .mapInPandas(compute, schema=AUDIO_FEATURES_SCHEMA))
 
 
+FRAME_SAMPLE_SCHEMA = ("media_id long, frame_idx int, ts_ms long, "
+                       "frame binary, error string")
+
+
 def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video -> sampled frame rows (media_id, frame_idx, ts_ms, frame
-    as binary). # STUB: frames are fixed-stride byte slices of the
-    payload standing in for real demuxed frames (pyav in production);
-    the explode shape (one row per sampled frame) is the real part."""
+    as JPEG binary, error). MJPEG/AVI demuxes FOR REAL
+    (operators/avi.py RIFF walk; each emitted frame is a complete
+    baseline JPEG that :func:`image_features` or
+    :func:`~.jpeg.decode_jpeg` can decode). A container/codec outside
+    that profile (mp4/mkv/...) yields ONE row with null frame and the
+    typed error — per-row, same contract as the other feature
+    operators."""
+    from .avi import demux_mjpeg_avi
+
     n = media.sparkSession.sparkContext.defaultParallelism
-    schema = "media_id long, frame_idx int, ts_ms long, frame binary"
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                b = bytes(payload)
-                n_frames = max(len(b) // 256, 1)
-                for i in range(0, n_frames, max(every_ms // 40, 1)):
-                    out.append((mid, i, i * 40,
-                                b[i * 256:(i + 1) * 256] or b"\x00"))
+                try:
+                    frames, fps = demux_mjpeg_avi(bytes(payload))
+                except Exception as e:               # noqa: BLE001
+                    out.append((mid, None, None, None,
+                                f"{type(e).__name__}: {e}"))
+                    continue
+                stride = max(int(round(every_ms * fps / 1000.0)), 1)
+                for i in range(0, len(frames), stride):
+                    out.append((mid, i, int(i * 1000 / fps),
+                                frames[i], None))
             yield pd.DataFrame(out, columns=[
-                "media_id", "frame_idx", "ts_ms", "frame"])
+                "media_id", "frame_idx", "ts_ms", "frame", "error"])
 
     return (media.filter(F.col("meta.media_type") == "video")
                  .repartition(n, "media_id")
-                 .mapInPandas(compute, schema=schema))
+                 .mapInPandas(compute, schema=FRAME_SAMPLE_SCHEMA))
 
 
 def binary_manifest(media: DataFrame, payload_col: str = "payload",

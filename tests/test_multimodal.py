@@ -134,14 +134,65 @@ def test_corrupt_payload_is_per_row_error(spark):
     assert out[2]["error"] is None
 
 
-def test_frame_sample(media):
-    frames = frame_sample(media, every_ms=1000).collect()
-    assert frames, "no frames sampled"
-    by_media = {}
-    for r in frames:
-        by_media.setdefault(r["media_id"], []).append(r)
-        assert isinstance(r["frame"], (bytes, bytearray)) and len(r["frame"]) > 0
-    assert len(by_media) == 6  # 20 // 3 videos
+def test_frame_sample_unsupported_container(media):
+    """The fixture's videos are fake mp4 bytes: each yields exactly
+    one typed-error row instead of aborting the job."""
+    rows = frame_sample(media, every_ms=1000).collect()
+    assert len(rows) == 6  # 20 // 3 videos, one error row each
+    for r in rows:
+        assert r["frame"] is None
+        assert "UnsupportedCodecError" in r["error"]
+
+
+def test_frame_sample_real_mjpeg_avi(spark):
+    """Real video path: mux JPEGs into an MJPEG AVI, demux through
+    the Spark operator at a sampling stride, decode a sampled frame
+    with the JPEG decoder, and recover the original pixels."""
+    from flink_precisely_demo_spark.operators.avi import mux_mjpeg_avi
+
+    imgs = [_grad_img(16, 24, seed=s) for s in range(10)]
+    avi = mux_mjpeg_avi([encode_jpeg(im, quality=95) for im in imgs],
+                        fps=10.0, width=24, height=16)
+    media = spark.createDataFrame(
+        [(7, _meta("video", "avi"), avi)], MEDIA_SCHEMA)
+    rows = sorted(frame_sample(media, every_ms=500).collect(),
+                  key=lambda r: r["frame_idx"])
+    # 10 frames at 10 fps sampled every 500 ms -> stride 5 -> idx 0, 5
+    assert [(r["frame_idx"], r["ts_ms"]) for r in rows] == [(0, 0), (5, 500)]
+    for r in rows:
+        assert r["error"] is None
+        dec = decode_jpeg(bytes(r["frame"]))
+        orig = imgs[r["frame_idx"]]
+        assert dec.shape == orig.shape
+        assert np.abs(dec.astype(int) - orig.astype(int)).mean() < 2.0
+
+
+def test_avi_demux_roundtrip_exact():
+    """Container round trip is byte-exact (the codec layer is JPEG's
+    job; the container must not touch frame bytes)."""
+    from flink_precisely_demo_spark.operators.avi import (
+        demux_mjpeg_avi,
+        mux_mjpeg_avi,
+    )
+
+    frames = [encode_jpeg(_grad_img(8, 8, seed=s)) for s in range(3)]
+    out, fps = demux_mjpeg_avi(mux_mjpeg_avi(frames, fps=12.5))
+    assert out == frames and fps == 12.5
+
+
+def test_avi_wrong_codec_raises_typed_error():
+    from flink_precisely_demo_spark.operators.avi import (
+        demux_mjpeg_avi,
+        mux_mjpeg_avi,
+    )
+
+    avi = bytearray(mux_mjpeg_avi([encode_jpeg(_grad_img(8, 8))]))
+    i = avi.index(b"vidsMJPG")
+    avi[i + 4:i + 8] = b"H264"
+    with pytest.raises(UnsupportedCodecError, match="MJPG"):
+        demux_mjpeg_avi(bytes(avi))
+    with pytest.raises(UnsupportedCodecError, match="AVI"):
+        demux_mjpeg_avi(b"\x00\x01\x02 not riff")
 
 
 def test_ingest_binary_dir(spark, tmp_path):
