@@ -57,12 +57,35 @@ def _versions(path: str, pat: re.Pattern) -> list[int]:
 BUCKET_SCHEMA = "band_id int, band_key string"
 
 
+def _snapshot_marker(store_path: str, v: int) -> str:
+    return os.path.join(store_path, f"buckets_v{v}", "_SNAPSHOT")
+
+
+def _known_paths(store_path: str, batch_id: int) -> list[str]:
+    """Bucket-version paths carrying all state before ``batch_id``:
+    the newest snapshot below it plus the deltas after that snapshot
+    — bounded read width regardless of stream age."""
+    prior = [v for v in _versions(store_path, _BUCKET_RE) if v < batch_id]
+    snaps = [v for v in prior if os.path.exists(_snapshot_marker(store_path, v))]
+    base = max(snaps) if snaps else None
+    take = [v for v in prior if base is None or v >= base]
+    return [os.path.join(store_path, f"buckets_v{v}") for v in take]
+
+
 def near_dup_dedup_sink(store_path: str, out_path: str,
                         text_col: str = "text", id_col: str = "doc_id",
                         num_hashes: int = 16, bands: int = 4,
-                        shingle_n: int = 3):
+                        shingle_n: int = 3, compact_every: int = 16):
     """Returns the ``foreachBatch`` function. ``store_path`` holds the
-    versioned LSH bucket state, ``out_path`` the surviving rows."""
+    versioned LSH bucket state, ``out_path`` the surviving rows.
+
+    Every ``compact_every`` batches the bucket write is a SNAPSHOT
+    (all known digests folded into one version, marked with a
+    ``_SNAPSHOT`` file) instead of a delta, so the per-batch read is
+    one snapshot + at most ``compact_every`` deltas no matter how
+    long the stream has run. Old pre-snapshot versions stay on disk
+    for replay until ``vacuum_buckets`` removes them — the same
+    write-versioned/compact/vacuum lifecycle a lakehouse table uses."""
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -80,12 +103,11 @@ def near_dup_dedup_sink(store_path: str, out_path: str,
                                  text_col, id_col, num_hashes, bands,
                                  shingle_n).persist()
         try:
-            prior = [v for v in _versions(store_path, _BUCKET_RE)
-                     if v < batch_id]
-            if prior:
-                known = spark.read.schema(BUCKET_SCHEMA).parquet(*[
-                    os.path.join(store_path, f"buckets_v{v}")
-                    for v in prior])
+            known_dirs = _known_paths(store_path, batch_id)
+            known = None
+            if known_dirs:
+                known = spark.read.schema(BUCKET_SCHEMA).parquet(*known_dirs)
+            if known is not None:
                 cross_dup = (banded
                              .join(known, ["band_id", "band_key"],
                                    "leftsemi")
@@ -111,9 +133,16 @@ def near_dup_dedup_sink(store_path: str, out_path: str,
                 batch_df.filter(F.col(text_col).isNull()))
             survivors.write.mode("overwrite").parquet(
                 os.path.join(out_path, f"batch_v{batch_id}"))
-            surv_buckets.select("band_id", "band_key") \
-                .write.mode("overwrite").parquet(
-                    os.path.join(store_path, f"buckets_v{batch_id}"))
+            new_buckets = surv_buckets.select("band_id", "band_key")
+            snapshot = (compact_every and batch_id > 0
+                        and batch_id % compact_every == 0)
+            if snapshot and known is not None:
+                new_buckets = known.unionByName(new_buckets)
+            bucket_dir = os.path.join(store_path, f"buckets_v{batch_id}")
+            new_buckets.write.mode("overwrite").parquet(bucket_dir)
+            if snapshot:
+                with open(os.path.join(bucket_dir, "_SNAPSHOT"), "w") as f:
+                    f.write("compacted through all prior versions\n")
         finally:
             banded.unpersist()
     return apply_batch
@@ -142,10 +171,15 @@ def dedup_survivors(spark: SparkSession, out_path: str) -> DataFrame:
 
 
 def vacuum_buckets(store_path: str, before_version: int) -> list[int]:
-    """Drop bucket versions < ``before_version`` — the retention knob.
-    With a time-based policy this turns global near-dup dedup into
-    windowed near-dup dedup (state bounded, older documents can
-    re-enter), the same trade dropDuplicatesWithinWatermark makes."""
+    """Drop bucket versions < ``before_version``. Two uses:
+
+    - post-compaction cleanup: pass a SNAPSHOT version (once the
+      checkpoint has committed past it) — reads lose nothing, the
+      snapshot carries all prior state;
+    - retention/TTL policy: pass any version — dropped deltas turn
+      global near-dup dedup into windowed near-dup dedup (state
+      bounded, older documents can re-enter), the same trade
+      dropDuplicatesWithinWatermark makes for exact dedup."""
     import shutil
 
     doomed = [v for v in _versions(store_path, _BUCKET_RE)

@@ -525,3 +525,51 @@ def test_streaming_near_dup_dedup(spark, tmp_path):
 
     # vacuum: dropping old bucket versions lets an old doc re-enter
     assert vacuum_buckets(store, before_version=1) == [0]
+
+
+def test_streaming_near_dup_snapshot_compaction(spark, tmp_path):
+    """Every compact_every batches the bucket write folds all known
+    digests into a marked snapshot; the per-batch read is then one
+    snapshot + recent deltas, and pre-snapshot versions can vacuum
+    with no loss of dedup state."""
+    import os
+
+    from flink_precisely_demo_spark.streaming.streaming_dedup import (
+        _known_paths,
+        near_dup_dedup_sink,
+        vacuum_buckets,
+    )
+
+    texts = {
+        1: "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+           "lambda mu nu xi omicron pi rho sigma tau upsilon",
+        2: "one two three four five six seven eight nine ten eleven "
+           "twelve thirteen fourteen fifteen sixteen seventeen eighteen",
+        3: "red orange yellow green blue indigo violet crimson teal "
+           "maroon navy olive coral salmon amber jade pearl onyx",
+    }
+    store, out = str(tmp_path / "b"), str(tmp_path / "o")
+    sink = near_dup_dedup_sink(store, out, compact_every=2)
+
+    def batch(bid, rows):
+        sink(spark.createDataFrame(rows, "doc_id long, text string"), bid)
+
+    batch(0, [(1, texts[1])])
+    batch(1, [(2, texts[2])])
+    batch(2, [(3, texts[3])])          # snapshot batch (2 % 2 == 0)
+    assert os.path.exists(os.path.join(store, "buckets_v2", "_SNAPSHOT"))
+    # read width for the next batch: just the snapshot
+    assert _known_paths(store, 3) == [os.path.join(store, "buckets_v2")]
+
+    # pre-snapshot versions vacuum losslessly: a near-dup of doc 1
+    # (seen before the snapshot) is still suppressed afterwards
+    assert sorted(vacuum_buckets(store, before_version=2)) == [0, 1]
+    batch(3, [(4, texts[1].replace("kappa", "sigma")),   # near-dup of 1
+              (5, "totally novel words about submarine cables and "
+                  "fiber optic repeaters across the abyssal plain "
+                  "with signal regeneration every eighty kilometers")])
+    from flink_precisely_demo_spark.streaming.streaming_dedup import (
+        dedup_survivors,
+    )
+    got = sorted(r["doc_id"] for r in dedup_survivors(spark, out).collect())
+    assert got == [1, 2, 3, 5]
