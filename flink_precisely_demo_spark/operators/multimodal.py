@@ -55,28 +55,74 @@ MEDIA_SCHEMA = T.StructType([
 ])
 
 
+#: (format, media_type) sniffed from payload magic bytes. A crawled
+#: corpus's file suffixes lie constantly; the payload header doesn't.
+_MAGIC = [
+    (b"\xff\xd8\xff", "jpeg", "image"),
+    (b"\x89PNG\r\n\x1a\n", "png", "image"),
+    (b"GIF8", "gif", "image"),
+    (b"BM", "bmp", "image"),
+    (b"P6", "ppm", "image"),
+    (b"ID3", "mp3", "audio"),
+    (b"fLaC", "flac", "audio"),
+]
+
+
+def probe_format(payload: bytes) -> tuple[str, str]:
+    """(format, media_type) from payload magic bytes; ('unknown',
+    'unknown') when nothing matches. RIFF containers disambiguate on
+    the form type (WAVE vs AVI); ISO-BMFF (mp4/mov) on the ftyp box."""
+    for magic, fmt, mt in _MAGIC:
+        if payload[:len(magic)] == magic:
+            return fmt, mt
+    if payload[:4] == b"RIFF":
+        if payload[8:12] == b"WAVE":
+            return "wav", "audio"
+        if payload[8:12] == b"AVI ":
+            return "avi", "video"
+    if payload[4:8] == b"ftyp":
+        return "mp4", "video"
+    if payload[:2] == b"\xff\xfb" or payload[:2] == b"\xff\xf3":
+        return "mp3", "audio"     # bare MPEG audio frame sync
+    return "unknown", "unknown"
+
+
 def ingest_binary_dir(spark, path: str) -> DataFrame:
     """Raw media directory -> (media_id, meta, payload) rows via the
-    binaryFile source. Metadata is inferred from the file suffix only
-    (full probe happens at decode time)."""
-    raw = spark.read.format("binaryFile").load(path)
-    fmt = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
-    media_type = (F.when(fmt.isin("png", "jpg", "jpeg", "gif", "bmp",
-                                  "ppm", "pnm"), "image")
-                   .when(fmt.isin("wav", "mp3", "flac"), "audio")
-                   .when(fmt.isin("mp4", "avi", "mkv"), "video")
-                   .otherwise("unknown"))
-    meta = F.struct(
-        media_type.alias("media_type"), fmt.alias("format"),
-        F.lit(None).cast("int").alias("width"),
-        F.lit(None).cast("int").alias("height"),
-        F.lit(None).cast("int").alias("n_channels"),
-        F.lit(None).cast("int").alias("sample_rate"),
-        F.lit(None).cast("long").alias("duration_ms"))
-    return raw.select(
+    binaryFile source. ``format``/``media_type`` come from sniffing
+    each payload's magic bytes (mapInPandas over the binary column —
+    suffixes mislead on real crawls), falling back to the lowercased
+    file suffix when no signature matches."""
+    raw = spark.read.format("binaryFile").load(path).select(
         F.xxhash64("path").alias("media_id"),
-        meta.alias("meta"),
+        F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
+         .alias("__suffix"),
         F.col("content").alias("payload"))
+
+    suffix_mt = {"png": "image", "jpg": "image", "jpeg": "image",
+                 "gif": "image", "bmp": "image", "ppm": "image",
+                 "pnm": "image", "wav": "audio", "mp3": "audio",
+                 "flac": "audio", "mp4": "video", "avi": "video",
+                 "mkv": "video"}
+
+    def sniff(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = []
+            for suffix, payload in zip(pdf["__suffix"], pdf["payload"]):
+                fmt, mt = probe_format(bytes(payload[:16]))
+                if fmt == "unknown":
+                    fmt = suffix
+                    mt = suffix_mt.get(suffix, "unknown")
+                metas.append({"media_type": mt, "format": fmt,
+                              "width": None, "height": None,
+                              "n_channels": None, "sample_rate": None,
+                              "duration_ms": None})
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "meta": pd.Series(metas, dtype="object"),
+                "payload": pdf["payload"]})
+
+    return raw.mapInPandas(sniff, schema=MEDIA_SCHEMA)
 
 
 # --------------------------------------------------------------- codecs

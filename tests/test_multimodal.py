@@ -195,14 +195,25 @@ def test_avi_wrong_codec_raises_typed_error():
         demux_mjpeg_avi(b"\x00\x01\x02 not riff")
 
 
-def test_ingest_binary_dir(spark, tmp_path):
-    (tmp_path / "a.png").write_bytes(b"\x89PNG fake")
-    (tmp_path / "b.wav").write_bytes(b"RIFF fake")
+def test_ingest_binary_dir_sniffs_magic_bytes(spark, tmp_path):
+    """Formats come from payload signatures, not suffixes: a JPEG
+    named .png is typed jpeg; signature-less payloads fall back to
+    the suffix."""
+    (tmp_path / "lying.png").write_bytes(encode_jpeg(_grad_img(8, 8)))
+    (tmp_path / "real.png").write_bytes(b"\x89PNG\r\n\x1a\n fake body")
+    (tmp_path / "b.wav").write_bytes(b"RIFFxxxxWAVE fake")
+    (tmp_path / "v.bin").write_bytes(b"RIFFxxxxAVI  fake")
+    (tmp_path / "noext.ppm").write_bytes(b"P6\n1 1\n255\n\x00\x00\x00")
     (tmp_path / "c.xyz").write_bytes(b"???")
     df = ingest_binary_dir(spark, str(tmp_path))
     got = {r["meta"]["format"]: r["meta"]["media_type"] for r in df.collect()}
-    assert got == {"png": "image", "wav": "audio", "xyz": "unknown"}
+    assert got == {"jpeg": "image", "png": "image", "wav": "audio",
+                   "avi": "video", "ppm": "image", "xyz": "unknown"}
     assert df.schema["payload"].dataType.typeName() == "binary"
+    # sniffed ingest composes directly with decode
+    feats = {r["media_id"]: r for r in image_features(df).collect()}
+    decoded_ok = [r for r in feats.values() if r["error"] is None]
+    assert len(decoded_ok) == 2          # the lying .png and the .ppm
 
 
 # ------------------------------------------------- real-codec round-trips
