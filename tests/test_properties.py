@@ -5,6 +5,8 @@ different axis than the DuckDB oracles (which use fixed datasets)."""
 
 from __future__ import annotations
 
+from struct import error as struct_error
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -184,3 +186,63 @@ def test_stratified_sample_quota_property(spark, sizes, pct):
     again = sorted(r.doc_id for r in
                    stratified_sample(df, ["lang"], "doc_id", pct).collect())
     assert ids == again
+
+
+@given(
+    h=st.integers(min_value=1, max_value=24),
+    w=st.integers(min_value=1, max_value=24),
+    quality=st.integers(min_value=50, max_value=98),
+    sub=st.sampled_from(["4:4:4", "4:2:0"]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_jpeg_roundtrip_property(h, w, quality, sub, seed):
+    """ANY image size (including 1x1 and non-multiple-of-8/16 dims),
+    quality, and subsampling: encode->decode preserves shape exactly
+    and pixel values within the quantization error bound."""
+    import numpy as np
+
+    from flink_precisely_demo_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    rng = np.random.default_rng(seed)
+    # smooth field: quantization error stays small and boundable
+    base = rng.integers(30, 220)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack([(base + yy * 2) % 256, (base + xx * 2) % 256,
+                    (base + yy + xx) % 256], axis=-1).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, quality=quality, subsampling=sub))
+    assert dec.shape == (h, w, 3)
+    err = np.abs(dec.astype(int) - img.astype(int)).mean()
+    assert err < 30, (h, w, quality, sub, err)
+
+
+@given(data=st.binary(min_size=0, max_size=400),
+       prefix=st.sampled_from([b"", b"\xff\xd8", b"\xff\xd8\xff\xe0"]))
+@settings(max_examples=50, deadline=None)
+def test_jpeg_garbage_never_hangs_or_segfaults(data, prefix):
+    """Arbitrary bytes (optionally with a valid SOI) must raise a
+    clean ValueError/UnsupportedCodecError — the per-row error
+    contract of the feature operators depends on decode failures
+    being ordinary exceptions."""
+    import pytest as _pytest
+
+    from flink_precisely_demo_spark.operators.jpeg import decode_jpeg
+    with _pytest.raises((ValueError, IndexError, struct_error)):
+        decode_jpeg(prefix + data)
+
+
+@given(frames=st.integers(min_value=1, max_value=8),
+       fps=st.sampled_from([5.0, 24.0, 25.0, 30.0]))
+@settings(max_examples=10, deadline=None)
+def test_avi_container_roundtrip_property(frames, fps):
+    """Container mux->demux is byte-exact for any frame count/fps."""
+    from flink_precisely_demo_spark.operators.avi import (
+        demux_mjpeg_avi,
+        mux_mjpeg_avi,
+    )
+    payloads = [bytes([i] * (10 + i * 7)) for i in range(frames)]
+    out, got_fps = demux_mjpeg_avi(mux_mjpeg_avi(payloads, fps=fps))
+    assert out == payloads
+    assert abs(got_fps - fps) < 0.05
