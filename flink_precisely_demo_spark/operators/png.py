@@ -1,0 +1,182 @@
+"""PNG codec in numpy + stdlib zlib — the real decode step for the
+web's second image format (no external imaging library needed:
+PNG's compression IS zlib, which ships with CPython).
+
+Scope:
+
+- DECODE: 8-bit non-interlaced PNG in all five color types
+  (grayscale, RGB, palette, gray+alpha, RGBA), all five scanline
+  filters (None/Sub/Up/Average/Paeth). Alpha is dropped (feature
+  extraction wants pixels; compositing policy belongs to the
+  caller). 16-bit, sub-8-bit and Adam7-interlaced streams raise
+  :class:`~.jpeg.UnsupportedCodecError`; malformed data raises
+  ``ValueError`` — both per-row surfaced by the feature operators.
+- ENCODE: 8-bit grayscale/RGB/RGBA, selectable scanline filter
+  (exists to round-trip every unfilter path in tests and to re-emit
+  lossless payloads — quality-free, unlike the JPEG encoder).
+
+Unfiltering is per-row numpy: None/Up are whole-row vector ops, Sub
+is a per-channel cumulative sum, Average/Paeth fall back to a
+per-pixel loop (their recurrence is inherently sequential). Our own
+encoder defaults to filter 0, so the fast path covers re-decode.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+from .jpeg import UnsupportedCodecError
+
+_SIG = b"\x89PNG\r\n\x1a\n"
+#: color type -> raw channel count
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes -> (h, w, 3) RGB uint8 (gray replicated, alpha
+    dropped, palette resolved)."""
+    if payload[:8] != _SIG:
+        raise ValueError("not a PNG payload (missing signature)")
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    i, n = 8, len(payload)
+    while i + 8 <= n:
+        (length,) = struct.unpack(">I", payload[i:i + 4])
+        ctype = payload[i + 4:i + 8]
+        data = payload[i + 8:i + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        i += 12 + length          # len + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr[:13])
+    if depth != 8:
+        raise UnsupportedCodecError(
+            f"png: only 8-bit depth supported (got {depth})")
+    if interlace:
+        raise UnsupportedCodecError("png: Adam7 interlace not supported")
+    if color not in _CHANNELS or comp or filt:
+        raise ValueError(f"png: bad IHDR (color={color}, comp={comp})")
+    ch = _CHANNELS[color]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) < h * (stride + 1):
+        raise ValueError("png: truncated pixel data")
+
+    recon = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        off = y * (stride + 1)
+        f = raw[off]
+        row = np.frombuffer(raw, dtype=np.uint8,
+                            count=stride, offset=off + 1).astype(np.int32)
+        if f == 0:                                  # None
+            cur = row
+        elif f == 2:                                # Up
+            cur = (row + prev) & 0xFF
+        elif f == 1:                                # Sub: per-channel cumsum
+            cur = row.reshape(w, ch).cumsum(axis=0) & 0xFF
+            cur = cur.reshape(stride)
+        elif f in (3, 4):                           # Average / Paeth
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                b = prev[x]
+                if f == 3:
+                    cur[x] = (row[x] + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = prev[x - ch] if x >= ch else 0
+                    cur[x] = (row[x] + _paeth(int(a), int(b), int(c))) & 0xFF
+        else:
+            raise ValueError(f"png: unknown filter type {f} in row {y}")
+        recon[y] = cur.astype(np.uint8)
+        prev = cur
+
+    px = recon.reshape(h, w, ch)
+    if color == 2:                                  # RGB
+        return px.copy()
+    if color == 6:                                  # RGBA -> drop alpha
+        return px[..., :3].copy()
+    if color == 0:                                  # gray
+        return np.repeat(px, 3, axis=2)
+    if color == 4:                                  # gray+alpha
+        return np.repeat(px[..., :1], 3, axis=2)
+    if plte is None:
+        raise ValueError("png: palette image without PLTE chunk")
+    return plte[px[..., 0]]                         # palette lookup
+
+
+def _filter_row(f: int, row: np.ndarray, prev: np.ndarray,
+                ch: int) -> np.ndarray:
+    r = row.astype(np.int32)
+    left = np.zeros_like(r)
+    left[ch:] = r[:-ch]
+    up = prev.astype(np.int32)
+    upleft = np.zeros_like(up)
+    upleft[ch:] = up[:-ch]
+    if f == 0:
+        out = r
+    elif f == 1:
+        out = r - left
+    elif f == 2:
+        out = r - up
+    elif f == 3:
+        out = r - ((left + up) >> 1)
+    else:
+        pa = np.abs(up - upleft)
+        pb = np.abs(left - upleft)
+        pc = np.abs(left + up - 2 * upleft)
+        pred = np.where((pa <= pb) & (pa <= pc), left,
+                        np.where(pb <= pc, up, upleft))
+        out = r - pred
+    return (out & 0xFF).astype(np.uint8)
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0,
+               level: int = 6) -> bytes:
+    """(h, w[, 1|3|4]) uint8 -> PNG bytes (lossless). ``filter_type``
+    0-4 applies that scanline filter to every row — the knob that
+    lets tests exercise each unfilter path."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[..., None]
+    h, w, ch = img.shape
+    color = {1: 0, 3: 2, 4: 6}.get(ch)
+    if color is None or not 0 <= filter_type <= 4:
+        raise ValueError(f"png encoder: channels={ch}, "
+                         f"filter={filter_type}")
+    flat = img.reshape(h, w * ch)
+    lines = bytearray()
+    prev = np.zeros(w * ch, dtype=np.uint8)
+    for y in range(h):
+        lines.append(filter_type)
+        lines += _filter_row(filter_type, flat[y], prev, ch).tobytes()
+        prev = flat[y]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        out = struct.pack(">I", len(data)) + ctype + data
+        return out + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(lines), level))
+            + chunk(b"IEND", b""))
