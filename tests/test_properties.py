@@ -246,3 +246,32 @@ def test_avi_container_roundtrip_property(frames, fps):
     out, got_fps = demux_mjpeg_avi(mux_mjpeg_avi(payloads, fps=fps))
     assert out == payloads
     assert abs(got_fps - fps) < 0.05
+
+
+@given(
+    h=st.integers(min_value=1, max_value=20),
+    w=st.integers(min_value=1, max_value=20),
+    ch=st.sampled_from([1, 3, 4]),
+    f=st.integers(min_value=0, max_value=4),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=30, deadline=None)
+def test_png_lossless_roundtrip_property(h, w, ch, f, seed):
+    """ANY size, channel count, filter type, and pixel content:
+    encode->decode is byte-exact on the carried channels (PNG is
+    lossless; alpha is dropped by contract)."""
+    import numpy as np
+
+    from flink_precisely_demo_spark.operators.png import (
+        decode_png,
+        encode_png,
+    )
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, ch) if ch > 1 else (h, w),
+                       dtype=np.uint8)
+    dec = decode_png(encode_png(img, filter_type=f))
+    assert dec.shape == (h, w, 3)
+    if ch == 1:
+        assert np.array_equal(dec[..., 0], img)
+    else:
+        assert np.array_equal(dec, img[..., :3])
