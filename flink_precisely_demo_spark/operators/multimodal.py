@@ -6,9 +6,9 @@ data (payload bytes stay columnar; metadata prunes without touching
 bytes). Codecs that need no external library decode FOR REAL:
 baseline JPEG (:mod:`.jpeg`, pure numpy), PNG (:mod:`.png`, numpy +
 stdlib zlib), MJPEG/AVI video demux (:mod:`.avi`, RIFF walk),
-WAV/PCM16 (stdlib ``wave`` + numpy), uncompressed 24-bit BMP and
-binary PPM (pure numpy). Formats whose codecs are not implementable
-without external libraries here (gif, mp3, flac, mp4) raise a typed
+GIF with real LZW (:mod:`.gif`), WAV/PCM16 (stdlib ``wave`` +
+numpy), uncompressed 24-bit BMP and binary PPM (pure numpy). The
+remaining formats (tiff/webp, mp3, flac, mp4) raise a typed
 :class:`~.jpeg.UnsupportedCodecError`, which the feature operators
 surface PER ROW in an ``error`` column — a corrupt or exotic payload
 can never abort a 100 TB decode job. A real deployment swaps the
@@ -127,10 +127,11 @@ def ingest_binary_dir(spark, path: str) -> DataFrame:
 
 # --------------------------------------------------------------- codecs
 #
-# Baseline JPEG (operators/jpeg.py), PNG (operators/png.py),
-# MJPEG/AVI (operators/avi.py), WAV/PCM16, BMP and PPM decode FOR
-# REAL with no external media libraries. Everything else raises
-# UnsupportedCodecError, surfaced per row by the feature operators.
+# Baseline JPEG (operators/jpeg.py), PNG (operators/png.py), GIF
+# (operators/gif.py), MJPEG/AVI (operators/avi.py), WAV/PCM16, BMP
+# and PPM decode FOR REAL with no external media libraries.
+# Everything else raises UnsupportedCodecError, surfaced per row by
+# the feature operators.
 
 def _decode_bmp(payload: bytes) -> np.ndarray:
     """Uncompressed 24-bit BMP (BITMAPINFOHEADER) -> (h, w, 3) RGB
@@ -191,6 +192,9 @@ def _decode_image(payload: bytes, fmt: str) -> np.ndarray:
     if fmt == "png":
         from .png import decode_png
         return decode_png(payload)
+    if fmt == "gif":
+        from .gif import decode_gif
+        return decode_gif(payload)
     if fmt == "bmp":
         return _decode_bmp(payload)
     if fmt in ("ppm", "pnm"):

@@ -102,11 +102,11 @@ def test_audio_features(media):
 
 
 def test_unsupported_codec_is_per_row_error_not_job_abort(spark):
-    """gif/mp3 have no codec in this build: their rows surface a
+    """tiff/mp3 have no codec in this build: their rows surface a
     typed error while the decodable rows in the SAME job succeed."""
     rows = [
         (1, _meta("image", "jpeg"), encode_jpeg(_grad_img(8, 8))),
-        (2, _meta("image", "gif"), b"GIF89a fake"),
+        (2, _meta("image", "tiff"), b"II*\x00 fake tiff"),
         (3, _meta("audio", "wav"),
          _encode_wav(0.5 * np.ones(100), 8000)),
         (4, _meta("audio", "mp3"), b"ID3 fake mp3 bytes"),
@@ -453,3 +453,80 @@ def test_png_features_through_spark(spark):
     luma = (0.2126 * img[..., 0] + 0.7152 * img[..., 1]
             + 0.0722 * img[..., 2]).mean()
     assert abs(r["mean_luma"] - luma) < 1e-4
+
+
+# --------------------------------------------------- GIF codec proper
+
+def test_gif_roundtrip_exact():
+    """GIF is lossless for palette-sized content: round trip through
+    real LZW (width growth + 4096-dict reset) is pixel-exact."""
+    from flink_precisely_demo_spark.operators.gif import (
+        decode_gif,
+        encode_gif,
+    )
+    rng = np.random.default_rng(3)
+    small = (rng.integers(0, 6, (37, 53), dtype=np.uint8) * 40)
+    img = np.stack([small, 255 - small, (small * 2) % 256],
+                   axis=-1).astype(np.uint8)
+    assert np.array_equal(decode_gif(encode_gif(img)), img)
+    # 256 colors + enough pixels to trip the 4096-entry dict reset
+    big = rng.integers(0, 256, (300, 300), dtype=np.uint8)
+    big3 = np.stack([big, big, big], axis=-1)
+    assert np.array_equal(decode_gif(encode_gif(big3)), big3)
+
+
+def test_gif_interlaced_decode():
+    """Hand-build an interlaced GIF (indices stored in Adam-style
+    4-pass row order, interlace flag set): the decoder must restore
+    natural row order."""
+    import struct
+    import zlib  # noqa: F401  (parallel with png test imports)
+
+    from flink_precisely_demo_spark.operators.gif import (
+        _INTERLACE_PASSES,
+        _lzw_encode,
+        decode_gif,
+    )
+    h, w = 11, 5
+    rng = np.random.default_rng(9)
+    idx = rng.integers(0, 4, (h, w), dtype=np.uint8)
+    palette = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0],
+                        [0, 0, 255]], dtype=np.uint8)
+    rows = [r for start, step in _INTERLACE_PASSES
+            for r in range(start, h, step)]
+    stored = idx[rows].reshape(-1).tolist()
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | 1, 0, 0)  # 4-entry table
+    out += palette.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40)  # interlaced
+    out.append(2)                                   # min LZW code size
+    lzw = _lzw_encode(2, stored)
+    for off in range(0, len(lzw), 255):
+        chunk = lzw[off:off + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+
+    dec = decode_gif(bytes(out))
+    assert np.array_equal(dec, palette[idx])
+
+
+def test_gif_features_through_spark(spark):
+    from flink_precisely_demo_spark.operators.gif import encode_gif
+
+    img = (_grad_img(10, 14) // 64) * 64            # <=256 colors
+    rows = [(1, _meta("image", "gif"), encode_gif(img))]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    (r,) = image_features(media).collect()
+    assert r["error"] is None
+    assert (r["width"], r["height"]) == (14, 10)
+
+
+def test_gif_garbage_raises_cleanly():
+    from flink_precisely_demo_spark.operators.gif import decode_gif
+
+    with pytest.raises(ValueError):
+        decode_gif(b"GIF89a" + b"\x00" * 20)
+    with pytest.raises(ValueError):
+        decode_gif(b"not a gif")

@@ -275,3 +275,25 @@ def test_png_lossless_roundtrip_property(h, w, ch, f, seed):
         assert np.array_equal(dec[..., 0], img)
     else:
         assert np.array_equal(dec, img[..., :3])
+
+
+@given(
+    h=st.integers(min_value=1, max_value=25),
+    w=st.integers(min_value=1, max_value=25),
+    ncolors=st.integers(min_value=1, max_value=256),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=30, deadline=None)
+def test_gif_lossless_roundtrip_property(h, w, ncolors, seed):
+    """ANY size and palette cardinality round-trips pixel-exact
+    through real LZW (including code-width growth boundaries)."""
+    import numpy as np
+
+    from flink_precisely_demo_spark.operators.gif import (
+        decode_gif,
+        encode_gif,
+    )
+    rng = np.random.default_rng(seed)
+    palette = rng.integers(0, 256, (ncolors, 3), dtype=np.uint8)
+    img = palette[rng.integers(0, ncolors, (h, w))]
+    assert np.array_equal(decode_gif(encode_gif(img)), img)
