@@ -54,6 +54,8 @@ def _multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_image_decode",
     oracle="""
     SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+                ELSE 'gif' END AS format,
            CAST(8 + doc_id % 9 AS INTEGER) AS width,
            CAST(8 + doc_id % 7 AS INTEGER) AS height,
            CAST(3 AS INTEGER) AS n_channels,
@@ -63,17 +65,20 @@ def _multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def _multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image decode through Spark: synthesize a deterministic
-    gradient image per document (dims are arithmetic in doc_id),
-    compress it with the pure-numpy baseline JPEG encoder
-    (operators/jpeg.py, alternating 4:4:4 / 4:2:0 per row), then run
-    operators.multimodal.image_features — whose decoder Huffman-
-    decodes, dequantizes, IDCTs and upsamples the payload — and
-    return the DECODED dimensions. The oracle recomputes the expected
-    dims arithmetically, so a hash match proves the full entropy-
-    coded round trip recovered every image's exact geometry, and the
+    """REAL image decode through Spark across all three compressed
+    codecs: synthesize a deterministic gradient image per document
+    (dims are arithmetic in doc_id), compress it with this repo's own
+    encoders — baseline JPEG (alternating 4:4:4 / 4:2:0), PNG
+    (cycling scanline filters), or GIF (real LZW) by doc_id % 3 —
+    then run operators.multimodal.image_features, whose decoders
+    Huffman/inflate/LZW-decode the payloads, and return the DECODED
+    dimensions. The oracle recomputes the expected dims
+    arithmetically, so a hash match proves each codec's entropy-coded
+    round trip recovered every image's exact geometry, and the
     all-null error column proves no row fell back to the error path."""
+    from ..operators.gif import encode_gif
     from ..operators.jpeg import encode_jpeg
+    from ..operators.png import encode_png
 
     docs = (load_table(spark, sf_dir, "documents")
             .filter(F.col("doc_id") % 20 == 0)
@@ -88,18 +93,32 @@ def _multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 img = np.stack([(yy * 3 + did) % 256, (xx * 2 + did) % 256,
                                 ((yy + xx) * 2) % 256],
                                axis=-1).astype(np.uint8)
-                sub = "4:2:0" if did % 2 else "4:4:4"
-                metas.append({"media_type": "image", "format": "jpeg",
+                if did % 3 == 0:
+                    fmt = "jpeg"
+                    payload = encode_jpeg(
+                        img, quality=90,
+                        subsampling="4:2:0" if did % 2 else "4:4:4")
+                elif did % 3 == 1:
+                    fmt = "png"
+                    payload = encode_png(img, filter_type=int(did) % 5)
+                else:
+                    fmt = "gif"
+                    payload = encode_gif((img // 32) * 32)  # <=256 colors
+                metas.append({"media_type": "image", "format": fmt,
                               "width": None, "height": None,
                               "n_channels": None, "sample_rate": None,
                               "duration_ms": None})
-                payloads.append(encode_jpeg(img, quality=90,
-                                            subsampling=sub))
+                payloads.append(payload)
             yield pd.DataFrame({
                 "media_id": pdf["doc_id"].astype("int64"),
                 "meta": pd.Series(metas, dtype="object"),
                 "payload": pd.Series(payloads, dtype="object")})
 
     media = docs.mapInPandas(synthesize, schema=MEDIA_SCHEMA)
-    return image_features(media).select(
-        "media_id", "width", "height", "n_channels", "error")
+    feats = image_features(media)
+    fmt = (F.when(F.col("media_id") % 3 == 0, "jpeg")
+            .when(F.col("media_id") % 3 == 1, "png")
+            .otherwise("gif"))
+    return feats.select(
+        "media_id", fmt.alias("format"), "width", "height",
+        "n_channels", "error")
