@@ -73,10 +73,15 @@ _DEFERRED = [
     "text_language_id",            # r1 r3
     "text_quality_score",          # r1 r3
     # rotated out in r5 so the never-driver-validated
-    # multimodal_image_decode (real JPEG decode round trip) takes a
-    # window slot; the window family keeps tumbling / session /
-    # window_analytics inside
+    # multimodal_image_decode (real image-decode round trip) and the
+    # q4/q21/q22 TPC-H shapes take window slots; every family keeps
+    # >= 3 entries inside (windows: tumbling/session-ization/
+    # analytics; similarity: ivf_topk/kmeans/ann_index/cosine;
+    # curation: contamination/stratified/pipeline_e2e)
     "sliding_window_events",       # r2 r3 r4
+    "date_functions",              # r2 r3 r4
+    "session_window_events",       # r2 r3 r4
+    "embedding_quantize_stats",    # r1 r2 r4
 ]
 
 

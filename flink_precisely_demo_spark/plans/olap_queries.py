@@ -746,3 +746,145 @@ def _q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.agg(
         (sum_exact("l_extendedprice") / F.lit(7.0)).cast("decimal(38,6)")
         .cast("double").alias("avg_yearly"))
+
+
+@query(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def _q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order priority checking): correlated EXISTS
+    against the fact table, counted by priority. The fixture carries
+    no l_commitdate/l_receiptdate, so "late" is adapted to
+    l_shipdate > o_orderdate + 30 days — the plan shape (semi join
+    with a cross-table predicate, then a tiny groupBy) is identical.
+    The semi join hashes on the order key; the date inequality rides
+    along as a join residual, so no pairwise blowup."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz")))
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = ((F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate")
+               > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")))
+    return (o.join(li, cond, "leftsemi")
+             .groupBy("o_orderpriority")
+             .agg(F.count(F.lit(1)).alias("order_count")))
+
+
+@query(
+    "q21_waiting_supplier",
+    oracle="""
+    WITH lines AS (
+      SELECT l.l_orderkey, l.l_suppkey, o.o_orderstatus,
+             l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY AS is_late
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM lines l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE l1.o_orderstatus = 'F' AND l1.is_late
+      AND n.n_name IN ('NATION_3', 'NATION_7')
+      AND EXISTS (SELECT 1 FROM lines l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lines l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey AND l3.is_late)
+    GROUP BY s.s_name
+    """,
+)
+def _q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the
+    hardest subquery pattern in the suite — a correlated EXISTS and a
+    correlated NOT EXISTS against the SAME derived fact ("another
+    supplier on this order" / "another LATE supplier on this order").
+    Late is adapted to shipdate > orderdate + 60 days (no
+    commit/receipt dates in the fixture). Both the semi and the anti
+    join hash on the order key with the supplier inequality as a
+    residual; the lines lineage is computed once and reused, so the
+    plan is three key-partitioned joins over one shuffle family, no
+    pairwise blowup."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderdate")
+    lines = (_t(spark, sf_dir, "lineitem")
+             .select("l_orderkey", "l_suppkey", "l_shipdate")
+             .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+             .withColumn("is_late",
+                         F.col("l_shipdate")
+                         > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+             .select("l_orderkey", "l_suppkey", "o_orderstatus", "is_late"))
+    l1 = lines.filter((F.col("o_orderstatus") == "F") & F.col("is_late"))
+    l2 = lines.select(F.col("l_orderkey").alias("k2"),
+                      F.col("l_suppkey").alias("s2"))
+    l3 = (lines.filter(F.col("is_late"))
+               .select(F.col("l_orderkey").alias("k3"),
+                       F.col("l_suppkey").alias("s3")))
+    cand = (l1.join(l2, (F.col("l_orderkey") == F.col("k2"))
+                    & (F.col("l_suppkey") != F.col("s2")), "leftsemi")
+              .join(l3, (F.col("l_orderkey") == F.col("k3"))
+                    & (F.col("l_suppkey") != F.col("s3")), "leftanti"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7"))
+    dim = s.join(F.broadcast(n),
+                 F.col("s_nationkey") == F.col("n_nationkey"))
+    return (cand.join(F.broadcast(dim),
+                      F.col("l_suppkey") == F.col("s_suppkey"))
+                .groupBy("s_name")
+                .agg(F.count(F.lit(1)).alias("numwait")))
+
+
+@query(
+    "q22_global_sales_opportunity",
+    oracle="""
+    WITH threshold AS (
+      SELECT ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6)))
+                        / COUNT(*) AS DECIMAL(38,6)), 2) AS th
+      FROM customer WHERE c_acctbal > 0.0)
+    SELECT c.c_nationkey AS cntry,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
+               AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT CAST(th AS DOUBLE) FROM threshold)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c.c_nationkey
+    """,
+)
+def _q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): a scalar aggregate
+    subquery (above-average account balance) + an anti join (no
+    recent orders), grouped by country. The fixture has no c_phone,
+    so nationkey plays the country code, and "never ordered" is
+    adapted to "no orders since 2000-01-01" (every fixture customer
+    has some order). The threshold is an exact-decimal average
+    rounded to 2 dp in BOTH engines so the boundary comparison can't
+    drift; it reaches the filter as a 1-row broadcast, not a
+    collect. The anti join hashes on the customer key."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal")
+    th = (c.filter(F.col("c_acctbal") > 0.0)
+           .agg(F.round((F.sum(F.col("c_acctbal").cast("decimal(28,6)"))
+                         / F.count(F.lit(1))).cast("decimal(38,6)"), 2)
+                 .cast("double").alias("th")))
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz")
+    ).select("o_custkey")
+    return (c.join(F.broadcast(th), F.col("c_acctbal") > F.col("th"))
+             .join(recent, F.col("c_custkey") == F.col("o_custkey"),
+                   "leftanti")
+             .groupBy(F.col("c_nationkey").alias("cntry"))
+             .agg(F.count(F.lit(1)).alias("numcust"),
+                  sum_exact("c_acctbal").alias("totacctbal")))
