@@ -6,9 +6,10 @@ data (payload bytes stay columnar; metadata prunes without touching
 bytes). Codecs that need no external library decode FOR REAL:
 baseline JPEG (:mod:`.jpeg`, pure numpy), PNG (:mod:`.png`, numpy +
 stdlib zlib), MJPEG/AVI video demux (:mod:`.avi`, RIFF walk),
-GIF with real LZW (:mod:`.gif`), WAV/PCM16 (stdlib ``wave`` +
+GIF with real LZW (:mod:`.gif`), baseline TIFF incl. PackBits and
+both byte orders (:mod:`.tiff`), WAV/PCM16 (stdlib ``wave`` +
 numpy), uncompressed 24-bit BMP and binary PPM (pure numpy). The
-remaining formats (tiff/webp, mp3, flac, mp4) raise a typed
+remaining formats (webp, mp3, flac, mp4) raise a typed
 :class:`~.jpeg.UnsupportedCodecError`, which the feature operators
 surface PER ROW in an ``error`` column — a corrupt or exotic payload
 can never abort a 100 TB decode job. A real deployment swaps the
@@ -65,6 +66,8 @@ _MAGIC = [
     (b"P6", "ppm", "image"),
     (b"ID3", "mp3", "audio"),
     (b"fLaC", "flac", "audio"),
+    (b"II*\x00", "tiff", "image"),
+    (b"MM\x00*", "tiff", "image"),
 ]
 
 
@@ -195,6 +198,9 @@ def _decode_image(payload: bytes, fmt: str) -> np.ndarray:
     if fmt == "gif":
         from .gif import decode_gif
         return decode_gif(payload)
+    if fmt in ("tiff", "tif"):
+        from .tiff import decode_tiff
+        return decode_tiff(payload)
     if fmt == "bmp":
         return _decode_bmp(payload)
     if fmt in ("ppm", "pnm"):

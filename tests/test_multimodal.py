@@ -102,11 +102,11 @@ def test_audio_features(media):
 
 
 def test_unsupported_codec_is_per_row_error_not_job_abort(spark):
-    """tiff/mp3 have no codec in this build: their rows surface a
+    """webp/mp3 have no codec in this build: their rows surface a
     typed error while the decodable rows in the SAME job succeed."""
     rows = [
         (1, _meta("image", "jpeg"), encode_jpeg(_grad_img(8, 8))),
-        (2, _meta("image", "tiff"), b"II*\x00 fake tiff"),
+        (2, _meta("image", "webp"), b"RIFFxxxxWEBP fake"),
         (3, _meta("audio", "wav"),
          _encode_wav(0.5 * np.ones(100), 8000)),
         (4, _meta("audio", "mp3"), b"ID3 fake mp3 bytes"),
@@ -530,3 +530,57 @@ def test_gif_garbage_raises_cleanly():
         decode_gif(b"GIF89a" + b"\x00" * 20)
     with pytest.raises(ValueError):
         decode_gif(b"not a gif")
+
+
+# -------------------------------------------------- TIFF codec proper
+
+def test_tiff_roundtrip_both_orders_and_packbits():
+    from flink_precisely_demo_spark.operators.tiff import (
+        decode_tiff,
+        encode_tiff,
+    )
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (23, 31, 3), dtype=np.uint8)
+    for bo in ("<", ">"):
+        for pb in (False, True):
+            assert np.array_equal(
+                decode_tiff(encode_tiff(img, byte_order=bo, packbits=pb)),
+                img), (bo, pb)
+    g = rng.integers(0, 256, (9, 14), dtype=np.uint8)
+    dec = decode_tiff(encode_tiff(g, byte_order=">", packbits=True))
+    assert dec.shape == (9, 14, 3)
+    assert np.array_equal(dec[..., 0], g)
+
+
+def test_tiff_unsupported_profiles_raise_typed_error():
+    import struct
+
+    from flink_precisely_demo_spark.operators.tiff import (
+        decode_tiff,
+        encode_tiff,
+    )
+    t = bytearray(encode_tiff(_grad_img(8, 8)))
+    # find the compression tag (259) and set it to LZW (5)
+    i = t.index(struct.pack("<HH", 259, 3))
+    t[i + 8:i + 10] = struct.pack("<H", 5)
+    with pytest.raises(UnsupportedCodecError, match="compression"):
+        decode_tiff(bytes(t))
+    with pytest.raises(ValueError):
+        decode_tiff(b"not a tiff")
+
+
+def test_tiff_features_through_spark_with_sniffing(spark, tmp_path):
+    """binaryFile ingest sniffs the TIFF magic (both byte orders) and
+    the features operator decodes for real."""
+    from flink_precisely_demo_spark.operators.tiff import encode_tiff
+
+    img = _grad_img(10, 12)
+    (tmp_path / "le.tif").write_bytes(encode_tiff(img, byte_order="<"))
+    (tmp_path / "wrong_suffix.dat").write_bytes(
+        encode_tiff(img, byte_order=">", packbits=True))
+    media = ingest_binary_dir(spark, str(tmp_path))
+    feats = image_features(media).collect()
+    assert len(feats) == 2
+    for r in feats:
+        assert r["error"] is None
+        assert (r["width"], r["height"]) == (12, 10)
