@@ -7,9 +7,11 @@ bytes). Codecs that need no external library decode FOR REAL:
 baseline JPEG (:mod:`.jpeg`, pure numpy), PNG (:mod:`.png`, numpy +
 stdlib zlib), MJPEG/AVI video demux (:mod:`.avi`, RIFF walk),
 GIF with real LZW (:mod:`.gif`), baseline TIFF incl. PackBits and
-both byte orders (:mod:`.tiff`), WAV/PCM16 (stdlib ``wave`` +
-numpy), uncompressed 24-bit BMP and binary PPM (pure numpy). The
-remaining formats (webp, mp3, flac, mp4) raise a typed
+both byte orders (:mod:`.tiff`), FLAC incl. LPC/Rice (:mod:`.flac`),
+WAV/PCM16 (stdlib ``wave`` + numpy), uncompressed 24-bit BMP and
+binary PPM (pure numpy). The remaining formats — all lossy-
+transform codecs needing a DSP stack (webp, mp3, aac, mp4) — raise
+a typed
 :class:`~.jpeg.UnsupportedCodecError`, which the feature operators
 surface PER ROW in an ``error`` column — a corrupt or exotic payload
 can never abort a 100 TB decode job. A real deployment swaps the
@@ -229,11 +231,14 @@ def _decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
 
 
 def _decode_audio(payload: bytes, fmt: str) -> tuple[np.ndarray, int]:
-    """(mono float32 samples in [-1,1], sample_rate). WAV decodes for
-    real; compressed audio raises UnsupportedCodecError (surfaced per
-    row, never a job abort)."""
+    """(mono float32 samples in [-1,1], sample_rate). WAV and FLAC
+    decode for real; lossy audio (mp3/aac/...) raises
+    UnsupportedCodecError (surfaced per row, never a job abort)."""
     if fmt == "wav":
         return _decode_wav(payload)
+    if fmt == "flac":
+        from .flac import decode_flac
+        return decode_flac(payload)
     raise UnsupportedCodecError(
         f"audio format {fmt!r}: no codec in this build "
         f"(production swaps in soundfile/torchaudio here)")

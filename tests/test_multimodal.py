@@ -584,3 +584,165 @@ def test_tiff_features_through_spark_with_sniffing(spark, tmp_path):
     for r in feats:
         assert r["error"] is None
         assert (r["width"], r["height"]) == (12, 10)
+
+
+# -------------------------------------------------- FLAC codec proper
+
+def test_flac_roundtrip_exact():
+    """16-bit content round-trips bit-exact (lossless) through the
+    encoder's CONSTANT/FIXED/VERBATIM block choices."""
+    from flink_precisely_demo_spark.operators.flac import (
+        decode_flac,
+        encode_flac,
+    )
+    rng = np.random.default_rng(0)
+    t = np.arange(10000) / 8000.0
+    ints = np.clip(np.round(0.5 * np.sin(2 * np.pi * 440 * t) * 32767),
+                   -32768, 32767).astype(np.int64)
+    dec, rate = decode_flac(encode_flac(ints, 8000, block_size=1024))
+    assert rate == 8000 and len(dec) == 10000
+    assert np.array_equal(np.round(dec * 32768).astype(np.int64), ints)
+    noise = rng.integers(-32768, 32768, 5000)        # verbatim fallback
+    dec, _ = decode_flac(encode_flac(noise, 44100, block_size=777))
+    assert np.array_equal(np.round(dec * 32768).astype(np.int64), noise)
+
+
+def test_flac_stereo_mean_mix():
+    from flink_precisely_demo_spark.operators.flac import (
+        decode_flac,
+        encode_flac,
+    )
+    a = np.round(np.sin(np.arange(4000) * 0.01) * 20000).astype(np.int64)
+    st = np.stack([a, -a], axis=1)
+    dec, _ = decode_flac(encode_flac(st, 8000))
+    assert len(dec) == 4000 and np.abs(dec).max() < 1e-4   # L+R cancel
+
+
+def _flac_frame_shell(n_sub_writer, streaminfo_rate=8000, channels=1,
+                      chan_code=None, block_size=16):
+    """Build a one-frame FLAC stream whose subframes are written by
+    ``n_sub_writer(w)`` — lets tests exercise decoder paths the
+    encoder never emits (LPC, mid/side, residual partitions)."""
+    import struct
+
+    from flink_precisely_demo_spark.operators.flac import _BitW, _crc8
+
+    si = bytearray(34)
+    si[0:2] = struct.pack(">H", block_size)
+    si[2:4] = struct.pack(">H", block_size)
+    packed = (streaminfo_rate << 44) | ((channels - 1) << 41) | (15 << 36) \
+        | block_size
+    si[10:18] = packed.to_bytes(8, "big")
+    out = bytearray(b"fLaC")
+    out += bytes([0x80]) + len(si).to_bytes(3, "big") + si
+
+    header = bytearray(b"\xff\xf8")
+    header.append((7 << 4) | 0)
+    cc = chan_code if chan_code is not None else channels - 1
+    header.append((cc << 4) | (0b100 << 1))
+    header += bytes([0])                       # frame number 0 (utf8)
+    header += struct.pack(">H", block_size - 1)
+    header.append(_crc8(bytes(header)))
+    w = _BitW()
+    for b in bytes(header):
+        w.write(b, 8)
+    n_sub_writer(w)
+    w.align()
+    return bytes(out) + bytes(w.out) + b"\x00\x00"   # CRC16 unchecked
+
+
+def test_flac_lpc_subframe_decodes():
+    """Hand-built order-2 LPC subframe: decoder must invert the
+    quantized predictor exactly."""
+    from flink_precisely_demo_spark.operators.flac import (
+        _BitW,
+        _rice_write,
+        decode_flac,
+    )
+    order, precision, shift = 2, 12, 5
+    coefs = [20, 8]        # gain < 1: synthetic samples stay 16-bit
+    samples = [100, 103]
+    for k in range(2, 16):
+        pred = (coefs[0] * samples[k - 1] + coefs[1] * samples[k - 2]) >> shift
+        samples.append(pred + ((-1) ** k) * k)   # residual = +-k
+
+    def write_sub(w: _BitW):
+        w.write(0, 1)
+        w.write(32 + order - 1, 6)               # LPC, order 2
+        w.write(0, 1)                            # no wasted bits
+        for v in samples[:order]:
+            w.write(v, 16)
+        w.write(precision - 1, 4)
+        w.write(shift, 5)
+        for c in coefs:
+            w.write(c & ((1 << precision) - 1), precision)
+        w.write(0, 2)                            # rice4
+        w.write(0, 4)                            # partition order 0
+        w.write(5, 4)                            # rice param
+        for k in range(2, 16):
+            _rice_write(w, ((-1) ** k) * k, 5)
+
+    dec, rate = decode_flac(_flac_frame_shell(write_sub))
+    got = np.round(dec * 32768).astype(int).tolist()
+    assert got == samples and rate == 8000
+
+
+def test_flac_mid_side_and_partitioned_residual():
+    """Mid/side channel decorrelation + a 4-partition residual with
+    one raw-escape partition — the remaining decoder paths."""
+    from flink_precisely_demo_spark.operators.flac import (
+        _BitW,
+        _rice_write,
+        decode_flac,
+    )
+    left = [((k * 7) % 200) - 100 for k in range(16)]
+    right = [((k * 3) % 100) - 50 for k in range(16)]
+    mid = [(l + r) >> 1 for l, r in zip(left, right)]
+    side = [l - r for l, r in zip(left, right)]
+
+    def verbatim(w: _BitW, vals, bits):
+        w.write(0, 1)
+        w.write(1, 6)
+        w.write(0, 1)
+        for v in vals:
+            w.write(v & ((1 << bits) - 1), bits)
+
+    def write_subs(w: _BitW):
+        verbatim(w, mid, 16)       # mid at bps
+        # side at bps+1, FIXED order 0 with 4 residual partitions,
+        # partition 2 raw-escaped
+        w.write(0, 1)
+        w.write(8, 6)              # FIXED order 0
+        w.write(0, 1)
+        w.write(0, 2)              # rice4
+        w.write(2, 4)              # partition order 2 -> 4 partitions
+        for p in range(4):
+            part = side[p * 4:(p + 1) * 4]
+            if p == 2:
+                w.write(15, 4)     # escape
+                w.write(12, 5)     # 12 raw bits each
+                for v in part:
+                    w.write(v & 0xFFF, 12)
+            else:
+                w.write(4, 4)
+                for v in part:
+                    _rice_write(w, v, 4)
+
+    dec, _ = decode_flac(_flac_frame_shell(
+        write_subs, channels=2, chan_code=10))
+    expect = [(l + r) / 2 / 32768.0 for l, r in zip(left, right)]
+    assert np.allclose(dec, expect, atol=1e-9)
+
+
+def test_flac_features_through_spark(spark):
+    from flink_precisely_demo_spark.operators.flac import encode_flac
+
+    t = np.arange(2000) / 8000.0
+    sine = 0.5 * np.sin(2 * np.pi * 440 * t)
+    rows = [(1, _meta("audio", "flac"), encode_flac(sine, 8000))]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    (r,) = audio_features(media).collect()
+    assert r["error"] is None
+    assert r["n_samples"] == 2000 and r["sample_rate"] == 8000
+    assert r["duration_ms"] == 250
+    assert abs(r["rms"] - 0.5 / np.sqrt(2)) < 1e-3
