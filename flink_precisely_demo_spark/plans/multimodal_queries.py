@@ -18,7 +18,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.multimodal import MEDIA_SCHEMA, binary_manifest, image_features
+from ..operators.multimodal import (
+    MEDIA_SCHEMA,
+    audio_features,
+    binary_manifest,
+    image_features,
+)
 from ..sources.parquet import load_table
 from .queries import query
 
@@ -122,3 +127,73 @@ def _multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "media_id", fmt.alias("format"), "width", "height",
         "n_channels", "error")
+
+
+@query(
+    "multimodal_audio_decode",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'flac' END AS format,
+           CAST(800 + (doc_id % 10) * 80 AS BIGINT) AS n_samples,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST((800 + (doc_id % 10) * 80) * 1000 / 8000 AS BIGINT)
+               AS duration_ms,
+           CAST(NULL AS VARCHAR) AS error
+    FROM documents
+    WHERE doc_id % 25 = 0
+    """,
+)
+def _multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode through Spark across both lossless codecs:
+    synthesize a deterministic sine per document (sample count is
+    arithmetic in doc_id), encode as WAV/PCM16 or FLAC (this repo's
+    own encoder — FIXED/Rice-coded frames) by doc_id parity, then run
+    operators.multimodal.audio_features, whose decoders parse RIFF or
+    Rice-decode the frames, and return the DECODED stream properties.
+    A hash match proves both decode paths recover exact sample counts
+    and rates; the all-null error column proves no row fell back to
+    the error path."""
+    import io
+    import wave
+
+    from ..operators.flac import encode_flac
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 25 == 0)
+            .select("doc_id"))
+
+    def synthesize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas, payloads = [], []
+            for did in pdf["doc_id"]:
+                n = 800 + (did % 10) * 80
+                sine = (0.4 * np.sin(np.arange(n) * (0.02 + (did % 7) / 100.0)))
+                if did % 2 == 0:
+                    fmt = "wav"
+                    buf = io.BytesIO()
+                    with wave.open(buf, "wb") as wf:
+                        wf.setnchannels(1)
+                        wf.setsampwidth(2)
+                        wf.setframerate(8000)
+                        wf.writeframes(
+                            (sine * 32767).astype("<i2").tobytes())
+                    payload = buf.getvalue()
+                else:
+                    fmt = "flac"
+                    payload = encode_flac(sine, 8000, block_size=512)
+                metas.append({"media_type": "audio", "format": fmt,
+                              "width": None, "height": None,
+                              "n_channels": None, "sample_rate": None,
+                              "duration_ms": None})
+                payloads.append(payload)
+            yield pd.DataFrame({
+                "media_id": pdf["doc_id"].astype("int64"),
+                "meta": pd.Series(metas, dtype="object"),
+                "payload": pd.Series(payloads, dtype="object")})
+
+    media = docs.mapInPandas(synthesize, schema=MEDIA_SCHEMA)
+    feats = audio_features(media)
+    fmt = F.when(F.col("media_id") % 2 == 0, "wav").otherwise("flac")
+    return feats.select(
+        "media_id", fmt.alias("format"), "n_samples", "sample_rate",
+        "duration_ms", "error")
