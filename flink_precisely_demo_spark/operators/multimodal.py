@@ -397,6 +397,95 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                  .mapInPandas(compute, schema=FRAME_SAMPLE_SCHEMA))
 
 
+VIDEO_FEATURES_SCHEMA = ("media_id long, n_frames int, fps double, "
+                         "duration_ms long, mean_frame_bytes double, "
+                         "error string")
+
+
+def video_features(media: DataFrame) -> DataFrame:
+    """Demux-level video stats (frame count, fps, duration, mean
+    compressed frame size) with per-row decode errors — same contract
+    as the other feature operators. MJPEG/AVI is the real path."""
+    from .avi import demux_mjpeg_avi
+
+    n = media.sparkSession.sparkContext.defaultParallelism
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    frames, fps = demux_mjpeg_avi(bytes(payload))
+                except Exception as e:               # noqa: BLE001
+                    out.append((mid, None, None, None, None,
+                                f"{type(e).__name__}: {e}"))
+                    continue
+                out.append((mid, len(frames), fps,
+                            int(len(frames) * 1000 / fps),
+                            round(sum(map(len, frames)) / len(frames), 3),
+                            None))
+            yield pd.DataFrame(out, columns=[
+                "media_id", "n_frames", "fps", "duration_ms",
+                "mean_frame_bytes", "error"])
+
+    return (media.filter(F.col("meta.media_type") == "video")
+                 .repartition(n, "media_id")
+                 .mapInPandas(compute, schema=VIDEO_FEATURES_SCHEMA))
+
+
+def audio_resample(media: DataFrame, target_rate: int = 16_000) -> DataFrame:
+    """Decode audio, linearly resample to ``target_rate`` mono, and
+    re-emit as (media_id, meta, payload) rows with WAV/PCM16
+    payloads — the normalize-before-featurize step every audio
+    training pipeline runs. Undecodable rows are DROPPED (audit them
+    with :func:`audio_features`'s error column), matching
+    :func:`image_resize`'s contract."""
+    import io
+    import wave
+
+    n = media.sparkSession.sparkContext.defaultParallelism
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, metas, payloads = [], [], []
+            for mid, meta, payload in zip(pdf["media_id"], pdf["meta"],
+                                          pdf["payload"]):
+                try:
+                    samples, rate = _decode_audio(bytes(payload),
+                                                  meta["format"])
+                except Exception:                    # noqa: BLE001
+                    continue
+                if rate != target_rate and len(samples) > 1:
+                    n_out = max(int(round(len(samples) * target_rate
+                                          / rate)), 1)
+                    xs = np.linspace(0, len(samples) - 1, n_out)
+                    samples = np.interp(xs, np.arange(len(samples)),
+                                        samples)
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(2)
+                    wf.setframerate(target_rate)
+                    wf.writeframes(np.clip(np.round(samples * 32767),
+                                           -32768, 32767)
+                                   .astype("<i2").tobytes())
+                m = dict(meta)
+                m.update(format="wav", sample_rate=target_rate,
+                         n_channels=1,
+                         duration_ms=int(len(samples) * 1000 / target_rate))
+                ids.append(mid)
+                metas.append(m)
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({
+                "media_id": pd.Series(ids, dtype="int64"),
+                "meta": pd.Series(metas, dtype="object"),
+                "payload": pd.Series(payloads, dtype="object")})
+
+    return (media.filter(F.col("meta.media_type") == "audio")
+                 .repartition(n, "media_id")
+                 .mapInPandas(compute, schema=MEDIA_SCHEMA))
+
+
 def binary_manifest(media: DataFrame, payload_col: str = "payload",
                     id_col: str = "media_id") -> DataFrame:
     """(id, content_md5, byte_len): content addressing of binary

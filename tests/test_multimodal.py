@@ -746,3 +746,49 @@ def test_flac_features_through_spark(spark):
     assert r["n_samples"] == 2000 and r["sample_rate"] == 8000
     assert r["duration_ms"] == 250
     assert abs(r["rms"] - 0.5 / np.sqrt(2)) < 1e-3
+
+
+def test_video_features_real_avi_and_error(spark):
+    from flink_precisely_demo_spark.operators.avi import mux_mjpeg_avi
+    from flink_precisely_demo_spark.operators.multimodal import (
+        video_features,
+    )
+
+    frames = [encode_jpeg(_grad_img(8, 8, seed=s)) for s in range(6)]
+    rows = [(1, _meta("video", "avi"), mux_mjpeg_avi(frames, fps=12.0)),
+            (2, _meta("video", "mp4"), b"\x00\x00\x00 ftypisom fake")]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in video_features(media).collect()}
+    assert out[1]["error"] is None
+    assert out[1]["n_frames"] == 6
+    # fps quantizes through the container's integer us-per-frame field
+    assert abs(out[1]["fps"] - 12.0) < 1e-3
+    assert abs(out[1]["duration_ms"] - 500) <= 1
+    assert out[1]["mean_frame_bytes"] > 0
+    assert "UnsupportedCodecError" in out[2]["error"]
+
+
+def test_audio_resample_composes(spark):
+    """8 kHz WAV + FLAC resample to 16 kHz mono WAV; a sine survives
+    resampling (linear interp on an oversampled tone is near-exact),
+    and the output composes with audio_features."""
+    from flink_precisely_demo_spark.operators.flac import encode_flac
+    from flink_precisely_demo_spark.operators.multimodal import (
+        audio_resample,
+    )
+
+    t = np.arange(2000) / 8000.0
+    sine = 0.4 * np.sin(2 * np.pi * 100 * t)     # 100 Hz: 80 samples/cycle
+    rows = [(1, _meta("audio", "wav"), _encode_wav(sine, 8000)),
+            (2, _meta("audio", "flac"), encode_flac(sine, 8000)),
+            (3, _meta("audio", "mp3"), b"ID3 junk")]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = audio_resample(media, 16_000)
+    feats = {r["media_id"]: r for r in audio_features(out).collect()}
+    assert sorted(feats) == [1, 2]               # mp3 row dropped
+    for r in feats.values():
+        assert r["error"] is None
+        assert r["sample_rate"] == 16_000
+        assert r["n_samples"] == 4000 and r["duration_ms"] == 250
+        # RMS preserved through resampling: 0.4/sqrt(2)
+        assert abs(r["rms"] - 0.4 / np.sqrt(2)) < 2e-3
