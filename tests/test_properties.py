@@ -297,3 +297,31 @@ def test_gif_lossless_roundtrip_property(h, w, ncolors, seed):
     palette = rng.integers(0, 256, (ncolors, 3), dtype=np.uint8)
     img = palette[rng.integers(0, ncolors, (h, w))]
     assert np.array_equal(decode_gif(encode_gif(img)), img)
+
+
+@given(data=st.binary(min_size=0, max_size=300),
+       prefix=st.sampled_from([b"", b"fLaC", b"GIF89a", b"II*\x00",
+                               b"MM\x00*", b"\x89PNG\r\n\x1a\n",
+                               b"RIFF\x20\x00\x00\x00AVI "]))
+@settings(max_examples=60, deadline=None)
+def test_all_codecs_reject_garbage_cleanly(data, prefix):
+    """Arbitrary bytes behind any codec's own magic must raise a
+    clean exception (never hang, never crash the interpreter) — the
+    per-row error surface catches Exception, so anything
+    Exception-derived is acceptable; what must NOT happen is a
+    segfault or an unbounded loop."""
+    import pytest as _pytest
+
+    from flink_precisely_demo_spark.operators.avi import demux_mjpeg_avi
+    from flink_precisely_demo_spark.operators.flac import decode_flac
+    from flink_precisely_demo_spark.operators.gif import decode_gif
+    from flink_precisely_demo_spark.operators.png import decode_png
+    from flink_precisely_demo_spark.operators.tiff import decode_tiff
+
+    payload = prefix + data
+    for dec in (decode_flac, decode_gif, decode_png, decode_tiff,
+                demux_mjpeg_avi):
+        try:
+            dec(payload)
+        except Exception:
+            pass        # any clean Exception is within contract
