@@ -573,3 +573,36 @@ def test_streaming_near_dup_snapshot_compaction(spark, tmp_path):
     )
     got = sorted(r["doc_id"] for r in dedup_survivors(spark, out).collect())
     assert got == [1, 2, 3, 5]
+
+
+def test_streaming_session_window(spark, tmp_path):
+    """Native session windows in STREAMING mode: a 10-minute gap
+    splits sessions, the watermark closes them, and closed sessions
+    emit exactly once in append mode."""
+    import os
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    _write_jsonl(d / "b1.json", [
+        {"u": 1, "ts": "2024-01-01 10:00:00", "v": 1.0},
+        {"u": 1, "ts": "2024-01-01 10:05:00", "v": 2.0},   # same session
+        {"u": 1, "ts": "2024-01-01 10:30:00", "v": 4.0},   # new session
+        {"u": 2, "ts": "2024-01-01 10:00:00", "v": 8.0},
+    ])
+    _write_jsonl(d / "b2.json", [
+        # advances watermark far past every session's close
+        {"u": 9, "ts": "2024-01-01 12:00:00", "v": 0.0},
+    ])
+    for i, f in enumerate(["b1.json", "b2.json"]):
+        os.utime(d / f, (1000000000 + i * 10,) * 2)
+
+    src = (spark.readStream.schema("u int, ts timestamp, v double")
+           .option("maxFilesPerTrigger", 1).json(str(d)))
+    agg = (src.withWatermark("ts", "1 minute")
+              .groupBy("u", F.session_window("ts", "10 minutes"))
+              .agg(F.sum("v").alias("total"),
+                   F.count(F.lit(1)).alias("n")))
+    res = run_to_memory(agg, "stream_sessions", spark)
+    got = sorted((r["u"], r["total"], r["n"]) for r in res.collect())
+    # u=1: session {1,2} then {4}; u=2: {8}; u=9's session still open
+    assert got == [(1, 3.0, 2), (1, 4.0, 1), (2, 8.0, 1)]
