@@ -83,6 +83,7 @@ _DEFERRED = [
     "session_window_events",       # r2 r3 r4
     "embedding_quantize_stats",    # r1 r2 r4
     "dedup_embedding_cosine",      # r2 r3 r4
+    "curation_contamination",      # r2 r3 r4
 ]
 
 

@@ -197,3 +197,57 @@ def _multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "media_id", fmt.alias("format"), "n_samples", "sample_rate",
         "duration_ms", "error")
+
+
+@query(
+    "multimodal_video_decode",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(4 + doc_id % 5 AS INTEGER) AS n_frames,
+           CAST(10.0 AS DOUBLE) AS fps,
+           CAST((4 + doc_id % 5) * 100 AS BIGINT) AS duration_ms,
+           CAST(NULL AS VARCHAR) AS error
+    FROM documents
+    WHERE doc_id % 50 = 0
+    """,
+)
+def _multimodal_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video demux through Spark: mux a deterministic number of
+    JPEG frames (arithmetic in doc_id) into an MJPEG/AVI container at
+    10 fps with this repo's own muxer, run
+    operators.multimodal.video_features — whose demuxer walks the
+    RIFF structure and reads the frame-period header — and return the
+    DECODED container properties. Completes the image/audio/video
+    driver-evidence triple."""
+    from ..operators.avi import mux_mjpeg_avi
+    from ..operators.jpeg import encode_jpeg
+    from ..operators.multimodal import video_features
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 50 == 0)
+            .select("doc_id"))
+
+    def synthesize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas, payloads = [], []
+            for did in pdf["doc_id"]:
+                n = 4 + did % 5
+                yy, xx = np.mgrid[0:8, 0:8]
+                frames = [encode_jpeg(np.stack(
+                    [(yy * 3 + did + k) % 256, (xx * 2 + k) % 256,
+                     ((yy + xx) * 2) % 256],
+                    axis=-1).astype(np.uint8)) for k in range(n)]
+                metas.append({"media_type": "video", "format": "avi",
+                              "width": None, "height": None,
+                              "n_channels": None, "sample_rate": None,
+                              "duration_ms": None})
+                payloads.append(mux_mjpeg_avi(frames, fps=10.0,
+                                              width=8, height=8))
+            yield pd.DataFrame({
+                "media_id": pdf["doc_id"].astype("int64"),
+                "meta": pd.Series(metas, dtype="object"),
+                "payload": pd.Series(payloads, dtype="object")})
+
+    media = docs.mapInPandas(synthesize, schema=MEDIA_SCHEMA)
+    return video_features(media).select(
+        "media_id", "n_frames", "fps", "duration_ms", "error")
