@@ -151,3 +151,34 @@ def test_q19_or_envelope_pushed_per_side(spark):
     p_scan = [s for s in scans if "p_brand" in s][0]
     assert "l_quantity" in li_scan
     assert "p_brand" in p_scan and "p_size" in p_scan
+
+
+def test_q21_correlated_subqueries_stay_key_hashed(spark):
+    """Q21's EXISTS/NOT-EXISTS must compile to semi/anti joins hashed
+    on the order key (supplier inequality as residual) — never a
+    nested-loop over the fact table."""
+    import __spark_entry__ as entry_mod
+    plan = _physical(entry_mod.queries()["q21_waiting_supplier"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    semi = [l for l in plan.splitlines() if "LeftSemi" in l]
+    anti = [l for l in plan.splitlines() if "LeftAnti" in l]
+    assert semi and "l_orderkey" in semi[0]
+    assert anti and "l_orderkey" in anti[0]
+
+
+def test_q4_exists_is_a_semi_join_on_orderkey(spark):
+    import __spark_entry__ as entry_mod
+    plan = _physical(entry_mod.queries()["q4_order_priority"](spark, SF))
+    semi = [l for l in plan.splitlines() if "LeftSemi" in l]
+    assert semi and "orderkey" in semi[0].lower()
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q22_anti_join_and_tiny_threshold_broadcast(spark):
+    """The scalar threshold may ride a 1-row broadcast nested loop;
+    the customer-orders correlation must be a hashed anti join."""
+    import __spark_entry__ as entry_mod
+    plan = _physical(
+        entry_mod.queries()["q22_global_sales_opportunity"](spark, SF))
+    anti = [l for l in plan.splitlines() if "LeftAnti" in l]
+    assert anti and "custkey" in anti[0].lower()
