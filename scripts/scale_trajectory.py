@@ -10,9 +10,13 @@ Usage: python scripts/scale_trajectory.py
 
 from __future__ import annotations
 
+import os
+import sys
 import time
 
 from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from flink_precisely_demo_spark.operators.dedup import (
     minhash_near_dup_pairs,
@@ -71,6 +75,38 @@ def main():
     r["clusters_10x"] = timed("near_dup_clusters 10x", lambda: near_dup_clusters(docs10))
     for op in ("minhash", "brute", "ivf", "clusters"):
         print(f"{op}: {r[f'{op}_10x'] / r[f'{op}_1x']:.2f}x time at 10x data")
+
+    # round-5 surfaces: media decode (embarrassingly parallel — the
+    # trajectory should be ~flat per row) measured via the image
+    # decode pipeline over synthesized JPEG payloads
+    import numpy as np
+    import pandas as pd
+
+    from flink_precisely_demo_spark.operators.jpeg import encode_jpeg
+    from flink_precisely_demo_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        image_features,
+    )
+
+    def media_df(n_rows):
+        yy, xx = np.mgrid[0:64, 0:64]
+        payloads = [encode_jpeg(np.stack(
+            [(yy * 3 + i) % 256, (xx * 2 + i) % 256, (yy + xx + i) % 256],
+            axis=-1).astype(np.uint8), quality=85) for i in range(100)]
+        rows = [(i, {"media_type": "image", "format": "jpeg",
+                     "width": None, "height": None, "n_channels": None,
+                     "sample_rate": None, "duration_ms": None},
+                 payloads[i % 100]) for i in range(n_rows)]
+        return spark.createDataFrame(rows, MEDIA_SCHEMA).persist()
+
+    m1, m10 = media_df(2000), media_df(20000)
+    m1.count(), m10.count()
+    r["media_1x"] = timed("image decode 1x (2k jpegs)",
+                          lambda: image_features(m1))
+    r["media_10x"] = timed("image decode 10x (20k jpegs)",
+                           lambda: image_features(m10))
+    print(f"media: {r['media_10x'] / r['media_1x']:.2f}x time at 10x data")
+    del pd
     spark.stop()
 
 
