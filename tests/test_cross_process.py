@@ -62,3 +62,46 @@ def test_state_touching_queries_pass_in_two_separate_processes():
              "ann_index_topk"]
     _run_in_fresh_process(names)   # seeds the on-disk state
     _run_in_fresh_process(names)   # fresh catalog + stale disk: the r4 bug
+
+
+@pytest.mark.slow
+def test_streaming_dedup_store_guards_foreign_checkpoint(tmp_path):
+    """The near-dup bucket store must FAIL FAST when a second process
+    with a fresh checkpoint (batch ids restarting at 0) points at an
+    already-populated store — silently ignoring live state would
+    re-admit every near-duplicate. Process 1 populates batches 0-2;
+    process 2 replays batch 0 legitimately (idempotent overwrite, no
+    newer-version conflict is a lie here: batch 2 exists) and must
+    raise the documented RuntimeError."""
+    store, out = str(tmp_path / "b"), str(tmp_path / "o")
+    script = f"""
+import sys
+from flink_precisely_demo_spark.session import get_spark
+from flink_precisely_demo_spark.streaming.streaming_dedup import (
+    near_dup_dedup_sink)
+spark = get_spark("xproc_dedup", cpus=4)
+sink = near_dup_dedup_sink({store!r}, {out!r})
+mode = sys.argv[1]
+texts = [(i, "tok" + " tok".join(str(i * 31 + j) for j in range(25)))
+         for i in range(3)]
+if mode == "seed":
+    for bid in range(3):
+        df = spark.createDataFrame([texts[bid]], "doc_id long, text string")
+        sink(df, bid)
+    print("SEEDED")
+else:
+    df = spark.createDataFrame([(9, "fresh words entirely")],
+                               "doc_id long, text string")
+    try:
+        sink(df, 0)     # fresh checkpoint: batch ids restart at 0
+        print("NO_GUARD")
+    except RuntimeError as e:
+        print("GUARDED" if "checkpoint" in str(e) else f"WRONG: {{e}}")
+spark.stop()
+"""
+    for mode, expect in (("seed", "SEEDED"), ("fresh", "GUARDED")):
+        proc = subprocess.run(
+            [sys.executable, "-c", script, mode],
+            cwd=REPO, capture_output=True, text=True, timeout=600)
+        assert proc.returncode == 0, proc.stderr[-3000:]
+        assert expect in proc.stdout, (mode, proc.stdout[-500:])
