@@ -87,8 +87,11 @@ def probe_format(payload: bytes) -> tuple[str, str]:
             return "avi", "video"
     if payload[4:8] == b"ftyp":
         return "mp4", "video"
-    if payload[:2] == b"\xff\xfb" or payload[:2] == b"\xff\xf3":
-        return "mp3", "audio"     # bare MPEG audio frame sync
+    if (len(payload) >= 2 and payload[0] == 0xFF
+            and payload[1] & 0xE0 == 0xE0        # 11-bit frame sync
+            and (payload[1] >> 1) & 0x3 != 0     # layer bits != reserved
+            and (payload[1] >> 3) & 0x3 != 1):   # version bits != reserved
+        return "mp3", "audio"     # bare MPEG audio frame sync (CRC or not)
     return "unknown", "unknown"
 
 
@@ -455,7 +458,11 @@ def audio_resample(media: DataFrame, target_rate: int = 16_000) -> DataFrame:
                                                   meta["format"])
                 except Exception:                    # noqa: BLE001
                     continue
-                if rate != target_rate and len(samples) > 1:
+                if len(samples) == 0:
+                    # nothing to resample — dropping keeps the
+                    # documented contract (no silently relabeled rows)
+                    continue
+                if rate != target_rate:
                     n_out = max(int(round(len(samples) * target_rate
                                           / rate)), 1)
                     xs = np.linspace(0, len(samples) - 1, n_out)

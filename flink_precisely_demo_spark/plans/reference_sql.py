@@ -264,7 +264,21 @@ def materialize_reference_feed(spark: SparkSession, sf_dir: str) -> str:
         with open(os.path.join(tmp, "_FINGERPRINT"), "w") as f:
             f.write(want)
         shutil.rmtree(path, ignore_errors=True)
-        os.rename(tmp, path)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            # Two fresh processes can race the rmtree+rename swap; the
+            # loser's rename onto the winner's directory raises
+            # ENOTEMPTY/EEXIST. The winner's feed is valid iff its
+            # fingerprint matches — accept it and discard our build.
+            try:
+                with open(marker) as f:
+                    ok = f.read() == want
+            except OSError:
+                ok = False
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not ok:
+                raise
     _validated_feeds.add(base)
     return base
 

@@ -112,17 +112,23 @@ def near_dup_dedup_sink(store_path: str, out_path: str,
                              .join(known, ["band_id", "band_key"],
                                    "leftsemi")
                              .select(id_col).distinct())
-                pool = banded.join(cross_dup, id_col, "left_anti")
             else:
-                pool = banded
+                cross_dup = None
 
-            # in-batch rule: suppressed if a smaller id shares a bucket
-            mins = pool.groupBy("band_id", "band_key") \
-                       .agg(F.min(id_col).alias("__keep"))
-            in_dup = (pool.join(mins, ["band_id", "band_key"])
-                          .filter(F.col(id_col) > F.col("__keep"))
-                          .select(id_col).distinct())
-            surv_buckets = pool.join(in_dup, id_col, "left_anti")
+            # in-batch rule: suppressed if a smaller id shares a
+            # bucket. Mins are computed over the FULL batch — including
+            # cross-batch-suppressed docs — so a chain B~A~store
+            # suppresses B exactly as one batch run over
+            # (prior survivors + this batch) would: A still rules its
+            # in-batch bucket even when the store suppresses A itself.
+            mins = banded.groupBy("band_id", "band_key") \
+                         .agg(F.min(id_col).alias("__keep"))
+            in_dup = (banded.join(mins, ["band_id", "band_key"])
+                            .filter(F.col(id_col) > F.col("__keep"))
+                            .select(id_col).distinct())
+            suppressed = (in_dup if cross_dup is None
+                          else in_dup.unionByName(cross_dup).distinct())
+            surv_buckets = banded.join(suppressed, id_col, "left_anti")
 
             # null-text rows have no signature (the kernels drop them
             # by null propagation): they can't be near-dups of

@@ -575,6 +575,36 @@ def test_streaming_near_dup_snapshot_compaction(spark, tmp_path):
     assert got == [1, 2, 3, 5]
 
 
+def test_streaming_near_dup_chained_suppression(spark, tmp_path):
+    """Chained near-dups across the store boundary: B~A~S where A is
+    suppressed by the store (near-dup of survivor S) and B shares a
+    bucket only with A, not with S. One batch run over
+    (prior survivors + batch) suppresses B via A's bucket, so the
+    streaming rule must too: in-batch keep=min is computed over the
+    FULL batch, including cross-batch-suppressed docs. The texts are a
+    deterministic chain triple under the kernel's fixed hash seeds
+    (verified: A shares a band digest with S, B with A, B none with
+    S)."""
+    from flink_precisely_demo_spark.streaming.streaming_dedup import (
+        dedup_survivors,
+        near_dup_dedup_sink,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog while seventeen "
+            "sleepy pandas eat bamboo near a quiet river in the misty "
+            "morning light of an autumn day in the old forest")
+    doc_a = base.replace("bamboo", "yy")   # shares band(s) with base
+    doc_b = base.replace("near", "xx")     # shares band(s) with doc_a ONLY
+
+    store, out = str(tmp_path / "b"), str(tmp_path / "o")
+    sink = near_dup_dedup_sink(store, out)
+    sink(spark.createDataFrame([(1, base)], "doc_id long, text string"), 0)
+    sink(spark.createDataFrame([(2, doc_a), (3, doc_b)],
+                               "doc_id long, text string"), 1)
+    got = sorted(r["doc_id"] for r in dedup_survivors(spark, out).collect())
+    assert got == [1]   # A cross-suppressed; B suppressed through A
+
+
 def test_streaming_session_window(spark, tmp_path):
     """Native session windows in STREAMING mode: a 10-minute gap
     splits sessions, the watermark closes them, and closed sessions
