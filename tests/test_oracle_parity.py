@@ -65,14 +65,17 @@ def test_parity_queries_inside_driver_window():
                  "q5_local_supplier_volume", "q18_large_volume_customer",
                  "cdc_envelope_decode", "projection_flatten",
                  "parse_ts_roundtrip", "enrichment_latest_join",
-                 "tumbling_window_events",
-                 # r4 rotation: the TPC-H tail must hold its slots
-                 # until it has driver-green evidence
-                 "q6_forecast_revenue", "q7_volume_shipping",
-                 "q8_market_share", "q10_returned_items",
-                 "q13_customer_distribution", "q14_promo_revenue",
-                 "q15_top_supplier", "q17_small_quantity_revenue",
-                 "q19_disjunctive_revenue", "window_analytics"]:
+                 "tumbling_window_events", "window_analytics",
+                 # r6 rotation: the misc function-coverage queries
+                 # (evidence stale since r2) must hold their slots
+                 # until they regain fresh driver-green evidence
+                 "anti_semi_join", "array_functions_embeddings",
+                 "cube_agg", "distinct_agg", "grouping_sets",
+                 "histogram_buckets", "intersect_keys",
+                 "percentile_exact", "pivot_events",
+                 "regex_extract_props", "rollup_agg", "set_ops",
+                 "unpivot_measures", "string_math_funcs",
+                 "full_outer_join_nulls", "subquery_in_exists"]:
         assert name in first50, f"{name} fell outside the driver window"
 
 
