@@ -77,7 +77,7 @@ _MINHASH_PAIRS_CTES = f"""{_SHINGLES_CTE},
                AS band_key
       FROM mins GROUP BY 1, 2
     ),
-    -- hot-bucket cap (mirrors max_bucket_size=4096 in the Spark plan)
+    -- hot-bucket cap (mirrors max_bucket_size=1024 in the Spark plan)
     sized AS (
       SELECT *, COUNT(*) OVER (PARTITION BY band_id, band_key) AS bn
       FROM bands
@@ -86,7 +86,7 @@ _MINHASH_PAIRS_CTES = f"""{_SHINGLES_CTE},
       SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
       FROM sized x
       JOIN sized y ON x.band_id = y.band_id AND x.band_key = y.band_key
-      WHERE x.doc_id < y.doc_id AND x.bn <= 4096
+      WHERE x.doc_id < y.doc_id AND x.bn <= 1024
     )"""
 
 
@@ -100,7 +100,7 @@ _MINHASH_PAIRS_CTES = f"""{_SHINGLES_CTE},
 def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_dup_pairs(
         load_table(spark, sf_dir, "documents"),
-        num_hashes=16, bands=4, shingle_n=3, max_bucket_size=4096)
+        num_hashes=16, bands=4, shingle_n=3, max_bucket_size=1024)
 
 
 @query(
@@ -132,7 +132,7 @@ def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import near_dup_clusters
     return near_dup_clusters(
         load_table(spark, sf_dir, "documents"),
-        num_hashes=16, bands=4, shingle_n=3, max_bucket_size=4096)
+        num_hashes=16, bands=4, shingle_n=3, max_bucket_size=1024)
 
 
 @query(
@@ -233,7 +233,7 @@ _SIMHASH_CTE = """
              (simhash >> CAST(b.b * 15 AS INT)) & 32767 AS band_val
       FROM sig CROSS JOIN range(0, 4) b(b)
     ),
-    -- hot-bucket cap (mirrors max_bucket_size=4096 in the Spark plan)
+    -- hot-bucket cap (mirrors max_bucket_size=1024 in the Spark plan)
     sized AS (
       SELECT *, COUNT(*) OVER (PARTITION BY band_id, band_val) AS bn
       FROM banded
@@ -242,7 +242,7 @@ _SIMHASH_CTE = """
            CAST(bit_count(CAST(xor(x.simhash, y.simhash) AS BIT)) AS INT) AS hamming
     FROM sized x
     JOIN sized y ON x.band_id = y.band_id AND x.band_val = y.band_val
-    WHERE x.doc_id < y.doc_id AND x.bn <= 4096
+    WHERE x.doc_id < y.doc_id AND x.bn <= 1024
       AND bit_count(CAST(xor(x.simhash, y.simhash) AS BIT)) <= 3
     """,
 )
@@ -253,7 +253,7 @@ def _dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     join."""
     return simhash_near_dup_pairs(
         load_table(spark, sf_dir, "documents"), bits=60, max_hamming=3,
-        max_bucket_size=4096)
+        max_bucket_size=1024)
 
 
 @query(

@@ -47,6 +47,44 @@ def test_simhash_hot_bucket_capped(spark):
     assert all(r.n_ids == 10_000 for r in over)
 
 
+def test_cap_sized_bucket_streams_pairs(spark):
+    """A bucket at exactly the cap must emit its full pair set through
+    the two-level generator: correctness (all C(m,2) pairs, ordered
+    a < b) plus plan shape — pair emission is two pipelined Generate
+    nodes (posexplode member, explode its tail pairs), so the largest
+    array any row materializes is O(m) member structs, never the
+    O(m^2/2) combos array a one-shot flatten builds."""
+    m = 200
+    docs = _degenerate_corpus(spark, n=m)
+    pairs = minhash_near_dup_pairs(docs, max_bucket_size=m)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Generate") >= 2, plan
+    got = pairs.collect()
+    assert len(got) == m * (m - 1) // 2
+    assert all(r.a < r.b for r in got)
+
+
+def test_default_cap_bounds_worst_case_task():
+    """The default hot-bucket cap stays at 1024: C(1024,2) ~ 524k
+    pair structs is the worst single-bucket emission (the prior 4096
+    default allowed an 8.4M-struct task). The oracle SQL mirrors the
+    same constant, so a drive-by change breaks hash parity loudly."""
+    import inspect
+
+    from flink_precisely_demo_spark.operators.dedup import (
+        near_dup_clusters,
+        simhash_oversized_buckets,
+    )
+    for fn in (minhash_near_dup_pairs, minhash_oversized_buckets,
+               simhash_near_dup_pairs, simhash_oversized_buckets,
+               near_dup_clusters):
+        assert (inspect.signature(fn).parameters["max_bucket_size"].default
+                == 1024), fn.__name__
+    from flink_precisely_demo_spark.plans import dedup_queries
+    src = inspect.getsource(dedup_queries)
+    assert "bn <= 1024" in src and "4096" not in src.replace("* 4096", "")
+
+
 def test_cap_no_op_on_normal_corpus(spark):
     """On a healthy corpus the cap changes nothing: tiny cap vs huge
     cap give identical pairs as long as no bucket exceeds either."""
