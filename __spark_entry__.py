@@ -70,6 +70,9 @@ _DEFERRED = [
     "q19_disjunctive_revenue", "sessionization", "asof_join_prior_click",
     "range_join_events", "dedup_clusters", "ddl_entry_pipeline",
     "multimodal_manifest",
+    # r6 addition: cdc_state_asof (green r2-r5) cedes its slot to the
+    # never-driver-validated streaming_dedup_replay
+    "cdc_state_asof",
     # rotated out in r4 for the TPC-H tail; each is >= double-green
     # (rounds noted), and every operator family keeps >= 3 entries
     # inside the window

@@ -58,9 +58,10 @@ def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(load_table(spark, sf_dir, "documents"))
 
 
-# CTE body ending in `pairs` = the capped MinHash-LSH candidate
-# pairs; shared by the pair query and the clustering query
-_MINHASH_PAIRS_CTES = f"""{_SHINGLES_CTE},
+# CTE body ending in `bands` = per-document LSH band digests (the
+# exact band_key format of operators/dedup._minhash_banded); shared
+# by the pair/cluster queries and the streaming-replay oracle
+_MINHASH_BANDS_CTES = f"""{_SHINGLES_CTE},
     mins AS (
       SELECT sh.doc_id, s.seed,
              MIN((('0x' || substring(md5(sh.sh), 1, 12))::BIGINT
@@ -76,7 +77,11 @@ _MINHASH_PAIRS_CTES = f"""{_SHINGLES_CTE},
                         ORDER BY seed)
                AS band_key
       FROM mins GROUP BY 1, 2
-    ),
+    )"""
+
+# CTE body ending in `pairs` = the capped MinHash-LSH candidate
+# pairs; shared by the pair query and the clustering query
+_MINHASH_PAIRS_CTES = f"""{_MINHASH_BANDS_CTES},
     -- hot-bucket cap (mirrors max_bucket_size=1024 in the Spark plan)
     sized AS (
       SELECT *, COUNT(*) OVER (PARTITION BY band_id, band_key) AS bn
@@ -303,3 +308,100 @@ def _dedup_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("n_removed"),
                  F.round(F.count_distinct("cluster_id") / F.count(F.lit(1)), 6)
                  .alias("keep_ratio")))
+
+
+_REPLAY_BATCHES = 4
+
+
+def _replay_oracle() -> str:
+    """Unroll the streaming near-dup dedup over ``_REPLAY_BATCHES``
+    deterministic micro-batches (batch k = docs with doc_id %% N = k)
+    as chained CTEs — the streaming rule is sequential, so the oracle
+    states it sequentially: per batch, drop docs whose band digest
+    matches the store (a prior survivor), drop docs out-ranked by the
+    in-batch keep=min rule computed over the FULL batch, then append
+    the survivors' digests to the store. Null-text docs have no
+    signature and pass through."""
+    ctes, survs = [], []
+    for k in range(_REPLAY_BATCHES):
+        cross = (f"""
+    cross{k} AS (
+      SELECT DISTINCT x.doc_id FROM b{k} x
+      JOIN store{k - 1} s
+        ON x.band_id = s.band_id AND x.band_key = s.band_key
+    ),""" if k else "")
+        cross_filter = (
+            f"\n        AND doc_id NOT IN (SELECT doc_id FROM cross{k})"
+            if k else "")
+        union_prev = (f"\n      UNION\n      SELECT band_id, band_key "
+                      f"FROM store{k - 1}" if k else "")
+        ctes.append(f"""
+    b{k} AS (
+      SELECT * FROM bands WHERE doc_id % {_REPLAY_BATCHES} = {k}
+    ),{cross}
+    m{k} AS (
+      SELECT band_id, band_key, MIN(doc_id) AS keep
+      FROM b{k} GROUP BY 1, 2
+    ),
+    indup{k} AS (
+      SELECT DISTINCT x.doc_id FROM b{k} x
+      JOIN m{k} m ON x.band_id = m.band_id AND x.band_key = m.band_key
+      WHERE x.doc_id > m.keep
+    ),
+    surv{k} AS (
+      SELECT DISTINCT doc_id FROM b{k}
+      WHERE doc_id NOT IN (SELECT doc_id FROM indup{k}){cross_filter}
+    ),
+    store{k} AS (
+      SELECT DISTINCT band_id, band_key FROM b{k}
+      WHERE doc_id IN (SELECT doc_id FROM surv{k}){union_prev}
+    )""")
+        survs.append(f"SELECT doc_id FROM surv{k}")
+    survs.append("SELECT doc_id FROM documents WHERE text IS NULL")
+    body = "\n    UNION ALL\n    ".join(survs)
+    return (f"WITH {_MINHASH_BANDS_CTES},{','.join(ctes)}\n    "
+            f"{body}")
+
+
+@query("streaming_dedup_replay", oracle=_replay_oracle())
+def _streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming near-dup dedup operator, driven END-TO-END
+    through Structured Streaming and batch-compared: the documents
+    table becomes a finite feed of ``_REPLAY_BATCHES`` files
+    (batch k = doc_id %% N = k, mtime-ordered so the file source
+    replays them in order), drains through
+    ``streaming/streaming_dedup.run_near_dup_dedup`` (availableNow,
+    one file per trigger, fresh bucket store/checkpoint per run), and
+    the surviving doc_ids must hash-match the oracle's sequential
+    unroll of the same suppress-then-append rule. This is the
+    external validation for the one §2.3 family whose surfaces are
+    otherwise streaming-only (SURVEY.md §2.3; no reference
+    counterpart — extension scope)."""
+    import os
+    import tempfile
+
+    from ..streaming.streaming_dedup import (
+        dedup_survivors,
+        run_near_dup_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="stream_dedup_replay_")
+    feed = os.path.join(work, "feed")
+    os.makedirs(feed)
+    for k in range(_REPLAY_BATCHES):
+        part = os.path.join(work, f"part{k}")
+        (docs.filter(F.col("doc_id") % _REPLAY_BATCHES == k)
+             .coalesce(1).write.parquet(part))
+        src = next(f for f in os.listdir(part) if f.endswith(".parquet"))
+        dst = os.path.join(feed, f"b{k}.parquet")
+        os.rename(os.path.join(part, src), dst)
+        os.utime(dst, (1_000_000_000 + 10 * k,) * 2)
+
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(feed))
+    run_near_dup_dedup(stream, os.path.join(work, "store"),
+                       os.path.join(work, "out"),
+                       os.path.join(work, "ckpt"))
+    return dedup_survivors(spark, os.path.join(work, "out")) \
+        .select("doc_id")
