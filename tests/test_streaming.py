@@ -575,6 +575,67 @@ def test_streaming_near_dup_snapshot_compaction(spark, tmp_path):
     assert got == [1, 2, 3, 5]
 
 
+def test_streaming_near_dup_longevity(spark, tmp_path):
+    """Bucket-store invariants over a LONG run (50 micro-batches):
+    state size tracks survivors x bands exactly, snapshot compaction
+    keeps the per-batch read width bounded by compact_every + 1
+    regardless of stream age, post-snapshot vacuum preserves
+    within-retention dedup, and a full TTL vacuum demonstrates the
+    windowed-dedup trade (old docs re-enter). Batch i carries one
+    novel doc and one copy of the batch-0 doc, so the expected
+    survivor set and store size are exact at every step."""
+    import os
+
+    from flink_precisely_demo_spark.streaming.streaming_dedup import (
+        _known_paths,
+        dedup_survivors,
+        near_dup_dedup_sink,
+        vacuum_buckets,
+    )
+
+    base = ("shared boilerplate paragraph that reappears forever across "
+            "the whole crawl in every single batch of the stream")
+    store, out = str(tmp_path / "b"), str(tmp_path / "o")
+    sink = near_dup_dedup_sink(store, out, compact_every=16)
+
+    def novel(i):
+        return " ".join(f"u{i}w{j}" for j in range(8))
+
+    def store_rows(next_batch):
+        paths = _known_paths(store, next_batch)
+        return spark.read.parquet(*paths).count(), len(paths)
+
+    BANDS = 4
+    sink(spark.createDataFrame([(0, base)], "doc_id long, text string"), 0)
+    for i in range(1, 50):
+        sink(spark.createDataFrame(
+            [(i * 10, novel(i)), (i * 10 + 1, base)],
+            "doc_id long, text string"), i)
+        if i in (10, 30, 49):
+            # exactly one survivor per batch so far, 4 digests each
+            n, width = store_rows(i + 1)
+            assert n == (i + 1) * BANDS, f"batch {i}: store holds {n}"
+            assert width <= 16 + 1, f"read width {width} unbounded"
+    assert dedup_survivors(spark, out).count() == 50
+
+    # snapshots landed at 16/32/48; pre-snapshot vacuum loses nothing
+    assert os.path.exists(os.path.join(store, "buckets_v48", "_SNAPSHOT"))
+    doomed = vacuum_buckets(store, before_version=48)
+    assert sorted(doomed) == list(range(48))
+    n, width = store_rows(50)
+    assert n == 50 * BANDS and width == 2     # snapshot 48 + delta 49
+    sink(spark.createDataFrame([(900, base)], "doc_id long, text string"),
+         50)
+    assert dedup_survivors(spark, out).count() == 50   # still suppressed
+
+    # TTL vacuum of ALL state: dedup becomes windowed, base re-enters
+    vacuum_buckets(store, before_version=51)
+    sink(spark.createDataFrame([(901, base)], "doc_id long, text string"),
+         51)
+    got = {r["doc_id"] for r in dedup_survivors(spark, out).collect()}
+    assert 901 in got and 900 not in got
+
+
 def test_streaming_near_dup_chained_suppression(spark, tmp_path):
     """Chained near-dups across the store boundary: B~A~S where A is
     suppressed by the store (near-dup of survivor S) and B shares a
