@@ -196,6 +196,106 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     assert got == [(1, "first"), (2, "other")]
 
 
+class _FakeValueState:
+    def __init__(self):
+        self.v = None
+
+    def exists(self):
+        return self.v is not None
+
+    def get(self):
+        return self.v
+
+    def update(self, v):
+        self.v = v
+
+    def clear(self):
+        self.v = None
+
+
+class _FakeListState:
+    def __init__(self):
+        self.items = []
+
+    def get(self):
+        return iter(self.items)
+
+    def appendList(self, items):
+        self.items.extend(items)
+
+    def clear(self):
+        self.items = []
+
+
+class _FakeHandle:
+    """Duck-typed StatefulProcessorHandle: just the two getters the
+    processor uses, backed by plain Python state."""
+
+    def __init__(self):
+        self.states = {}
+
+    def getValueState(self, name, schema):
+        return self.states.setdefault(name, _FakeValueState())
+
+    def getListState(self, name, schema):
+        return self.states.setdefault(name, _FakeListState())
+
+
+def test_tws_processor_logic_against_fake_state():
+    """The TWS StatefulProcessor's buffer/flush/latest-wins semantics,
+    exercised directly against a faked state handle — this runs where
+    the full transformWithStateInPandas protocol cannot (its Python
+    worker imports protobuf, absent here), so the processor body has
+    executed coverage either way. Semantics pinned (EnrichmentJoin
+    buffer/flush paths): facts before any dim buffer silently; a dim
+    arrival flushes the buffer in order; later facts join immediately;
+    a newer dim wins for subsequent facts; state round-trips across
+    handleInputRows calls as JSON."""
+    import json as _json
+
+    import pandas as pd
+
+    from flink_precisely_demo_spark.streaming.stateful_join_tws import (
+        _EnrichProcessor,
+    )
+
+    proc = _EnrichProcessor(out_cols=["k", "ord", "fval", "dval"],
+                            dim_carry=["dval"], ts_fields=[])
+    handle = _FakeHandle()
+    proc.init(handle)
+
+    def batch(rows):
+        pdf = pd.DataFrame(rows, columns=["__ord", "__side", "__payload"])
+        return list(proc.handleInputRows((7,), iter([pdf]), None))
+
+    def fact(ordv, fval):
+        return (ordv, 1, _json.dumps({"k": 7, "ord": ordv, "fval": fval}))
+
+    def dim(ordv, dval):
+        return (ordv, 0, _json.dumps({"k": 7, "ord": ordv, "dval": dval}))
+
+    # batch 1: facts only -> nothing emitted, both buffered in order
+    assert batch([fact(3.0, "f2"), fact(1.0, "f1")]) == []
+    assert not handle.states["dim"].exists()
+    buffered = [_json.loads(t[0])["fval"]
+                for t in handle.states["buffer"].items]
+    assert buffered == ["f1", "f2"]          # event-time order, not arrival
+
+    # batch 2: dim flushes the buffer, a later fact joins immediately,
+    # a newer dim wins for the fact after it
+    out = batch([dim(2.0, "v1"), fact(2.5, "f3"), dim(4.0, "v2"),
+                 fact(5.0, "f4")])
+    got = [(r["fval"], r["dval"]) for r in out[0].to_dict("records")]
+    assert got == [("f1", "v1"), ("f2", "v1"), ("f3", "v1"), ("f4", "v2")]
+    assert handle.states["buffer"].items == []
+    assert _json.loads(handle.states["dim"].get()[0])["dval"] == "v2"
+
+    # batch 3: state persisted across calls — new fact joins v2
+    out = batch([fact(6.0, "f5")])
+    assert [(r["fval"], r["dval"]) for r in out[0].to_dict("records")] \
+        == [("f5", "v2")]
+
+
 def test_stateful_enrich_tws_variant(spark, tmp_path):
     """transformWithStateInPandas twin (ValueState/ListState 1:1 with
     the reference) produces the same buffer/flush/latest results."""
