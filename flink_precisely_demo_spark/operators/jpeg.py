@@ -1,18 +1,24 @@
-"""Baseline JPEG codec in pure numpy — the real decode step behind
+"""JPEG codec in pure numpy — the real decode step behind
 ``multimodal.image_features`` for the web's dominant image format.
 
 Scope (and the typed error for everything outside it):
 
-- DECODE: baseline sequential DCT (SOF0/SOF1), 8-bit samples, Huffman
+- DECODE: baseline sequential DCT (SOF0/SOF1) AND progressive DCT
+  (SOF2: spectral selection, successive approximation, DC/AC
+  first + refinement scans, EOB runs), 8-bit samples, Huffman
   entropy coding, 1 or 3 components, any sampling factors up to 2x2
-  (4:4:4 / 4:2:2 / 4:2:0), restart markers. Progressive (SOF2),
-  arithmetic coding, 12-bit, and hierarchical streams raise
+  (4:4:4 / 4:2:2 / 4:2:0), restart markers. Arithmetic coding,
+  12-bit, lossless and hierarchical streams raise
   :class:`UnsupportedCodecError` — per-row surfaced by the feature
   operators, never a job abort.
-- ENCODE: baseline, quality-scaled Annex-K-style quantization,
-  standard Huffman tables, grayscale / 4:4:4 / 4:2:0. The encoder
-  exists so resize can re-emit compressed payloads and so the decoder
-  is round-trip tested without any media library in the container.
+- ENCODE: baseline (standard Huffman tables) and progressive (flat
+  tables, spectral-selection or full successive-approximation scan
+  scripts), quality-scaled Annex-K-style quantization, grayscale /
+  4:4:4 / 4:2:0. The encoders exist so resize can re-emit compressed
+  payloads and so the decoder is round-trip tested without any media
+  library in the container; baseline and progressive encodings of
+  the same image decode to bit-identical pixels (same quantized
+  coefficients), which is what the round-trip tests pin.
 
 The per-block transforms (dequantize, IDCT/FDCT, level shift, chroma
 up/down-sampling, colorspace) are all vectorized numpy over every
@@ -189,11 +195,56 @@ def _split_entropy(payload: bytes, start: int) -> tuple[list[bytes], int]:
     return segs, i
 
 
-def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JPEG -> (h, w, 3) RGB uint8 (grayscale replicated).
+def _frame_geometry(comps: list[dict], h: int, w: int) -> dict:
+    """Frame-level MCU grid + per-component block dims. Non-
+    interleaved scans cover exactly the component's own blocks
+    (ceil(comp dims / 8)); interleaved scans cover the (possibly
+    larger, MCU-padded) frame grid."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    for c in comps:
+        cw = -(-(w * c["h"]) // hmax)     # component pixel dims (ceil)
+        ch = -(-(h * c["v"]) // vmax)
+        c["bw"], c["bh"] = -(-cw // 8), -(-ch // 8)
+    return {"hmax": hmax, "vmax": vmax, "mcus_x": mcus_x,
+            "mcus_y": mcus_y}
 
-    Raises :class:`UnsupportedCodecError` for progressive/arithmetic/
-    12-bit streams and ``ValueError`` for malformed data.
+
+def _mcu_blocks(scan, blocks, frame, mcu):
+    """Yield (comp, coef_row) for one MCU in scan order. Interleaved
+    scans walk h x v blocks per component per MCU; a single-component
+    scan's 'MCU' is one block over the component's own block grid."""
+    if len(scan) > 1:
+        my, mx = divmod(mcu, frame["mcus_x"])
+        for c in scan:
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    yield c, blocks[c["id"]][my * c["v"] + by,
+                                             mx * c["h"] + bx]
+    else:
+        c = scan[0]
+        by, bx = divmod(mcu, c["bw"])
+        yield c, blocks[c["id"]][by, bx]
+
+
+def _scan_mcu_count(scan, frame) -> int:
+    if len(scan) > 1:
+        return frame["mcus_x"] * frame["mcus_y"]
+    return scan[0]["bw"] * scan[0]["bh"]
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline (SOF0/1) or progressive (SOF2) JPEG -> (h, w, 3) RGB
+    uint8 (grayscale replicated).
+
+    Raises :class:`UnsupportedCodecError` for arithmetic-coded,
+    12-bit, lossless and hierarchical streams and ``ValueError`` for
+    malformed data. Progressive streams accumulate coefficients
+    across every scan (spectral selection + successive approximation,
+    DC and AC first/refinement passes, EOB runs) and reconstruct
+    once at EOI.
     """
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
@@ -202,6 +253,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     comps: list[dict] = []
     h = w = 0
     restart_interval = 0
+    progressive = False
+    frame: dict | None = None
+    blocks: dict[int, np.ndarray] | None = None
     i, n = 2, len(payload)
     while i < n:
         if payload[i] != 0xFF:
@@ -236,7 +290,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 symbols = list(seg[p + 17:p + 17 + nsym])
                 huff[(tc, th)] = _canonical_codes(counts, symbols)
                 p += 17 + nsym
-        elif marker in (0xC0, 0xC1):    # SOF0/1: baseline sequential
+        elif marker in (0xC0, 0xC1, 0xC2):   # SOF0/1 baseline, SOF2 prog
+            progressive = marker == 0xC2
             precision = seg[0]
             if precision != 8:
                 raise UnsupportedCodecError(
@@ -247,10 +302,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, hv, tqi = seg[6 + 3 * c:9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
                               "tq": tqi})
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise UnsupportedCodecError(
-                f"jpeg: only baseline sequential Huffman is supported "
+                f"jpeg: only baseline/progressive Huffman is supported "
                 f"(SOF marker 0x{marker:02X})")
         elif marker == 0xDD:            # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
@@ -264,70 +319,180 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 comp = next(x for x in comps if x["id"] == cs)
                 comp["td"], comp["ta"] = tdta >> 4, tdta & 15
                 scan.append(comp)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 15
+            if blocks is None:
+                frame = _frame_geometry(comps, h, w)
+                blocks = {c["id"]: np.zeros(
+                    (frame["mcus_y"] * c["v"], frame["mcus_x"] * c["h"],
+                     64), dtype=np.int32) for c in comps}
             segs, i = _split_entropy(payload, i + 2 + seglen)
-            return _decode_scan(scan, segs, qt, huff, h, w,
-                                restart_interval)
+            if progressive:
+                _progressive_scan(scan, segs, huff, blocks, frame,
+                                  restart_interval, ss, se, ah, al)
+            else:
+                _baseline_scan(scan, segs, huff, blocks, frame,
+                               restart_interval)
+            continue        # i already points at the next marker
         i += 2 + seglen
-    raise ValueError("jpeg: no SOS marker found")
+    if blocks is None:
+        raise ValueError("jpeg: no SOS marker found")
+    return _reconstruct(comps, blocks, qt, frame, h, w)
 
 
-def _decode_scan(scan, entropy_segs, qt, huff, h, w, restart_interval):
-    hmax = max(c["h"] for c in scan)
-    vmax = max(c["v"] for c in scan)
-    if len(scan) == 1:
-        # non-interleaved single-component scan: MCU is one block
-        c = scan[0]
-        cw = -(-(w * c["h"]) // hmax)
-        ch = -(-(h * c["v"]) // vmax)
-        mcus_x, mcus_y = -(-cw // 8), -(-ch // 8)
-        layout = [(c, 1, 1)]
-    else:
-        mcus_x = -(-w // (8 * hmax))
-        mcus_y = -(-h // (8 * vmax))
-        layout = [(c, c["h"], c["v"]) for c in scan]
-
-    blocks = {}      # comp id -> (by, bx, 64) zigzag coefficient grid
-    for c, ch_, cv_ in layout:
-        blocks[c["id"]] = np.zeros(
-            (mcus_y * cv_, mcus_x * ch_, 64), dtype=np.int32)
-
-    mcu = 0
-    per_seg = restart_interval or (mcus_x * mcus_y)
+def _baseline_scan(scan, entropy_segs, huff, blocks, frame,
+                   restart_interval):
+    total = _scan_mcu_count(scan, frame)
+    per_seg = restart_interval or total
     for seg_idx, seg in enumerate(entropy_segs):
         reader = _BitReader(seg)
-        pred = {c["id"]: 0 for c, _, _ in layout}
+        pred = {c["id"]: 0 for c in scan}
         first = seg_idx * per_seg
-        for mcu in range(first, min(first + per_seg, mcus_x * mcus_y)):
-            my, mx = divmod(mcu, mcus_x)
-            for c, ch_, cv_ in layout:
+        for mcu in range(first, min(first + per_seg, total)):
+            for c, coef in _mcu_blocks(scan, blocks, frame, mcu):
                 dc_tbl = huff.get((0, c["td"]))
                 ac_tbl = huff.get((1, c["ta"]))
                 if dc_tbl is None or ac_tbl is None:
                     raise ValueError("jpeg: missing Huffman table")
-                for by in range(cv_):
-                    for bx in range(ch_):
-                        coef = blocks[c["id"]][my * cv_ + by,
-                                               mx * ch_ + bx]
+                s = reader.decode_huff(dc_tbl)
+                pred[c["id"]] += _extend(reader.receive(s), s)
+                coef[0] = pred[c["id"]]
+                k = 1
+                while k < 64:
+                    rs = reader.decode_huff(ac_tbl)
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r != 15:
+                            break       # EOB
+                        k += 16         # ZRL
+                        continue
+                    k += r
+                    if k > 63:
+                        raise ValueError("jpeg: AC index overflow")
+                    coef[k] = _extend(reader.receive(s), s)
+                    k += 1
+
+
+def _progressive_scan(scan, entropy_segs, huff, blocks, frame,
+                      restart_interval, ss, se, ah, al):
+    """One progressive scan into the coefficient grids (T.81 G.2):
+    DC first (diffs shifted left by Al) / DC refinement (one bit per
+    block at position Al); AC first (band Ss..Se with EOB runs) / AC
+    refinement (correction bits for known coefficients + newly
+    nonzero +-1<<Al), per jdphuff's arithmetic on signed ints."""
+    if ss == 0 and se != 0:
+        raise ValueError("jpeg: progressive DC scan must have Se=0")
+    if ss > 0 and len(scan) > 1:
+        raise ValueError(
+            "jpeg: progressive AC scan must be single-component")
+    total = _scan_mcu_count(scan, frame)
+    per_seg = restart_interval or total
+    for seg_idx, seg in enumerate(entropy_segs):
+        reader = _BitReader(seg)
+        pred = {c["id"]: 0 for c in scan}
+        eobrun = 0
+        first = seg_idx * per_seg
+        for mcu in range(first, min(first + per_seg, total)):
+            if ss == 0:
+                for c, coef in _mcu_blocks(scan, blocks, frame, mcu):
+                    if ah == 0:                      # DC first
+                        dc_tbl = huff.get((0, c["td"]))
+                        if dc_tbl is None:
+                            raise ValueError("jpeg: missing Huffman table")
                         s = reader.decode_huff(dc_tbl)
                         pred[c["id"]] += _extend(reader.receive(s), s)
-                        coef[0] = pred[c["id"]]
-                        k = 1
-                        while k < 64:
-                            rs = reader.decode_huff(ac_tbl)
-                            r, s = rs >> 4, rs & 15
-                            if s == 0:
-                                if r != 15:
-                                    break       # EOB
-                                k += 16         # ZRL
-                                continue
-                            k += r
-                            if k > 63:
-                                raise ValueError("jpeg: AC index overflow")
-                            coef[k] = _extend(reader.receive(s), s)
-                            k += 1
+                        coef[0] = pred[c["id"]] << al
+                    elif reader.receive(1):          # DC refinement
+                        coef[0] |= 1 << al
+            else:
+                c = scan[0]
+                coef = blocks[c["id"]][divmod(mcu, c["bw"])]
+                ac_tbl = huff.get((1, c["ta"]))
+                if ac_tbl is None:
+                    raise ValueError("jpeg: missing Huffman table")
+                if ah == 0:
+                    eobrun = _ac_first_block(reader, coef, ac_tbl,
+                                             ss, se, al, eobrun)
+                else:
+                    eobrun = _ac_refine_block(reader, coef, ac_tbl,
+                                              ss, se, al, eobrun)
 
+
+def _ac_first_block(reader, coef, ac_tbl, ss, se, al, eobrun) -> int:
+    """AC first pass for one block; returns the remaining EOB run
+    (counts whole blocks whose band is entirely zero)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.decode_huff(ac_tbl)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r != 15:                  # EOBn: run of 2^r + bits blocks
+                eobrun = (1 << r) - 1    # current block counted here
+                if r:
+                    eobrun += reader.receive(r)
+                return eobrun
+            k += 16                      # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("jpeg: AC index overflow")
+        coef[k] = _extend(reader.receive(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine_block(reader, coef, ac_tbl, ss, se, al, eobrun) -> int:
+    """AC successive-approximation refinement for one block: append a
+    correction bit to every already-nonzero coefficient visited, and
+    place newly nonzero coefficients as +-1<<Al. Mirrors jdphuff's
+    signed-int arithmetic (coef & p1 tests the bit under two's
+    complement; magnitude grows toward the sign)."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.decode_huff(ac_tbl)
+            r, s = rs >> 4, rs & 15
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.receive(r)
+                    break                # rest handled by EOB logic
+                # r == 15: ZRL — advance over 16 zero-history coeffs
+            else:
+                val = p1 if reader.receive(1) else m1
+            while k <= se:
+                if coef[k] != 0:
+                    if reader.receive(1) and (coef[k] & p1) == 0:
+                        coef[k] += p1 if coef[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break            # target zero-history position
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                coef[k] = val
+            k += 1
+    if eobrun > 0:
+        # EOB run covers this block: only correction bits remain
+        while k <= se:
+            if coef[k] != 0:
+                if reader.receive(1) and (coef[k] & p1) == 0:
+                    coef[k] += p1 if coef[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _reconstruct(comps, blocks, qt, frame, h, w):
+    hmax, vmax = frame["hmax"], frame["vmax"]
     planes = []
-    for c, ch_, cv_ in layout:
+    for c in comps:
         grid = blocks[c["id"]]
         by, bx, _ = grid.shape
         flat = grid.reshape(-1, 64) * qt[c["tq"]][None, :]   # dequantize
@@ -338,11 +503,10 @@ def _decode_scan(scan, entropy_segs, qt, huff, h, w, restart_interval):
         spatial = np.clip(np.round(spatial) + 128, 0, 255).astype(np.uint8)
         plane = (spatial.reshape(by, bx, 8, 8)
                  .transpose(0, 2, 1, 3).reshape(by * 8, bx * 8))
-        cw = -(-(w * ch_) // hmax) if len(scan) > 1 else -(-(w * c["h"]) // hmax)
-        chh = -(-(h * cv_) // vmax) if len(scan) > 1 else -(-(h * c["v"]) // vmax)
+        cw = -(-(w * c["h"]) // hmax)
+        chh = -(-(h * c["v"]) // vmax)
         plane = plane[:chh, :cw]
-        fy = vmax // (cv_ if len(scan) > 1 else c["v"])
-        fx = hmax // (ch_ if len(scan) > 1 else c["h"])
+        fy, fx = vmax // c["v"], hmax // c["h"]
         if fy > 1:
             plane = np.repeat(plane, fy, axis=0)
         if fx > 1:
@@ -447,16 +611,11 @@ def _pad_to(plane: np.ndarray, mult: int) -> np.ndarray:
     return np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 85,
-                subsampling: str = "4:4:4",
-                restart_interval: int = 0) -> bytes:
-    """(h, w, 3) RGB or (h, w) grayscale uint8 -> baseline JPEG bytes.
-
-    ``subsampling``: '4:4:4' (default) or '4:2:0' (chroma averaged
-    2x2 — exercises the decoder's multi-block-MCU/upsampling path).
-    ``restart_interval``: emit a DRI segment and RSTn markers every N
-    MCUs (0 = none) — what a streaming/error-resilient producer does.
-    """
+def _quantized_blocks(img: np.ndarray, quality: int, subsampling: str):
+    """Shared encoder front half: colorspace, subsampling, FDCT and
+    quantization. Returns (comp_blocks, samp, h, w, qtl, qtc, gray,
+    mcus_x, mcus_y); comp_blocks[ci] has shape
+    (mcus_y * sv, mcus_x * sh, 64) in zigzag order."""
     img = np.asarray(img, dtype=np.uint8)
     gray = img.ndim == 2
     h, w = img.shape[:2]
@@ -497,19 +656,34 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
         qz = qtl if ci == 0 else qtc
         quant = np.round(coeffs / qz[None, :]).astype(np.int32)
         comp_blocks.append(quant.reshape(mcus_y * sv, mcus_x * sh, 64))
+    return comp_blocks, samp, h, w, qtl, qtc, gray, mcus_x, mcus_y
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 85,
+                subsampling: str = "4:4:4",
+                restart_interval: int = 0) -> bytes:
+    """(h, w, 3) RGB or (h, w) grayscale uint8 -> baseline JPEG bytes.
+
+    ``subsampling``: '4:4:4' (default) or '4:2:0' (chroma averaged
+    2x2 — exercises the decoder's multi-block-MCU/upsampling path).
+    ``restart_interval``: emit a DRI segment and RSTn markers every N
+    MCUs (0 = none) — what a streaming/error-resilient producer does.
+    """
+    (comp_blocks, samp, h, w, qtl, qtc, gray,
+     mcus_x, mcus_y) = _quantized_blocks(img, quality, subsampling)
 
     dc_l, ac_l = _encode_codes(*_DC_LUMA), _encode_codes(*_AC_LUMA)
     dc_c, ac_c = _encode_codes(*_DC_CHROMA), _encode_codes(*_AC_CHROMA)
 
     entropy = bytearray()
     bw_ = _BitWriter()
-    preds = [0] * len(planes)
+    preds = [0] * len(comp_blocks)
     for mcu in range(mcus_x * mcus_y):
         if restart_interval and mcu and mcu % restart_interval == 0:
             entropy += bw_.flush()
             entropy += bytes([0xFF, 0xD0 + (mcu // restart_interval - 1) % 8])
             bw_ = _BitWriter()
-            preds = [0] * len(planes)
+            preds = [0] * len(comp_blocks)
         my, mx = divmod(mcu, mcus_x)
         for ci, (sh, sv) in enumerate(samp):
             dc_codes = dc_l if ci == 0 else dc_c
@@ -550,5 +724,218 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
     sos += b"\x00\x3f\x00"
     out += seg(0xDA, sos)
     out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# -------------------------------------------- progressive encoder
+
+# Flat Huffman tables for progressive scans. The standard baseline
+# tables lack the EOBn symbols (0x10..0xE0) progressive AC coding
+# needs, so — like every progressive encoder — we ship our own DHT:
+# all DC categories at 4 bits, every AC symbol (EOB0..EOB14, ZRL,
+# (run,size) for size 1..10) at 8 bits. Canonically valid (12 <= 2^4,
+# 176 <= 2^8, all-ones code unused) and bit-suboptimal, which only
+# costs payload size, never correctness.
+_DC_PROG = ([0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+            list(range(12)))
+_AC_PROG_SYMBOLS = ([r << 4 for r in range(15)] + [0xF0]
+                    + [(r << 4) | s for r in range(16)
+                       for s in range(1, 11)])
+_AC_PROG = ([0, 0, 0, 0, 0, 0, 0, len(_AC_PROG_SYMBOLS),
+             0, 0, 0, 0, 0, 0, 0, 0], _AC_PROG_SYMBOLS)
+
+
+def _emit_eobrun(bw_: _BitWriter, ac_codes: dict, state: dict) -> None:
+    """Flush the pending EOB run (EOBn symbol + extension bits) and
+    the correction bits buffered behind it (refinement scans)."""
+    if state["eobrun"] > 0:
+        r = state["eobrun"].bit_length() - 1
+        c, ln = ac_codes[r << 4]
+        bw_.write(c, ln)
+        if r:
+            bw_.write(state["eobrun"] - (1 << r), r)
+        state["eobrun"] = 0
+        for b in state["pending"]:
+            bw_.write(b, 1)
+        state["pending"] = []
+
+
+def _first_ac_block(bw_, coef, ss, se, al, ac_codes, state) -> None:
+    """AC first pass (Ah=0) for one block: band Ss..Se of the point-
+    transformed coefficients (magnitude >> Al) with EOB-run
+    accumulation across blocks."""
+    r = 0
+    for k in range(ss, se + 1):
+        t = int(coef[k])
+        a = abs(t) >> al
+        if a == 0:
+            r += 1
+            continue
+        _emit_eobrun(bw_, ac_codes, state)
+        while r > 15:
+            c, ln = ac_codes[0xF0]
+            bw_.write(c, ln)
+            r -= 16
+        s, code = _magnitude(a if t >= 0 else -a)
+        c, ln = ac_codes[(r << 4) | s]
+        bw_.write(c, ln)
+        bw_.write(code, s)
+        r = 0
+    if r > 0:
+        state["eobrun"] += 1
+        if state["eobrun"] == 0x7FFF:
+            _emit_eobrun(bw_, ac_codes, state)
+
+
+def _refine_ac_block(bw_, coef, ss, se, al, ac_codes, state) -> None:
+    """AC refinement pass (Ah=Al+1): one correction bit per already-
+    nonzero coefficient, (run, +-1) codes for newly nonzero ones,
+    correction bits buffered behind EOB runs — jcphuff's algorithm
+    on the signed coefficient values."""
+    absv = [abs(int(coef[k])) >> al for k in range(ss, se + 1)]
+    eob_k = ss - 1                     # last newly-nonzero position
+    for idx, a in enumerate(absv):
+        if a == 1:
+            eob_k = ss + idx
+    r, br = 0, []
+    for k in range(ss, se + 1):
+        temp = absv[k - ss]
+        if temp == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob_k:   # ZRLs not foldable into EOB
+            _emit_eobrun(bw_, ac_codes, state)
+            c, ln = ac_codes[0xF0]
+            bw_.write(c, ln)
+            r -= 16
+            for b in br:
+                bw_.write(b, 1)
+            br = []
+        if temp > 1:                   # known coefficient: buffer bit
+            br.append(temp & 1)
+            continue
+        _emit_eobrun(bw_, ac_codes, state)
+        c, ln = ac_codes[(r << 4) | 1]
+        bw_.write(c, ln)
+        bw_.write(0 if int(coef[k]) < 0 else 1, 1)
+        for b in br:
+            bw_.write(b, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        state["eobrun"] += 1
+        state["pending"].extend(br)
+        if state["eobrun"] == 0x7FFF:
+            _emit_eobrun(bw_, ac_codes, state)
+
+
+def encode_jpeg_progressive(img: np.ndarray, quality: int = 85,
+                            subsampling: str = "4:4:4",
+                            successive: bool = False) -> bytes:
+    """(h, w, 3) RGB or (h, w) grayscale uint8 -> progressive (SOF2)
+    JPEG bytes, quantized identically to :func:`encode_jpeg` (so the
+    decoded pixels are bit-identical to the baseline encoding's).
+
+    Scan script: DC of all components first, then the full AC band
+    per component (spectral selection). With ``successive=True`` each
+    of those is split into a coarse pass (Al=1) plus a refinement
+    pass (Ah=1, Al=0), exercising every progressive decode path:
+    DC/AC first, DC/AC refinement, EOB runs, correction bits.
+    """
+    (comp_blocks, samp, h, w, qtl, qtc, gray,
+     mcus_x, mcus_y) = _quantized_blocks(img, quality, subsampling)
+    ncomp = len(comp_blocks)
+    dc_codes = _encode_codes(*_DC_PROG)
+    ac_codes = _encode_codes(*_AC_PROG)
+
+    # per-component block dims for non-interleaved AC scans (exclude
+    # MCU padding blocks, mirroring the decoder's _frame_geometry)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    comp_bdims = []
+    for sh, sv in samp:
+        cw = -(-(w * sh) // hmax)
+        ch = -(-(h * sv) // vmax)
+        comp_bdims.append((-(-ch // 8), -(-cw // 8)))
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    def sos_header(comp_ids: list[int], ss: int, se: int,
+                   ah: int, al: int) -> bytes:
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            body += bytes([cid, 0x00])     # td=0, ta=0 (flat tables)
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, body)
+
+    def dc_scan(al: int, refine: bool) -> bytes:
+        bw_ = _BitWriter()
+        preds = [0] * ncomp
+        for mcu in range(mcus_x * mcus_y):
+            my, mx = divmod(mcu, mcus_x)
+            for ci, (sh, sv) in enumerate(samp):
+                for by in range(sv):
+                    for bx in range(sh):
+                        dc = int(comp_blocks[ci][my * sv + by,
+                                                 mx * sh + bx][0])
+                        if refine:
+                            bw_.write((dc >> al) & 1, 1)
+                        else:
+                            v = dc >> al       # arithmetic shift (G.1.2.1)
+                            s, code = _magnitude(v - preds[ci])
+                            c, ln = dc_codes[s]
+                            bw_.write(c, ln)
+                            if s:
+                                bw_.write(code, s)
+                            preds[ci] = v
+        return bw_.flush()
+
+    def ac_scan(ci: int, al: int, refine: bool) -> bytes:
+        bw_ = _BitWriter()
+        state = {"eobrun": 0, "pending": []}
+        bh, bwid = comp_bdims[ci]
+        for by in range(bh):
+            for bx in range(bwid):
+                coef = comp_blocks[ci][by, bx]
+                if refine:
+                    _refine_ac_block(bw_, coef, 1, 63, al, ac_codes,
+                                     state)
+                else:
+                    _first_ac_block(bw_, coef, 1, 63, al, ac_codes,
+                                    state)
+        _emit_eobrun(bw_, ac_codes, state)
+        return bw_.flush()
+
+    def dht(tc: int, th: int, spec) -> bytes:
+        counts, symbols = spec
+        return seg(0xC4, bytes([tc << 4 | th]) + bytes(counts)
+                   + bytes(symbols))
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, b"\x00" + qtl.astype(np.uint8).tobytes())
+    if not gray:
+        out += seg(0xDB, b"\x01" + qtc.astype(np.uint8).tobytes())
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sh, sv = samp[ci]
+        sof += bytes([ci + 1, sh << 4 | sv, 0 if ci == 0 else 1])
+    out += seg(0xC2, sof)                      # SOF2: progressive
+    out += dht(0, 0, _DC_PROG) + dht(1, 0, _AC_PROG)
+
+    all_ids = [ci + 1 for ci in range(ncomp)]
+    first_al = 1 if successive else 0
+    out += sos_header(all_ids, 0, 0, 0, first_al)
+    out += dc_scan(first_al, refine=False)
+    for ci in range(ncomp):
+        out += sos_header([ci + 1], 1, 63, 0, first_al)
+        out += ac_scan(ci, first_al, refine=False)
+    if successive:
+        out += sos_header(all_ids, 0, 0, 1, 0)
+        out += dc_scan(0, refine=True)
+        for ci in range(ncomp):
+            out += sos_header([ci + 1], 1, 63, 1, 0)
+            out += ac_scan(ci, 0, refine=True)
     out += b"\xff\xd9"
     return bytes(out)

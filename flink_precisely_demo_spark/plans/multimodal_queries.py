@@ -73,16 +73,18 @@ def _multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode through Spark across all three compressed
     codecs: synthesize a deterministic gradient image per document
     (dims are arithmetic in doc_id), compress it with this repo's own
-    encoders — baseline JPEG (alternating 4:4:4 / 4:2:0), PNG
-    (cycling scanline filters), or GIF (real LZW) by doc_id % 3 —
-    then run operators.multimodal.image_features, whose decoders
+    encoders — JPEG (alternating 4:4:4 / 4:2:0; every 3rd jpeg row
+    PROGRESSIVE SOF2, alternating spectral-selection and
+    successive-approximation scripts), PNG (cycling scanline
+    filters), or GIF (real LZW) by doc_id % 3 — then run
+    operators.multimodal.image_features, whose decoders
     Huffman/inflate/LZW-decode the payloads, and return the DECODED
     dimensions. The oracle recomputes the expected dims
     arithmetically, so a hash match proves each codec's entropy-coded
     round trip recovered every image's exact geometry, and the
     all-null error column proves no row fell back to the error path."""
     from ..operators.gif import encode_gif
-    from ..operators.jpeg import encode_jpeg
+    from ..operators.jpeg import encode_jpeg, encode_jpeg_progressive
     from ..operators.png import encode_png
 
     docs = (load_table(spark, sf_dir, "documents")
@@ -99,10 +101,23 @@ def _multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ((yy + xx) * 2) % 256],
                                axis=-1).astype(np.uint8)
                 if did % 3 == 0:
-                    fmt = "jpeg"
-                    payload = encode_jpeg(
-                        img, quality=90,
-                        subsampling="4:2:0" if did % 2 else "4:4:4")
+                    # jpeg rows have did % 60 == 0, so per-row
+                    # variation must come from the row index did//60
+                    # (did % 2 / did % 5 are constant on this slice)
+                    fmt, kk = "jpeg", did // 60
+                    sub = "4:2:0" if kk % 2 else "4:4:4"
+                    if kk % 3 == 0:
+                        # every 3rd jpeg row is PROGRESSIVE (SOF2) —
+                        # spectral-selection or full successive-
+                        # approximation script alternating — so the
+                        # driver hash-checks the progressive decode
+                        # path, not just baseline
+                        payload = encode_jpeg_progressive(
+                            img, quality=90, subsampling=sub,
+                            successive=bool(kk % 2))
+                    else:
+                        payload = encode_jpeg(
+                            img, quality=90, subsampling=sub)
                 elif did % 3 == 1:
                     fmt = "png"
                     payload = encode_png(img, filter_type=int(did) % 5)

@@ -312,14 +312,41 @@ def test_jpeg_restart_markers():
     assert np.abs(dec.astype(int) - img.astype(int)).mean() < 3.0
 
 
-def test_jpeg_progressive_raises_typed_error():
-    """A progressive stream (SOF2) must raise the typed error, not a
-    generic crash — synthesize one by patching the SOF marker."""
+def test_jpeg_arithmetic_raises_typed_error():
+    """An arithmetic-coded stream (SOF9) must raise the typed error,
+    not a generic crash — synthesize one by patching the SOF marker.
+    (Progressive SOF2 is decoded for real since r6; a baseline scan
+    header mislabeled as SOF2 is malformed and raises ValueError.)"""
     enc = bytearray(encode_jpeg(_grad_img(8, 8)))
     i = enc.index(b"\xff\xc0")
-    enc[i + 1] = 0xC2
+    enc[i + 1] = 0xC9
     with pytest.raises(UnsupportedCodecError, match="baseline"):
         decode_jpeg(bytes(enc))
+    enc[i + 1] = 0xC2      # SOF2 but baseline scan header (Se=63)
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(enc))
+
+
+def test_jpeg_progressive_through_image_features(spark):
+    """Progressive payloads flow through the Spark decode operator
+    like any other format: correct dims, null error."""
+    from flink_precisely_demo_spark.operators.jpeg import (
+        encode_jpeg_progressive,
+    )
+    from flink_precisely_demo_spark.operators.multimodal import (
+        image_features,
+    )
+    rows = [(1, _meta("image", "jpeg"),
+             encode_jpeg_progressive(_grad_img(24, 17), successive=False)),
+            (2, _meta("image", "jpeg"),
+             encode_jpeg_progressive(_grad_img(9, 31), quality=70,
+                                     subsampling="4:2:0",
+                                     successive=True))]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in image_features(media).collect()}
+    assert got[1]["error"] is None and got[2]["error"] is None
+    assert (got[1]["height"], got[1]["width"]) == (24, 17)
+    assert (got[2]["height"], got[2]["width"]) == (9, 31)
 
 
 def test_jpeg_not_a_jpeg_raises_valueerror():

@@ -218,6 +218,65 @@ def test_jpeg_roundtrip_property(h, w, quality, sub, seed):
     assert err < 30, (h, w, quality, sub, err)
 
 
+@given(
+    h=st.integers(min_value=1, max_value=24),
+    w=st.integers(min_value=1, max_value=24),
+    quality=st.integers(min_value=50, max_value=98),
+    sub=st.sampled_from(["4:4:4", "4:2:0"]),
+    successive=st.booleans(),
+    gray=st.booleans(),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=30, deadline=None)
+def test_jpeg_progressive_matches_baseline_property(h, w, quality, sub,
+                                                    successive, gray,
+                                                    seed):
+    """ANY image, quality, subsampling and scan script: the
+    progressive (SOF2) encoding decodes to pixels BIT-IDENTICAL to
+    the baseline encoding of the same image — both carry the same
+    quantized coefficients, entropy coding is lossless, so spectral
+    selection, successive approximation (DC/AC refinement), and EOB
+    runs must reconstruct exactly, not approximately."""
+    import numpy as np
+
+    from flink_precisely_demo_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+    rng = np.random.default_rng(seed)
+    if gray:
+        img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        sub = "4:4:4"
+    else:
+        # full-range noise: maximal AC activity, stresses refinement
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(img, quality=quality,
+                                   subsampling=sub))
+    prog = decode_jpeg(encode_jpeg_progressive(
+        img, quality=quality, subsampling=sub, successive=successive))
+    assert np.array_equal(base, prog)
+
+
+def test_jpeg_progressive_eob_runs_span_blocks():
+    """A constant image makes every AC band empty: the encoder folds
+    all blocks into multi-block EOB runs (EOBn with extension bits)
+    and the decoder must count them down across block boundaries."""
+    import numpy as np
+
+    from flink_precisely_demo_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+    img = np.full((128, 96, 3), 203, dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(img, quality=85))
+    for successive in (False, True):
+        prog = decode_jpeg(encode_jpeg_progressive(
+            img, quality=85, successive=successive))
+        assert np.array_equal(base, prog)
+
+
 @given(data=st.binary(min_size=0, max_size=400),
        prefix=st.sampled_from([b"", b"\xff\xd8", b"\xff\xd8\xff\xe0"]))
 @settings(max_examples=50, deadline=None)
