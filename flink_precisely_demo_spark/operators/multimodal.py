@@ -85,6 +85,8 @@ def probe_format(payload: bytes) -> tuple[str, str]:
             return "wav", "audio"
         if payload[8:12] == b"AVI ":
             return "avi", "video"
+        if payload[8:12] == b"WEBP":
+            return "webp", "image"
     if payload[4:8] == b"ftyp":
         return "mp4", "video"
     if (len(payload) >= 2 and payload[0] == 0xFF
@@ -111,7 +113,7 @@ def ingest_binary_dir(spark, path: str) -> DataFrame:
                  "gif": "image", "bmp": "image", "ppm": "image",
                  "pnm": "image", "wav": "audio", "mp3": "audio",
                  "flac": "audio", "mp4": "video", "avi": "video",
-                 "mkv": "video"}
+                 "mkv": "video", "webp": "image"}
 
     def sniff(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -206,6 +208,9 @@ def _decode_image(payload: bytes, fmt: str) -> np.ndarray:
     if fmt in ("tiff", "tif"):
         from .tiff import decode_tiff
         return decode_tiff(payload)
+    if fmt == "webp":
+        from .webp import decode_webp
+        return decode_webp(payload)
     if fmt == "bmp":
         return _decode_bmp(payload)
     if fmt in ("ppm", "pnm"):

@@ -59,8 +59,8 @@ def _multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_image_decode",
     oracle="""
     SELECT doc_id AS media_id,
-           CASE doc_id % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
-                ELSE 'gif' END AS format,
+           CASE (doc_id // 20) % 4 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+                WHEN 2 THEN 'gif' ELSE 'webp' END AS format,
            CAST(8 + doc_id % 9 AS INTEGER) AS width,
            CAST(8 + doc_id % 7 AS INTEGER) AS height,
            CAST(3 AS INTEGER) AS n_channels,
@@ -70,22 +70,24 @@ def _multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def _multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image decode through Spark across all three compressed
+    """REAL image decode through Spark across all four compressed
     codecs: synthesize a deterministic gradient image per document
     (dims are arithmetic in doc_id), compress it with this repo's own
     encoders — JPEG (alternating 4:4:4 / 4:2:0; every 3rd jpeg row
     PROGRESSIVE SOF2, alternating spectral-selection and
     successive-approximation scripts), PNG (cycling scanline
-    filters), or GIF (real LZW) by doc_id % 3 — then run
-    operators.multimodal.image_features, whose decoders
-    Huffman/inflate/LZW-decode the payloads, and return the DECODED
-    dimensions. The oracle recomputes the expected dims
+    filters), GIF (real LZW) or WebP-lossless (VP8L canonical prefix
+    codes) by (doc_id // 20) % 4 (doc_id itself is 0 mod 4 on this
+    slice) — then run operators.multimodal.image_features, whose
+    decoders Huffman/inflate/LZW/VP8L-decode the payloads, and return
+    the DECODED dimensions. The oracle recomputes the expected dims
     arithmetically, so a hash match proves each codec's entropy-coded
     round trip recovered every image's exact geometry, and the
     all-null error column proves no row fell back to the error path."""
     from ..operators.gif import encode_gif
     from ..operators.jpeg import encode_jpeg, encode_jpeg_progressive
     from ..operators.png import encode_png
+    from ..operators.webp import encode_webp_lossless
 
     docs = (load_table(spark, sf_dir, "documents")
             .filter(F.col("doc_id") % 20 == 0)
@@ -100,11 +102,12 @@ def _multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 img = np.stack([(yy * 3 + did) % 256, (xx * 2 + did) % 256,
                                 ((yy + xx) * 2) % 256],
                                axis=-1).astype(np.uint8)
-                if did % 3 == 0:
-                    # jpeg rows have did % 60 == 0, so per-row
-                    # variation must come from the row index did//60
+                sel = (did // 20) % 4
+                if sel == 0:
+                    # jpeg rows have did % 80 == 0, so per-row
+                    # variation must come from the row index did//80
                     # (did % 2 / did % 5 are constant on this slice)
-                    fmt, kk = "jpeg", did // 60
+                    fmt, kk = "jpeg", did // 80
                     sub = "4:2:0" if kk % 2 else "4:4:4"
                     if kk % 3 == 0:
                         # every 3rd jpeg row is PROGRESSIVE (SOF2) —
@@ -118,12 +121,15 @@ def _multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     else:
                         payload = encode_jpeg(
                             img, quality=90, subsampling=sub)
-                elif did % 3 == 1:
+                elif sel == 1:
                     fmt = "png"
                     payload = encode_png(img, filter_type=int(did) % 5)
-                else:
+                elif sel == 2:
                     fmt = "gif"
                     payload = encode_gif((img // 32) * 32)  # <=256 colors
+                else:
+                    fmt = "webp"
+                    payload = encode_webp_lossless(img)
                 metas.append({"media_type": "image", "format": fmt,
                               "width": None, "height": None,
                               "n_channels": None, "sample_rate": None,
@@ -136,9 +142,11 @@ def _multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.mapInPandas(synthesize, schema=MEDIA_SCHEMA)
     feats = image_features(media)
-    fmt = (F.when(F.col("media_id") % 3 == 0, "jpeg")
-            .when(F.col("media_id") % 3 == 1, "png")
-            .otherwise("gif"))
+    sel = F.floor(F.col("media_id") / 20) % 4
+    fmt = (F.when(sel == 0, "jpeg")
+            .when(sel == 1, "png")
+            .when(sel == 2, "gif")
+            .otherwise("webp"))
     return feats.select(
         "media_id", fmt.alias("format"), "width", "height",
         "n_channels", "error")

@@ -22,7 +22,9 @@ Replication rules preserve the star schema's referential integrity:
   (hash-derived, +-0.05) so vectors are distinct but the cluster
   structure survives for IVF.
 
-Usage: python scripts/make_sf1.py [outdir]   (default /tmp/sf1)
+Usage: python scripts/make_sf1.py [outdir] [factor]
+       (defaults /tmp/sf1, 10 -> sf1; factor=100 -> sf10 at ~60 M
+       lineitem / 15 M orders, the r6 materialized scale point)
 """
 
 from __future__ import annotations
@@ -39,7 +41,7 @@ from flink_precisely_demo_spark.sources.parquet import load_table   # noqa: E402
 
 SRC = "/root/testdata/sf0.1"
 FACTOR = 10
-SHIFT = 100_000_000
+SHIFT = 100_000_000   # per-replica key offset; 99 * 1e8 < 2^63, int64-safe
 
 
 def replicate(df, shift_cols, per_replica=None):
@@ -86,7 +88,10 @@ def perturb_embedding(df, i):
 
 
 def main() -> None:
+    global FACTOR
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+    if len(sys.argv) > 2:
+        FACTOR = int(sys.argv[2])
     spark = get_spark("make_sf1", cpus=int(os.environ.get(
         "SPARK_GRAFT_CPUS", "32")))
     plans = {
@@ -108,8 +113,11 @@ def main() -> None:
         else:
             big = replicate(df, shift_cols, per_replica)
         path = os.path.join(out_dir, f"{name}.parquet")
-        big.repartition(8 if name in ("lineitem", "orders", "events")
-                        else 2) \
+        # keep output files near the sf1 size (~64-128 MB targets at
+        # larger factors) so the scan parallelism grows with the data
+        n_parts = max(1, ((8 if name in ("lineitem", "orders", "events")
+                           else 2) * FACTOR) // 10)
+        big.repartition(n_parts) \
            .write.mode("overwrite").parquet(path)
         n = spark.read.parquet(path).count()
         print(f"{name}: {n} rows -> {path}")
