@@ -25,8 +25,12 @@ from .queries import query
 def _envelope_rows(orders: DataFrame, manip: str, day_shift: int,
                    total_adj: float) -> DataFrame:
     ts = format_ts(F.col("o_orderdate") + F.expr(f"INTERVAL {day_shift} DAY"), 6)
+    # bigint, not the reference envelope's INT: the key derives from
+    # o_orderkey, which exceeds int32 beyond ~sf5 (caught by the sf10
+    # run — ANSI mode aborts on the overflow). INT-schema parity for
+    # the real envelope is pinned by cdc_envelope_decode/schemas.py.
     payload = F.struct(
-        F.col("o_orderkey").cast("int").alias("SalesOrderId"),
+        F.col("o_orderkey").cast("bigint").alias("SalesOrderId"),
         (F.col("o_totalprice") + total_adj).alias("TotalDue"),
         F.lit(5).alias("Status"))
     return orders.select(
@@ -40,7 +44,7 @@ def _envelope_rows(orders: DataFrame, manip: str, day_shift: int,
 @query(
     "cdc_apply_snapshot",
     oracle="""
-    SELECT CAST(o_orderkey AS INT) AS SalesOrderId,
+    SELECT CAST(o_orderkey AS BIGINT) AS SalesOrderId,
            CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000.0
                 ELSE o_totalprice END AS TotalDue,
            5 AS Status
@@ -62,7 +66,7 @@ def _cdc_apply_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "cdc_state_asof",
     oracle="""
-    SELECT CAST(o_orderkey AS INT) AS SalesOrderId,
+    SELECT CAST(o_orderkey AS BIGINT) AS SalesOrderId,
            CASE WHEN o_orderkey % 5 = 0
                  AND o_orderdate + INTERVAL 1 DAY <= TIMESTAMP '1998-06-15'
                 THEN o_totalprice + 1000.0

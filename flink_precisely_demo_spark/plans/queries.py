@@ -136,9 +136,9 @@ def _parse_ts_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "cdc_envelope_decode",
     oracle="""
-    SELECT CAST(o_orderkey AS INT) AS SalesOrderId,
+    SELECT CAST(o_orderkey % 2147483648 AS INT) AS SalesOrderId,
            5 AS Status,
-           CAST(o_custkey AS INT) AS AddressId,
+           CAST(o_custkey % 2147483648 AS INT) AS AddressId,
            o_totalprice AS TotalDue,
            o_orderdate AS OrderAsOf
     FROM orders

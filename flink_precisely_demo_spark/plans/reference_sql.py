@@ -21,7 +21,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..schemas import ORDERS_PAYLOAD
-from ..sources.cdc_json import decode_envelope, synthesize_orders_envelope
+from ..sources.cdc_json import (decode_envelope, fold_key,
+                                synthesize_orders_envelope)
 from ..sources.parquet import load_table
 from .queries import query
 
@@ -55,12 +56,12 @@ def register_parse_ts_sql(spark: SparkSession) -> None:
 @query(
     "reference_sql_orders",
     oracle="""
-    SELECT CAST(o_orderkey AS INT) AS SalesOrderId,
+    SELECT CAST(o_orderkey % 2147483648 AS INT) AS SalesOrderId,
            o_orderdate AS OrderDate,
            o_orderdate AS DueDate,
            o_orderdate AS ShipDate,
            5 AS Status,
-           CAST(o_custkey AS INT) AS AddressId,
+           CAST(o_custkey % 2147483648 AS INT) AS AddressId,
            o_totalprice AS SubTotal,
            0.0 AS TaxAmt,
            0.0 AS Freight,
@@ -189,7 +190,7 @@ def _states_feed_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _address_feed_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     payload = F.struct(
-        F.col("c_custkey").cast("int").alias("AddressID"),
+        fold_key(F.col("c_custkey")).alias("AddressID"),
         F.lit("1 Main St").alias("AddressLine1"),
         F.lit("Springfield").alias("City"),
         F.col("c_nationkey").cast("int").alias("StateProvinceID"),

@@ -74,6 +74,24 @@ def widen_feed(df: DataFrame) -> DataFrame:
     return df.repartition(target)
 
 
+#: The reference envelope DDL declares its keys INT
+#: (StreamingJob.java orders.sql/address.sql: SalesOrderId,
+#: AddressID). Fixture keys are int64 and exceed 2^31 from the sf10
+#: scale dataset up (caught there: ANSI Spark aborts on the
+#: overflow). The synthesizers — which simulate the upstream CDC
+#: producer bound to that INT schema — fold keys into the domain:
+#: identity at every oracle-checked SF (max key at sf1 is ~9.1e8),
+#: deterministic wrap beyond. Folding is applied to BOTH sides of
+#: every key relationship (order.ShipToAddressId and
+#: address.AddressID share it), so enrichment joins stay aligned.
+KEY_DOMAIN = 1 << 31
+
+
+def fold_key(col):
+    """Fold a 64-bit fixture key into the envelope's INT key domain."""
+    return F.pmod(col, F.lit(KEY_DOMAIN)).cast("int")
+
+
 def synthesize_orders_envelope(orders: DataFrame) -> DataFrame:
     """Build cdc-orders JSON lines from the driver's orders table.
 
@@ -86,12 +104,12 @@ def synthesize_orders_envelope(orders: DataFrame) -> DataFrame:
     orders = widen_feed(orders)
     ts_str = format_ts(F.col("o_orderdate"), 6)
     payload = F.struct(
-        F.col("o_orderkey").cast("int").alias("SalesOrderId"),
+        fold_key(F.col("o_orderkey")).alias("SalesOrderId"),
         ts_str.alias("OrderDate"),
         ts_str.alias("DueDate"),
         ts_str.alias("ShipDate"),
         F.lit(5).alias("Status"),
-        F.col("o_custkey").cast("int").alias("ShipToAddressId"),
+        fold_key(F.col("o_custkey")).alias("ShipToAddressId"),
         F.col("o_totalprice").alias("SubTotal"),
         F.lit(0.0).alias("TaxAmt"),
         F.lit(0.0).alias("Freight"),
