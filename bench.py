@@ -172,6 +172,7 @@ def _streaming_throughput(spark, sf_dir: str) -> float:
     from pyspark.sql import functions as F
 
     from flink_precisely_demo_spark.sources.cdc_json import (
+        fold_key,
         synthesize_orders_envelope,
     )
     from flink_precisely_demo_spark.sources.parquet import load_table
@@ -180,9 +181,11 @@ def _streaming_throughput(spark, sf_dir: str) -> float:
     env_dir = tempfile.mkdtemp(prefix="bench_cdc_")
     try:
         synthesize_orders_envelope(orders).write.mode("overwrite").text(env_dir)
-        # dims: customer plays address, nation plays states (FIXTURES.md §B)
+        # dims: customer plays address, nation plays states (FIXTURES.md §B).
+        # fold_key matches the envelope synthesizer's INT key domain
+        # (int64 fixture keys exceed int32 from sf10 up)
         address = load_table(spark, sf_dir, "customer").select(
-            F.col("c_custkey").cast("int").alias("AddressID"),
+            fold_key(F.col("c_custkey")).alias("AddressID"),
             F.col("c_nationkey").alias("StateProvinceID"))
         states = load_table(spark, sf_dir, "nation").select(
             F.col("n_nationkey").alias("StateProvinceID"),

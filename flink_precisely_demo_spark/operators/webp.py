@@ -668,11 +668,80 @@ def _write_prefix_code(bw: _LsbWriter, lengths: dict,
     return _canonical_codes(lengths)
 
 
-def encode_webp_lossless(img: np.ndarray) -> bytes:
+def _prefix_encode(v: int) -> tuple[int, int, int]:
+    """Inverse of :func:`_prefix_value`: value -> (prefix_code,
+    n_extra_bits, extra_value)."""
+    if v <= 4:
+        return v - 1, 0, 0
+    x = v - 1
+    eb = x.bit_length() - 2
+    if x < 3 << eb:
+        return 2 * eb + 2, eb, x - (2 << eb)
+    return 2 * eb + 3, eb, x - (3 << eb)
+
+
+# largest distance expressible by the 40-code distance alphabet,
+# minus the 120-code 2D-map shift (the encoder always uses the plain
+# 1D mapping: dist_code = dist + 120)
+_MAX_LZ_DIST = ((3 << 18) + (1 << 18)) - 120
+_MAX_LZ_LEN = 4096  # 24 length codes top out at (3<<10) + 1023 + 1
+
+_CACHE_MUL = 0x1E35A7BD
+
+
+def _tokenize(px: list, cache_bits: int, use_lz77: bool) -> list:
+    """Greedy LZ77 + color-cache tokenization over ARGB uint32
+    pixels; mirrors the decoder's state transitions exactly (literals
+    and copied pixels enter the cache, cache hits don't)."""
+    n = len(px)
+    cache = [None] * (1 << cache_bits) if cache_bits else None
+    shift = 32 - cache_bits if cache_bits else 0
+    last3: dict = {}  # 3-gram -> most recent position
+    tokens = []
+    pos = 0
+    while pos < n:
+        if use_lz77 and pos + 2 < n:
+            key = (px[pos], px[pos + 1], px[pos + 2])
+            j = last3.get(key)
+            if j is not None and pos - j <= _MAX_LZ_DIST:
+                length = 0
+                while (pos + length < n and length < _MAX_LZ_LEN
+                       and px[j + length] == px[pos + length]):
+                    length += 1
+                if length >= 3:
+                    tokens.append(("copy", length, pos - j))
+                    for k in range(pos, pos + length):
+                        if cache is not None:
+                            cache[(_CACHE_MUL * px[k] & 0xFFFFFFFF)
+                                  >> shift] = px[k]
+                        if k + 2 < n:
+                            last3[(px[k], px[k + 1], px[k + 2])] = k
+                    pos += length
+                    continue
+        v = px[pos]
+        if pos + 2 < n:
+            last3[(v, px[pos + 1], px[pos + 2])] = pos
+        if cache is not None:
+            idx = (_CACHE_MUL * v & 0xFFFFFFFF) >> shift
+            if cache[idx] == v:
+                tokens.append(("cache", idx))
+                pos += 1
+                continue
+            cache[idx] = v
+        tokens.append(("lit", v))
+        pos += 1
+    return tokens
+
+
+def encode_webp_lossless(img: np.ndarray, effort: int = 1) -> bytes:
     """(h, w, 3) or (h, w, 4) uint8 -> lossless WebP bytes.
-    Literal-only VP8L (no transforms, no LZ77, no cache) with real
-    per-channel canonical prefix codes — small and spec-conformant,
-    which is all the round-trip tests and fixtures need."""
+
+    effort=0: literal-only VP8L (no transforms, no LZ77, no cache) —
+    the smallest spec surface, used by the hand-crafted format tests.
+    effort=1 (default): subtract-green transform + 8-bit color cache
+    + greedy LZ77 (3-gram hash chain, 1D distance codes) — real
+    compression from the same per-stream canonical prefix codes.
+    Either way decode_webp() round-trips byte-exactly."""
     if img.ndim != 3 or img.shape[2] not in (3, 4):
         raise ValueError("expected (h, w, 3|4) uint8 image")
     h, w = img.shape[:2]
@@ -680,7 +749,45 @@ def encode_webp_lossless(img: np.ndarray) -> bytes:
         raise ValueError("VP8L dimensions limited to 16384")
     rgba = img if img.shape[2] == 4 else np.concatenate(
         [img, np.full((h, w, 1), 255, dtype=np.uint8)], axis=2)
-    flat = rgba.reshape(-1, 4)
+    flat = rgba.reshape(-1, 4).astype(np.uint32)
+
+    use_sub_green = effort >= 1
+    cache_bits = 8 if effort >= 1 else 0
+    cache_size = (1 << cache_bits) if cache_bits else 0
+
+    if use_sub_green:
+        g = flat[:, 1]
+        flat = flat.copy()
+        flat[:, 0] = (flat[:, 0] - g) & 0xFF
+        flat[:, 2] = (flat[:, 2] - g) & 0xFF
+
+    argb = ((flat[:, 3] << 24) | (flat[:, 0] << 16)
+            | (flat[:, 1] << 8) | flat[:, 2])
+    px = [int(v) for v in argb]
+    tokens = _tokenize(px, cache_bits, use_lz77=effort >= 1)
+
+    # per-stream symbol frequencies
+    g_freq: dict = {}
+    r_freq: dict = {}
+    b_freq: dict = {}
+    a_freq: dict = {}
+    d_freq: dict = {}
+    for tok in tokens:
+        kind = tok[0]
+        if kind == "lit":
+            v = tok[1]
+            g_freq[(v >> 8) & 0xFF] = g_freq.get((v >> 8) & 0xFF, 0) + 1
+            r_freq[(v >> 16) & 0xFF] = r_freq.get((v >> 16) & 0xFF, 0) + 1
+            b_freq[v & 0xFF] = b_freq.get(v & 0xFF, 0) + 1
+            a_freq[v >> 24] = a_freq.get(v >> 24, 0) + 1
+        elif kind == "cache":
+            s = 256 + 24 + tok[1]
+            g_freq[s] = g_freq.get(s, 0) + 1
+        else:  # copy
+            lcode, _, _ = _prefix_encode(tok[1])
+            g_freq[256 + lcode] = g_freq.get(256 + lcode, 0) + 1
+            dcode, _, _ = _prefix_encode(tok[2] + 120)
+            d_freq[dcode] = d_freq.get(dcode, 0) + 1
 
     bw = _LsbWriter()
     bw.write(0x2F, 8)
@@ -688,28 +795,53 @@ def encode_webp_lossless(img: np.ndarray) -> bytes:
     bw.write(h - 1, 14)
     bw.write(1 if img.shape[2] == 4 else 0, 1)  # alpha hint
     bw.write(0, 3)                              # version
-    bw.write(0, 1)                              # no transforms
-    bw.write(0, 1)                              # no color cache
+    if use_sub_green:
+        bw.write(1, 1)
+        bw.write(2, 2)                          # SUBTRACT_GREEN
+    bw.write(0, 1)                              # no (more) transforms
+    if cache_bits:
+        bw.write(1, 1)
+        bw.write(cache_bits, 4)
+    else:
+        bw.write(0, 1)
     bw.write(0, 1)                              # no meta prefix codes
 
-    chans = [flat[:, 1], flat[:, 0], flat[:, 2], flat[:, 3]]  # g r b a
-    codes = []
-    for ci, (chan, alpha_size) in enumerate(zip(
-            chans, [256 + 24, 256, 256, 256])):
-        vals, counts = np.unique(chan, return_counts=True)
-        freqs = {int(v): int(c) for v, c in zip(vals, counts)}
+    def code_table(freqs: dict, alphabet: int) -> dict:
+        if not freqs:
+            freqs = {0: 1}  # present-but-unused (spec requires a code)
         lengths = _huffman_lengths(freqs, _MAX_CODE_LEN)
-        codes.append(_write_prefix_code(bw, lengths, alpha_size))
-    # distance code: never referenced (no LZ77) but must be present
-    _write_prefix_code(bw, {0: 1}, 40)
+        return _write_prefix_code(bw, lengths, alphabet)
 
-    g_codes, r_codes, b_codes, a_codes = codes
-    for r, g, b, a in flat:
-        for val, table in ((g, g_codes), (r, r_codes),
-                           (b, b_codes), (a, a_codes)):
-            code, length = table[int(val)]
-            if length:
-                bw.write_code(code, length)
+    g_codes = code_table(g_freq, 256 + 24 + cache_size)
+    r_codes = code_table(r_freq, 256)
+    b_codes = code_table(b_freq, 256)
+    a_codes = code_table(a_freq, 256)
+    d_codes = code_table(d_freq, 40)
+
+    def emit(table: dict, sym: int) -> None:
+        code, length = table[sym]
+        if length:
+            bw.write_code(code, length)
+
+    for tok in tokens:
+        kind = tok[0]
+        if kind == "lit":
+            v = tok[1]
+            emit(g_codes, (v >> 8) & 0xFF)
+            emit(r_codes, (v >> 16) & 0xFF)
+            emit(b_codes, v & 0xFF)
+            emit(a_codes, v >> 24)
+        elif kind == "cache":
+            emit(g_codes, 256 + 24 + tok[1])
+        else:
+            lcode, lbits, lextra = _prefix_encode(tok[1])
+            emit(g_codes, 256 + lcode)
+            if lbits:
+                bw.write(lextra, lbits)
+            dcode, dbits, dextra = _prefix_encode(tok[2] + 120)
+            emit(d_codes, dcode)
+            if dbits:
+                bw.write(dextra, dbits)
     data = bw.flush()
 
     chunk = b"VP8L" + len(data).to_bytes(4, "little") + data

@@ -102,11 +102,15 @@ def test_audio_features(media):
 
 
 def test_unsupported_codec_is_per_row_error_not_job_abort(spark):
-    """webp/mp3 have no codec in this build: their rows surface a
-    typed error while the decodable rows in the SAME job succeed."""
+    """Lossy webp (VP8)/mp3 have no codec in this build: their rows
+    surface a typed error while the decodable rows in the SAME job
+    succeed. (Lossless VP8L webp DOES decode — operators/webp.py —
+    so the unsupported fixture is a lossy-VP8 container.)"""
+    vp8_lossy = (b"RIFF" + (16).to_bytes(4, "little") + b"WEBP"
+                 + b"VP8 " + (4).to_bytes(4, "little") + b"\x00" * 4)
     rows = [
         (1, _meta("image", "jpeg"), encode_jpeg(_grad_img(8, 8))),
-        (2, _meta("image", "webp"), b"RIFFxxxxWEBP fake"),
+        (2, _meta("image", "webp"), vp8_lossy),
         (3, _meta("audio", "wav"),
          _encode_wav(0.5 * np.ones(100), 8000)),
         (4, _meta("audio", "mp3"), b"ID3 fake mp3 bytes"),

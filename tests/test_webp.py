@@ -109,6 +109,29 @@ def test_roundtrip_low_entropy(shape, n_colors, seed):
     assert np.array_equal(decode_webp(encode_webp_lossless(img)), img)
 
 
+@settings(max_examples=15, deadline=None)
+@given(shapes, st.integers(0, 2**32 - 1))
+def test_roundtrip_compressed_vs_literal(shape, seed):
+    """effort=1 (subtract-green + cache + LZ77) and effort=0
+    (literal-only) must decode to the same pixels."""
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, size=(3, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, 3, size=shape)]
+    d0 = decode_webp(encode_webp_lossless(img, effort=0))
+    d1 = decode_webp(encode_webp_lossless(img, effort=1))
+    assert np.array_equal(d0, img) and np.array_equal(d1, img)
+
+
+def test_compression_effective_on_redundant_content():
+    x = np.arange(64, dtype=np.uint8)
+    img = np.stack([np.tile(x, (64, 1)), np.tile(x[::-1], (64, 1)),
+                    np.tile(x // 2, (64, 1))], axis=2)
+    e0 = encode_webp_lossless(img, effort=0)
+    e1 = encode_webp_lossless(img, effort=1)
+    assert len(e1) < len(e0) / 4  # LZ77 + cache must actually bite
+    assert np.array_equal(decode_webp(e1), img)
+
+
 def test_roundtrip_rgba_alpha_dropped():
     rng = np.random.default_rng(7)
     img = rng.integers(0, 256, size=(9, 11, 4), dtype=np.uint8)
