@@ -71,8 +71,12 @@ _DEFERRED = [
     "range_join_events", "dedup_clusters", "ddl_entry_pipeline",
     "multimodal_manifest",
     # r6 addition: cdc_state_asof (green r2-r5) cedes its slot to the
-    # never-driver-validated streaming_dedup_replay
+    # never-driver-validated streaming_dedup_replay;
+    # curation_stratified (green r4+r5) cedes its slot to the new
+    # text_pii_scrub (family floor holds: curation keeps
+    # pack_chunks + pipeline_e2e in-window)
     "cdc_state_asof",
+    "curation_stratified",
     # rotated out in r4 for the TPC-H tail; each is >= double-green
     # (rounds noted), and every operator family keeps >= 3 entries
     # inside the window

@@ -175,3 +175,49 @@ def gopher_pass(stats: Column) -> Column:
             & (stats["mean_word_len"] <= 12.0)
             & (stats["distinct_ratio"] >= 0.2)
             & (stats["top_token_frac"] <= 0.35))
+
+
+#: PII redaction patterns, ordered (an email must be caught before
+#: the bare-digit rules see its local part). Each regex is valid and
+#: IDENTICAL in Java regex (Spark, JVM-side regexp_replace) and RE2
+#: (DuckDB oracle): character classes, bounded repetition and \b
+#: only — no lookarounds, no backreferences, nothing
+#: dialect-divergent. At 100 TB this runs inside the scan stage's
+#: codegen like every other text function (zero Python, zero
+#: shuffle).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "[EMAIL]"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+     "[IP]"),
+    ("phone", r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b", "[PHONE]"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "[SSN]"),
+    ("card", r"\b[0-9]{4}[ -][0-9]{4}[ -][0-9]{4}[ -][0-9]{4}\b",
+     "[CARD]"),
+)
+
+
+def scrub_pii(col: Column | str) -> Column:
+    """Redact PII spans in-place with typed placeholders. The
+    pattern order is part of the contract: emails first (their local
+    parts contain digit runs), then dotted-quad IPs (so phone-like
+    fragments inside them can't fire), then phone/SSN/card digit
+    shapes."""
+    out = F.col(col) if isinstance(col, str) else col
+    for _, pattern, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, repl)
+    return out
+
+
+def pii_counts(col: Column | str) -> Column:
+    """Struct of per-category redaction counts over the ORIGINAL
+    text, mirroring scrub_pii's sequential semantics: each category
+    is counted on the text with the previous categories already
+    redacted, so overlapping shapes are attributed exactly once."""
+    cur = F.col(col) if isinstance(col, str) else col
+    fields = []
+    for name, pattern, repl in PII_PATTERNS:
+        fields.append(F.regexp_count(cur, F.lit(pattern))
+                      .cast("long").alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pattern, repl)
+    return F.struct(*fields)

@@ -192,3 +192,96 @@ def _text_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.select(
         "doc_id", "s.n_tokens", "s.distinct_ratio", "s.top_token_frac",
         "s.mean_word_len", gopher_pass(F.col("s")).alias("gopher_ok"))
+
+
+# DuckDB twin of the synthetic-PII augmentation: the fixture corpus
+# is token soup, so each row gets a deterministic PII snippet derived
+# from doc_id — identical arithmetic on both engines — and the scrub
+# runs over text that provably contains every category.
+_PII_AUG = """
+    substring(text, 1, 40)
+    || ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com or '
+    || CAST(doc_id % 900 + 100 AS VARCHAR) || '-'
+    || CAST(doc_id % 900 + 100 AS VARCHAR) || '-'
+    || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+    || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+    || CAST(doc_id % 100 AS VARCHAR)
+    || ' ssn ' || CAST(doc_id % 900 + 100 AS VARCHAR) || '-'
+    || CAST(doc_id % 90 + 10 AS VARCHAR) || '-'
+    || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+    || ' card ' || CAST(doc_id % 9000 + 1000 AS VARCHAR) || ' '
+    || CAST(doc_id % 9000 + 1000 AS VARCHAR) || ' '
+    || CAST(doc_id % 9000 + 1000 AS VARCHAR) || ' '
+    || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+"""
+
+_PII_SQL_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "[EMAIL]"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+     "[IP]"),
+    ("phone", r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b", "[PHONE]"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "[SSN]"),
+    ("card", r"\b[0-9]{4}[ -][0-9]{4}[ -][0-9]{4}[ -][0-9]{4}\b",
+     "[CARD]"),
+]
+
+
+def _pii_oracle() -> str:
+    # sequential semantics: each category counted on the text with
+    # the previous categories already redacted (mirrors pii_counts)
+    cur = "aug"
+    selects = []
+    for name, pat, repl in _PII_SQL_PATTERNS:
+        selects.append(
+            f"CAST(len(regexp_extract_all({cur}, '{pat}')) AS BIGINT)"
+            f" AS n_{name}")
+        cur = f"regexp_replace({cur}, '{pat}', '{repl}', 'g')"
+    return f"""
+    WITH a AS (
+      SELECT doc_id, {_PII_AUG} AS aug
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id, {cur} AS scrubbed, {', '.join(selects)}
+    FROM a
+    """
+
+
+@query("text_pii_scrub", oracle=_pii_oracle())
+def _text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction for training corpora: emails, dotted-quad IPs,
+    phone/SSN/credit-card digit shapes replaced with typed
+    placeholders, plus per-category counts under sequential
+    (attribute-once) semantics. Pure JVM regexp_replace chains
+    (functions/text.py::scrub_pii) — the patterns are written to the
+    RE2 AND Java regex common subset so the DuckDB oracle runs them
+    verbatim; at 100 TB this is a zero-shuffle scan-stage map."""
+    from ..functions.text import pii_counts, scrub_pii
+
+    d = load_table(spark, sf_dir, "documents") \
+        .filter(F.col("text").isNotNull())
+    did = F.col("doc_id")
+
+    def s(col):
+        return col.cast("string")
+
+    aug = F.concat(
+        F.substring("text", 1, 40),
+        F.lit(" reach user"), s(did), F.lit("@example.com or "),
+        s(did % 900 + 100), F.lit("-"),
+        s(did % 900 + 100), F.lit("-"),
+        s(did % 9000 + 1000),
+        F.lit(" from 10."), s(did % 256), F.lit(".0."),
+        s(did % 100),
+        F.lit(" ssn "), s(did % 900 + 100), F.lit("-"),
+        s(did % 90 + 10), F.lit("-"), s(did % 9000 + 1000),
+        F.lit(" card "), s(did % 9000 + 1000), F.lit(" "),
+        s(did % 9000 + 1000), F.lit(" "),
+        s(did % 9000 + 1000), F.lit(" "), s(did % 9000 + 1000))
+    withc = d.select("doc_id", aug.alias("aug"))
+    return withc.select(
+        "doc_id",
+        scrub_pii("aug").alias("scrubbed"),
+        pii_counts("aug").alias("c"),
+    ).select("doc_id", "scrubbed", "c.n_email", "c.n_ipv4",
+             "c.n_phone", "c.n_ssn", "c.n_card")

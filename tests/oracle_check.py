@@ -10,6 +10,7 @@ the driver's hash compare.
 from __future__ import annotations
 
 import math
+import os
 
 import duckdb
 import pandas as pd
@@ -21,8 +22,13 @@ TABLES = ("region", "nation", "customer", "supplier", "part",
 def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        # driver fixtures are single files; the materialized sf1/sf10
+        # scale datasets are Spark-written part-file directories
+        if os.path.isdir(path):
+            path += "/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     return con
 
 

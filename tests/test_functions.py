@@ -121,3 +121,32 @@ def test_repetition_stats_and_gopher_gate(spark):
     assert not out[2].ok and out[2].s.top_token_frac == 1.0
     assert not out[3].ok  # below the 20-token floor
     assert abs(out[2].s.mean_word_len - 3.0) < 1e-9
+
+
+def test_scrub_pii_categories_and_order(spark):
+    from flink_precisely_demo_spark.functions.text import (
+        pii_counts,
+        scrub_pii,
+    )
+
+    rows = [
+        (1, "write to jane.doe+x@corp.example.org today"),
+        (2, "server 192.168.001.200 and phone 555-123-4567"),
+        (3, "ssn 123-45-6789 card 1234 5678 9012 3456"),
+        (4, "no pii here, just 12345 and v1.2 notes"),
+        (5, "email-with-ip user5@10.0.0.1.example.com stays one email"),
+    ]
+    df = spark.createDataFrame(rows, "id int, t string")
+    out = {r["id"]: r for r in df.select(
+        "id", scrub_pii("t").alias("s"),
+        pii_counts("t").alias("c")).collect()}
+
+    assert out[1]["s"] == "write to [EMAIL] today"
+    assert out[1]["c"]["n_email"] == 1 and out[1]["c"]["n_phone"] == 0
+    assert out[2]["s"] == "server [IP] and phone [PHONE]"
+    assert out[3]["s"] == "ssn [SSN] card [CARD]"
+    assert out[4]["s"] == rows[3][1]          # untouched
+    assert all(v == 0 for v in out[4]["c"].asDict().values())
+    # email pattern consumes the dotted host BEFORE the ipv4 rule
+    # sees it: attribute-once semantics
+    assert out[5]["c"]["n_email"] == 1 and out[5]["c"]["n_ipv4"] == 0
