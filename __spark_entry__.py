@@ -74,9 +74,13 @@ _DEFERRED = [
     # never-driver-validated streaming_dedup_replay;
     # curation_stratified (green r4+r5) cedes its slot to the new
     # text_pii_scrub (family floor holds: curation keeps
-    # pack_chunks + pipeline_e2e in-window)
+    # pack_chunks + pipeline_e2e in-window); kmeans_ivf_index (green
+    # r4+r5) cedes its slot to the new text_html_extract (sketch/ANN
+    # family keeps approx_sketches + similarity_ivf_topk +
+    # ann_index_topk in-window)
     "cdc_state_asof",
     "curation_stratified",
+    "kmeans_ivf_index",
     # rotated out in r4 for the TPC-H tail; each is >= double-green
     # (rounds noted), and every operator family keeps >= 3 entries
     # inside the window

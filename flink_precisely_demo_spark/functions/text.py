@@ -221,3 +221,49 @@ def pii_counts(col: Column | str) -> Column:
                       .cast("long").alias(f"n_{name}"))
         cur = F.regexp_replace(cur, pattern, repl)
     return F.struct(*fields)
+
+
+#: HTML entity decode chain; `&amp;` is decoded LAST so that
+#: double-encoded entities (`&amp;lt;`) decode exactly one level,
+#: matching the behavior of a real single-pass entity decoder.
+HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&"),
+)
+
+# every pattern below is valid and identical in Java regex (Spark)
+# and RE2 (DuckDB oracle): (?s) flag, non-greedy .*?, char classes —
+# no lookarounds, no backreferences
+_HTML_COMMENT = r"(?s)<!--.*?-->"
+_HTML_BLOCKS = r"(?s)<(script|style)[^>]*>.*?</(script|style)>"
+_HTML_TAG = r"<[^>]+>"
+
+
+def html_to_text(col: Column | str) -> Column:
+    """Crawl-grade HTML -> plain text: strip comments, script/style
+    blocks (content included), and tags; decode the common entities;
+    collapse whitespace. Pure JVM regexp chain — at 100 TB this runs
+    inside the scan stage like the rest of the text layer. (A
+    production pipeline may swap in a DOM-aware extractor; the
+    operator contract — schema, per-row totality, zero shuffle —
+    stays identical.)"""
+    out = F.col(col) if isinstance(col, str) else col
+    out = F.regexp_replace(out, _HTML_COMMENT, " ")
+    out = F.regexp_replace(out, _HTML_BLOCKS, " ")
+    out = F.regexp_replace(out, _HTML_TAG, " ")
+    for ent, repl in HTML_ENTITIES:
+        out = F.regexp_replace(out, ent, repl)
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def html_title(col: Column | str) -> Column:
+    """<title> contents (first match, trimmed; empty when absent)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_extract(c, r"(?s)<title[^>]*>(.*?)</title>", 1))
+
+
+def html_link_count(col: Column | str) -> Column:
+    """Number of anchor tags — the numerator of the link-density
+    boilerplate heuristic."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(r"<a[\s>]")).cast("long")

@@ -293,16 +293,23 @@ def image_features(media: DataFrame, partitions: int | None = None) -> DataFrame
 
 
 def image_resize(media: DataFrame, out_w: int, out_h: int,
-                 quality: int = 90) -> DataFrame:
-    """Decode, nearest-neighbor resize, re-encode as baseline JPEG,
+                 quality: int = 90, out_format: str = "jpeg") -> DataFrame:
+    """Decode, nearest-neighbor resize, re-encode (baseline JPEG by
+    default; ``out_format="webp"`` re-encodes LOSSLESSLY as VP8L —
+    right for thumbnails feeding exact-dedup or pixel-level training
+    targets, where JPEG requantization would perturb content hashes),
     and re-emit as (media_id, meta, payload) rows — the output schema
     matches the input so resize composes with any other media
     operator. Rows whose payload fails to decode are DROPPED (run
     :func:`image_features` on the same input to audit them — its
     ``error`` column names every undecodable row)."""
+    if out_format not in ("jpeg", "webp"):
+        raise ValueError(f"out_format must be jpeg|webp, got {out_format!r}")
     n = media.sparkSession.sparkContext.defaultParallelism
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .webp import encode_webp_lossless
+
         for pdf in batches:
             ids, metas, payloads = [], [], []
             for mid, meta, payload in zip(pdf["media_id"], pdf["meta"],
@@ -315,11 +322,14 @@ def image_resize(media: DataFrame, out_w: int, out_h: int,
                 xs = (np.arange(out_w) * arr.shape[1] // out_w)
                 resized = arr[ys][:, xs]
                 m = dict(meta)
-                m.update(format="jpeg", width=out_w, height=out_h,
+                m.update(format=out_format, width=out_w, height=out_h,
                          n_channels=3)
                 ids.append(mid)
                 metas.append(m)
-                payloads.append(encode_jpeg(resized, quality=quality))
+                if out_format == "webp":
+                    payloads.append(encode_webp_lossless(resized))
+                else:
+                    payloads.append(encode_jpeg(resized, quality=quality))
             # explicit dtypes: an all-dropped batch must still yield
             # a struct-typed empty meta column, not a float64 one
             yield pd.DataFrame({

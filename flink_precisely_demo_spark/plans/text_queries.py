@@ -285,3 +285,79 @@ def _text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         pii_counts("aug").alias("c"),
     ).select("doc_id", "scrubbed", "c.n_email", "c.n_ipv4",
              "c.n_phone", "c.n_ssn", "c.n_card")
+
+
+# DuckDB twin of the synthetic page builder: the corpus is plain
+# token soup, so each row is wrapped in a deterministic HTML shell
+# (title, comment, script+style blocks, entities, doc_id-dependent
+# link count) — identical string arithmetic on both engines — and
+# the extractor provably has markup to strip on every row.
+_HTML_AUG = """
+    '<!DOCTYPE html><html><head><title> Doc ' || CAST(doc_id AS VARCHAR)
+    || ' &amp; friends </title><style>p{color:red}</style>'
+    || '<script>var x = doc < 3 && doc > 1;</script></head>'
+    || '<!-- crawl id ' || CAST(doc_id AS VARCHAR) || ' --><body><p>'
+    || substring(text, 1, 60)
+    || '</p><p>&quot;quoted&#39;&nbsp;&amp;lt;kept&gt;</p>'
+    || repeat('<a href="/x">link</a> ', CAST(doc_id % 4 AS INTEGER))
+    || '<div>tail ' || CAST(doc_id AS VARCHAR) || '</div></body></html>'
+"""
+
+_HTML_ENT_SQL = [("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+                 ("&quot;", '"'), ("&#39;", "''"), ("&amp;", "&")]
+
+
+def _html_oracle() -> str:
+    cur = "aug"
+    cur = f"regexp_replace({cur}, '(?s)<!--.*?-->', ' ', 'g')"
+    cur = (f"regexp_replace({cur}, "
+           f"'(?s)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g')")
+    cur = f"regexp_replace({cur}, '<[^>]+>', ' ', 'g')"
+    for ent, repl in _HTML_ENT_SQL:
+        cur = f"regexp_replace({cur}, '{ent}', '{repl}', 'g')"
+    cur = f"trim(regexp_replace({cur}, '\\s+', ' ', 'g'))"
+    return f"""
+    WITH a AS (
+      SELECT doc_id, {_HTML_AUG} AS aug
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id,
+           trim(regexp_extract(aug, '(?s)<title[^>]*>(.*?)</title>', 1))
+             AS title,
+           {cur} AS extracted,
+           CAST(len(regexp_extract_all(aug, '<a[\\s>]')) AS BIGINT)
+             AS n_links
+    FROM a
+    """
+
+
+@query("text_html_extract", oracle=_html_oracle())
+def _text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> text extraction, the first stage of every crawl
+    pipeline: strip comments + script/style blocks + tags, decode
+    entities (one level, &amp; last), collapse whitespace; plus
+    <title> capture and anchor-tag counts for the link-density
+    boilerplate heuristic. Pure JVM regexp chains held to the
+    RE2/Java common subset (the oracle runs the same patterns
+    verbatim); zero-shuffle scan-stage map at any scale."""
+    from ..functions.text import html_link_count, html_title, html_to_text
+
+    d = load_table(spark, sf_dir, "documents") \
+        .filter(F.col("text").isNotNull())
+    did = F.col("doc_id").cast("string")
+    aug = F.concat(
+        F.lit("<!DOCTYPE html><html><head><title> Doc "), did,
+        F.lit(" &amp; friends </title><style>p{color:red}</style>"),
+        F.lit("<script>var x = doc < 3 && doc > 1;</script></head>"),
+        F.lit("<!-- crawl id "), did, F.lit(" --><body><p>"),
+        F.substring("text", 1, 60),
+        F.lit("</p><p>&quot;quoted&#39;&nbsp;&amp;lt;kept&gt;</p>"),
+        F.repeat(F.lit('<a href="/x">link</a> '),
+                 (F.col("doc_id") % 4).cast("int")),
+        F.lit("<div>tail "), did, F.lit("</div></body></html>"))
+    a = d.select("doc_id", aug.alias("aug"))
+    return a.select(
+        "doc_id",
+        html_title("aug").alias("title"),
+        html_to_text("aug").alias("extracted"),
+        html_link_count("aug").alias("n_links"))

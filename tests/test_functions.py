@@ -150,3 +150,33 @@ def test_scrub_pii_categories_and_order(spark):
     # email pattern consumes the dotted host BEFORE the ipv4 rule
     # sees it: attribute-once semantics
     assert out[5]["c"]["n_email"] == 1 and out[5]["c"]["n_ipv4"] == 0
+
+
+def test_html_to_text_extraction(spark):
+    from flink_precisely_demo_spark.functions.text import (
+        html_link_count,
+        html_title,
+        html_to_text,
+    )
+
+    rows = [
+        (1, "<html><head><title> T1 </title><script>if (a<b && c>d) "
+            "alert('x');</script></head><body><p>Hello</p>"
+            "<!-- secret --><a href='/'>go</a></body></html>"),
+        (2, "plain text, no markup at all"),
+        (3, "<p>&amp;lt;one level&gt; &quot;q&quot;&nbsp;end</p>"),
+        (4, "<style>body { content: '</p>' }</style><div>kept</div>"),
+    ]
+    df = spark.createDataFrame(rows, "id int, t string")
+    out = {r["id"]: r for r in df.select(
+        "id", html_to_text("t").alias("x"), html_title("t").alias("ti"),
+        html_link_count("t").alias("n")).collect()}
+
+    # script content (with < > && inside) and comments are gone
+    assert out[1]["x"] == "T1 Hello go"
+    assert out[1]["ti"] == "T1" and out[1]["n"] == 1
+    assert out[2]["x"] == rows[1][1] and out[2]["n"] == 0
+    # one-level entity decode: &amp;lt; -> &lt; (not <)
+    assert out[3]["x"] == '&lt;one level> "q" end'
+    # style block dies wholesale up to its real closing tag
+    assert "kept" in out[4]["x"] and "content" not in out[4]["x"]

@@ -92,6 +92,25 @@ def test_image_resize_composes(media):
         assert (r["width"], r["height"]) == (4, 4)
 
 
+def test_image_resize_webp_lossless_output(media):
+    """webp output path: thumbnails re-encode LOSSLESSLY, so two
+    resize passes of the same input are byte-identical payloads
+    (JPEG requantization would not be)."""
+    resized = image_resize(media, 4, 4, out_format="webp")
+    rows = {r["media_id"]: r for r in resized.collect()}
+    assert len(rows) == 7
+    for r in rows.values():
+        assert r["meta"]["format"] == "webp"
+        assert bytes(r["payload"])[:4] == b"RIFF"
+    again = {r["media_id"]: r
+             for r in image_resize(media, 4, 4, out_format="webp").collect()}
+    for mid in rows:
+        assert bytes(rows[mid]["payload"]) == bytes(again[mid]["payload"])
+    feats = image_features(resized).collect()
+    assert all(f["error"] is None and (f["width"], f["height"]) == (4, 4)
+               for f in feats)
+
+
 def test_audio_features(media):
     feats = audio_features(media).collect()
     assert len(feats) == 7
