@@ -78,9 +78,13 @@ _DEFERRED = [
     # r4+r5) cedes its slot to the new text_html_extract (sketch/ANN
     # family keeps approx_sketches + similarity_ivf_topk +
     # ann_index_topk in-window)
+    # and approx_sketches (green r4+r5) cedes its slot to the new
+    # text_chunk_windows (stats family keeps percentile_exact +
+    # histogram_buckets in-window)
     "cdc_state_asof",
     "curation_stratified",
     "kmeans_ivf_index",
+    "approx_sketches",
     # rotated out in r4 for the TPC-H tail; each is >= double-green
     # (rounds noted), and every operator family keeps >= 3 entries
     # inside the window

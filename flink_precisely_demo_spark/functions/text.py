@@ -267,3 +267,13 @@ def html_link_count(col: Column | str) -> Column:
     boilerplate heuristic."""
     c = F.col(col) if isinstance(col, str) else col
     return F.regexp_count(c, F.lit(r"<a[\s>]")).cast("long")
+
+
+def chunk_starts(col: Column | str, stride: int) -> Column:
+    """Window start offsets 0, stride, 2*stride, ... < n_tokens for
+    context-window chunking. Empty/null docs yield an empty array."""
+    toks = tokens(col)
+    n = F.size(toks)
+    return F.when(n > 0, F.sequence(
+        F.lit(0), n - 1, F.lit(stride))).otherwise(
+        F.array().cast("array<int>"))

@@ -361,3 +361,44 @@ def _text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         html_title("aug").alias("title"),
         html_to_text("aug").alias("extracted"),
         html_link_count("aug").alias("n_links"))
+
+
+@query(
+    "text_chunk_windows",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id,
+           CAST(s // 24 AS BIGINT) AS chunk_idx,
+           array_to_string(toks[s+1 : s+32], ' ') AS chunk_text,
+           CAST(len(toks[s+1 : s+32]) AS BIGINT) AS n_chunk_tokens
+    FROM t, unnest(generate_series(0, len(toks) - 1, 24)) AS u(s)
+    WHERE len(toks) > 0
+    """,
+)
+def _text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking, the last step before tokenizer/
+    packing in a pretraining pipeline: fixed 32-token windows at
+    stride 24 (8-token overlap so no boundary n-gram is lost), one
+    output row per (doc, window). All JVM built-ins — sequence/
+    slice/posexplode inside the scan stage; the explode multiplies
+    rows ~n_tokens/stride with zero shuffle, so at 100 TB this is
+    embarrassingly parallel and output-bound, exactly like the real
+    thing."""
+    from ..functions.text import chunk_starts, tokens
+
+    size, stride = 32, 24
+    d = load_table(spark, sf_dir, "documents") \
+        .filter(F.col("text").isNotNull())
+    t = d.select("doc_id", tokens("text").alias("toks"),
+                 chunk_starts("text", stride).alias("starts"))
+    e = t.select("doc_id", "toks",
+                 F.explode("starts").alias("s"))
+    chunk = F.slice("toks", F.col("s") + 1, size)
+    return e.select(
+        "doc_id",
+        (F.col("s") / stride).cast("long").alias("chunk_idx"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"))
