@@ -182,3 +182,18 @@ def test_q22_anti_join_and_tiny_threshold_broadcast(spark):
         entry_mod.queries()["q22_global_sales_opportunity"](spark, SF))
     anti = [l for l in plan.splitlines() if "LeftAnti" in l]
     assert anti and "custkey" in anti[0].lower()
+
+
+def test_text_pipeline_ops_are_zero_shuffle(spark):
+    """The round-6 text operators (HTML extract, PII scrub,
+    context-window chunking) must stay scan-stage maps: no Exchange,
+    no Python workers (pure JVM regexp/array expressions), so at
+    100 TB they parallelize with the scan and nothing else."""
+    import __spark_entry__ as m
+
+    qs = m.queries()
+    for name in ["text_html_extract", "text_pii_scrub",
+                 "text_chunk_windows"]:
+        plan = _physical(qs[name](spark, SF))
+        assert "Exchange" not in plan, f"{name} shuffles:\n{plan}"
+        assert "Python" not in plan, f"{name} leaves the JVM:\n{plan}"
