@@ -81,10 +81,14 @@ _DEFERRED = [
     # and approx_sketches (green r4+r5) cedes its slot to the new
     # text_chunk_windows (stats family keeps percentile_exact +
     # histogram_buckets in-window)
+    # and ann_index_topk (green r2-r5) cedes its slot to the new
+    # cdc_history_scd2 (similarity family keeps similarity_ivf_topk
+    # in-window; brute-force + IVF cells hold deferred green)
     "cdc_state_asof",
     "curation_stratified",
     "kmeans_ivf_index",
     "approx_sketches",
+    "ann_index_topk",
     # rotated out in r4 for the TPC-H tail; each is >= double-green
     # (rounds noted), and every operator family keeps >= 3 entries
     # inside the window

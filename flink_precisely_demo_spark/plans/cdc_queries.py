@@ -99,3 +99,69 @@ def _cdc_state_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     asof = changes.filter(
         parse_ts("sv_op_timestamp").cast("timestamp_ntz") <= cutoff)
     return apply_cdc_snapshot(asof, "SalesOrderId")
+
+
+@query(
+    "cdc_history_scd2",
+    oracle="""
+    WITH ch AS (
+      SELECT o_orderkey AS k, o_orderdate AS ts, 'I' AS m,
+             o_totalprice AS v
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey, o_orderdate + INTERVAL 1 DAY, 'U',
+             o_totalprice + 1000.0
+      FROM orders WHERE o_orderkey % 5 = 0
+      UNION ALL
+      SELECT o_orderkey, o_orderdate + INTERVAL 2 DAY, 'D', NULL
+      FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    v AS (
+      SELECT k, ts, m, v,
+             lead(ts) OVER (PARTITION BY k ORDER BY ts) AS valid_to
+      FROM ch
+    )
+    SELECT CAST(k AS BIGINT) AS SalesOrderId,
+           v AS TotalDue,
+           ts AS valid_from,
+           valid_to,
+           (valid_to IS NULL) AS is_current
+    FROM v WHERE m != 'D'
+    """,
+)
+def _cdc_history_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension history from the change stream: every I/U
+    becomes a VERSION row with a [valid_from, valid_to) interval
+    (valid_to = the next change's timestamp, NULL while current);
+    a D closes the prior version's interval and emits nothing — so a
+    deleted key has no current row, and time-travel is a BETWEEN
+    predicate instead of a log replay. One key-partitioned window
+    (lead over the per-key change sequence), the same shuffle shape
+    as cdc_apply_snapshot — scale-safe at 100 TB because state never
+    leaves the key partition. The oracle derives the expected
+    history straight from the generation rule, not from a
+    re-implementation."""
+    from ..functions.datetime_fns import parse_ts
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    inserts = _envelope_rows(orders, "I", 0, 0.0)
+    updates = _envelope_rows(
+        orders.filter(F.col("o_orderkey") % 5 == 0), "U", 1, 1000.0)
+    deletes = _envelope_rows(
+        orders.filter(F.col("o_orderkey") % 10 == 0), "D", 2, 0.0)
+    changes = inserts.unionByName(updates).unionByName(deletes)
+
+    flat = changes.select(
+        F.col("after_image.SalesOrderId").alias("SalesOrderId"),
+        F.col("sv_manip_type").alias("m"),
+        parse_ts("sv_op_timestamp").cast("timestamp_ntz").alias("ts"),
+        F.col("after_image.TotalDue").alias("TotalDue"))
+    w = Window.partitionBy("SalesOrderId").orderBy("ts")
+    versioned = flat.withColumn("valid_to", F.lead("ts").over(w))
+    return versioned.filter(F.col("m") != "D").select(
+        "SalesOrderId",
+        "TotalDue",
+        F.col("ts").alias("valid_from"),
+        "valid_to",
+        F.col("valid_to").isNull().alias("is_current"))
