@@ -87,6 +87,10 @@ def probe_format(payload: bytes) -> tuple[str, str]:
             return "avi", "video"
         if payload[8:12] == b"WEBP":
             return "webp", "image"
+    if payload[:4] == b"FORM" and payload[8:12] in (b"AIFF", b"AIFC"):
+        return "aiff", "audio"
+    if payload[:4] == b".snd":
+        return "au", "audio"
     if payload[4:8] == b"ftyp":
         return "mp4", "video"
     if (len(payload) >= 2 and payload[0] == 0xFF
@@ -113,7 +117,8 @@ def ingest_binary_dir(spark, path: str) -> DataFrame:
                  "gif": "image", "bmp": "image", "ppm": "image",
                  "pnm": "image", "wav": "audio", "mp3": "audio",
                  "flac": "audio", "mp4": "video", "avi": "video",
-                 "mkv": "video", "webp": "image"}
+                 "mkv": "video", "webp": "image", "aiff": "audio",
+                 "aif": "audio", "au": "audio", "snd": "audio"}
 
     def sniff(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -238,15 +243,129 @@ def _decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     return samples / 32768.0, rate
 
 
+def _decode_aiff(payload: bytes) -> tuple[np.ndarray, int]:
+    """AIFF (FORM/AIFF, big-endian PCM16) -> (mono float32, rate).
+    The COMM chunk stores the sample rate as an 80-bit IEEE extended
+    float — parsed manually (exponent + top-32 mantissa bits is
+    exact for every real-world rate)."""
+    if payload[:4] != b"FORM" or payload[8:12] not in (b"AIFF", b"AIFC"):
+        raise ValueError("not an AIFF payload")
+    is_aifc = payload[8:12] == b"AIFC"
+    pos, nch, rate, ssnd = 12, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = int.from_bytes(payload[pos + 4:pos + 8], "big")
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"COMM":
+            nch = int.from_bytes(body[0:2], "big")
+            bits = int.from_bytes(body[6:8], "big")
+            if bits != 16:
+                raise ValueError("only PCM16 AIFF supported")
+            if is_aifc and body[18:22] not in (b"NONE", b""):
+                raise UnsupportedCodecError(
+                    f"AIFC compression {body[18:22]!r}: only "
+                    "uncompressed PCM in this build")
+            exp = int.from_bytes(body[8:10], "big") & 0x7FFF
+            mant_hi = int.from_bytes(body[10:14], "big")
+            rate = int(mant_hi * 2.0 ** (exp - 16383 - 31))
+        elif cid == b"SSND":
+            offset = int.from_bytes(body[0:4], "big")
+            ssnd = body[8 + offset:]
+        pos += 8 + size + (size & 1)
+    if nch is None or ssnd is None:
+        raise ValueError("AIFF missing COMM/SSND chunk")
+    samples = np.frombuffer(
+        ssnd, dtype=">i2", count=len(ssnd) // 2).astype(np.float32)
+    if nch > 1:
+        samples = samples[: len(samples) // nch * nch] \
+            .reshape(-1, nch).mean(axis=1)
+    return samples / 32768.0, rate
+
+
+def _decode_au(payload: bytes) -> tuple[np.ndarray, int]:
+    """Sun AU (.snd): big-endian header, linear PCM16 (encoding 3)
+    or 8-bit mu-law (encoding 1, ITU G.711 decoded by formula —
+    no tables)."""
+    if payload[:4] != b".snd":
+        raise ValueError("not an AU payload")
+    off = int.from_bytes(payload[4:8], "big")
+    enc = int.from_bytes(payload[12:16], "big")
+    rate = int.from_bytes(payload[16:20], "big")
+    nch = int.from_bytes(payload[20:24], "big")
+    body = payload[off:]
+    if enc == 3:  # 16-bit linear PCM
+        samples = np.frombuffer(
+            body, dtype=">i2", count=len(body) // 2).astype(np.float32)
+        samples /= 32768.0
+    elif enc == 1:  # 8-bit G.711 mu-law
+        u = ~np.frombuffer(body, dtype=np.uint8)
+        sign = (u.astype(np.int32) & 0x80)
+        exponent = (u >> 4) & 0x07
+        mantissa = u & 0x0F
+        mag = ((mantissa.astype(np.int32) << 3) + 0x84) \
+            << exponent.astype(np.int32)
+        pcm = np.where(sign != 0, 0x84 - mag, mag - 0x84)
+        samples = pcm.astype(np.float32) / 32768.0
+    else:
+        raise UnsupportedCodecError(
+            f"AU encoding {enc}: only PCM16/mu-law in this build")
+    if nch > 1:
+        samples = samples[: len(samples) // nch * nch] \
+            .reshape(-1, nch).mean(axis=1)
+    return samples, rate
+
+
+def encode_aiff_pcm16(samples: np.ndarray, rate: int) -> bytes:
+    """Mono PCM16 AIFF writer (fixture/sink-side twin of
+    :func:`_decode_aiff`); the 80-bit extended-float sample rate is
+    built by hand (normalized mantissa, biased exponent)."""
+    pcm = (np.clip(samples, -1, 1) * 32767).astype(">i2").tobytes()
+    n = len(pcm) // 2
+    exp = rate.bit_length() - 1
+    mant = rate << (63 - exp)                       # bit 63 set
+    ext = (16383 + exp).to_bytes(2, "big") + mant.to_bytes(8, "big")
+    comm = b"COMM" + (18).to_bytes(4, "big") + (1).to_bytes(2, "big") \
+        + n.to_bytes(4, "big") + (16).to_bytes(2, "big") + ext
+    ssnd_body = (0).to_bytes(4, "big") + (0).to_bytes(4, "big") + pcm
+    ssnd = b"SSND" + len(ssnd_body).to_bytes(4, "big") + ssnd_body
+    form = b"AIFF" + comm + ssnd
+    return b"FORM" + len(form).to_bytes(4, "big") + form
+
+
+def encode_au(samples: np.ndarray, rate: int, mulaw: bool = False) -> bytes:
+    """Mono Sun AU writer: linear PCM16, or 8-bit G.711 mu-law
+    compressed by the reference formula (no tables)."""
+    pcm16 = (np.clip(samples, -1, 1) * 32767).astype(np.int32)
+    if mulaw:
+        bias = 0x84
+        sign = (pcm16 < 0).astype(np.uint8) * 0x80
+        mag = np.minimum(np.abs(pcm16) + bias, 0x7FFF)
+        exp = (np.floor(np.log2(mag)) - 7).clip(0, 7).astype(np.int32)
+        mant = ((mag >> (exp + 3)) & 0x0F).astype(np.uint8)
+        body = (~(sign | (exp.astype(np.uint8) << 4) | mant)) \
+            .astype(np.uint8).tobytes()
+        enc = 1
+    else:
+        body = pcm16.astype(">i2").tobytes()
+        enc = 3
+    return (b".snd" + (24).to_bytes(4, "big")
+            + len(body).to_bytes(4, "big") + enc.to_bytes(4, "big")
+            + rate.to_bytes(4, "big") + (1).to_bytes(4, "big") + body)
+
+
 def _decode_audio(payload: bytes, fmt: str) -> tuple[np.ndarray, int]:
-    """(mono float32 samples in [-1,1], sample_rate). WAV and FLAC
-    decode for real; lossy audio (mp3/aac/...) raises
+    """(mono float32 samples in [-1,1], sample_rate). WAV, FLAC,
+    AIFF and AU decode for real; lossy audio (mp3/aac/...) raises
     UnsupportedCodecError (surfaced per row, never a job abort)."""
     if fmt == "wav":
         return _decode_wav(payload)
     if fmt == "flac":
         from .flac import decode_flac
         return decode_flac(payload)
+    if fmt == "aiff":
+        return _decode_aiff(payload)
+    if fmt == "au":
+        return _decode_au(payload)
     raise UnsupportedCodecError(
         f"audio format {fmt!r}: no codec in this build "
         f"(production swaps in soundfile/torchaudio here)")

@@ -156,7 +156,8 @@ def _multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_audio_decode",
     oracle="""
     SELECT doc_id AS media_id,
-           CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'flac' END AS format,
+           CASE (doc_id // 25) % 4 WHEN 0 THEN 'wav' WHEN 1 THEN 'flac'
+                WHEN 2 THEN 'aiff' ELSE 'au' END AS format,
            CAST(800 + (doc_id % 10) * 80 AS BIGINT) AS n_samples,
            CAST(8000 AS INTEGER) AS sample_rate,
            CAST((800 + (doc_id % 10) * 80) * 1000 / 8000 AS BIGINT)
@@ -167,19 +168,22 @@ def _multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def _multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL audio decode through Spark across both lossless codecs:
+    """REAL audio decode through Spark across four codecs:
     synthesize a deterministic sine per document (sample count is
-    arithmetic in doc_id), encode as WAV/PCM16 or FLAC (this repo's
-    own encoder — FIXED/Rice-coded frames) by doc_id parity, then run
-    operators.multimodal.audio_features, whose decoders parse RIFF or
-    Rice-decode the frames, and return the DECODED stream properties.
-    A hash match proves both decode paths recover exact sample counts
-    and rates; the all-null error column proves no row fell back to
-    the error path."""
+    arithmetic in doc_id), encode as WAV/PCM16, FLAC (this repo's
+    own encoder — FIXED/Rice-coded frames), AIFF (big-endian PCM16,
+    80-bit extended-float rate) or Sun AU (G.711 mu-law, formula
+    codec) by (doc_id // 25) % 4, then run
+    operators.multimodal.audio_features, whose decoders parse RIFF,
+    Rice-decode frames, walk FORM chunks, or mu-law-expand, and
+    return the DECODED stream properties. A hash match proves every
+    decode path recovers exact sample counts and rates; the all-null
+    error column proves no row fell back to the error path."""
     import io
     import wave
 
     from ..operators.flac import encode_flac
+    from ..operators.multimodal import encode_aiff_pcm16, encode_au
 
     docs = (load_table(spark, sf_dir, "documents")
             .filter(F.col("doc_id") % 25 == 0)
@@ -191,7 +195,8 @@ def _multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             for did in pdf["doc_id"]:
                 n = 800 + (did % 10) * 80
                 sine = (0.4 * np.sin(np.arange(n) * (0.02 + (did % 7) / 100.0)))
-                if did % 2 == 0:
+                sel = (did // 25) % 4
+                if sel == 0:
                     fmt = "wav"
                     buf = io.BytesIO()
                     with wave.open(buf, "wb") as wf:
@@ -201,9 +206,15 @@ def _multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                         wf.writeframes(
                             (sine * 32767).astype("<i2").tobytes())
                     payload = buf.getvalue()
-                else:
+                elif sel == 1:
                     fmt = "flac"
                     payload = encode_flac(sine, 8000, block_size=512)
+                elif sel == 2:
+                    fmt = "aiff"
+                    payload = encode_aiff_pcm16(sine, 8000)
+                else:
+                    fmt = "au"
+                    payload = encode_au(sine, 8000, mulaw=True)
                 metas.append({"media_type": "audio", "format": fmt,
                               "width": None, "height": None,
                               "n_channels": None, "sample_rate": None,
@@ -216,7 +227,11 @@ def _multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.mapInPandas(synthesize, schema=MEDIA_SCHEMA)
     feats = audio_features(media)
-    fmt = F.when(F.col("media_id") % 2 == 0, "wav").otherwise("flac")
+    sel = F.floor(F.col("media_id") / 25) % 4
+    fmt = (F.when(sel == 0, "wav")
+            .when(sel == 1, "flac")
+            .when(sel == 2, "aiff")
+            .otherwise("au"))
     return feats.select(
         "media_id", fmt.alias("format"), "n_samples", "sample_rate",
         "duration_ms", "error")

@@ -39,10 +39,19 @@ def main() -> None:
     con = duckdb_con(sf_dir)
     qs, oracles = m.queries(), m.oracle_sql()
 
-    full, rows_only, failed = [], [], []
+    skip = {s for s in os.environ.get("SWEEP_SKIP", "").split(",") if s}
+    full, rows_only, failed, skipped = [], [], [], []
     t_start = time.time()
     for name, fn in qs.items():
         t0 = time.time()
+        if name in skip:
+            # oracle-side cost is pathological at this SF (e.g. the
+            # recursive-CTE connected-components twin); recorded
+            # explicitly, validated at the previous scale point
+            skipped.append(name)
+            print(f"# {name}: skipped-oracle-cost", file=sys.stderr,
+                  flush=True)
+            continue
         try:
             sql = oracles.get(name)
             df = fn(spark, sf_dir)
@@ -79,8 +88,10 @@ def main() -> None:
         "n_full_hash_match": len(full),
         "n_rows_only": len(rows_only),
         "n_failed": len(failed),
+        "n_skipped_oracle_cost": len(skipped),
         "failed": failed,
         "rows_only": rows_only,
+        "skipped_oracle_cost": skipped,
         "wall_sec": round(time.time() - t_start, 1),
     }))
     spark.stop()

@@ -842,3 +842,32 @@ def test_audio_resample_composes(spark):
         assert r["n_samples"] == 4000 and r["duration_ms"] == 250
         # RMS preserved through resampling: 0.4/sqrt(2)
         assert abs(r["rms"] - 0.4 / np.sqrt(2)) < 2e-3
+
+
+def test_aiff_and_au_decode(spark):
+    from flink_precisely_demo_spark.operators.multimodal import (
+        audio_features,
+        encode_aiff_pcm16 as _encode_aiff,
+        encode_au as _encode_au,
+        probe_format,
+    )
+
+    t = np.arange(1600) / 8000.0
+    sig = 0.4 * np.sin(2 * np.pi * 440 * t)
+    payloads = {
+        10: ("aiff", _encode_aiff(sig, 8000)),
+        11: ("au", _encode_au(sig, 11025)),
+        12: ("au", _encode_au(sig, 8000, mulaw=True)),
+    }
+    for mid, (fmt, p) in payloads.items():
+        assert probe_format(p) == (fmt, "audio")
+    rows = [(mid, _meta("audio", fmt), p)
+            for mid, (fmt, p) in payloads.items()]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in audio_features(media).collect()}
+    assert out[10]["error"] is None and out[10]["n_samples"] == 1600
+    assert out[10]["sample_rate"] == 8000
+    assert out[11]["sample_rate"] == 11025 and out[11]["error"] is None
+    assert out[12]["error"] is None and out[12]["n_samples"] == 1600
+    # mu-law is lossy-quantized but must track the PCM signal closely
+    assert abs(out[12]["rms"] - out[11]["rms"]) < 0.01
