@@ -40,9 +40,12 @@ def main() -> None:
     qs, oracles = m.queries(), m.oracle_sql()
 
     skip = {s for s in os.environ.get("SWEEP_SKIP", "").split(",") if s}
+    only = {s for s in os.environ.get("SWEEP_ONLY", "").split(",") if s}
     full, rows_only, failed, skipped = [], [], [], []
     t_start = time.time()
     for name, fn in qs.items():
+        if only and name not in only:
+            continue
         t0 = time.time()
         if name in skip:
             # oracle-side cost is pathological at this SF (e.g. the
