@@ -84,11 +84,15 @@ _DEFERRED = [
     # and ann_index_topk (green r2-r5) cedes its slot to the new
     # cdc_history_scd2 (similarity family keeps similarity_ivf_topk
     # in-window; brute-force + IVF cells hold deferred green)
+    # and dedup_exact (green r1-r5, five rounds) cedes its slot to
+    # the new url_canonicalize (dedup family keeps minhash_lsh +
+    # pipeline_e2e + streaming_dedup_replay in-window)
     "cdc_state_asof",
     "curation_stratified",
     "kmeans_ivf_index",
     "approx_sketches",
     "ann_index_topk",
+    "dedup_exact",
     # rotated out in r4 for the TPC-H tail; each is >= double-green
     # (rounds noted), and every operator family keeps >= 3 entries
     # inside the window

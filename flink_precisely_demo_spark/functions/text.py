@@ -277,3 +277,29 @@ def chunk_starts(col: Column | str, stride: int) -> Column:
     return F.when(n > 0, F.sequence(
         F.lit(0), n - 1, F.lit(stride))).otherwise(
         F.array().cast("array<int>"))
+
+
+def url_canonicalize(col: Column | str) -> Column:
+    """Crawl-dedup URL canonicalization: lowercase scheme+host,
+    strip the scheme's default port, drop the fragment and utm_*
+    tracking params (keeping the remaining query order), and force a
+    '/' path. Everything is regexp/array built-ins (RE2-and-Java-
+    safe), so two crawls of the same page canonicalize to one key
+    inside the scan stage."""
+    u = F.col(col) if isinstance(col, str) else col
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    host = F.when(scheme == "https",
+                  F.regexp_replace(hostport, ":443$", "")) \
+            .when(scheme == "http",
+                  F.regexp_replace(hostport, ":80$", "")) \
+            .otherwise(hostport)
+    path = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    path = F.when(path == "", "/").otherwise(path)
+    q = F.regexp_extract(u, r"\?([^#]*)", 1)
+    kept = F.filter(F.split(q, "&"),
+                    lambda p: ~p.startswith("utm_") & (p != ""))
+    qs = F.array_join(kept, "&")
+    return F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")))

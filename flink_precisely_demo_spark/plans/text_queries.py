@@ -402,3 +402,111 @@ def _text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("s") / stride).cast("long").alias("chunk_idx"),
         F.array_join(chunk, " ").alias("chunk_text"),
         F.size(chunk).cast("long").alias("n_chunk_tokens"))
+
+
+# DuckDB twin of url_canonicalize (functions/text.py): the full
+# normalization chain re-stated in RE2/list SQL. Synthetic URLs vary
+# scheme case, default/explicit ports, utm_* params and fragments by
+# doc_id so every branch fires.
+_URL_AUG = """
+    CASE doc_id % 3 WHEN 0 THEN 'HTTPS://WWW.Site' WHEN 1
+         THEN 'https://cdn.site' ELSE 'HTTP://Site' END
+    || CAST(doc_id % 50 AS VARCHAR)
+    || CASE doc_id % 3 WHEN 0 THEN '.COM:443' WHEN 1 THEN '.com'
+            ELSE '.ORG:80' END
+    || '/p/' || CAST(doc_id % 17 AS VARCHAR)
+    || CASE WHEN doc_id % 2 = 0
+            THEN '/?utm_source=a&x=' || CAST(doc_id % 11 AS VARCHAR)
+                 || '&utm_b=c'
+            ELSE '?id=' || CAST(doc_id % 13 AS VARCHAR) || '#frag' END
+"""
+
+
+def _url_oracle() -> str:
+    scheme = "lower(regexp_extract(aug, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    hostport = ("lower(regexp_extract(aug, "
+                "'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1))")
+    host = f"""CASE WHEN {scheme} = 'https'
+                    THEN regexp_replace({hostport}, ':443$', '')
+                    WHEN {scheme} = 'http'
+                    THEN regexp_replace({hostport}, ':80$', '')
+                    ELSE {hostport} END"""
+    path = ("regexp_extract(aug, "
+            "'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1)")
+    path = f"CASE WHEN {path} = '' THEN '/' ELSE {path} END"
+    q = "regexp_extract(aug, '\\?([^#]*)', 1)"
+    kept = (f"array_to_string(list_filter(string_split({q}, '&'), "
+            f"p -> NOT starts_with(p, 'utm_') AND p <> ''), '&')")
+    canonical = (f"{scheme} || '://' || {host} || {path} || "
+                 f"CASE WHEN {kept} <> '' THEN '?' || {kept} ELSE '' END")
+    return f"""
+    WITH a AS (
+      SELECT doc_id, {_URL_AUG} AS aug
+      FROM documents WHERE text IS NOT NULL
+    ),
+    c AS (
+      SELECT doc_id, aug, {canonical} AS canonical_url FROM a
+    )
+    SELECT doc_id, canonical_url,
+           regexp_extract(canonical_url,
+                          '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host,
+           regexp_extract(regexp_extract(canonical_url,
+                          '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1),
+                          '([^.]+\\.[^.]+)$', 1) AS registered_domain,
+           CAST(len(list_filter(string_split(
+                regexp_extract(canonical_url,
+                  '^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)', 1), '/'),
+                x -> x <> '')) AS BIGINT) AS path_depth,
+           CAST(len(list_filter(string_split(
+                regexp_extract(aug, '\\?([^#]*)', 1), '&'),
+                p -> starts_with(p, 'utm_'))) AS BIGINT)
+             AS n_tracking_params
+    FROM c
+    """
+
+
+@query("url_canonicalize", oracle=_url_oracle())
+def _url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization for crawl dedup: lowercase scheme+host,
+    strip default ports, drop fragments and utm_* tracking params —
+    two crawls of one page collapse to a single canonical key —
+    plus host / registered-domain / path-depth / tracking-param
+    stats for source-mix analysis. Pure regexp/array built-ins held
+    to the RE2/Java common subset; zero-shuffle scan-stage map."""
+    from ..functions.text import url_canonicalize
+
+    d = load_table(spark, sf_dir, "documents") \
+        .filter(F.col("text").isNotNull())
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    aug = F.concat(
+        F.when(did % 3 == 0, "HTTPS://WWW.Site")
+         .when(did % 3 == 1, "https://cdn.site")
+         .otherwise("HTTP://Site"),
+        s(did % 50),
+        F.when(did % 3 == 0, ".COM:443")
+         .when(did % 3 == 1, ".com")
+         .otherwise(".ORG:80"),
+        F.lit("/p/"), s(did % 17),
+        F.when(did % 2 == 0,
+               F.concat(F.lit("/?utm_source=a&x="), s(did % 11),
+                        F.lit("&utm_b=c")))
+         .otherwise(F.concat(F.lit("?id="), s(did % 13), F.lit("#frag"))))
+    a = d.select("doc_id", aug.alias("aug"))
+    c = a.select("doc_id", "aug",
+                 url_canonicalize("aug").alias("canonical_url"))
+    host = F.regexp_extract("canonical_url",
+                            r"^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
+    path = F.regexp_extract("canonical_url",
+                            r"^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    return c.select(
+        "doc_id", "canonical_url",
+        host.alias("host"),
+        F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+         .alias("registered_domain"),
+        F.size(F.filter(F.split(path, "/"), lambda x: x != ""))
+         .cast("long").alias("path_depth"),
+        F.size(F.filter(F.split(F.regexp_extract("aug", r"\?([^#]*)", 1),
+                                "&"),
+                        lambda p: p.startswith("utm_")))
+         .cast("long").alias("n_tracking_params"))

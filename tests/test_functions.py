@@ -180,3 +180,24 @@ def test_html_to_text_extraction(spark):
     assert out[3]["x"] == '&lt;one level> "q" end'
     # style block dies wholesale up to its real closing tag
     assert "kept" in out[4]["x"] and "content" not in out[4]["x"]
+
+
+def test_url_canonicalize(spark):
+    from flink_precisely_demo_spark.functions.text import url_canonicalize
+
+    rows = [
+        (1, "HTTPS://WWW.Example.COM:443/A/b/?utm_source=x&id=7&b=2#f"),
+        (2, "http://Host.org:80"),                  # no path -> '/'
+        (3, "https://a.b.c/path?utm_only=1"),       # all params tracked
+        (4, "http://h.io:8080/x?q=1"),              # non-default port kept
+        (5, "https://dup.com/page"),
+        (6, "HTTPS://DUP.com:443/page#section"),    # same page, other crawl
+    ]
+    df = spark.createDataFrame(rows, "id int, u string")
+    out = {r["id"]: r["c"] for r in df.select(
+        "id", url_canonicalize("u").alias("c")).collect()}
+    assert out[1] == "https://www.example.com/A/b/?id=7&b=2"
+    assert out[2] == "http://host.org/"
+    assert out[3] == "https://a.b.c/path"
+    assert out[4] == "http://h.io:8080/x?q=1"
+    assert out[5] == out[6]  # the dedup property the op exists for
