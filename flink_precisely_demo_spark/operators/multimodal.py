@@ -6,12 +6,14 @@ data (payload bytes stay columnar; metadata prunes without touching
 bytes). Codecs that need no external library decode FOR REAL:
 baseline JPEG (:mod:`.jpeg`, pure numpy), PNG (:mod:`.png`, numpy +
 stdlib zlib), MJPEG/AVI video demux (:mod:`.avi`, RIFF walk),
-GIF with real LZW (:mod:`.gif`), baseline TIFF incl. PackBits and
+GIF with real LZW (:mod:`.gif`), WebP-lossless/VP8L incl. all four
+transforms (:mod:`.webp`), baseline TIFF incl. PackBits and
 both byte orders (:mod:`.tiff`), FLAC incl. LPC/Rice (:mod:`.flac`),
-WAV/PCM16 (stdlib ``wave`` + numpy), uncompressed 24-bit BMP and
+WAV/PCM16 (stdlib ``wave`` + numpy), AIFF/AIFC PCM16 and Sun AU
+incl. G.711 mu-law (formula codec), uncompressed 24-bit BMP and
 binary PPM (pure numpy). The remaining formats — all lossy-
-transform codecs needing a DSP stack (webp, mp3, aac, mp4) — raise
-a typed
+transform codecs needing a DSP stack (VP8-lossy webp, mp3, aac,
+mp4) — raise a typed
 :class:`~.jpeg.UnsupportedCodecError`, which the feature operators
 surface PER ROW in an ``error`` column — a corrupt or exotic payload
 can never abort a 100 TB decode job. A real deployment swaps the
@@ -570,16 +572,22 @@ def video_features(media: DataFrame) -> DataFrame:
                  .mapInPandas(compute, schema=VIDEO_FEATURES_SCHEMA))
 
 
-def audio_resample(media: DataFrame, target_rate: int = 16_000) -> DataFrame:
+def audio_resample(media: DataFrame, target_rate: int = 16_000,
+                   out_format: str = "wav") -> DataFrame:
     """Decode audio, linearly resample to ``target_rate`` mono, and
-    re-emit as (media_id, meta, payload) rows with WAV/PCM16
-    payloads — the normalize-before-featurize step every audio
-    training pipeline runs. Undecodable rows are DROPPED (audit them
-    with :func:`audio_features`'s error column), matching
+    re-emit as (media_id, meta, payload) rows — the
+    normalize-before-featurize step every audio training pipeline
+    runs. ``out_format``: "wav" (PCM16), "flac" (lossless
+    compression for archival corpora), or "au" (mu-law, telephony
+    8-bit). Undecodable rows are DROPPED (audit them with
+    :func:`audio_features`'s error column), matching
     :func:`image_resize`'s contract."""
     import io
     import wave
 
+    if out_format not in ("wav", "flac", "au"):
+        raise ValueError(
+            f"out_format must be wav|flac|au, got {out_format!r}")
     n = media.sparkSession.sparkContext.defaultParallelism
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -602,21 +610,32 @@ def audio_resample(media: DataFrame, target_rate: int = 16_000) -> DataFrame:
                     xs = np.linspace(0, len(samples) - 1, n_out)
                     samples = np.interp(xs, np.arange(len(samples)),
                                         samples)
-                buf = io.BytesIO()
-                with wave.open(buf, "wb") as wf:
-                    wf.setnchannels(1)
-                    wf.setsampwidth(2)
-                    wf.setframerate(target_rate)
-                    wf.writeframes(np.clip(np.round(samples * 32767),
-                                           -32768, 32767)
-                                   .astype("<i2").tobytes())
+                if out_format == "flac":
+                    from .flac import encode_flac
+                    payload_out = encode_flac(
+                        np.asarray(samples, dtype=np.float64),
+                        target_rate, block_size=4096)
+                elif out_format == "au":
+                    payload_out = encode_au(
+                        np.asarray(samples, dtype=np.float64),
+                        target_rate, mulaw=True)
+                else:
+                    buf = io.BytesIO()
+                    with wave.open(buf, "wb") as wf:
+                        wf.setnchannels(1)
+                        wf.setsampwidth(2)
+                        wf.setframerate(target_rate)
+                        wf.writeframes(np.clip(np.round(samples * 32767),
+                                               -32768, 32767)
+                                       .astype("<i2").tobytes())
+                    payload_out = buf.getvalue()
                 m = dict(meta)
-                m.update(format="wav", sample_rate=target_rate,
+                m.update(format=out_format, sample_rate=target_rate,
                          n_channels=1,
                          duration_ms=int(len(samples) * 1000 / target_rate))
                 ids.append(mid)
                 metas.append(m)
-                payloads.append(buf.getvalue())
+                payloads.append(payload_out)
             yield pd.DataFrame({
                 "media_id": pd.Series(ids, dtype="int64"),
                 "meta": pd.Series(metas, dtype="object"),

@@ -871,3 +871,27 @@ def test_aiff_and_au_decode(spark):
     assert out[12]["error"] is None and out[12]["n_samples"] == 1600
     # mu-law is lossy-quantized but must track the PCM signal closely
     assert abs(out[12]["rms"] - out[11]["rms"]) < 0.01
+
+
+def test_audio_resample_transcode_formats(spark):
+    """Transcode path: any decodable input -> resampled mono FLAC or
+    mu-law AU, re-decodable by the same operators (full round trip
+    through the codec layer)."""
+    from flink_precisely_demo_spark.operators.multimodal import (
+        audio_resample,
+        encode_aiff_pcm16,
+    )
+
+    t = np.arange(2000) / 8000.0
+    sig = 0.3 * np.sin(2 * np.pi * 220 * t)
+    rows = [(1, _meta("audio", "aiff"), encode_aiff_pcm16(sig, 8000))]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    for fmt in ("flac", "au", "wav"):
+        out = audio_resample(media, target_rate=16_000,
+                             out_format=fmt).collect()
+        assert len(out) == 1 and out[0]["meta"]["format"] == fmt
+        feats = audio_features(spark.createDataFrame(out, MEDIA_SCHEMA)) \
+            .collect()[0]
+        assert feats["error"] is None
+        assert feats["sample_rate"] == 16_000
+        assert feats["n_samples"] == 4000  # 2000 @8k -> 4000 @16k
