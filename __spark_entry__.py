@@ -87,12 +87,17 @@ _DEFERRED = [
     # and dedup_exact (green r1-r5, five rounds) cedes its slot to
     # the new url_canonicalize (dedup family keeps minhash_lsh +
     # pipeline_e2e + streaming_dedup_replay in-window)
+    # and text_token_stats (green r1/r3/r4/r5) cedes its slot to
+    # the new text_tfidf_top_terms (text family keeps
+    # filter_pipeline + repetition_quality + the four round-6 ops
+    # in-window)
     "cdc_state_asof",
     "curation_stratified",
     "kmeans_ivf_index",
     "approx_sketches",
     "ann_index_topk",
     "dedup_exact",
+    "text_token_stats",
     # rotated out in r4 for the TPC-H tail; each is >= double-green
     # (rounds noted), and every operator family keeps >= 3 entries
     # inside the window

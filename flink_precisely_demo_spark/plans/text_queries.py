@@ -510,3 +510,68 @@ def _url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 "&"),
                         lambda p: p.startswith("utm_")))
          .cast("long").alias("n_tracking_params"))
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks
+      FROM documents WHERE text IS NOT NULL
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM t, unnest(toks) AS u(term)
+      GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM t),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             tf.tf * (n.n_docs + 1) / (df.df + 1) AS score
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, score,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def _text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 salient terms by tf-idf — keyword
+    extraction / topic fingerprinting over the corpus. The idf is
+    the RATIONAL variant (n_docs+1)/(df+1) rather than its log:
+    integer-derived double division is bit-identical across engines,
+    so the oracle compares exactly (the log variant's last-ulp
+    differences can flip a rounded 6th decimal — the
+    embedding_quantize_stats lesson). Plan shape: explode -> two
+    map-side-combined aggregations -> broadcast-sized df join (df is
+    vocabulary-scale, orders smaller than the corpus) -> per-doc
+    top-k window. At 100 TB the only large shuffle keys on
+    (doc, term), and the vocabulary table broadcasts."""
+    from pyspark.sql import Window
+
+    from ..functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents") \
+        .filter(F.col("text").isNotNull())
+    t = d.select("doc_id", tokens("text").alias("toks"))
+    n_docs = t.count()  # bounded scalar (dataset metadata, one job)
+    tf = (t.select("doc_id", F.explode("toks").alias("term"))
+           .groupBy("doc_id", "term")
+           .agg(F.count(F.lit(1)).alias("tf")))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(df_), "term").select(
+        "doc_id", "term", "tf", "df",
+        (F.col("tf") * (F.lit(n_docs) + 1) / (F.col("df") + 1))
+        .alias("score"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= 3)
+                  .select("doc_id", "term", "tf", "df", "score",
+                          F.col("rank").cast("long").alias("rank")))
