@@ -415,3 +415,35 @@ def test_truncated_stream_raises():
     enc = encode_webp_lossless(img)
     with pytest.raises(ValueError):
         decode_webp(enc[: len(enc) // 2])
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(min_size=0, max_size=300), st.integers(0, 2**32 - 1))
+def test_fuzz_never_hangs_or_crashes(junk, seed):
+    """Arbitrary bytes inside a well-formed RIFF/VP8L shell must
+    raise a typed error (ValueError/UnsupportedCodecError) — never
+    hang, loop, or escape with an unrelated exception. This is the
+    per-row error contract image_features relies on at crawl scale."""
+    payload = _wrap_riff(junk)
+    try:
+        out = decode_webp(payload)
+    except (ValueError, IndexError):  # includes UnsupportedCodecError
+        return
+    # a decode that *succeeds* on junk must still be a sane image
+    assert out.ndim == 3 and out.shape[2] == 3
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(0, 2**32 - 1), st.integers(0, 2000))
+def test_fuzz_truncation_of_valid_stream(seed, cut):
+    """Every truncation point of a real encoded stream errors
+    cleanly (or decodes fully when the cut is past the data)."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(12, 9, 3), dtype=np.uint8)
+    enc = encode_webp_lossless(img)
+    cut = min(cut, len(enc))
+    try:
+        out = decode_webp(enc[:cut])
+    except (ValueError, IndexError):
+        return
+    assert np.array_equal(out, img)
