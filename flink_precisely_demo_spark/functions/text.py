@@ -272,6 +272,8 @@ def html_link_count(col: Column | str) -> Column:
 def chunk_starts(col: Column | str, stride: int) -> Column:
     """Window start offsets 0, stride, 2*stride, ... < n_tokens for
     context-window chunking. Empty/null docs yield an empty array."""
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
     toks = tokens(col)
     n = F.size(toks)
     return F.when(n > 0, F.sequence(

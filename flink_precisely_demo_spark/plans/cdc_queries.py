@@ -140,7 +140,11 @@ def _cdc_history_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     as cdc_apply_snapshot — scale-safe at 100 TB because state never
     leaves the key partition. The oracle derives the expected
     history straight from the generation rule, not from a
-    re-implementation."""
+    re-implementation. Version ordering is by op timestamp alone —
+    exact for this feed (the generation rule gives each key distinct
+    timestamps); a production stream with same-instant changes would
+    extend the window ordering with (sv_trans_id,
+    sv_trans_row_seq), the reference's own total-order rule."""
     from ..functions.datetime_fns import parse_ts
     from pyspark.sql import Window
 
