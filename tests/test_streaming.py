@@ -797,3 +797,41 @@ def test_streaming_session_window(spark, tmp_path):
     got = sorted((r["u"], r["total"], r["n"]) for r in res.collect())
     # u=1: session {1,2} then {4}; u=2: {8}; u=9's session still open
     assert got == [(1, 3.0, 2), (1, 4.0, 1), (2, 8.0, 1)]
+
+
+def test_text_pipeline_is_streaming_safe(spark, tmp_path):
+    """The round-6 text layer (html extract -> pii scrub -> chunking)
+    is pure stateless column expressions, so the SAME operators must
+    run unchanged under readStream — the batch/stream unification the
+    engine promises for every scan-stage map."""
+    import json
+
+    from flink_precisely_demo_spark.functions.text import (
+        chunk_starts,
+        html_to_text,
+        scrub_pii,
+    )
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    rows = [
+        {"doc_id": 1,
+         "text": "<p>mail a@b.co</p><script>x<1</script> one two three"},
+        {"doc_id": 2, "text": "plain four five six seven eight"},
+    ]
+    (src / "batch0.json").write_text(
+        "\n".join(json.dumps(r) for r in rows))
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .json(str(src)))
+    out = (stream
+           .withColumn("clean", scrub_pii(html_to_text("text")))
+           .withColumn("starts", chunk_starts(F.col("clean"), 2)))
+    q = (out.writeStream.format("memory").queryName("txt_stream")
+            .trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    got = {r["doc_id"]: r for r in spark.sql(
+        "SELECT * FROM txt_stream").collect()}
+    assert got[1]["clean"] == "mail [EMAIL] one two three"
+    assert got[1]["starts"] == [0, 2, 4]   # 5 tokens, stride 2
+    assert got[2]["starts"] == [0, 2, 4]
