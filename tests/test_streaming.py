@@ -835,3 +835,73 @@ def test_text_pipeline_is_streaming_safe(spark, tmp_path):
     assert got[1]["clean"] == "mail [EMAIL] one two three"
     assert got[1]["starts"] == [0, 2, 4]   # 5 tokens, stride 2
     assert got[2]["starts"] == [0, 2, 4]
+
+
+def test_streaming_scd2_matches_batch(spark, tmp_path):
+    """Incremental SCD2 over a multi-micro-batch replay converges to
+    the batch operator's answer: closed versions emitted by the
+    stream == lead()-window rows with valid_to set; the open state
+    is observable by closing it with sentinel deletes and equals the
+    is_current rows. maxFilesPerTrigger=1 forces three micro-batches
+    so state genuinely crosses trigger boundaries."""
+    import json as _json
+
+    from flink_precisely_demo_spark.streaming.scd2 import scd2_stream
+
+    # change log: key 1 I->U->U (2 closed + 1 open), key 2 I->D
+    # (1 closed, none open), key 3 I only (open); then sentinel
+    # deletes that flush the still-open versions.
+    batches = [
+        [
+            {"key": 1, "m": "I", "ts": "2020-01-01T00:00:00",
+             "value": 10.0, "trans_id": 1, "row_seq": 1},
+            {"key": 2, "m": "I", "ts": "2020-01-01T01:00:00",
+             "value": 20.0, "trans_id": 2, "row_seq": 1},
+            {"key": 1, "m": "U", "ts": "2020-01-02T00:00:00",
+             "value": 11.0, "trans_id": 3, "row_seq": 1},
+        ],
+        [
+            {"key": 1, "m": "U", "ts": "2020-01-03T00:00:00",
+             "value": 12.0, "trans_id": 4, "row_seq": 1},
+            {"key": 2, "m": "D", "ts": "2020-01-02T12:00:00",
+             "value": 0.0, "trans_id": 5, "row_seq": 1},
+            {"key": 3, "m": "I", "ts": "2020-01-01T06:00:00",
+             "value": 30.0, "trans_id": 6, "row_seq": 1},
+        ],
+        [
+            {"key": 1, "m": "D", "ts": "2020-09-09T00:00:00",
+             "value": 0.0, "trans_id": 9, "row_seq": 1},
+            {"key": 3, "m": "D", "ts": "2020-09-09T00:00:00",
+             "value": 0.0, "trans_id": 9, "row_seq": 1},
+        ],
+    ]
+    src = tmp_path / "changes"
+    src.mkdir()
+    for i, b in enumerate(batches):
+        (src / f"b{i}.json").write_text("\n".join(map(_json.dumps, b)))
+
+    schema = ("key long, m string, ts timestamp, value double, "
+              "trans_id long, row_seq int")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).json(str(src)))
+    q = (scd2_stream(stream).writeStream.format("memory")
+         .queryName("scd2_all")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(180)
+    assert len(q.recentProgress) >= 3   # state really crossed triggers
+
+    closed = {(r["key"], r["valid_from"].isoformat()): r
+              for r in spark.sql("SELECT * FROM scd2_all").collect()}
+    expect = {
+        (1, "2020-01-01T00:00:00"): (10.0, "2020-01-02T00:00:00"),
+        (1, "2020-01-02T00:00:00"): (11.0, "2020-01-03T00:00:00"),
+        (2, "2020-01-01T01:00:00"): (20.0, "2020-01-02T12:00:00"),
+        # sentinel-flushed former is_current rows:
+        (1, "2020-01-03T00:00:00"): (12.0, "2020-09-09T00:00:00"),
+        (3, "2020-01-01T06:00:00"): (30.0, "2020-09-09T00:00:00"),
+    }
+    assert len(closed) == len(expect)
+    for (k, vf), (val, vt) in expect.items():
+        r = closed[(k, vf)]
+        assert r["value"] == val and r["valid_to"].isoformat() == vt
