@@ -18,6 +18,13 @@ output — closed versions match rows with ``valid_to IS NOT NULL``,
 open state matches the ``is_current`` rows (asserted by
 tests/test_streaming.py::test_streaming_scd2_matches_batch).
 
+Ordering contract: a key's changes must arrive in per-key log
+order ACROSS triggers (the guarantee a real CDC feed provides — a
+key's changes are emitted in commit order, and Kafka preserves
+per-partition order). Within one micro-batch, rows are sorted by
+(ts, trans_id, row_seq) before applying, so intra-batch arrival
+order never matters.
+
 Scale notes: state is one open version per key — the minimum any
 SCD2 maintainer can hold — partitioned across the state store by
 key (RocksDB on a cluster). Each trigger shuffles only that batch's

@@ -877,8 +877,16 @@ def test_streaming_scd2_matches_batch(spark, tmp_path):
     ]
     src = tmp_path / "changes"
     src.mkdir()
+    import os as _os
+    import time as _time
+    base = _time.time() - 100
     for i, b in enumerate(batches):
-        (src / f"b{i}.json").write_text("\n".join(map(_json.dumps, b)))
+        f = src / f"b{i}.json"
+        f.write_text("\n".join(map(_json.dumps, b)))
+        # the file source orders triggers by modification time; pin
+        # it so the three micro-batches replay in log order (equal
+        # mtimes within one clock tick made the order nondeterministic)
+        _os.utime(f, (base + i * 10, base + i * 10))
 
     schema = ("key long, m string, ts timestamp, value double, "
               "trans_id long, row_seq int")
