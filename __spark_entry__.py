@@ -91,6 +91,8 @@ _DEFERRED = [
     # the new text_tfidf_top_terms (text family keeps
     # filter_pipeline + repetition_quality + the four round-6 ops
     # in-window)
+    # and text_filter_pipeline (green r1/r3/r4/r5; still in the
+    # bench headline) cedes its slot to the new corpus_health_report
     "cdc_state_asof",
     "curation_stratified",
     "kmeans_ivf_index",
@@ -98,6 +100,7 @@ _DEFERRED = [
     "ann_index_topk",
     "dedup_exact",
     "text_token_stats",
+    "text_filter_pipeline",
     # rotated out in r4 for the TPC-H tail; each is >= double-green
     # (rounds noted), and every operator family keeps >= 3 entries
     # inside the window

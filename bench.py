@@ -112,6 +112,27 @@ def main() -> None:
         except Exception as exc:
             _err(name, exc)
 
+    # secondary group: the round-6 pipeline operators. Tracked per
+    # round but kept OUT of the headline total, which stays the
+    # stable comparator against BASELINE's round-1 measurement.
+    SECONDARY = ["text_pii_scrub", "text_html_extract",
+                 "text_chunk_windows", "url_canonicalize",
+                 "text_tfidf_top_terms", "cdc_history_scd2"]
+    secondary: dict[str, float] = {}
+    for name in SECONDARY:
+        try:
+            fn = qs[name]
+            runs = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+                runs.append(time.perf_counter() - t0)
+            secondary[name] = round(min(runs), 3)
+            print(f"# {name}: {secondary[name]}s (secondary)",
+                  file=sys.stderr)
+        except Exception as exc:
+            _err(name, exc)
+
     try:
         streaming_eps = _streaming_throughput(spark, sf_dir)
     except Exception as exc:
@@ -124,6 +145,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "secondary_queries": secondary,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "streaming_orders_per_sec": streaming_eps,
         "streaming_metric": ("engine-accounted steady-state rate: "

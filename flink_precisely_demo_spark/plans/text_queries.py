@@ -575,3 +575,73 @@ def _text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .filter(F.col("rank") <= 3)
                   .select("doc_id", "term", "tf", "df", "score",
                           F.col("rank").cast("long").alias("rank")))
+
+
+@query(
+    "corpus_health_report",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, lang, text, {_TOKS} AS toks
+      FROM documents WHERE text IS NOT NULL
+    ),
+    s AS (
+      SELECT source, lang, md5(text) AS fp,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CASE WHEN len(toks) > 0 THEN
+               round(len(list_distinct(toks)) / len(toks), 6)
+             ELSE 0.0 END AS distinct_ratio,
+             CASE WHEN len(toks) > 0 THEN
+               round(list_aggregate(list_transform(toks, x -> length(x)),
+                                    'sum') / len(toks), 6)
+             ELSE 0.0 END AS mean_word_len,
+             CASE WHEN len(toks) > 0 THEN
+               round(list_max(list_transform(list_distinct(toks),
+                     u -> len(list_filter(toks, x -> x = u)))) / len(toks), 6)
+             ELSE 0.0 END AS top_token_frac
+      FROM t
+    )
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS n_exact_dups,
+           CAST(SUM(CASE WHEN n_tokens >= 20 AND n_tokens <= 100000
+                     AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
+                     AND distinct_ratio >= 0.2 AND top_token_frac <= 0.35
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher_pass,
+           CAST(SUM(CAST(distinct_ratio AS DECIMAL(18,6)))
+                AS DECIMAL(28,6)) AS sum_distinct_ratio
+    FROM s
+    GROUP BY source, lang
+    """,
+)
+def _corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-(source, language) rollup a curation team watches
+    daily: document and token volumes, exact-duplicate counts
+    (content-md5), Gopher-gate pass counts, and the distinct-ratio
+    mass (decimal-summed so the cross-engine hash is exact —
+    double summation order would drift the last ulp). Composes
+    repetition_stats + gopher_pass + content fingerprinting into one
+    map-side-combined aggregation: per-doc stats run in the scan
+    stage, then ONE shuffle on (source, lang) — at 100 TB the
+    reduce side sees one row per group, not per document."""
+    from ..functions.text import gopher_pass, repetition_stats
+
+    d = load_table(spark, sf_dir, "documents") \
+        .filter(F.col("text").isNotNull())
+    st = d.select(
+        "source", "lang",
+        F.md5(F.encode("text", "UTF-8")).alias("fp"),
+        repetition_stats("text").alias("s"))
+    st = st.select(
+        "source", "lang", "fp",
+        F.col("s.n_tokens").alias("n_tokens"),
+        F.col("s.distinct_ratio").alias("distinct_ratio"),
+        gopher_pass(F.col("s")).alias("ok"))
+    return (st.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.count(F.lit(1)) - F.countDistinct("fp")).alias("n_exact_dups"),
+        F.sum(F.when(F.col("ok"), 1).otherwise(0)).cast("long")
+         .alias("n_gopher_pass"),
+        F.sum(F.col("distinct_ratio").cast("decimal(18,6)"))
+         .cast("decimal(28,6)").alias("sum_distinct_ratio")))
