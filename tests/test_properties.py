@@ -384,3 +384,77 @@ def test_all_codecs_reject_garbage_cleanly(data, prefix):
             dec(payload)
         except Exception:
             pass        # any clean Exception is within contract
+
+
+# --- streaming SCD2 vs a pure-Python interval fold -------------------
+
+change_logs = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),          # key
+        st.sampled_from(["I", "U", "D"]),               # manip
+        st.floats(min_value=0, max_value=500,
+                  allow_nan=False, allow_infinity=False),  # value
+    ),
+    min_size=1, max_size=14)
+
+
+def _python_scd2(rows):
+    """Reference fold: per key in arrival order, any change closes
+    the open version; D closes without reopening. Returns the set of
+    closed versions (key, value, valid_from_idx, valid_to_idx)."""
+    open_v: dict = {}
+    closed = []
+    for i, (k, m, v) in enumerate(rows):
+        if k in open_v:
+            ov, oi = open_v.pop(k)
+            closed.append((k, ov, oi, i))
+        if m != "D":
+            open_v[k] = (round(v, 6), i)
+    return set(closed), open_v
+
+
+@settings(max_examples=8, deadline=None)
+@given(change_logs)
+def test_streaming_scd2_matches_python_fold(spark, tmp_path_factory, log):
+    import json
+
+    from flink_precisely_demo_spark.streaming.scd2 import scd2_stream
+
+    tmp = tmp_path_factory.mktemp("scd2_prop")
+    src = tmp / "changes"
+    src.mkdir()
+    # one change per second keeps (ts, trans_id) strictly increasing;
+    # split the log across two files with pinned mtimes (per-key log
+    # order across triggers is the operator's documented contract)
+    def ts(i):
+        return f"2021-01-01T00:{i // 60:02d}:{i % 60:02d}"
+
+    rows = [{"key": k, "m": m, "ts": ts(i), "value": round(v, 6),
+             "trans_id": i, "row_seq": 1}
+            for i, (k, m, v) in enumerate(log)]
+    half = max(1, len(rows) // 2)
+    import os as _os
+    import time as _time
+    base = _time.time() - 100
+    for j, part in enumerate([rows[:half], rows[half:]]):
+        if not part:
+            continue
+        f = src / f"b{j}.json"
+        f.write_text("\n".join(map(json.dumps, part)))
+        _os.utime(f, (base + j * 10, base + j * 10))
+
+    schema = ("key long, m string, ts timestamp, value double, "
+              "trans_id long, row_seq int")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).json(str(src)))
+    name = f"scd2_prop_{abs(hash(tuple(map(tuple, log)))) % 10**9}"
+    q = (scd2_stream(stream).writeStream.format("memory")
+         .queryName(name).trigger(availableNow=True).start())
+    assert q.awaitTermination(180)
+
+    got = {(r["key"], round(r["value"], 6),
+            r["valid_from"].second + 60 * r["valid_from"].minute,
+            r["valid_to"].second + 60 * r["valid_to"].minute)
+           for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    expect_closed, _ = _python_scd2(log)
+    assert got == expect_closed
