@@ -122,8 +122,12 @@ def _multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                         payload = encode_jpeg(
                             img, quality=90, subsampling=sub)
                 elif sel == 1:
+                    # png rows have did % 80 == 20; every other one is
+                    # Adam7-INTERLACED so the driver hash-checks the
+                    # interlaced reassembly path too
                     fmt = "png"
-                    payload = encode_png(img, filter_type=int(did) % 5)
+                    payload = encode_png(img, filter_type=int(did) % 5,
+                                         interlace=bool((did // 80) % 2))
                 elif sel == 2:
                     fmt = "gif"
                     payload = encode_gif((img // 32) * 32)  # <=256 colors

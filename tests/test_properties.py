@@ -458,3 +458,22 @@ def test_streaming_scd2_matches_python_fold(spark, tmp_path_factory, log):
            for r in spark.sql(f"SELECT * FROM {name}").collect()}
     expect_closed, _ = _python_scd2(log)
     assert got == expect_closed
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.integers(1, 40), st.integers(1, 40), st.integers(0, 4),
+       st.integers(0, 2**32 - 1))
+def test_png_adam7_roundtrip(w, h, ft, seed):
+    """Adam7-interlaced encode -> decode is identity for every
+    filter type and shape (passes with zero dimension included)."""
+    import numpy as np
+
+    from flink_precisely_demo_spark.operators.png import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    enc = encode_png(img, filter_type=ft, interlace=True)
+    assert np.array_equal(decode_png(enc), img)
