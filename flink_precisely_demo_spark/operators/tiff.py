@@ -22,7 +22,8 @@ from .jpeg import UnsupportedCodecError
 
 _TAGS = {256: "width", 257: "height", 258: "bits", 259: "compression",
          262: "photometric", 273: "strip_offsets", 277: "spp",
-         278: "rows_per_strip", 279: "strip_counts", 284: "planar"}
+         278: "rows_per_strip", 279: "strip_counts", 284: "planar",
+         317: "predictor"}
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
 
@@ -63,6 +64,111 @@ def _packbits_encode(data: bytes) -> bytes:
             i += 1
         out.append(i - lit - 1)
         out += data[lit:i]
+    return bytes(out)
+
+
+
+# TIFF LZW (compression 5): MSB-first code packing, ClearCode 256,
+# EOI 257, dynamic codes from 258, and the spec's EARLY code-width
+# change (writers bump the width when the NEXT code to be added
+# would be 2^w - 1, i.e. at 510/1022/2046 — one sooner than GIF).
+_LZW_CLEAR, _LZW_EOI, _LZW_FIRST = 256, 257, 258
+_LZW_BUMPS = {510: 10, 1022: 11, 2046: 12}
+_LZW_MAX = 4094          # encoder emits Clear before the table fills
+
+
+def _lzw_decode_tiff(data: bytes) -> bytes:
+    out = bytearray()
+    table: list[bytes] = []
+    width = 9
+    nxt = _LZW_FIRST
+    prev: int | None = None
+    acc = nbits = 0
+
+    def reset() -> None:
+        nonlocal table, width, nxt, prev
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width, nxt, prev = 9, _LZW_FIRST, None
+
+    reset()
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == _LZW_CLEAR:
+                reset()
+                continue
+            if code == _LZW_EOI:
+                return bytes(out)
+            if prev is None:
+                if code >= 256:
+                    raise ValueError("tiff lzw: bad first code")
+                out += table[code]
+            else:
+                if code < nxt:
+                    entry = table[code]
+                elif code == nxt:
+                    entry = table[prev] + table[prev][:1]
+                else:
+                    raise ValueError("tiff lzw: code out of range")
+                out += entry
+                table.append(table[prev] + entry[:1])
+                nxt += 1
+                # the encoder registers its next entry BEFORE emitting
+                # the next code, so its table leads this one by one:
+                # bump the read width one entry early (the TIFF spec's
+                # "early change" — thresholds 509/1021/2045)
+                if nxt + 1 in _LZW_BUMPS:
+                    width = _LZW_BUMPS[nxt + 1]
+            prev = code
+    return bytes(out)
+
+
+def _lzw_encode_tiff(data: bytes) -> bytes:
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    table: dict[bytes, int] = {}
+    width = 9
+    nxt = _LZW_FIRST
+
+    def reset() -> None:
+        nonlocal table, width, nxt
+        table = {bytes([i]): i for i in range(256)}
+        width, nxt = 9, _LZW_FIRST
+
+    reset()
+    emit(_LZW_CLEAR, width)
+    cur = b""
+    for b in data:
+        cand = cur + bytes([b])
+        if cand in table:
+            cur = cand
+            continue
+        emit(table[cur], width)
+        table[cand] = nxt
+        nxt += 1
+        if nxt in _LZW_BUMPS:
+            width = _LZW_BUMPS[nxt]
+        elif nxt > _LZW_MAX:
+            emit(_LZW_CLEAR, width)
+            reset()
+        cur = bytes([b])
+    if cur:
+        emit(table[cur], width)
+    emit(_LZW_EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
     return bytes(out)
 
 
@@ -110,9 +216,12 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         raise UnsupportedCodecError(f"tiff: only 8-bit samples (got {bits})")
     if planar != 1:
         raise UnsupportedCodecError("tiff: planar configuration 2")
-    if compression not in (1, 32773):
+    if compression not in (1, 5, 32773):
         raise UnsupportedCodecError(
-            f"tiff: compression {compression} (only none/PackBits)")
+            f"tiff: compression {compression} (only none/LZW/PackBits)")
+    predictor = tags.get("predictor", [1])[0]
+    if predictor not in (1, 2):
+        raise UnsupportedCodecError(f"tiff: predictor {predictor}")
     if photometric not in (0, 1, 2):
         raise UnsupportedCodecError(
             f"tiff: photometric {photometric} (gray/RGB only)")
@@ -125,10 +234,15 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         nrows = min(rows_per_strip, h - si * rows_per_strip)
         if compression == 32773:
             strip = _packbits_decode(strip, nrows * stride)
+        elif compression == 5:
+            strip = _lzw_decode_tiff(strip)
         data += strip[:nrows * stride]
     if len(data) < h * stride:
         raise ValueError("tiff: truncated strip data")
     px = np.frombuffer(bytes(data), np.uint8, h * stride).reshape(h, w, spp)
+    if predictor == 2:
+        # horizontal differencing: per row, per channel, cumulative
+        px = (px.astype(np.int32).cumsum(axis=1) & 0xFF).astype(np.uint8)
     if photometric == 2:
         if spp < 3:
             raise ValueError("tiff: RGB photometric with <3 samples")
@@ -140,8 +254,12 @@ def decode_tiff(payload: bytes) -> np.ndarray:
 
 
 def encode_tiff(img: np.ndarray, byte_order: str = "<",
-                packbits: bool = False) -> bytes:
-    """(h, w[, 3]) uint8 -> single-strip baseline TIFF."""
+                packbits: bool = False, lzw: bool = False,
+                predictor: bool = False) -> bytes:
+    """(h, w[, 3]) uint8 -> single-strip TIFF. ``packbits`` or
+    ``lzw`` selects the compression (mutually exclusive);
+    ``predictor`` applies horizontal differencing (tag 317 = 2, the
+    standard companion of LZW) before compressing."""
     img = np.asarray(img, dtype=np.uint8)
     gray = img.ndim == 2
     h, w = img.shape[:2]
@@ -149,9 +267,18 @@ def encode_tiff(img: np.ndarray, byte_order: str = "<",
     bo = byte_order
     if bo not in ("<", ">"):
         raise ValueError("byte_order must be '<' or '>'")
-    pix = img.tobytes()
+    if packbits and lzw:
+        raise ValueError("packbits and lzw are mutually exclusive")
+    plane = img.reshape(h, w, spp)
+    if predictor:
+        diff = plane.astype(np.int16)
+        diff[:, 1:, :] = (diff[:, 1:, :] - diff[:, :-1, :]) % 256
+        plane = diff.astype(np.uint8)
+    pix = plane.tobytes()
     if packbits:
         pix = _packbits_encode(pix)
+    elif lzw:
+        pix = _lzw_encode_tiff(pix)
 
     entries = []                    # (tag, type, count, value_or_bytes)
 
@@ -167,12 +294,14 @@ def encode_tiff(img: np.ndarray, byte_order: str = "<",
         short(258, 8)
     else:
         entries.append((258, 3, 3, b"BITS"))       # placeholder, patched
-    short(259, 32773 if packbits else 1)
+    short(259, 32773 if packbits else (5 if lzw else 1))
     short(262, 1 if gray else 2)                   # black-is-zero / RGB
     long_(273, 0)                                  # patched strip offset
     short(277, spp)
     short(278, h)
     long_(279, len(pix))
+    if predictor:
+        short(317, 2)
 
     header = struct.pack(bo + "2sHI", b"II" if bo == "<" else b"MM", 42, 8)
     ifd_off = 8

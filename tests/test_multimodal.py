@@ -895,3 +895,32 @@ def test_audio_resample_transcode_formats(spark):
         assert feats["error"] is None
         assert feats["sample_rate"] == 16_000
         assert feats["n_samples"] == 4000  # 2000 @8k -> 4000 @16k
+
+
+def test_tiff_lzw_and_predictor_roundtrip():
+    """LZW (MSB-first, early code-width change, multi-Clear resets)
+    and the horizontal-differencing predictor, both byte orders."""
+    from flink_precisely_demo_spark.operators.tiff import (
+        _lzw_decode_tiff,
+        _lzw_encode_tiff,
+        decode_tiff,
+        encode_tiff,
+    )
+
+    rng = np.random.default_rng(3)
+    for bo in "<>":
+        for kw in (dict(lzw=True), dict(lzw=True, predictor=True),
+                   dict(predictor=True)):
+            img = rng.integers(0, 256, size=(19, 11, 3), dtype=np.uint8)
+            assert np.array_equal(
+                decode_tiff(encode_tiff(img, byte_order=bo, **kw)), img)
+    # a smooth gradient must actually compress under predictor+lzw
+    yy, xx = np.mgrid[0:64, 0:64]
+    smooth = np.stack([xx, yy, (xx + yy) // 2], axis=-1).astype(np.uint8)
+    plain = encode_tiff(smooth)
+    packed = encode_tiff(smooth, lzw=True, predictor=True)
+    assert len(packed) < len(plain) / 3
+    assert np.array_equal(decode_tiff(packed), smooth)
+    # raw kernel: enough random data to force multiple Clear resets
+    blob = rng.integers(0, 256, 300_000, dtype=np.uint8).tobytes()
+    assert _lzw_decode_tiff(_lzw_encode_tiff(blob)) == blob
