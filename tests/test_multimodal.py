@@ -473,19 +473,17 @@ def test_png_palette():
     assert tuple(dec[1, 2]) == (0, 0, 255)
 
 
-def test_png_interlace_raises_typed_error():
-    import struct
-
+def test_png_unsupported_depth_raises_typed_error():
+    """Adam7 interlace decodes since round 6; the remaining typed
+    error is bit depth != 8."""
     from flink_precisely_demo_spark.operators.png import (
         decode_png,
         encode_png,
     )
     png = bytearray(encode_png(_grad_img(8, 8)))
-    # IHDR data starts at offset 16; interlace byte is its 13th byte
-    png[16 + 12] = 1
-    # crc now wrong but IHDR is parsed before validation; interlace
-    # check fires first
-    with pytest.raises(UnsupportedCodecError, match="interlace"):
+    # IHDR data starts at offset 16; depth is its 9th byte
+    png[16 + 8] = 16
+    with pytest.raises(UnsupportedCodecError, match="8-bit"):
         decode_png(bytes(png))
     with pytest.raises(ValueError):
         decode_png(b"not a png at all")
@@ -610,11 +608,18 @@ def test_tiff_unsupported_profiles_raise_typed_error():
         encode_tiff,
     )
     t = bytearray(encode_tiff(_grad_img(8, 8)))
-    # find the compression tag (259) and set it to LZW (5)
+    # LZW (5) decodes since round 6; JPEG-in-TIFF (7) stays typed
     i = t.index(struct.pack("<HH", 259, 3))
-    t[i + 8:i + 10] = struct.pack("<H", 5)
+    t[i + 8:i + 10] = struct.pack("<H", 7)
     with pytest.raises(UnsupportedCodecError, match="compression"):
         decode_tiff(bytes(t))
+    # 16-bit samples stay typed (gray image writes the bits tag
+    # inline, so it can be patched in place)
+    t2 = bytearray(encode_tiff(_grad_img(8, 8)[..., 0]))
+    j = t2.index(struct.pack("<HH", 258, 3))
+    t2[j + 8:j + 10] = struct.pack("<H", 16)
+    with pytest.raises(UnsupportedCodecError, match="8-bit"):
+        decode_tiff(bytes(t2))
     with pytest.raises(ValueError):
         decode_tiff(b"not a tiff")
 
