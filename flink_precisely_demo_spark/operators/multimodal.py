@@ -151,28 +151,71 @@ def ingest_binary_dir(spark, path: str) -> DataFrame:
 # the feature operators.
 
 def _decode_bmp(payload: bytes) -> np.ndarray:
-    """Uncompressed 24-bit BMP (BITMAPINFOHEADER) -> (h, w, 3) RGB
-    uint8. Pure numpy: header fields are little-endian at fixed
-    offsets; rows are 4-byte padded, BGR, bottom-up (negative height
-    = top-down)."""
+    """BMP (BITMAPINFOHEADER) -> (h, w, 3) RGB uint8: uncompressed
+    24-bit (BGR) and 32-bit (BGRA/BGRX, alpha dropped), plus 8-bit
+    paletted with or without RLE8 run-length compression. Pure
+    numpy/bytes: header fields are little-endian at fixed offsets;
+    rows are 4-byte padded, bottom-up (negative height = top-down)."""
     if payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
     off = int.from_bytes(payload[10:14], "little")
+    hdr_size = int.from_bytes(payload[14:18], "little")
     w = int.from_bytes(payload[18:22], "little", signed=True)
     h = int.from_bytes(payload[22:26], "little", signed=True)
     bpp = int.from_bytes(payload[28:30], "little")
     comp = int.from_bytes(payload[30:34], "little")
-    if bpp != 24 or comp != 0:
-        raise ValueError(f"only 24-bit uncompressed BMP (got bpp={bpp}, "
-                         f"compression={comp})")
     top_down, h = h < 0, abs(h)
-    stride = ((w * 3 + 3) // 4) * 4
-    rows = np.frombuffer(payload, dtype=np.uint8,
-                         count=stride * h, offset=off).reshape(h, stride)
-    bgr = rows[:, : w * 3].reshape(h, w, 3)
-    if not top_down:
-        bgr = bgr[::-1]
-    return bgr[..., ::-1].copy()  # BGR -> RGB
+
+    if bpp in (24, 32) and comp == 0:
+        ch = bpp // 8
+        stride = ((w * ch + 3) // 4) * 4
+        rows = np.frombuffer(payload, dtype=np.uint8,
+                             count=stride * h, offset=off).reshape(h, stride)
+        bgr = rows[:, : w * ch].reshape(h, w, ch)[..., :3]
+        if not top_down:
+            bgr = bgr[::-1]
+        return bgr[..., ::-1].copy()  # BGR(A) -> RGB
+
+    if bpp == 8 and comp in (0, 1):
+        n_colors = int.from_bytes(payload[46:50], "little") or 256
+        pal_off = 14 + hdr_size
+        pal = np.frombuffer(payload, dtype=np.uint8, count=n_colors * 4,
+                            offset=pal_off).reshape(n_colors, 4)
+        rgb_pal = pal[:, [2, 1, 0]]           # stored BGRX
+        if comp == 0:
+            stride = ((w + 3) // 4) * 4
+            idx = np.frombuffer(payload, dtype=np.uint8, count=stride * h,
+                                offset=off).reshape(h, stride)[:, :w]
+        else:                                 # RLE8
+            idx = np.zeros((h, w), dtype=np.uint8)
+            x = y = 0
+            i = off
+            while i + 1 < len(payload):
+                n, v = payload[i], payload[i + 1]
+                i += 2
+                if n:                         # encoded run
+                    idx[y, x:x + n] = v
+                    x += n
+                elif v == 0:                  # end of line
+                    x, y = 0, y + 1
+                elif v == 1:                  # end of bitmap
+                    break
+                elif v == 2:                  # delta jump
+                    x += payload[i]
+                    y += payload[i + 1]
+                    i += 2
+                else:                         # absolute run of v pixels
+                    idx[y, x:x + v] = np.frombuffer(
+                        payload, dtype=np.uint8, count=v, offset=i)
+                    x += v
+                    i += v + (v & 1)          # runs are word-aligned
+        out = rgb_pal[np.minimum(idx, n_colors - 1)]
+        if not top_down:
+            out = out[::-1]
+        return out.astype(np.uint8).copy()
+
+    raise ValueError(f"unsupported BMP variant (bpp={bpp}, "
+                     f"compression={comp})")
 
 
 def _decode_ppm(payload: bytes) -> np.ndarray:

@@ -929,3 +929,44 @@ def test_tiff_lzw_and_predictor_roundtrip():
     # raw kernel: enough random data to force multiple Clear resets
     blob = rng.integers(0, 256, 300_000, dtype=np.uint8).tobytes()
     assert _lzw_decode_tiff(_lzw_encode_tiff(blob)) == blob
+
+
+def _bmp_header(w, h, bpp, comp, data_len, pal=b""):
+    off = 14 + 40 + len(pal)
+    return (b"BM" + (off + data_len).to_bytes(4, "little") + b"\x00" * 4
+            + off.to_bytes(4, "little")
+            + (40).to_bytes(4, "little")
+            + w.to_bytes(4, "little") + h.to_bytes(4, "little", signed=True)
+            + (1).to_bytes(2, "little") + bpp.to_bytes(2, "little")
+            + comp.to_bytes(4, "little") + data_len.to_bytes(4, "little")
+            + b"\x00" * 8 + (len(pal) // 4).to_bytes(4, "little")
+            + b"\x00" * 4 + pal)
+
+
+def test_bmp_32bit_and_rle8():
+    rng = np.random.default_rng(9)
+    # 32-bit BGRX, bottom-up
+    img = rng.integers(0, 256, size=(5, 3, 3), dtype=np.uint8)
+    rows = bytearray()
+    for y in range(4, -1, -1):
+        for x in range(3):
+            r, g, b = img[y, x]
+            rows += bytes([b, g, r, 0])
+    payload = _bmp_header(3, 5, 32, 0, len(rows)) + bytes(rows)
+    assert np.array_equal(_decode_bmp(payload), img)
+
+    # 8-bit paletted RLE8: two rows, runs + absolute + EOL + EOB
+    pal = b"".join(bytes([i, 2 * i % 256, 3 * i % 256, 0])
+                   for i in range(4))  # BGRX entries
+    # row semantics are bottom-up: first encoded row is the BOTTOM one
+    rle = bytes([3, 1,              # run: 3 pixels of color 1
+                 0, 3, 2, 3, 2, 0,  # absolute: 3 pixels + word pad
+                 0, 0,              # end of line
+                 6, 2,              # next row: 6 pixels of color 2
+                 0, 1])             # end of bitmap
+    payload = _bmp_header(6, 2, 8, 1, len(rle), pal) + rle
+    out = _decode_bmp(payload)
+    pal_rgb = {i: (3 * i % 256, 2 * i % 256, i) for i in range(4)}
+    assert [tuple(p) for p in out[1]] == [pal_rgb[1]] * 3 + [
+        pal_rgb[2], pal_rgb[3], pal_rgb[2]]
+    assert [tuple(p) for p in out[0]] == [pal_rgb[2]] * 6
