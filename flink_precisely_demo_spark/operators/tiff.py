@@ -70,10 +70,16 @@ def _packbits_encode(data: bytes) -> bytes:
 
 # TIFF LZW (compression 5): MSB-first code packing, ClearCode 256,
 # EOI 257, dynamic codes from 258, and the spec's EARLY code-width
-# change (writers bump the width when the NEXT code to be added
-# would be 2^w - 1, i.e. at 510/1022/2046 — one sooner than GIF).
+# change: the ENCODER widens as soon as its next-free code reaches
+# 2^w (512/1024/2048) — one table entry sooner than GIF, because the
+# about-to-be-stored string could be emitted at the new width — and
+# the DECODER, whose table lags the encoder's by exactly one entry,
+# widens when ITS next-free code reaches 2^w - 1 (511/1023/2047).
+# These are the libtiff / Java-ImageIO interoperable thresholds
+# (verified against a javax.imageio-encoded fixture in
+# tests/fixtures/imageio_lzw.tif).
 _LZW_CLEAR, _LZW_EOI, _LZW_FIRST = 256, 257, 258
-_LZW_BUMPS = {510: 10, 1022: 11, 2046: 12}
+_LZW_BUMPS = {512: 10, 1024: 11, 2048: 12}
 _LZW_MAX = 4094          # encoder emits Clear before the table fills
 
 
@@ -118,8 +124,8 @@ def _lzw_decode_tiff(data: bytes) -> bytes:
                 nxt += 1
                 # the encoder registers its next entry BEFORE emitting
                 # the next code, so its table leads this one by one:
-                # bump the read width one entry early (the TIFF spec's
-                # "early change" — thresholds 509/1021/2045)
+                # widen the read width when the next-free code reaches
+                # 2^w - 1 (511/1023/2047 — libtiff's MAXCODE(n)-1)
                 if nxt + 1 in _LZW_BUMPS:
                     width = _LZW_BUMPS[nxt + 1]
             prev = code

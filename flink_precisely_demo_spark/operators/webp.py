@@ -650,6 +650,13 @@ def _write_prefix_code(bw: _LsbWriter, lengths: dict,
         cl_freqs[t] = cl_freqs.get(t, 0) + 1
     cl_lengths = _huffman_lengths(cl_freqs, 7)
     cl_codes = _canonical_codes(cl_lengths)
+    if len(cl_lengths) == 1:
+        # one used code-length symbol (e.g. every literal is exactly
+        # 8 bits): the decoder's table for a single-symbol code is
+        # the spec's ZERO-bit code — it reads nothing per token — so
+        # the canonical 1-bit assignment above would desync the
+        # bitstream. Emit tokens in zero bits to mirror it.
+        cl_codes = {next(iter(cl_lengths)): (0, 0)}
     # cover every used code-length symbol in the fixed storage order
     n_needed = max(_CODE_LENGTH_ORDER.index(t) + 1 for t in cl_lengths)
     num_code_lengths = max(4, n_needed)

@@ -608,8 +608,8 @@ def _text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                      AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
                      AND distinct_ratio >= 0.2 AND top_token_frac <= 0.35
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher_pass,
-           CAST(SUM(CAST(distinct_ratio AS DECIMAL(18,6)))
-                AS DECIMAL(28,6)) AS sum_distinct_ratio
+           CAST(CAST(SUM(CAST(distinct_ratio AS DECIMAL(18,6)))
+                AS DECIMAL(28,6)) AS DOUBLE) AS sum_distinct_ratio
     FROM s
     GROUP BY source, lang
     """,
@@ -618,8 +618,11 @@ def _corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The per-(source, language) rollup a curation team watches
     daily: document and token volumes, exact-duplicate counts
     (content-md5), Gopher-gate pass counts, and the distinct-ratio
-    mass (decimal-summed so the cross-engine hash is exact —
-    double summation order would drift the last ulp). Composes
+    mass (decimal-summed so the cross-engine hash is exact — double
+    summation order would drift the last ulp — then cast back to
+    DOUBLE on both sides, the sum_exact house rule: the driver hash
+    distinguishes Decimal objects from float64 even when values
+    match). Composes
     repetition_stats + gopher_pass + content fingerprinting into one
     map-side-combined aggregation: per-doc stats run in the scan
     stage, then ONE shuffle on (source, lang) — at 100 TB the
@@ -644,4 +647,5 @@ def _corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("ok"), 1).otherwise(0)).cast("long")
          .alias("n_gopher_pass"),
         F.sum(F.col("distinct_ratio").cast("decimal(18,6)"))
-         .cast("decimal(28,6)").alias("sum_distinct_ratio")))
+         .cast("decimal(28,6)").cast("double")
+         .alias("sum_distinct_ratio")))

@@ -57,6 +57,23 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str,
         return problems
     for c in s.columns:
         sv, dv = s[c], d[c]
+        ks, kd = sv.dtype.kind, dv.dtype.kind
+        # Driver-faithfulness: the driver hashes each side's values
+        # independently, so a dtype-representation divergence (Spark
+        # Decimal objects vs DuckDB float64, or int vs float) fails its
+        # hash even when every value is numerically identical.  The old
+        # behavior routed any either-side-float column through tolerant
+        # compare, which HID exactly that class (r6: corpus_health_report
+        # passed locally and in the sf10 sweep, failed the driver).
+        # Treat signed/unsigned int as one kind; everything else must
+        # match kind-for-kind before values are compared.
+        _ik = lambda k: "i" if k in ("i", "u") else k
+        if _ik(ks) != _ik(kd):
+            problems.append(
+                f"col {c}: dtype-kind mismatch spark={sv.dtype} "
+                f"duckdb={dv.dtype} — driver hash would fail even if "
+                f"values match (cast both sides to the same type)")
+            continue
         if sv.dtype.kind == "f" or dv.dtype.kind == "f":
             bad = 0
             for a, b in zip(sv, dv):

@@ -8,6 +8,7 @@ of aborting the job.
 from __future__ import annotations
 
 import io
+import os
 import struct
 import wave
 
@@ -929,6 +930,30 @@ def test_tiff_lzw_and_predictor_roundtrip():
     # raw kernel: enough random data to force multiple Clear resets
     blob = rng.integers(0, 256, 300_000, dtype=np.uint8).tobytes()
     assert _lzw_decode_tiff(_lzw_encode_tiff(blob)) == blob
+
+
+def _java_gradient(w, h):
+    """The deterministic pattern baked into the external fixtures."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack([(xx * 7 + yy * 3) & 0xFF, (xx * xx + yy) & 0xFF,
+                     (xx + yy * yy * 5) & 0xFF], axis=-1).astype(np.uint8)
+
+
+def test_tiff_lzw_decodes_external_imageio_fixture():
+    """Interop gate: these fixtures were encoded by javax.imageio's
+    TIFF LZW writer (libtiff-compatible code-width thresholds:
+    encoder widens at 512/1024/2048, decoder at 511/1023/2047), so a
+    self-consistent-but-wrong threshold pair can't hide behind our
+    own round-trip. The big fixture's strips drive the table through
+    all three width bumps (decoder nxt reaches 4095)."""
+    from flink_precisely_demo_spark.operators.tiff import decode_tiff
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    for name, (w, h) in [("imageio_lzw.tif", (64, 48)),
+                         ("imageio_lzw_big.tif", (160, 120))]:
+        with open(os.path.join(here, "fixtures", name), "rb") as f:
+            payload = f.read()
+        assert np.array_equal(decode_tiff(payload), _java_gradient(w, h))
 
 
 def _bmp_header(w, h, bpp, comp, data_len, pal=b""):

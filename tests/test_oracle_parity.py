@@ -104,3 +104,43 @@ def test_deferred_entries_have_driver_green_history():
     offenders = [n for n in e._DEFERRED if greens.get(n, 0) < 2]
     assert not offenders, (
         f"deferred without >= 2 prior driver-green rounds: {offenders}")
+
+
+def test_compare_flags_decimal_vs_float_dtype_divergence(con):
+    """Driver-faithfulness regression (r6 lesson): the driver hashes
+    each side's values independently, so Spark Decimal objects vs
+    DuckDB float64 fail its hash even when numerically identical.
+    The local comparator must FLAG that divergence, not route it
+    through the float-tolerance path (which is what let
+    corpus_health_report pass locally while failing the driver)."""
+    from decimal import Decimal
+
+    import pandas as pd
+
+    class _FakeSparkDF:
+        def toPandas(self):
+            return pd.DataFrame({
+                "k": ["a", "b"],
+                "v": [Decimal("2.189920"), Decimal("1.000000")],
+            })
+
+    problems = compare(
+        _FakeSparkDF(), con,
+        "SELECT * FROM (VALUES ('a', 2.18992::DOUBLE), "
+        "('b', 1.0::DOUBLE)) AS t(k, v)")
+    assert any("dtype-kind mismatch" in p for p in problems), problems
+
+
+def test_compare_flags_int_vs_float_dtype_divergence(con):
+    """Same class: an int64 column vs a float64 column must be
+    reported even when every value is numerically equal."""
+    import pandas as pd
+
+    class _FakeSparkDF:
+        def toPandas(self):
+            return pd.DataFrame({"k": ["a"], "v": pd.array([3], dtype="int64")})
+
+    problems = compare(
+        _FakeSparkDF(), con,
+        "SELECT * FROM (VALUES ('a', 3.0::DOUBLE)) AS t(k, v)")
+    assert any("dtype-kind mismatch" in p for p in problems), problems

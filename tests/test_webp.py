@@ -447,3 +447,24 @@ def test_fuzz_truncation_of_valid_stream(seed, cut):
     except (ValueError, IndexError):
         return
     assert np.array_equal(out, img)
+
+
+def test_single_code_length_symbol_roundtrip():
+    """Regression (r6 advisory): when a prefix code's used lengths
+    collapse to ONE code-length symbol (all 256 literal values
+    equally frequent -> every length 8), the encoder must emit the
+    tokens in zero bits, mirroring the decoder's single-symbol
+    zero-bit table; a canonical 1-bit assignment desyncs the
+    bitstream."""
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    img[..., 0] = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    for effort in (0, 1):
+        out = decode_webp(encode_webp_lossless(img, effort=effort))
+        assert np.array_equal(out, img), f"effort={effort}"
+    # also exercise the same shape on green/blue/alpha planes
+    for chan in (1, 2):
+        img2 = np.zeros((16, 16, 3), dtype=np.uint8)
+        img2[..., chan] = np.arange(256, dtype=np.uint8).reshape(16, 16)
+        for effort in (0, 1):
+            out = decode_webp(encode_webp_lossless(img2, effort=effort))
+            assert np.array_equal(out, img2)
