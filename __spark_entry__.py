@@ -101,31 +101,32 @@ _DEFERRED = [
     "dedup_exact",
     "text_token_stats",
     "text_filter_pipeline",
-    # rotated out in r4 for the TPC-H tail; each is >= double-green
-    # (rounds noted), and every operator family keeps >= 3 entries
-    # inside the window
-    "top_k_per_group",            # r1 r2 r3
-    "similarity_bruteforce_topk",  # r1 r2 r3
-    "similarity_ivf_cells",        # r1 r2 r3
-    "dedup_simhash",               # r1 r2 r3
-    "dedup_simhash_pairs",         # r1 r2 r3
-    "dedup_ngram_jaccard",         # r1 r2 r3
-    "curation_sample",             # r2 r3
-    "curation_split",              # r2 r3
-    "text_language_id",            # r1 r3
-    "text_quality_score",          # r1 r3
-    # rotated out in r5 so the never-driver-validated
-    # multimodal_image_decode (real image-decode round trip) and the
-    # q4/q21/q22 TPC-H shapes take window slots; every family keeps
-    # >= 3 entries inside (windows: tumbling/session-ization/
-    # analytics; similarity: ivf_topk/kmeans/ann_index/cosine;
-    # curation: contamination/stratified/pipeline_e2e)
-    "sliding_window_events",       # r2 r3 r4
-    "date_functions",              # r2 r3 r4
-    "session_window_events",       # r2 r3 r4
-    "embedding_quantize_stats",    # r1 r2 r4
-    "dedup_embedding_cosine",      # r2 r3 r4
-    "curation_contamination",      # r2 r3 r4
+    # r7 rotation: the 16 r3/r4-era deferred entries (evidence 3-4
+    # rounds stale by now: top_k_per_group, similarity_bruteforce/
+    # ivf_cells, dedup_simhash/_pairs/ngram_jaccard, text_language_id,
+    # text_quality_score last green r3; sliding/session windows,
+    # date_functions, embedding_quantize_stats, dedup_embedding_cosine,
+    # curation_contamination last green r4; curation_sample/split last
+    # green r3) return to the window — the same staleness argument that
+    # justified r6's fully-successful misc rotation. The 16 misc
+    # function-coverage queries (fresh triple-green r1+r2+r6) cede the
+    # slots they reclaimed in r6:
+    "anti_semi_join",              # r1 r2 r6
+    "array_functions_embeddings",  # r1 r2 r6
+    "cube_agg",                    # r1 r2 r6
+    "distinct_agg",                # r1 r2 r6
+    "grouping_sets",               # r1 r2 r6
+    "histogram_buckets",           # r1 r2 r6
+    "intersect_keys",              # r1 r2 r6
+    "percentile_exact",            # r1 r2 r6
+    "pivot_events",                # r1 r2 r6
+    "regex_extract_props",         # r1 r2 r6
+    "rollup_agg",                  # r1 r2 r6
+    "set_ops",                     # r1 r2 r6
+    "unpivot_measures",            # r1 r2 r6
+    "string_math_funcs",           # r1 r2 r6
+    "full_outer_join_nulls",       # r1 r2 r6
+    "subquery_in_exists",          # r1 r2 r6
 ]
 
 

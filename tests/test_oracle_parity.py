@@ -66,16 +66,22 @@ def test_parity_queries_inside_driver_window():
                  "cdc_envelope_decode", "projection_flatten",
                  "parse_ts_roundtrip", "enrichment_latest_join",
                  "tumbling_window_events", "window_analytics",
-                 # r6 rotation: the misc function-coverage queries
-                 # (evidence stale since r2) must hold their slots
-                 # until they regain fresh driver-green evidence
-                 "anti_semi_join", "array_functions_embeddings",
-                 "cube_agg", "distinct_agg", "grouping_sets",
-                 "histogram_buckets", "intersect_keys",
-                 "percentile_exact", "pivot_events",
-                 "regex_extract_props", "rollup_agg", "set_ops",
-                 "unpivot_measures", "string_math_funcs",
-                 "full_outer_join_nulls", "subquery_in_exists"]:
+                 # r7 rotation: the r3/r4-era entries (evidence 3-4
+                 # rounds stale) must hold their reclaimed slots until
+                 # they regain fresh driver-green evidence
+                 "top_k_per_group", "similarity_bruteforce_topk",
+                 "similarity_ivf_cells", "dedup_simhash",
+                 "dedup_simhash_pairs", "dedup_ngram_jaccard",
+                 "text_language_id", "text_quality_score",
+                 "sliding_window_events", "date_functions",
+                 "session_window_events", "embedding_quantize_stats",
+                 "dedup_embedding_cosine", "curation_contamination",
+                 "curation_sample", "curation_split",
+                 # r6's never-validated additions hold until >=2 greens
+                 "corpus_health_report", "streaming_dedup_replay",
+                 "cdc_history_scd2", "text_pii_scrub",
+                 "text_html_extract", "text_chunk_windows",
+                 "url_canonicalize", "text_tfidf_top_terms"]:
         assert name in first50, f"{name} fell outside the driver window"
 
 
