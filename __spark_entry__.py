@@ -111,6 +111,11 @@ _DEFERRED = [
     # justified r6's fully-successful misc rotation. The 16 misc
     # function-coverage queries (fresh triple-green r1+r2+r6) cede the
     # slots they reclaimed in r6:
+    # r7 addition: multimodal_video_decode (green r5+r6) cedes its
+    # slot to the never-driver-validated multimodal_format_audit
+    # (family floor holds: multimodal keeps image_decode,
+    # audio_decode and the new format_audit in-window)
+    "multimodal_video_decode",     # r5 r6
     "anti_semi_join",              # r1 r2 r6
     "array_functions_embeddings",  # r1 r2 r6
     "cube_agg",                    # r1 r2 r6

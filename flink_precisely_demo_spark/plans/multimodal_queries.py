@@ -293,3 +293,215 @@ def _multimodal_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = docs.mapInPandas(synthesize, schema=MEDIA_SCHEMA)
     return video_features(media).select(
         "media_id", "n_frames", "fps", "duration_ms", "error")
+
+
+# crawl-like format mix by doc_id % 100 slot: weights approximate a
+# web-crawl media distribution (jpeg-heavy, png, gif, webp split
+# lossless/lossy, a long tail of bmp/tiff and audio/video containers).
+# THE POINT of the audit: formats whose codecs this build implements
+# must decode 100%; the lossy-DSP formats (VP8-lossy webp, mp3, aac,
+# mp4/h264) must raise the TYPED UnsupportedCodecError 100% — decode
+# failures are measured data, never silent drops or job aborts.
+_AUDIT_SLOTS = [  # (first_slot, last_slot, label, meta_format, media_type)
+    (0, 44, "jpeg", "jpeg", "image"),
+    (45, 64, "png", "png", "image"),
+    (65, 70, "gif", "gif", "image"),
+    (71, 75, "webp_lossless", "webp", "image"),
+    (76, 80, "webp_lossy", "webp", "image"),
+    (81, 82, "bmp", "bmp", "image"),
+    (83, 84, "tiff", "tiff", "image"),
+    (85, 87, "wav", "wav", "audio"),
+    (88, 89, "flac", "flac", "audio"),
+    (90, 93, "mp3", "mp3", "audio"),
+    (94, 94, "aac", "aac", "audio"),
+    (95, 96, "avi", "avi", "video"),
+    (97, 98, "mp4", "mp4", "video"),
+    (99, 99, "au", "au", "audio"),
+]
+_AUDIT_LOSSY = {"webp_lossy", "mp3", "aac", "mp4"}
+
+
+def _audit_label_case(prefix: str) -> str:
+    """The slot -> label CASE expression, shared verbatim between the
+    Spark side and the DuckDB oracle so the two mixes can't drift."""
+    parts = [f"CASE WHEN {prefix} <= {hi} THEN '{label}'"
+             if lo == 0 else f"WHEN {prefix} <= {hi} THEN '{label}'"
+             for lo, hi, label, _, _ in _AUDIT_SLOTS[:-1]]
+    return " ".join(parts) + f" ELSE '{_AUDIT_SLOTS[-1][2]}' END"
+
+
+def _audit_mtype_case(prefix: str) -> str:
+    parts = []
+    for i, (lo, hi, _, _, mt) in enumerate(_AUDIT_SLOTS[:-1]):
+        kw = "CASE WHEN" if i == 0 else "WHEN"
+        parts.append(f"{kw} {prefix} <= {hi} THEN '{mt}'")
+    return " ".join(parts) + f" ELSE '{_AUDIT_SLOTS[-1][4]}' END"
+
+
+def _bmp24(img: np.ndarray) -> bytes:
+    """Minimal 24-bit bottom-up BMP (BGR, 4-byte row padding)."""
+    h, w, _ = img.shape
+    pad = (-(w * 3)) % 4
+    body = b"".join(img[y, :, ::-1].tobytes() + b"\x00" * pad
+                    for y in range(h - 1, -1, -1))
+    off = 14 + 40
+    return (b"BM" + (off + len(body)).to_bytes(4, "little")
+            + b"\x00" * 4 + off.to_bytes(4, "little")
+            + (40).to_bytes(4, "little")
+            + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+            + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+            + (0).to_bytes(4, "little")
+            + len(body).to_bytes(4, "little") + b"\x00" * 16 + body)
+
+
+@query(
+    "multimodal_format_audit",
+    oracle=f"""
+    WITH lab AS (
+      SELECT {_audit_mtype_case('doc_id % 100')} AS media_type,
+             {_audit_label_case('doc_id % 100')} AS format,
+             CASE WHEN {_audit_label_case('doc_id % 100')} IN
+                  ('webp_lossy', 'mp3', 'aac', 'mp4')
+                  THEN 0 ELSE 1 END AS dec
+      FROM documents
+    )
+    SELECT media_type, format,
+           CAST(COUNT(*) AS BIGINT) AS n_media,
+           CAST(SUM(dec) AS BIGINT) AS n_decoded,
+           CAST(COUNT(*) - SUM(dec) AS BIGINT) AS n_typed_error,
+           CAST(SUM(dec) AS DOUBLE) / COUNT(*) AS decode_rate
+    FROM lab
+    GROUP BY media_type, format
+    """,
+)
+def _multimodal_format_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format-mix audit over a crawl-realistic payload distribution:
+    synthesize one media payload per document (format assigned by
+    doc_id % 100 with web-crawl-like weights — 45% jpeg, 20% png, 6%
+    gif, 10% webp split lossless/lossy, bmp/tiff/audio/video tail),
+    run the REAL decoders through the three feature operators, and
+    report per-format decode vs typed-error rates. The oracle
+    recomputes the expected outcome arithmetically, so a hash match
+    PROVES (a) every implemented codec decodes its slice 100%, (b)
+    every lossy-DSP format (VP8-lossy webp, mp3, aac, mp4) raises the
+    typed UnsupportedCodecError on 100% of its rows — the dropped
+    slice is a measured number (12% under this mix), never a silent
+    loss or a job abort. Scale shape: synthesis+decode is a
+    zero-shuffle scan-stage map; the only exchange is the final
+    14-group aggregate."""
+    import io
+    import wave
+
+    from ..operators.avi import mux_mjpeg_avi
+    from ..operators.flac import encode_flac
+    from ..operators.gif import encode_gif
+    from ..operators.jpeg import encode_jpeg
+    from ..operators.multimodal import (
+        encode_au,
+        video_features,
+    )
+    from ..operators.png import encode_png
+    from ..operators.tiff import encode_tiff
+    from ..operators.webp import encode_webp_lossless
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    slot_row = {}
+    for lo, hi, label, fmt, mt in _AUDIT_SLOTS:
+        for s in range(lo, hi + 1):
+            slot_row[s] = (label, fmt, mt)
+
+    def synthesize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas, payloads = [], []
+            for did in pdf["doc_id"]:
+                label, fmt, mt = slot_row[int(did) % 100]
+                h, w = 8 + did % 5, 8 + did % 6
+                yy, xx = np.mgrid[0:h, 0:w]
+                img = np.stack([(yy * 3 + did) % 256, (xx * 2 + did) % 256,
+                                ((yy + xx) * 2) % 256],
+                               axis=-1).astype(np.uint8)
+                if label == "jpeg":
+                    payload = encode_jpeg(img, quality=90)
+                elif label == "png":
+                    payload = encode_png(img)
+                elif label == "gif":
+                    payload = encode_gif((img // 32) * 32)
+                elif label == "webp_lossless":
+                    payload = encode_webp_lossless(img)
+                elif label == "webp_lossy":
+                    body = b"\x00" * 24
+                    riff = (b"WEBP" + b"VP8 "
+                            + len(body).to_bytes(4, "little") + body)
+                    payload = (b"RIFF" + len(riff).to_bytes(4, "little")
+                               + riff)
+                elif label == "bmp":
+                    payload = _bmp24(img)
+                elif label == "tiff":
+                    payload = encode_tiff(img, lzw=True, predictor=True)
+                elif label in ("wav", "flac", "au"):
+                    n = 400 + (did % 5) * 40
+                    sine = 0.4 * np.sin(
+                        np.arange(n) * (0.02 + (did % 7) / 100.0))
+                    if label == "wav":
+                        buf = io.BytesIO()
+                        with wave.open(buf, "wb") as wf:
+                            wf.setnchannels(1)
+                            wf.setsampwidth(2)
+                            wf.setframerate(8000)
+                            wf.writeframes(
+                                (sine * 32767).astype("<i2").tobytes())
+                        payload = buf.getvalue()
+                    elif label == "flac":
+                        payload = encode_flac(sine, 8000, block_size=256)
+                    else:
+                        payload = encode_au(sine, 8000, mulaw=True)
+                elif label == "mp3":
+                    payload = b"\xff\xfb\x90\x64" + bytes(64)
+                elif label == "aac":
+                    payload = b"\xff\xf1\x50\x80\x00\x1f\xfc" + bytes(64)
+                elif label == "avi":
+                    frames = [encode_jpeg(img) for _ in range(2)]
+                    payload = mux_mjpeg_avi(frames, fps=10.0,
+                                            width=int(w), height=int(h))
+                else:  # mp4
+                    payload = (b"\x00\x00\x00\x18ftypisom"
+                               b"\x00\x00\x02\x00isomiso2" + bytes(64))
+                metas.append({"media_type": mt, "format": fmt,
+                              "width": None, "height": None,
+                              "n_channels": None, "sample_rate": None,
+                              "duration_ms": None})
+                payloads.append(payload)
+            yield pd.DataFrame({
+                "media_id": pdf["doc_id"].astype("int64"),
+                "meta": pd.Series(metas, dtype="object"),
+                "payload": pd.Series(payloads, dtype="object")})
+
+    # one synthesis branch per media type, pre-filtered on the slot
+    # arithmetic — otherwise each feature operator's meta.media_type
+    # filter would re-run the full synthesize map (3x encode cost)
+    slots_of = {mt: [s for s, (_, _, m) in slot_row.items() if m == mt]
+                for mt in ("image", "audio", "video")}
+
+    def branch(mt):
+        sliced = docs.filter((F.col("doc_id") % 100).isin(slots_of[mt]))
+        return sliced.mapInPandas(synthesize, schema=MEDIA_SCHEMA)
+
+    outcomes = (
+        image_features(branch("image")).select("media_id", "error")
+        .unionByName(
+            audio_features(branch("audio")).select("media_id", "error"))
+        .unionByName(
+            video_features(branch("video")).select("media_id", "error")))
+    labeled = outcomes.select(
+        "error",
+        F.expr(_audit_mtype_case("media_id % 100")).alias("media_type"),
+        F.expr(_audit_label_case("media_id % 100")).alias("format"))
+    return (labeled.groupBy("media_type", "format").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum(F.when(F.col("error").isNull(), 1).otherwise(0))
+         .cast("long").alias("n_decoded"),
+        F.sum(F.when(F.col("error").startswith("UnsupportedCodecError"),
+                     1).otherwise(0)).cast("long").alias("n_typed_error"),
+        (F.sum(F.when(F.col("error").isNull(), 1).otherwise(0))
+          .cast("double") / F.count(F.lit(1))).alias("decode_rate")))

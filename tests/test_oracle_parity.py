@@ -81,7 +81,9 @@ def test_parity_queries_inside_driver_window():
                  "corpus_health_report", "streaming_dedup_replay",
                  "cdc_history_scd2", "text_pii_scrub",
                  "text_html_extract", "text_chunk_windows",
-                 "url_canonicalize", "text_tfidf_top_terms"]:
+                 "url_canonicalize", "text_tfidf_top_terms",
+                 # r7's never-validated addition
+                 "multimodal_format_audit"]:
         assert name in first50, f"{name} fell outside the driver window"
 
 
