@@ -5,10 +5,17 @@ materializes BOTH engines' results per pair; at sf10 several queries
 return 10M+ rows and the pandas compare dominates wall-clock without
 adding evidence (their kernels are already swept green at sf1). This
 driver hash-compares every pair whose output is small enough to
-materialize honestly, and for the row-explosion pairs records an
-explicit row-count-only check (Spark count vs DuckDB count) instead
-of silently skipping — the artifact says exactly which pairs got
-which check.
+materialize honestly; for the row-explosion pairs it runs a
+VALUE-LEVEL digest compare (oracle_check.digest_compare: both engines
+reduce their full output to exact order-independent per-column
+digests — counts, decimal sums, min/max, byte totals — that must
+match exactly) plus a row-count check, replacing the old count-only
+evidence. Queries whose DuckDB twin is cost-infeasible at this SF but
+that derive ONLY from the documents table run both engines against a
+derived sf_dir whose documents table is deterministically sliced
+(doc_id % 20 = 0): the same predicate reaches both engines by
+construction, so the FULL hash compare applies, just on bounded
+input. The artifact says exactly which pairs got which check.
 
 Usage: python scripts/sweep_scale.py [sf_dir] [max_rows]
 Prints one JSON line; full per-pair detail to stderr.
@@ -30,7 +37,7 @@ def main() -> None:
     max_rows = int(sys.argv[2]) if len(sys.argv) > 2 else 3_000_000
 
     import __spark_entry__ as m
-    from oracle_check import compare, duckdb_con
+    from oracle_check import compare, digest_compare, duckdb_con
 
     from flink_precisely_demo_spark.session import get_spark
 
@@ -39,46 +46,63 @@ def main() -> None:
     con = duckdb_con(sf_dir)
     qs, oracles = m.queries(), m.oracle_sql()
 
+    # documents-only queries whose DuckDB twin is cost-pathological at
+    # sf10 (recursive band-store unroll / 5-gram self-join): both
+    # engines run against the same sliced-documents dir instead
+    doc_bounded = {"streaming_dedup_replay", "curation_contamination"}
+    bounded_dir = _make_doc_slice(spark, sf_dir)
+    bounded_con = duckdb_con(bounded_dir)
+
     skip = {s for s in os.environ.get("SWEEP_SKIP", "").split(",") if s}
     only = {s for s in os.environ.get("SWEEP_ONLY", "").split(",") if s}
-    full, rows_only, failed, skipped = [], [], [], []
+    full, digest, rows_only, failed, skipped, bounded = \
+        [], [], [], [], [], []
     t_start = time.time()
     for name, fn in qs.items():
         if only and name not in only:
             continue
         t0 = time.time()
         if name in skip:
-            # oracle-side cost is pathological at this SF (e.g. the
-            # recursive-CTE connected-components twin); recorded
-            # explicitly, validated at the previous scale point
+            # oracle-side cost is pathological at this SF even on the
+            # bounded slice; recorded explicitly, validated at the
+            # previous scale point
             skipped.append(name)
             print(f"# {name}: skipped-oracle-cost", file=sys.stderr,
                   flush=True)
             continue
         try:
             sql = oracles.get(name)
-            df = fn(spark, sf_dir)
+            q_dir, q_con = ((bounded_dir, bounded_con)
+                            if name in doc_bounded else (sf_dir, con))
+            df = fn(spark, q_dir)
             n_spark = df.count()
             if sql is None:
                 status = "no-oracle"
                 rows_only.append(name)
             elif n_spark > max_rows:
-                n_duck = con.execute(
+                n_duck = q_con.execute(
                     f"SELECT COUNT(*) FROM ({sql})").fetchone()[0]
-                if n_spark == n_duck:
-                    status = f"rows-only({n_spark})"
-                    rows_only.append(name)
-                else:
+                if n_spark != n_duck:
                     status = f"ROWS-MISMATCH spark={n_spark} duck={n_duck}"
                     failed.append(name)
+                else:
+                    problems = digest_compare(df, q_con, sql)
+                    if problems:
+                        status = f"DIGEST-FAIL {problems[:3]}"
+                        failed.append(name)
+                    else:
+                        status = f"digest({n_spark})"
+                        digest.append(name)
             else:
-                problems = compare(df, con, sql)
+                problems = compare(df, q_con, sql)
                 if problems:
                     status = f"FAIL {problems[:2]}"
                     failed.append(name)
                 else:
                     status = f"full({n_spark})"
-                    full.append(name)
+                    (bounded if name in doc_bounded else full).append(name)
+                    if name in doc_bounded:
+                        status = f"full-bounded-docs({n_spark})"
         except Exception as exc:  # noqa: BLE001
             status = f"ERROR {type(exc).__name__}: {exc}"[:300]
             failed.append(name)
@@ -89,15 +113,42 @@ def main() -> None:
         "sf_dir": sf_dir,
         "max_rows_for_full_compare": max_rows,
         "n_full_hash_match": len(full),
+        "n_digest_match": len(digest),
+        "n_full_bounded_docs": len(bounded),
         "n_rows_only": len(rows_only),
         "n_failed": len(failed),
         "n_skipped_oracle_cost": len(skipped),
         "failed": failed,
+        "digest_match": digest,
+        "full_bounded_docs": bounded,
         "rows_only": rows_only,
         "skipped_oracle_cost": skipped,
         "wall_sec": round(time.time() - t_start, 1),
     }))
     spark.stop()
+
+
+def _make_doc_slice(spark, sf_dir: str) -> str:
+    """Derived sf_dir with documents sliced to doc_id % 20 = 0 and
+    every other table symlinked — the bounded input both engines see
+    for the oracle-cost-pathological documents-only pairs."""
+    out = f"{sf_dir.rstrip('/')}_docslice"
+    marker = os.path.join(out, "_SLICE_OK")
+    if not os.path.exists(marker):
+        os.makedirs(out, exist_ok=True)
+        from oracle_check import TABLES
+        for t in TABLES:
+            src = os.path.join(sf_dir, f"{t}.parquet")
+            dst = os.path.join(out, f"{t}.parquet")
+            if t == "documents":
+                (spark.read.parquet(src)
+                 .filter("doc_id % 20 = 0")
+                 .coalesce(4).write.mode("overwrite").parquet(dst))
+            elif not os.path.exists(dst):
+                os.symlink(os.path.abspath(src), dst)
+        with open(marker, "w") as f:
+            f.write("ok\n")
+    return out
 
 
 if __name__ == "__main__":

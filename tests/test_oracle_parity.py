@@ -152,3 +152,28 @@ def test_compare_flags_int_vs_float_dtype_divergence(con):
         _FakeSparkDF(), con,
         "SELECT * FROM (VALUES ('a', 3.0::DOUBLE)) AS t(k, v)")
     assert any("dtype-kind mismatch" in p for p in problems), problems
+
+
+def test_digest_compare_catches_value_divergence(spark, con):
+    """The sweep's row-explosion path must be value-level: same row
+    count with one divergent cell has to flag (the old COUNT-only
+    check passed it)."""
+    from .oracle_check import digest_compare
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.5), (2, "b", 3.5)], "id long, s string, v double")
+    ok = digest_compare(
+        df, con,
+        "SELECT * FROM (VALUES (1, 'a', 2.5), (2, 'b', 3.5))"
+        " AS t(id, s, v)")
+    assert ok == [], ok
+    bad = digest_compare(
+        df, con,
+        "SELECT * FROM (VALUES (1, 'a', 2.5), (2, 'b', 3.500001))"
+        " AS t(id, s, v)")
+    assert bad, "divergent double cell must flag"
+    bad_s = digest_compare(
+        df, con,
+        "SELECT * FROM (VALUES (1, 'aa', 2.5), (2, 'b', 3.5))"
+        " AS t(id, s, v)")
+    assert bad_s, "divergent string cell must flag"
