@@ -111,11 +111,17 @@ _DEFERRED = [
     # justified r6's fully-successful misc rotation. The 16 misc
     # function-coverage queries (fresh triple-green r1+r2+r6) cede the
     # slots they reclaimed in r6:
-    # r7 addition: multimodal_video_decode (green r5+r6) cedes its
+    # r7 additions: multimodal_video_decode (green r5+r6) cedes its
     # slot to the never-driver-validated multimodal_format_audit
     # (family floor holds: multimodal keeps image_decode,
-    # audio_decode and the new format_audit in-window)
+    # audio_decode, format_audit AND the new audio_stream_triage
+    # in-window); the TPC-H q4/q21/q22 shapes (each green r5+r6)
+    # cede theirs to audio_stream_triage, dedup_semantic and
+    # curation_mixture_sample (TPC-H floor holds: q1/q5/q18 stay)
     "multimodal_video_decode",     # r5 r6
+    "q4_order_priority",           # r5 r6
+    "q21_waiting_supplier",        # r5 r6
+    "q22_global_sales_opportunity",  # r5 r6
     "anti_semi_join",              # r1 r2 r6
     "array_functions_embeddings",  # r1 r2 r6
     "cube_agg",                    # r1 r2 r6

@@ -130,3 +130,46 @@ def pack_token_chunks(df: DataFrame, group_cols: list[str],
     return df.withColumn("__tokens", token_count) \
              .withColumn("chunk_id", F.floor(before / budget)) \
              .withColumnRenamed("__tokens", "n_tokens")
+
+
+def mixture_sample(df: DataFrame, group_col: str, weights: dict,
+                   budget_frac: float, key_col: str = "doc_id",
+                   salt: str = "mix", grain: int = 10000) -> DataFrame:
+    """Deterministic mixture resampler: downsample each ``group_col``
+    stratum toward a target data mixture (the DoReMi/Pile-style
+    "mixture weights" step every pretraining corpus goes through).
+
+    The total budget is ``floor(budget_frac * N)`` rows; stratum g
+    gets ``target_g = budget * weights[g]`` of it, achieved by
+    keeping rows whose :func:`hash_bucket` (grain buckets) falls
+    under ``floor(grain * min(1, target_g / n_g))`` — a pure function
+    of (salt, key, rate), so the sample is identical across runs,
+    engines, and partitionings. Under corpus GROWTH the rates
+    themselves move with the counts (inherent to quota sampling, same
+    caveat as stratified_sample); at a fixed rate membership is
+    hash-stable. A stratum smaller than its target is kept whole
+    (rate capped at 1) rather than upsampled: repetition policy
+    belongs to the training loader, not the corpus.
+
+    Scale shape: ONE count aggregation (map-side combined, one row
+    per stratum) broadcast back onto the scan — the filter itself is
+    a zero-shuffle scan-stage predicate; no per-row state, no window.
+    Groups absent from ``weights`` are dropped (weight 0)."""
+    wmap = F.create_map(*[x for k, v in weights.items()
+                          for x in (F.lit(k), F.lit(float(v)))])
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    tot = counts.agg(F.sum("__n").alias("__tot"))
+    thr = (counts.crossJoin(F.broadcast(tot))
+           .withColumn("__w", wmap[F.col(group_col)])
+           .filter(F.col("__w").isNotNull())
+           .withColumn(
+               "__thr",
+               F.floor(F.lit(float(grain)) * F.least(
+                   F.lit(1.0),
+                   F.floor(F.lit(float(budget_frac)) * F.col("__tot"))
+                   * F.col("__w") / F.col("__n"))))
+           .select(group_col, "__thr"))
+    return (df.join(F.broadcast(thr), group_col)
+              .filter(hash_bucket(F.col(key_col), salt, grain)
+                      < F.col("__thr"))
+              .drop("__thr"))

@@ -689,6 +689,58 @@ def audio_resample(media: DataFrame, target_rate: int = 16_000,
                  .mapInPandas(compute, schema=MEDIA_SCHEMA))
 
 
+STREAM_INFO_SCHEMA = ("media_id long, sample_rate int, n_frames long, "
+                      "n_samples long, duration_ms long, "
+                      "bitrate_kbps double, channel_mode string, "
+                      "vbr boolean, error string")
+
+
+def audio_stream_info(media: DataFrame) -> DataFrame:
+    """Container/stream-level audio triage WITHOUT sample decode:
+    duration, sample rate, channel layout, (average) bitrate and
+    VBR-ness — the fields a crawl pipeline filters on before paying
+    for PCM. MP3 is fully supported here via the frame-header walker
+    (:mod:`.mp3`) even though its SAMPLES remain behind the
+    production decode seam; PCM/lossless formats (wav/flac/aiff/au)
+    report the same fields from their real decoders. Per-row typed
+    errors, never a job abort; zero shuffle (scan-stage map)."""
+    from .mp3 import mp3_stream_info
+
+    n = media.sparkSession.sparkContext.defaultParallelism
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, meta, payload in zip(pdf["media_id"], pdf["meta"],
+                                          pdf["payload"]):
+                fmt = meta["format"]
+                try:
+                    if fmt == "mp3":
+                        i = mp3_stream_info(bytes(payload))
+                        out.append((mid, i["sample_rate"], i["n_frames"],
+                                    i["n_samples"], i["duration_ms"],
+                                    float(i["bitrate_kbps"]), i["mode"],
+                                    i["vbr"], None))
+                    else:
+                        samples, rate = _decode_audio(bytes(payload), fmt)
+                        dur = int(len(samples) * 1000 // rate) if rate else 0
+                        kbps = (round(len(payload) * 8 / dur, 3)
+                                if dur else None)
+                        out.append((mid, rate, None, len(samples), dur,
+                                    kbps, "mono", False, None))
+                except Exception as e:               # noqa: BLE001
+                    out.append((mid, None, None, None, None, None,
+                                None, None, f"{type(e).__name__}: {e}"))
+            yield pd.DataFrame(out, columns=[
+                "media_id", "sample_rate", "n_frames", "n_samples",
+                "duration_ms", "bitrate_kbps", "channel_mode", "vbr",
+                "error"])
+
+    return (media.filter(F.col("meta.media_type") == "audio")
+                 .repartition(n, "media_id")
+                 .mapInPandas(compute, schema=STREAM_INFO_SCHEMA))
+
+
 def binary_manifest(media: DataFrame, payload_col: str = "payload",
                     id_col: str = "media_id") -> DataFrame:
     """(id, content_md5, byte_len): content addressing of binary

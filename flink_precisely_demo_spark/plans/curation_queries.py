@@ -6,7 +6,7 @@ so the oracles reproduce the exact row sets — no tolerance games.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import token_count
@@ -227,3 +227,85 @@ def _curation_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (s.groupBy("lang", "source")
              .agg(F.count(F.lit(1)).alias("n_sampled"),
                   F.min("doc_id").alias("min_doc_id")))
+
+
+_MIX_WEIGHTS = {"en": 0.5, "de": 0.15, "fr": 0.15, "es": 0.12, "zh": 0.08}
+_MIX_BUDGET = 0.6
+_MIX_GRAIN = 10000
+
+_MIX_W_SQL = ("CASE lang " + " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in _MIX_WEIGHTS.items()) + " END")
+
+
+@query(
+    "curation_mixture_sample",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, COUNT(*) AS n,
+             SUM(COUNT(*)) OVER () AS tot
+      FROM documents GROUP BY lang
+    ),
+    thr AS (
+      SELECT lang, n,
+             CAST(floor({_MIX_GRAIN}.0 * least(1.0,
+                  floor({_MIX_BUDGET} * tot) * ({_MIX_W_SQL}) / n))
+                  AS BIGINT) AS t
+      FROM counts WHERE ({_MIX_W_SQL}) IS NOT NULL
+    ),
+    kept AS (
+      SELECT d.lang, d.doc_id
+      FROM documents d JOIN thr ON d.lang = thr.lang
+      WHERE CAST(('0x' || substring(md5('mix' || CAST(d.doc_id AS VARCHAR)),
+                                    1, 15))::BIGINT % {_MIX_GRAIN} AS BIGINT)
+            < thr.t
+    )
+    SELECT c.lang,
+           CAST(c.n AS BIGINT) AS n_docs,
+           CAST(floor(floor({_MIX_BUDGET} * c.tot)
+                * (CASE c.lang {' '.join(f"WHEN '{k}' THEN {v}" for k, v in _MIX_WEIGHTS.items())} END))
+                AS BIGINT) AS n_target,
+           CAST(COUNT(k.doc_id) AS BIGINT) AS n_sampled,
+           CAST(COUNT(k.doc_id) AS DOUBLE) / c.n AS achieved_rate
+    FROM counts c LEFT JOIN kept k ON c.lang = k.lang
+    WHERE (CASE c.lang {' '.join(f"WHEN '{k}' THEN {v}" for k, v in _MIX_WEIGHTS.items())} END) IS NOT NULL
+    GROUP BY c.lang, c.n, c.tot
+    """,
+)
+def _curation_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture resampling (the DoReMi/Pile 'mixture weights'
+    step): downsample each language stratum toward target weights
+    (en .5 / de .15 / fr .15 / es .12 / zh .08) within a 60%-of-corpus
+    token budget, via the engine-reproducible md5-bucket rate
+    (operators/curation.mixture_sample). Reports per-language volume,
+    target, sampled count, and achieved rate; the oracle replays the
+    identical double arithmetic (floor/least in the same order), so a
+    hash match proves the mixture math AND the per-row hash selection
+    agree cross-engine. Scale: one count agg broadcast back onto the
+    scan; the sampling filter itself is zero-shuffle."""
+    from ..operators.curation import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = mixture_sample(docs, "lang", _MIX_WEIGHTS, _MIX_BUDGET,
+                          grain=_MIX_GRAIN)
+    wmap = F.create_map(*[x for k, v in _MIX_WEIGHTS.items()
+                          for x in (F.lit(k), F.lit(float(v)))])
+    counts = (docs.groupBy("lang")
+              .agg(F.count(F.lit(1)).alias("n_docs"))
+              .withColumn("tot", F.sum("n_docs").over(
+                  Window.partitionBy()))
+              .filter(wmap[F.col("lang")].isNotNull())
+              .withColumn(
+                  "n_target",
+                  F.floor(F.floor(F.lit(_MIX_BUDGET) * F.col("tot"))
+                          * wmap[F.col("lang")]).cast("long")))
+    sampled = kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"))
+    return (counts.join(sampled, "lang", "left")
+            .select("lang",
+                    F.col("n_docs").cast("long").alias("n_docs"),
+                    "n_target",
+                    F.coalesce(F.col("n_sampled"), F.lit(0))
+                    .cast("long").alias("n_sampled"),
+                    (F.coalesce(F.col("n_sampled"), F.lit(0))
+                     .cast("double") / F.col("n_docs"))
+                    .alias("achieved_rate")))

@@ -505,3 +505,95 @@ def _multimodal_format_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                      1).otherwise(0)).cast("long").alias("n_typed_error"),
         (F.sum(F.when(F.col("error").isNull(), 1).otherwise(0))
           .cast("double") / F.count(F.lit(1))).alias("decode_rate")))
+
+
+@query(
+    "audio_stream_triage",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 8 = 0 THEN 'mp3' ELSE 'wav' END AS format,
+           CAST(CASE WHEN doc_id % 8 = 0 THEN 22050 ELSE 8000 END
+                AS INTEGER) AS sample_rate,
+           CASE WHEN doc_id % 8 = 0
+                THEN CAST(20 + doc_id % 25 AS BIGINT) END AS n_frames,
+           CAST(CASE WHEN doc_id % 8 = 0 THEN (20 + doc_id % 25) * 576
+                     ELSE 500 + (doc_id % 10) * 100 END
+                AS BIGINT) AS n_samples,
+           CAST(CASE WHEN doc_id % 8 = 0
+                     THEN (20 + doc_id % 25) * 576 * 1000 // 22050
+                     ELSE (500 + (doc_id % 10) * 100) * 1000 // 8000 END
+                AS BIGINT) AS duration_ms,
+           CASE WHEN doc_id % 8 = 0
+                THEN CAST(32 + 32 * ((doc_id // 8) % 4) AS DOUBLE)
+                END AS bitrate_kbps,
+           FALSE AS vbr,
+           CAST(NULL AS VARCHAR) AS error
+    FROM documents
+    WHERE doc_id % 4 = 0
+    """,
+)
+def _audio_stream_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-level audio triage WITHOUT sample decode: MP3 payloads
+    (synthesized CBR MPEG-2 Layer III frame sequences, arithmetic in
+    doc_id) yield duration / frame count / bitrate / VBR-ness from
+    the frame-header walker (`operators/mp3.py` — validated against
+    an externally-encoded real-world MP3 in tests), WAV payloads
+    yield the same fields from the PCM decoder. The oracle recomputes
+    every field arithmetically, so a hash match proves the frame walk
+    reconstructs the exact stream geometry. This is the triage a
+    crawl pipeline runs BEFORE paying for PCM decode — at 100 TB it
+    is a zero-shuffle scan-stage map over the payload column.
+    bitrate_kbps is surfaced for the CBR mp3 rows (exact by
+    construction); for wav it is derivable from the exact fields and
+    elided to keep the hash free of float-rounding-mode drift."""
+    import io
+    import wave
+
+    from ..operators.mp3 import make_cbr_mp3
+    from ..operators.multimodal import audio_stream_info
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 4 == 0)
+            .select("doc_id"))
+
+    def synthesize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas, payloads = [], []
+            for did in pdf["doc_id"]:
+                if did % 8 == 0:
+                    fmt = "mp3"
+                    payload = make_cbr_mp3(
+                        int(20 + did % 25),
+                        bitrate_kbps=int(32 + 32 * ((did // 8) % 4)),
+                        sample_rate=22050)
+                else:
+                    fmt = "wav"
+                    n = int(500 + (did % 10) * 100)
+                    sine = 0.3 * np.sin(np.arange(n) * 0.03)
+                    buf = io.BytesIO()
+                    with wave.open(buf, "wb") as wf:
+                        wf.setnchannels(1)
+                        wf.setsampwidth(2)
+                        wf.setframerate(8000)
+                        wf.writeframes(
+                            (sine * 32767).astype("<i2").tobytes())
+                    payload = buf.getvalue()
+                metas.append({"media_type": "audio", "format": fmt,
+                              "width": None, "height": None,
+                              "n_channels": None, "sample_rate": None,
+                              "duration_ms": None})
+                payloads.append(payload)
+            yield pd.DataFrame({
+                "media_id": pdf["doc_id"].astype("int64"),
+                "meta": pd.Series(metas, dtype="object"),
+                "payload": pd.Series(payloads, dtype="object")})
+
+    media = docs.mapInPandas(synthesize, schema=MEDIA_SCHEMA)
+    info = audio_stream_info(media)
+    is_mp3 = F.col("media_id") % 8 == 0
+    return info.select(
+        "media_id",
+        F.when(is_mp3, "mp3").otherwise("wav").alias("format"),
+        "sample_rate", "n_frames", "n_samples", "duration_ms",
+        F.when(is_mp3, F.col("bitrate_kbps")).alias("bitrate_kbps"),
+        "vbr", "error")

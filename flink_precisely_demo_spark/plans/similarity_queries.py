@@ -190,3 +190,97 @@ def _embedding_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
          .otherwise(F.array_max(F.transform("embedding",
                                             lambda v: F.abs(code(v)))))
          .cast("long").alias("max_code"))
+
+
+@query(
+    "dedup_semantic",
+    oracle=f"""
+    WITH seeds AS (
+      SELECT vec_id AS seed, embedding AS sv
+      FROM embeddings WHERE vec_id % 7 = 0 AND vec_id < 50
+    ),
+    sims AS (
+      SELECT e.vec_id, s.seed,
+             {_cos('e.embedding', 's.sv')} AS sim
+      FROM embeddings e CROSS JOIN seeds s
+    ),
+    assign AS (
+      SELECT vec_id, seed FROM (
+        SELECT vec_id, seed,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, seed) AS rn
+        FROM sims) WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT xa.vec_id AS a, xb.vec_id AS b
+      FROM assign xa
+      JOIN assign xb ON xa.seed = xb.seed AND xa.vec_id < xb.vec_id
+      JOIN embeddings ea ON ea.vec_id = xa.vec_id
+      JOIN embeddings eb ON eb.vec_id = xb.vec_id
+      WHERE round({_cos('ea.embedding', 'eb.embedding')}, 6) >= 0.4
+    ),
+    dups AS (SELECT DISTINCT b AS vec_id FROM pairs)
+    SELECT x.seed AS cluster_seed,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_removed,
+           CAST(SUM(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept
+    FROM assign x LEFT JOIN dups d ON x.vec_id = d.vec_id
+    GROUP BY x.seed
+    """,
+)
+def _dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup: assign every embedding to its
+    nearest seed vector (deterministic seeds vec_id % 7 = 0, < 50 —
+    fixed so the oracle can replay the assignment; production swaps
+    in trained k-means centroids, `operators/kmeans.py`), then form
+    near-duplicate pairs ONLY within a cluster (cosine >= 0.4 after
+    the house round-to-6), remove the higher id of each pair, and
+    report per-cluster volume/removal stats.
+
+    Scale shape (the SemDeDup argument itself): the O(n^2) cosine
+    blow-up is fenced to within-cluster blocks. Assignment is a
+    BROADCAST nested-loop over the tiny seed set folded map-side by
+    a struct-max aggregation (no window shuffle, combiner-friendly);
+    the pair join shuffles on cluster id only. Assignment ordering
+    uses the pure-expression cosine (sequential fold) so Spark and
+    DuckDB compare bit-identical doubles — no rounding boundary can
+    flip an argmax cross-engine."""
+    from ..operators.similarity import cosine, cosine_expr
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding")
+    seeds = emb.filter((F.col("vec_id") % 7 == 0) & (F.col("vec_id") < 50)) \
+        .select(F.col("vec_id").alias("seed"), F.col("embedding").alias("sv"))
+
+    sims = emb.crossJoin(F.broadcast(seeds)).select(
+        "vec_id",
+        "seed",
+        cosine_expr(F.col("embedding"), F.col("sv")).alias("sim"))
+    # argmax(sim), ties to the LOWER seed: max of (sim, -seed) struct;
+    # map-side combinable, unlike a row_number window
+    assign = (sims.groupBy("vec_id")
+              .agg(F.max(F.struct(F.col("sim"),
+                                  (-F.col("seed")).alias("neg_seed")))
+                   .alias("m"))
+              .select("vec_id", (-F.col("m.neg_seed")).alias("seed")))
+
+    av = assign.join(emb, "vec_id")
+    a = av.select(F.col("vec_id").alias("a"), F.col("seed").alias("sa"),
+                  F.col("embedding").alias("va"))
+    b = av.select(F.col("vec_id").alias("b"), F.col("seed").alias("sb"),
+                  F.col("embedding").alias("vb"))
+    pairs = (a.join(b, (F.col("sa") == F.col("sb"))
+                    & (F.col("a") < F.col("b")))
+             .filter(F.round(cosine(F.col("va"), F.col("vb")), 6) >= 0.4)
+             .select("b"))
+    dups = pairs.distinct().withColumn("is_dup", F.lit(1))
+    return (assign.join(dups, assign.vec_id == dups.b, "left")
+            .groupBy("seed")
+            .agg(F.count(F.lit(1)).alias("n_vectors"),
+                 F.sum(F.coalesce(F.col("is_dup"), F.lit(0)))
+                 .cast("long").alias("n_removed"),
+                 F.sum(F.when(F.col("is_dup").isNull(), 1).otherwise(0))
+                 .cast("long").alias("n_kept"))
+            .withColumnRenamed("seed", "cluster_seed"))

@@ -995,3 +995,87 @@ def test_bmp_32bit_and_rle8():
     assert [tuple(p) for p in out[1]] == [pal_rgb[1]] * 3 + [
         pal_rgb[2], pal_rgb[3], pal_rgb[2]]
     assert [tuple(p) for p in out[0]] == [pal_rgb[2]] * 6
+
+
+def test_mp3_stream_info_external_fixture():
+    """The frame walker against an externally-encoded real-world MP3
+    (gsutil's test_data/test.mp3: ID3v2.4 tag, MPEG-2 Layer III,
+    22050 Hz mono, 64 kbps CBR) — a payload this repo could not have
+    produced, so the header tables can't be self-consistently wrong.
+    Independent cross-check: 9404 audio bytes at 64 kbps = 1.175 s,
+    matching n_samples/sample_rate exactly."""
+    from flink_precisely_demo_spark.operators.mp3 import mp3_stream_info
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "fixtures",
+                           "external_mpeg2_l3.mp3"), "rb") as f:
+        info = mp3_stream_info(f.read())
+    assert info["version"] == "2"
+    assert info["layer"] == 3
+    assert info["sample_rate"] == 22050
+    assert info["mode"] == "mono"
+    assert info["bitrate_kbps"] == 64.0
+    assert info["vbr"] is False
+    assert info["n_frames"] == 45
+    assert info["n_samples"] == 45 * 576
+    assert info["duration_ms"] == 1175
+
+
+def test_mp3_stream_info_synthetic_and_errors():
+    from flink_precisely_demo_spark.operators.jpeg import (
+        UnsupportedCodecError,
+    )
+    from flink_precisely_demo_spark.operators.mp3 import (
+        make_cbr_mp3,
+        mp3_stream_info,
+    )
+
+    info = mp3_stream_info(make_cbr_mp3(40, bitrate_kbps=64,
+                                        sample_rate=22050))
+    assert (info["n_frames"], info["n_samples"]) == (40, 40 * 576)
+    # MPEG-1 rates use the 1152-sample layout and the other table
+    info = mp3_stream_info(make_cbr_mp3(10, bitrate_kbps=128,
+                                        sample_rate=44100))
+    assert (info["version"], info["n_samples"]) == ("1", 11520)
+    # leading junk before the first frame is resync'd over
+    junk = b"\x00garbage" * 10 + make_cbr_mp3(5, 64, 22050)
+    assert mp3_stream_info(junk)["n_frames"] == 5
+    # a lone sync byte with no confirming second frame is NOT audio
+    with pytest.raises(UnsupportedCodecError):
+        mp3_stream_info(b"\xff\xfb" + b"\x00" * 50)
+    with pytest.raises(UnsupportedCodecError):
+        mp3_stream_info(b"not audio at all" * 10)
+
+
+def test_audio_stream_info_operator(spark):
+    """audio_stream_info through Spark: mp3 rows triaged without
+    sample decode, wav rows from the real decoder, junk rows get the
+    typed per-row error."""
+    from flink_precisely_demo_spark.operators.mp3 import make_cbr_mp3
+    from flink_precisely_demo_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_stream_info,
+    )
+
+    def meta(fmt):
+        return {"media_type": "audio", "format": fmt, "width": None,
+                "height": None, "n_channels": None,
+                "sample_rate": None, "duration_ms": None}
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(b"\x00\x00" * 800)
+    rows = [
+        (1, meta("mp3"), bytearray(make_cbr_mp3(30, 64, 22050))),
+        (2, meta("wav"), bytearray(buf.getvalue())),
+        (3, meta("mp3"), bytearray(b"junkjunkjunk" * 8)),
+    ]
+    out = {r["media_id"]: r for r in audio_stream_info(
+        spark.createDataFrame(rows, MEDIA_SCHEMA)).collect()}
+    assert out[1]["n_frames"] == 30 and out[1]["duration_ms"] == \
+        30 * 576 * 1000 // 22050 and out[1]["error"] is None
+    assert out[2]["n_samples"] == 800 and out[2]["sample_rate"] == 8000
+    assert out[3]["error"].startswith("UnsupportedCodecError")

@@ -82,8 +82,9 @@ def test_parity_queries_inside_driver_window():
                  "cdc_history_scd2", "text_pii_scrub",
                  "text_html_extract", "text_chunk_windows",
                  "url_canonicalize", "text_tfidf_top_terms",
-                 # r7's never-validated addition
-                 "multimodal_format_audit"]:
+                 # r7's never-validated additions
+                 "multimodal_format_audit", "audio_stream_triage",
+                 "dedup_semantic", "curation_mixture_sample"]:
         assert name in first50, f"{name} fell outside the driver window"
 
 
