@@ -20,6 +20,7 @@ from flink_precisely_demo_spark.plans import (  # noqa: F401
     curation_queries,
     ddl_queries,
     dedup_queries,
+    graph_queries,
     misc_queries,
     multimodal_queries,
     olap_queries,
@@ -122,6 +123,11 @@ _DEFERRED = [
     "q4_order_priority",           # r5 r6
     "q21_waiting_supplier",        # r5 r6
     "q22_global_sales_opportunity",  # r5 r6
+    # and curation_pack_chunks (green r2-r6, five rounds) cedes its
+    # slot to the new web_link_pagerank (curation family keeps
+    # pipeline_e2e, sample, split, contamination, mixture_sample
+    # in-window)
+    "curation_pack_chunks",        # r2 r3 r4 r5 r6
     "anti_semi_join",              # r1 r2 r6
     "array_functions_embeddings",  # r1 r2 r6
     "cube_agg",                    # r1 r2 r6

@@ -112,12 +112,15 @@ def main() -> None:
         except Exception as exc:
             _err(name, exc)
 
-    # secondary group: the round-6 pipeline operators. Tracked per
+    # secondary group: the round-6/7 pipeline operators. Tracked per
     # round but kept OUT of the headline total, which stays the
     # stable comparator against BASELINE's round-1 measurement.
     SECONDARY = ["text_pii_scrub", "text_html_extract",
                  "text_chunk_windows", "url_canonicalize",
-                 "text_tfidf_top_terms", "cdc_history_scd2"]
+                 "text_tfidf_top_terms", "cdc_history_scd2",
+                 "web_link_pagerank",
+                 "multimodal_format_audit", "audio_stream_triage",
+                 "dedup_semantic", "curation_mixture_sample"]
     secondary: dict[str, float] = {}
     for name in SECONDARY:
         try:

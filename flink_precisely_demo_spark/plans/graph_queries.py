@@ -1,0 +1,133 @@
+"""Link-graph analysis over a deterministic host graph.
+
+A crawl pipeline ranks hosts (spam scoring, crawl-frontier priority,
+quality signals a la Common Crawl's harmonic-centrality lists) long
+before any ML stage. The documents table carries no URL column, so
+the graph is synthesized arithmetically from doc_id — every engine
+derives the identical edge list, making the computation fully
+oracle-checkable.
+
+The PageRank here runs in EXACT INTEGER ARITHMETIC (rank mass in
+units of 1e-12, integer division for the per-edge split, damping as
+*85 // 100): double-precision PageRank sums incoming contributions
+in shuffle order, which diverges in the last ulp across engines and
+partitionings — the same class of bug as float SUM drift, solved the
+same way as `sum_exact` (exact accumulation, convert to double only
+at the output edge).
+
+No counterpart in the reference (extension scope, SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.parquet import load_table
+from .queries import query
+
+_N_HOSTS = 97          # prime, so doc_id % 97 covers all residues
+_UNIT = 10 ** 12       # rank mass granularity
+_ITER = 3              # unrolled in the SQL oracle
+
+
+def _pr_iter_sql(prev: str, k: int) -> str:
+    """One unrolled integer-PageRank iteration as a CTE body."""
+    return f"""
+    contrib{k} AS (
+      SELECT e.dst AS host,
+             SUM(p.pr * e.w // e.outdeg) AS m
+      FROM edges e JOIN {prev} p ON p.host = e.src
+      GROUP BY e.dst
+    ),
+    it{k} AS (
+      SELECT n.host,
+             (15 * {_UNIT} // (100 * n.n_hosts))
+             + (85 * COALESCE(c.m, 0) // 100) AS pr,
+             n.n_hosts
+      FROM nodes n LEFT JOIN contrib{k} c ON n.host = c.host
+    )"""
+
+
+@query(
+    "web_link_pagerank",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id % {_N_HOSTS} AS src,
+             (doc_id * 31 + 7) % {_N_HOSTS} AS dst
+      FROM documents
+    ),
+    edges0 AS (
+      SELECT src, dst, COUNT(*) AS w FROM raw
+      WHERE src <> dst GROUP BY src, dst
+    ),
+    outdegs AS (
+      SELECT src, SUM(w) AS outdeg FROM edges0 GROUP BY src
+    ),
+    edges AS (
+      SELECT e.src, e.dst, e.w, o.outdeg
+      FROM edges0 e JOIN outdegs o ON e.src = o.src
+    ),
+    hosts AS (
+      SELECT src AS host FROM edges0
+      UNION SELECT dst FROM edges0
+    ),
+    nodes AS (
+      SELECT host, (SELECT COUNT(*) FROM hosts) AS n_hosts FROM hosts
+    ),
+    it0 AS (
+      SELECT host, {_UNIT} // n_hosts AS pr, n_hosts FROM nodes
+    ),{','.join(_pr_iter_sql(f'it{k - 1}', k) for k in range(1, _ITER + 1))}
+    SELECT host,
+           CAST(pr AS BIGINT) AS pr_units,
+           CAST(pr AS DOUBLE) / {_UNIT} AS pagerank
+    FROM it{_ITER}
+    """,
+)
+def _web_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level PageRank ({_ITER} damped power iterations) over the
+    deterministic doc_id-derived host graph. Each iteration is one
+    equi-join (ranks x edges on src) plus one map-side-combined SUM
+    on dst — the canonical iterative-join workload. Exact integer
+    arithmetic end to end (see module docstring), so the oracle's
+    unrolled CTEs reproduce every unit of rank mass; doubles appear
+    only in the final output column.
+
+    Scale shape: the edge list is grouped once up front (one shuffle)
+    and reused by every iteration; per iteration the rank side is one
+    row per host — at web scale that is millions of rows against
+    billions of edges, so the join shuffles the SMALL side into the
+    edge partitioning (Spark broadcasts it here). No collect, no
+    driver-side loop state beyond the plan itself."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % _N_HOSTS).alias("src"),
+        ((F.col("doc_id") * 31 + 7) % _N_HOSTS).alias("dst"))
+    edges0 = (docs.filter(F.col("src") != F.col("dst"))
+              .groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w")))
+    outdegs = edges0.groupBy("src").agg(F.sum("w").alias("outdeg"))
+    edges = edges0.join(outdegs, "src")
+    hosts = (edges0.select(F.col("src").alias("host"))
+             .union(edges0.select(F.col("dst").alias("host")))
+             .distinct())
+    nodes = hosts.crossJoin(
+        F.broadcast(hosts.agg(F.count(F.lit(1)).alias("n_hosts"))))
+    ranks = nodes.select(
+        "host", F.expr(f"{_UNIT} DIV n_hosts").alias("pr"), "n_hosts")
+    edges = edges.persist()
+    for _ in range(_ITER):
+        contrib = (edges.join(
+            F.broadcast(ranks.select(F.col("host").alias("src"), "pr")),
+            "src")
+            .select("dst", F.expr("pr * w DIV outdeg").alias("m"))
+            .groupBy("dst").agg(F.sum("m").alias("m")))
+        ranks = (nodes.join(
+            contrib.withColumnRenamed("dst", "host"), "host", "left")
+            .select(
+                "host",
+                (F.expr(f"15 * {_UNIT} DIV (100 * n_hosts)")
+                 + F.expr("85 * COALESCE(m, 0) DIV 100")).alias("pr"),
+                "n_hosts"))
+    return ranks.select(
+        "host",
+        F.col("pr").cast("long").alias("pr_units"),
+        (F.col("pr").cast("double") / _UNIT).alias("pagerank"))

@@ -84,7 +84,8 @@ def test_parity_queries_inside_driver_window():
                  "url_canonicalize", "text_tfidf_top_terms",
                  # r7's never-validated additions
                  "multimodal_format_audit", "audio_stream_triage",
-                 "dedup_semantic", "curation_mixture_sample"]:
+                 "dedup_semantic", "curation_mixture_sample",
+                 "web_link_pagerank"]:
         assert name in first50, f"{name} fell outside the driver window"
 
 
