@@ -46,10 +46,15 @@ def main() -> None:
     con = duckdb_con(sf_dir)
     qs, oracles = m.queries(), m.oracle_sql()
 
-    # documents-only queries whose DuckDB twin is cost-pathological at
-    # sf10 (recursive band-store unroll / 5-gram self-join): both
-    # engines run against the same sliced-documents dir instead
-    doc_bounded = {"streaming_dedup_replay", "curation_contamination"}
+    # single-table queries whose twin (or BOTH sides) is cost-
+    # pathological at sf10 — the band-store unroll and the 5-gram
+    # self-join on documents, and the label-blocked cosine self-join
+    # on embeddings (10 labels x 20k vectors = ~2.4B candidate pairs
+    # PER ENGINE at sf10): both engines run against the same
+    # deterministically sliced dir instead, so the FULL hash compare
+    # applies on bounded input rather than a count on unbounded
+    doc_bounded = {"streaming_dedup_replay", "curation_contamination",
+                   "dedup_embedding_cosine"}
     bounded_dir = _make_doc_slice(spark, sf_dir)
     bounded_con = duckdb_con(bounded_dir)
 
@@ -80,19 +85,16 @@ def main() -> None:
                 status = "no-oracle"
                 rows_only.append(name)
             elif n_spark > max_rows:
-                n_duck = q_con.execute(
-                    f"SELECT COUNT(*) FROM ({sql})").fetchone()[0]
-                if n_spark != n_duck:
-                    status = f"ROWS-MISMATCH spark={n_spark} duck={n_duck}"
+                # the digest row carries row_cnt, so one aggregate
+                # pass per engine covers count AND values — no
+                # separate COUNT round trip over a billion-pair join
+                problems = digest_compare(df, q_con, sql)
+                if problems:
+                    status = f"DIGEST-FAIL {problems[:3]}"
                     failed.append(name)
                 else:
-                    problems = digest_compare(df, q_con, sql)
-                    if problems:
-                        status = f"DIGEST-FAIL {problems[:3]}"
-                        failed.append(name)
-                    else:
-                        status = f"digest({n_spark})"
-                        digest.append(name)
+                    status = f"digest({n_spark})"
+                    digest.append(name)
             else:
                 problems = compare(df, q_con, sql)
                 if problems:
@@ -129,20 +131,22 @@ def main() -> None:
 
 
 def _make_doc_slice(spark, sf_dir: str) -> str:
-    """Derived sf_dir with documents sliced to doc_id % 20 = 0 and
-    every other table symlinked — the bounded input both engines see
-    for the oracle-cost-pathological documents-only pairs."""
+    """Derived sf_dir with documents AND embeddings sliced to
+    key % 20 = 0 and every other table symlinked — the bounded input
+    both engines see for the cost-pathological single-table pairs."""
+    sliced = {"documents": "doc_id % 20 = 0",
+              "embeddings": "vec_id % 20 = 0"}
     out = f"{sf_dir.rstrip('/')}_docslice"
-    marker = os.path.join(out, "_SLICE_OK")
+    marker = os.path.join(out, "_SLICE_OK_V2")
     if not os.path.exists(marker):
         os.makedirs(out, exist_ok=True)
         from oracle_check import TABLES
         for t in TABLES:
             src = os.path.join(sf_dir, f"{t}.parquet")
             dst = os.path.join(out, f"{t}.parquet")
-            if t == "documents":
+            if t in sliced:
                 (spark.read.parquet(src)
-                 .filter("doc_id % 20 = 0")
+                 .filter(sliced[t])
                  .coalesce(4).write.mode("overwrite").parquet(dst))
             elif not os.path.exists(dst):
                 os.symlink(os.path.abspath(src), dst)
