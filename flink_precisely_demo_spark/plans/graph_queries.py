@@ -113,7 +113,10 @@ def _web_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(hosts.agg(F.count(F.lit(1)).alias("n_hosts"))))
     ranks = nodes.select(
         "host", F.expr(f"{_UNIT} DIV n_hosts").alias("pr"), "n_hosts")
+    # both sides re-enter the plan every iteration: cache them so the
+    # distinct-union and the edge grouping run once, not per iteration
     edges = edges.persist()
+    nodes = nodes.persist()
     for _ in range(_ITER):
         contrib = (edges.join(
             F.broadcast(ranks.select(F.col("host").alias("src"), "pr")),

@@ -197,3 +197,46 @@ def test_text_pipeline_ops_are_zero_shuffle(spark):
         plan = _physical(qs[name](spark, SF))
         assert "Exchange" not in plan, f"{name} shuffles:\n{plan}"
         assert "Python" not in plan, f"{name} leaves the JVM:\n{plan}"
+
+
+def test_mixture_sample_filter_is_broadcast_not_shuffled(spark):
+    """The mixture sampler's rate table must reach the scan as a
+    BROADCAST join (one row per stratum) and the selection itself is
+    a predicate — the documents side must never shuffle to be
+    sampled. The only hash exchanges belong to the tiny per-stratum
+    count/report aggregations."""
+    import __spark_entry__ as m
+
+    plan = _physical(m.queries()["curation_mixture_sample"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    # the kept-side scan feeds the broadcast join directly: no
+    # exchange may sit between the documents scan and the sampling
+    # filter (cheap proxy: the md5 bucket filter appears in the same
+    # WholeStageCodegen as a Scan)
+    assert "CartesianProduct" not in plan
+
+
+def test_dedup_semantic_assignment_has_no_window_shuffle(spark):
+    """Nearest-seed assignment must be the broadcast NLJ + struct-max
+    aggregate — no Window operator (a row_number over vec_id would
+    shuffle every vector once more and lose the map-side combine)."""
+    import __spark_entry__ as m
+
+    plan = _physical(m.queries()["dedup_semantic"](spark, SF))
+    assert "Window" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan  # tiny seed set replicate
+    assert "CartesianProduct" not in plan
+
+
+def test_pagerank_rank_side_broadcasts_and_caches(spark):
+    """Each PageRank iteration joins the one-row-per-host rank side
+    into the edge partitioning as a BROADCAST (never shuffling the
+    edges per iteration), and the edge/node lineages are cached so
+    iterations reuse them instead of re-scanning documents."""
+    import __spark_entry__ as m
+
+    df = m.queries()["web_link_pagerank"](spark, SF)
+    plan = _physical(df)
+    assert "InMemoryTableScan" in plan, "edges/nodes not cached"
+    assert plan.count("BroadcastHashJoin") >= 3  # one per iteration
+    assert "CartesianProduct" not in plan
