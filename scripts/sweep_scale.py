@@ -54,7 +54,7 @@ def main() -> None:
     # deterministically sliced dir instead, so the FULL hash compare
     # applies on bounded input rather than a count on unbounded
     doc_bounded = {"streaming_dedup_replay", "curation_contamination",
-                   "dedup_embedding_cosine"}
+                   "dedup_embedding_cosine", "dedup_semantic"}
     bounded_dir = _make_doc_slice(spark, sf_dir)
     bounded_con = duckdb_con(bounded_dir)
 
