@@ -131,13 +131,17 @@ def main() -> None:
 
 
 def _make_doc_slice(spark, sf_dir: str) -> str:
-    """Derived sf_dir with documents AND embeddings sliced to
-    key % 20 = 0 and every other table symlinked — the bounded input
-    both engines see for the cost-pathological single-table pairs."""
-    sliced = {"documents": "doc_id % 20 = 0",
-              "embeddings": "vec_id % 20 = 0"}
+    """Derived sf_dir with documents AND embeddings sliced to a
+    CONTIGUOUS 1/20 id range and every other table symlinked — the
+    bounded input both engines see for the cost-pathological
+    single-table pairs. A range slice (not modular) preserves the
+    local pair structure near-dup/contamination queries measure: a
+    doc's neighbors in its replica stay in the slice, so the bounded
+    results stay non-trivial (the modular slice returned 0
+    contamination pairs — agreed by both engines, but empty)."""
+    sliced = {"documents": "doc_id", "embeddings": "vec_id"}
     out = f"{sf_dir.rstrip('/')}_docslice"
-    marker = os.path.join(out, "_SLICE_OK_V2")
+    marker = os.path.join(out, "_SLICE_OK_V3")
     if not os.path.exists(marker):
         os.makedirs(out, exist_ok=True)
         from oracle_check import TABLES
@@ -145,8 +149,9 @@ def _make_doc_slice(spark, sf_dir: str) -> str:
             src = os.path.join(sf_dir, f"{t}.parquet")
             dst = os.path.join(out, f"{t}.parquet")
             if t in sliced:
-                (spark.read.parquet(src)
-                 .filter(sliced[t])
+                df = spark.read.parquet(src)
+                limit = max(df.count() // 20, 1000)
+                (df.filter(f"{sliced[t]} < {limit}")
                  .coalesce(4).write.mode("overwrite").parquet(dst))
             elif not os.path.exists(dst):
                 os.symlink(os.path.abspath(src), dst)
