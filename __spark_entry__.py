@@ -128,6 +128,11 @@ _DEFERRED = [
     # pipeline_e2e, sample, split, contamination, mixture_sample
     # in-window)
     "curation_pack_chunks",        # r2 r3 r4 r5 r6
+    # and dedup_pipeline_e2e (green r3-r6; still a bench headline)
+    # cedes its slot to the new corpus_snapshot_diff (dedup family
+    # keeps minhash_lsh, simhash x2, ngram_jaccard, embedding_cosine,
+    # semantic and streaming replay in-window)
+    "dedup_pipeline_e2e",          # r3 r4 r5 r6
     "anti_semi_join",              # r1 r2 r6
     "array_functions_embeddings",  # r1 r2 r6
     "cube_agg",                    # r1 r2 r6

@@ -173,3 +173,30 @@ def mixture_sample(df: DataFrame, group_col: str, weights: dict,
               .filter(hash_bucket(F.col(key_col), salt, grain)
                       < F.col("__thr"))
               .drop("__thr"))
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key_col: str = "doc_id",
+                  content_col: str = "text") -> DataFrame:
+    """Row-level diff between two corpus snapshots by content hash:
+    (key, status) with status in added | removed | changed |
+    unchanged — the incremental-refresh primitive (what must re-embed,
+    re-dedup, re-score after a crawl refresh; md5 comparison means
+    text storage never ships through the join).
+
+    Scale shape: each side reduces to (key, md5) IN THE SCAN STAGE,
+    then ONE co-keyed full-outer shuffle join; at 100 TB both sides
+    hash-partition on the key and the join carries 16-byte digests,
+    not documents."""
+    o = old.select(F.col(key_col).alias("__k"),
+                   F.md5(F.coalesce(F.encode(content_col, "UTF-8"),
+                                    F.lit(b""))).alias("__old_md5"))
+    n = new.select(F.col(key_col).alias("__k"),
+                   F.md5(F.coalesce(F.encode(content_col, "UTF-8"),
+                                    F.lit(b""))).alias("__new_md5"))
+    return (o.join(n, "__k", "full_outer")
+            .select(F.col("__k").alias(key_col),
+                    F.when(F.col("__old_md5").isNull(), "added")
+                     .when(F.col("__new_md5").isNull(), "removed")
+                     .when(F.col("__old_md5") != F.col("__new_md5"),
+                           "changed")
+                     .otherwise("unchanged").alias("status")))

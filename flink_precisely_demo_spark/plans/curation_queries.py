@@ -309,3 +309,56 @@ def _curation_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.coalesce(F.col("n_sampled"), F.lit(0))
                      .cast("double") / F.col("n_docs"))
                     .alias("achieved_rate")))
+
+
+@query(
+    "corpus_snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 7 = 0 THEN upper(text) ELSE text END AS text
+      FROM documents WHERE doc_id % 10 <> 9
+    ),
+    new AS (
+      SELECT doc_id, source, text FROM documents WHERE doc_id % 10 <> 0
+    ),
+    d AS (
+      SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+             CASE WHEN o.doc_id IS NULL THEN 'added'
+                  WHEN n.doc_id IS NULL THEN 'removed'
+                  WHEN md5(coalesce(o.text, '')) <> md5(coalesce(n.text, ''))
+                       THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    )
+    SELECT dd.source, d.status, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM d JOIN documents dd ON d.doc_id = dd.doc_id
+    GROUP BY dd.source, d.status
+    """,
+)
+def _corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot corpus diff (the incremental-refresh
+    audit: what must re-embed / re-dedup / re-score after a crawl
+    refresh). Two deterministic snapshots derive from the documents
+    table — the 'old' crawl is missing the doc_id %% 10 = 9 slice and
+    carries pre-edit text (upper-cased) for the %% 7 = 0 slice, the
+    'new' crawl is missing %% 10 = 0 — and
+    operators/curation.snapshot_diff classifies every key as
+    added / removed / changed / unchanged through one co-keyed
+    full-outer join over 16-byte md5 digests (text never ships
+    through the shuffle). The oracle replays the same derivation, so
+    the hash match proves the join classification exactly. Upper() on
+    the token-soup corpus is ASCII-only, so both engines agree on the
+    mutated bytes."""
+    from ..operators.curation import snapshot_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = (docs.filter(F.col("doc_id") % 10 != 9)
+           .select("doc_id",
+                   F.when(F.col("doc_id") % 7 == 0, F.upper("text"))
+                    .otherwise(F.col("text")).alias("text")))
+    new = docs.filter(F.col("doc_id") % 10 != 0).select("doc_id", "text")
+    d = snapshot_diff(old, new)
+    return (d.join(docs.select("doc_id", "source"), "doc_id")
+            .groupBy("source", "status")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))

@@ -1079,3 +1079,37 @@ def test_audio_stream_info_operator(spark):
         30 * 576 * 1000 // 22050 and out[1]["error"] is None
     assert out[2]["n_samples"] == 800 and out[2]["sample_rate"] == 8000
     assert out[3]["error"].startswith("UnsupportedCodecError")
+
+
+def test_mp3_parser_fuzz_never_hangs_or_crashes():
+    """Random junk, truncated real frames, and adversarial sync bytes
+    must either parse or raise the typed error — never hang, never
+    leak an uncontrolled exception type. (Crawl payloads are
+    adversarial by default.)"""
+    from flink_precisely_demo_spark.operators.jpeg import (
+        UnsupportedCodecError,
+    )
+    from flink_precisely_demo_spark.operators.mp3 import (
+        make_cbr_mp3,
+        mp3_stream_info,
+    )
+
+    rng = np.random.default_rng(11)
+    payloads = [
+        bytes(rng.integers(0, 256, n, dtype=np.uint8))
+        for n in (0, 1, 3, 10, 1000, 65536)
+    ]
+    # all-0xFF: endless false sync candidates
+    payloads.append(b"\xff" * 4096)
+    # a real stream truncated at every awkward boundary
+    real = make_cbr_mp3(8, 64, 22050)
+    payloads += [real[:k] for k in (1, 3, 4, 5, len(real) // 2,
+                                    len(real) - 1)]
+    # ID3 tag claiming a size beyond EOF
+    payloads.append(b"ID3\x04\x00\x00\x7f\x7f\x7f\x7f" + b"x" * 10)
+    for p in payloads:
+        try:
+            info = mp3_stream_info(p)
+            assert info["n_frames"] >= 1
+        except UnsupportedCodecError:
+            pass
