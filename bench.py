@@ -120,7 +120,8 @@ def main() -> None:
                  "text_tfidf_top_terms", "cdc_history_scd2",
                  "web_link_pagerank",
                  "multimodal_format_audit", "audio_stream_triage",
-                 "dedup_semantic", "curation_mixture_sample"]
+                 "dedup_semantic", "curation_mixture_sample",
+                 "corpus_snapshot_diff"]
     secondary: dict[str, float] = {}
     for name in SECONDARY:
         try:

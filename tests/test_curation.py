@@ -105,3 +105,56 @@ def test_stratified_sample_exact_quota_and_determinism(spark):
     ids2 = sorted(r.doc_id for r in
                   stratified_sample(df, ["lang", "source"], "doc_id", 10).collect())
     assert ids1 == ids2
+
+
+def test_mixture_sample_respects_targets_and_determinism(spark):
+    """Sampled counts track the per-stratum targets (md5-bucket
+    binomial, so within a generous tolerance), oversized strata are
+    DOWN-sampled, undersized strata are kept whole (never
+    upsampled), unknown strata are dropped, and the selection is
+    run-to-run identical."""
+    from flink_precisely_demo_spark.operators.curation import (
+        mixture_sample,
+    )
+
+    rows = ([(i, "big") for i in range(800)]
+            + [(i + 1000, "small") for i in range(40)]
+            + [(i + 2000, "unknown") for i in range(50)])
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = mixture_sample(df, "lang", {"big": 0.5, "small": 0.5},
+                         budget_frac=0.5, grain=10000)
+    got = {r["lang"]: r["n"] for r in
+           out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert "unknown" not in got
+    # budget = 445, target each = 222; big downsamples toward 222
+    assert 160 <= got["big"] <= 285, got
+    # small (40 docs) is far under its 222 target: kept whole
+    assert got["small"] == 40, got
+    again = sorted(r["doc_id"] for r in out.collect())
+    assert again == sorted(r["doc_id"] for r in
+                           mixture_sample(df, "lang",
+                                          {"big": 0.5, "small": 0.5},
+                                          budget_frac=0.5,
+                                          grain=10000).collect())
+
+
+def test_snapshot_diff_partitions_key_universe(spark):
+    """Every key lands in exactly one status; diff(x, x) is all
+    unchanged; content edits (not key presence) drive 'changed'."""
+    from flink_precisely_demo_spark.operators.curation import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, None)],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "C"), (4, None), (5, "e")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["status"]
+           for r in snapshot_diff(old, new).collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "changed",
+                   4: "unchanged", 5: "added"}
+    same = snapshot_diff(old, old).collect()
+    assert all(r["status"] == "unchanged" for r in same)
+    assert len(same) == 4
