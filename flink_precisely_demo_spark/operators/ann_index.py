@@ -45,8 +45,24 @@ def build_ann_index(corpus: DataFrame, index_path: str, k_cells: int = 8,
                     max_iter: int = 3, id_col: str = "vec_id",
                     vec_col: str = "embedding") -> None:
     """Train centroids and materialize the cell-partitioned corpus at
-    ``index_path`` (subdirs ``vectors/cell_id=N/`` and ``centroids``)."""
+    ``index_path`` (subdirs ``vectors/cell_id=N/`` and ``centroids``).
+
+    The build is ATOMIC at the index level: everything writes to
+    ``<index_path>.build`` and moves into place with a rename only
+    after the ``_INDEX_OK`` marker is written. A crashed build leaves
+    a stale ``.build`` dir (cleaned on the next attempt), never a
+    half-written index a reader could mistake for a real one — the
+    serve path (:func:`index_ok`) accepts only marker-bearing dirs.
+    On an object store the production analogue is a versioned prefix
+    plus a pointer flip; same invariant, different rename."""
+    import os
+    import shutil
+
     spark = corpus.sparkSession
+    build_path = f"{index_path}.build"
+    if os.path.isdir(build_path):
+        shutil.rmtree(build_path)           # stale crashed build
+    final_path, index_path = index_path, build_path
     centroids = kmeans_fit(corpus, k_cells, max_iter, id_col, vec_col)
     cell_ids, cent_mat = _centroid_arrays(centroids)
     id_type = corpus.schema[id_col].dataType.simpleString()
@@ -69,6 +85,18 @@ def build_ann_index(corpus: DataFrame, index_path: str, k_cells: int = 8,
         [(int(c), [float(x) for x in v]) for c, v in centroids],
         "cell_id long, c array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/centroids")
+    with open(os.path.join(index_path, "_INDEX_OK"), "w") as f:
+        f.write("ok\n")
+    if os.path.isdir(final_path):
+        shutil.rmtree(final_path)
+    os.rename(index_path, final_path)
+
+
+def index_ok(index_path: str) -> bool:
+    """True only for a completely-built index (marker present)."""
+    import os
+
+    return os.path.isfile(os.path.join(index_path, "_INDEX_OK"))
 
 
 def load_centroids(spark: SparkSession, index_path: str

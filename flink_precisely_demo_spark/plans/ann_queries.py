@@ -33,12 +33,17 @@ _INDEX_CACHE: dict[str, str] = {}
 
 def ann_index_path(spark: SparkSession, sf_dir: str) -> str:
     """Build (once per process+dataset) and return the index path."""
+    from ..operators.ann_index import index_ok
+
     cached = _INDEX_CACHE.get(sf_dir)
-    if cached is None or not os.path.isdir(os.path.join(cached, "centroids")):
+    if cached is None or not index_ok(cached):
         slug = re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir.strip("/"))
         path = os.path.join(tempfile.gettempdir(), f"ann_index_{slug}")
-        emb = load_table(spark, sf_dir, "embeddings")
-        build_ann_index(emb, path, k_cells=_K, max_iter=_ITERS)
+        if not index_ok(path):
+            # absent OR half-written by a crashed process: rebuild
+            # (the atomic build replaces any poisoned remains)
+            emb = load_table(spark, sf_dir, "embeddings")
+            build_ann_index(emb, path, k_cells=_K, max_iter=_ITERS)
         _INDEX_CACHE[sf_dir] = path
     return _INDEX_CACHE[sf_dir]
 

@@ -80,3 +80,34 @@ def test_query_scan_is_partition_pruned(spark, index_path):
     # `PartitionFilters: []` means the scan reads every cell)
     seg = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
     assert "cell_id" in seg
+
+
+def test_crashed_build_remains_do_not_poison_serving(spark, tmp_path):
+    """A half-written index dir (as left by a killed build: subdirs
+    present, no _INDEX_OK marker) must be detected as invalid and
+    replaced by the next build — a crashed writer must never poison
+    readers (r7 regression: a concurrently-killed build left
+    centroids/_temporary that broke the next process)."""
+    import os
+
+    from flink_precisely_demo_spark.operators.ann_index import (
+        build_ann_index,
+        index_ok,
+        load_centroids,
+    )
+    from flink_precisely_demo_spark.sources.parquet import load_table
+
+    path = str(tmp_path / "idx")
+    # simulate crashed remains
+    os.makedirs(os.path.join(path, "centroids", "_temporary", "0"))
+    os.makedirs(os.path.join(path, "vectors"))
+    assert not index_ok(path)
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    build_ann_index(emb, path, k_cells=4, max_iter=1)
+    assert index_ok(path)
+    cell_ids, cents = load_centroids(spark, path)
+    assert len(cell_ids) == 4
+    # and a crashed-midway BUILD dir is cleaned by the next build
+    os.makedirs(os.path.join(path + ".build", "vectors"), exist_ok=True)
+    build_ann_index(emb, path, k_cells=4, max_iter=1)
+    assert index_ok(path) and not os.path.isdir(path + ".build")
