@@ -114,3 +114,49 @@ def test_feed_cache_invalidated_by_source_fingerprint(spark, tmp_path):
     assert first != second          # rebuilt from the new content
     assert len(first) == len(second)
     assert not glob.glob(os.path.join(feed, "*.tmp-*"))  # swap cleaned up
+
+
+def test_decode_envelope_schema_evolution(spark):
+    """Producer-side schema drift must never crash the consumer:
+    - a NEW field the producer added (unknown to our declared
+      schema) is ignored — from_json drops it;
+    - a field the producer STOPPED sending arrives as null;
+    - a producer-side TYPE change (int sent as JSON string) nulls
+      that field — from_json does not coerce across JSON types, so
+      the drift surfaces as missing data, never a wrong value.
+    This is the declared-schema contract (schemas.py: never
+    inferred): the pipeline's schema is the consumer's, and producer
+    evolution shows up as nulls/ignored extras — measured in data,
+    not as job aborts."""
+    import json
+
+    base = {
+        "sv_manip_type": "I",
+        "sv_trans_timestamp": "2020-01-02 03:04:05.000000",
+        "after_image": {
+            "SalesOrderId": 1, "OrderDate": "2020-01-01",
+            "DueDate": "2020-01-08", "ShipDate": "2020-01-03",
+            "Status": 5, "ShipToAddressId": 9, "SubTotal": 10.5,
+            "TaxAmt": 1.0, "Freight": 0.5, "TotalDue": 12.0,
+            "BRAND_NEW_PRODUCER_FIELD": "ignore me",   # added upstream
+        },
+        "COMPLETELY_NEW_TOP_LEVEL": {"a": 1},          # added upstream
+    }
+    missing = {
+        "sv_manip_type": "U",
+        # type drift (int sent as JSON string) + every other payload
+        # field absent
+        "after_image": {"SalesOrderId": "7", "TotalDue": 9.5},
+    }
+    raw = spark.createDataFrame(
+        [(json.dumps(base),), (json.dumps(missing),)], ["value"])
+    rows = {r["sv_manip_type"]: r
+            for r in decode_envelope(raw, ORDERS_PAYLOAD).collect()}
+    assert rows["I"]["after_image"]["SalesOrderId"] == 1
+    assert rows["I"]["after_image"]["TotalDue"] == 12.0
+    assert "BRAND_NEW_PRODUCER_FIELD" not in rows["I"]["after_image"]
+    # the type-drifted field nulls; the well-typed sibling survives
+    assert rows["U"]["after_image"]["SalesOrderId"] is None
+    assert rows["U"]["after_image"]["TotalDue"] == 9.5
+    assert rows["U"]["after_image"]["SubTotal"] is None    # stopped field
+    assert rows["U"]["sv_trans_timestamp"] is None
