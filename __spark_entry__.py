@@ -133,6 +133,11 @@ _DEFERRED = [
     # keeps minhash_lsh, simhash x2, ngram_jaccard, embedding_cosine,
     # semantic and streaming replay in-window)
     "dedup_pipeline_e2e",          # r3 r4 r5 r6
+    # and cdc_apply_snapshot (green r1-r6, six rounds — the most
+    # driver-validated entry in the repo; still a bench headline)
+    # cedes its slot to the new warc_ingest_extract (CDC family keeps
+    # envelope_decode, history_scd2 and the flagship in-window)
+    "cdc_apply_snapshot",          # r1 r2 r3 r4 r5 r6
     "anti_semi_join",              # r1 r2 r6
     "array_functions_embeddings",  # r1 r2 r6
     "cube_agg",                    # r1 r2 r6

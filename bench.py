@@ -121,7 +121,7 @@ def main() -> None:
                  "web_link_pagerank",
                  "multimodal_format_audit", "audio_stream_triage",
                  "dedup_semantic", "curation_mixture_sample",
-                 "corpus_snapshot_diff"]
+                 "corpus_snapshot_diff", "warc_ingest_extract"]
     secondary: dict[str, float] = {}
     for name in SECONDARY:
         try:

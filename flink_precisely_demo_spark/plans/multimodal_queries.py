@@ -597,3 +597,75 @@ def _audio_stream_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sample_rate", "n_frames", "n_samples", "duration_ms",
         F.when(is_mp3, F.col("bitrate_kbps")).alias("bitrate_kbps"),
         "vbr", "error")
+
+
+@query(
+    "warc_ingest_extract",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(2 + doc_id % 3 AS BIGINT) AS n_records,
+           CAST(1 + doc_id % 3 AS BIGINT) AS n_responses,
+           CAST((1 + doc_id % 3) * octet_length(encode(text))
+                AS BIGINT) AS total_body_bytes,
+           CAST(1 + doc_id % 3 AS BIGINT) AS n_uris,
+           md5(text) AS body_md5,
+           CAST(0 AS INTEGER) AS n_bad
+    FROM documents
+    WHERE doc_id % 5 = 0 AND text IS NOT NULL
+    """,
+)
+def _warc_ingest_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl ingestion end to end: synthesize a WARC file per
+    document (1 warcinfo + 1..3 HTTP response records whose bodies
+    are the document text; every other file gzip-compressed
+    per-record, the Common Crawl layout), parse it through
+    sources/warc.warc_records — real ISO 28500 framing, gzip member
+    walking, HTTP response splitting — and aggregate per file. The
+    oracle recomputes every field arithmetically (record counts from
+    doc_id, body bytes from octet_length, body md5 = md5(text)), so
+    a hash match proves the parser recovers the exact record
+    structure and payload bytes from both plain and gzip WARCs, with
+    zero bad segments. Scale shape: parse is a zero-shuffle
+    scan-stage map; only extracted metadata reaches the one
+    per-file aggregation exchange."""
+    from ..sources.warc import warc_records, write_warc
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter((F.col("doc_id") % 5 == 0)
+                    & F.col("text").isNotNull())
+            .select("doc_id", "text"))
+
+    def synthesize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                body = text.encode("utf-8")
+                http = (b"HTTP/1.1 200 OK\r\n"
+                        b"Content-Type: text/plain\r\n\r\n" + body)
+                recs = [{"warc_type": "warcinfo",
+                         "payload": b"software: sparkwarc 1.0\r\n"}]
+                for k in range(1 + int(did) % 3):
+                    recs.append({
+                        "warc_type": "response",
+                        "target_uri":
+                            f"https://example.com/doc/{did}/{k}",
+                        "payload": http})
+                ids.append(int(did))
+                payloads.append(write_warc(
+                    recs, gzip_members=bool((did // 5) % 2)))
+            yield pd.DataFrame({
+                "media_id": pd.Series(ids, dtype="int64"),
+                "payload": pd.Series(payloads, dtype="object")})
+
+    media = docs.mapInPandas(synthesize, "media_id long, payload binary")
+    recs = warc_records(media)
+    is_resp = F.col("http_status").isNotNull()
+    return (recs.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum(F.when(is_resp, 1).otherwise(0)).cast("long")
+         .alias("n_responses"),
+        F.sum(F.when(is_resp, F.col("body_bytes")).otherwise(0))
+         .cast("long").alias("total_body_bytes"),
+        F.countDistinct("target_uri").cast("long").alias("n_uris"),
+        F.max(F.when(is_resp, F.col("body_md5"))).alias("body_md5"),
+        F.max("n_bad_segments").cast("int").alias("n_bad")))

@@ -160,3 +160,72 @@ def test_decode_envelope_schema_evolution(spark):
     assert rows["U"]["after_image"]["TotalDue"] == 9.5
     assert rows["U"]["after_image"]["SubTotal"] is None    # stopped field
     assert rows["U"]["sv_trans_timestamp"] is None
+
+
+def test_warc_parse_framing_and_gzip_members():
+    """ISO 28500 framing: plain and per-record-gzip round trips,
+    HTTP response splitting, and junk tolerance (bad segments are
+    counted, records after a resync still parse)."""
+    from flink_precisely_demo_spark.sources.warc import (
+        parse_http_response,
+        parse_warc,
+        split_gzip_members,
+        write_warc,
+    )
+
+    body = b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\nhello"
+    recs = [{"warc_type": "warcinfo", "payload": b"software: x\r\n"},
+            {"warc_type": "response",
+             "target_uri": "https://e.com/1", "payload": body},
+            {"warc_type": "response",
+             "target_uri": "https://e.com/2", "payload": body}]
+    for gz in (False, True):
+        blob = write_warc(recs, gzip_members=gz)
+        if gz:
+            assert len(split_gzip_members(blob)) == 3
+        parsed, n_bad = parse_warc(blob)
+        assert n_bad == 0
+        assert [r["warc_type"] for r in parsed] == \
+            ["warcinfo", "response", "response"]
+        assert parsed[1]["target_uri"] == "https://e.com/1"
+        status, got = parse_http_response(parsed[1]["payload"])
+        assert (status, got) == (200, b"hello")
+    # junk between records: counted as a bad segment, then resync
+    blob = write_warc(recs[:1]) + b"JUNKJUNK" + write_warc(recs[1:2])
+    parsed, n_bad = parse_warc(blob)
+    assert [r["warc_type"] for r in parsed] == ["warcinfo", "response"]
+    assert n_bad == 1
+    # truncated record body: bad, no crash
+    short = write_warc(recs[1:2])[:-10]
+    parsed, n_bad = parse_warc(short)
+    assert parsed == [] and n_bad == 1
+    # truncated gzip member raises the typed error (caught per row
+    # by the operator)
+    gz = write_warc(recs[:1], gzip_members=True)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        split_gzip_members(gz[:-4])
+
+
+def test_warc_records_operator_per_row_errors(spark):
+    """One corrupt WARC payload yields an error row while the good
+    payload in the same job parses fully."""
+    from flink_precisely_demo_spark.sources.warc import (
+        warc_records,
+        write_warc,
+    )
+
+    good = write_warc([
+        {"warc_type": "response", "target_uri": "https://e.com/a",
+         "payload": b"HTTP/1.1 404 NF\r\n\r\ngone"}], gzip_members=True)
+    rows = [(1, bytearray(good)),
+            (2, bytearray(b"\x1f\x8b\x08trunc"))]
+    out = warc_records(spark.createDataFrame(
+        rows, "media_id long, payload binary")).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert by_id[1][0]["http_status"] == 404
+    assert by_id[1][0]["body_bytes"] == 4
+    assert by_id[1][0]["error"] is None
+    assert by_id[2][0]["error"] is not None

@@ -85,7 +85,8 @@ def test_parity_queries_inside_driver_window():
                  # r7's never-validated additions
                  "multimodal_format_audit", "audio_stream_triage",
                  "dedup_semantic", "curation_mixture_sample",
-                 "web_link_pagerank", "corpus_snapshot_diff"]:
+                 "web_link_pagerank", "corpus_snapshot_diff",
+                 "warc_ingest_extract"]:
         assert name in first50, f"{name} fell outside the driver window"
 
 
