@@ -47,21 +47,40 @@ def build_ann_index(corpus: DataFrame, index_path: str, k_cells: int = 8,
     """Train centroids and materialize the cell-partitioned corpus at
     ``index_path`` (subdirs ``vectors/cell_id=N/`` and ``centroids``).
 
-    The build is ATOMIC at the index level: everything writes to
-    ``<index_path>.build`` and moves into place with a rename only
-    after the ``_INDEX_OK`` marker is written. A crashed build leaves
-    a stale ``.build`` dir (cleaned on the next attempt), never a
-    half-written index a reader could mistake for a real one — the
-    serve path (:func:`index_ok`) accepts only marker-bearing dirs.
-    On an object store the production analogue is a versioned prefix
-    plus a pointer flip; same invariant, different rename."""
+    The build is ATOMIC at the index level: everything writes to a
+    UNIQUE ``<index_path>.build-<pid>-<nonce>`` dir (so concurrent
+    builders never clobber each other mid-write) and publishes only
+    after the ``_INDEX_OK`` marker is written, by renaming any old
+    index aside first and the new dir into place — two renames, so a
+    reader's window of "no index present" is the instant between
+    them, not the length of an rmtree. A crashed build leaves a stale
+    ``.build-*`` dir (reaped on the next attempt once its pid is
+    dead), never a half-written index a reader could mistake for a
+    real one — the serve path (:func:`index_ok`) accepts only
+    marker-bearing dirs. On an object store the production analogue
+    is a versioned prefix plus a pointer flip; same invariant,
+    different rename."""
     import os
     import shutil
+    import uuid
 
     spark = corpus.sparkSession
-    build_path = f"{index_path}.build"
-    if os.path.isdir(build_path):
-        shutil.rmtree(build_path)           # stale crashed build
+    # reap stale build/old dirs whose owning process is gone; live
+    # pids are left alone so concurrent builds can't destroy each other
+    parent, base = os.path.split(os.path.abspath(index_path))
+    for name in os.listdir(parent) if os.path.isdir(parent) else []:
+        for tag in (".build-", ".old-"):
+            if name.startswith(base + tag):
+                try:
+                    pid = int(name[len(base + tag):].split("-")[0])
+                    os.kill(pid, 0)
+                except (ValueError, ProcessLookupError):
+                    shutil.rmtree(os.path.join(parent, name),
+                                  ignore_errors=True)
+                except PermissionError:
+                    pass                    # pid alive, not ours
+    nonce = f"{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    build_path = f"{index_path}.build-{nonce}"
     final_path, index_path = index_path, build_path
     centroids = kmeans_fit(corpus, k_cells, max_iter, id_col, vec_col)
     cell_ids, cent_mat = _centroid_arrays(centroids)
@@ -87,9 +106,17 @@ def build_ann_index(corpus: DataFrame, index_path: str, k_cells: int = 8,
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/centroids")
     with open(os.path.join(index_path, "_INDEX_OK"), "w") as f:
         f.write("ok\n")
-    if os.path.isdir(final_path):
-        shutil.rmtree(final_path)
+    # publish: swing the old index aside (rename, not rmtree — the
+    # no-index window is one rename pair, not a recursive delete),
+    # then the new one into place; reclaim the old dir afterwards
+    old_path = f"{final_path}.old-{nonce}"
+    try:
+        os.rename(final_path, old_path)
+    except FileNotFoundError:
+        old_path = None                     # first build: nothing to swap
     os.rename(index_path, final_path)
+    if old_path is not None:
+        shutil.rmtree(old_path, ignore_errors=True)
 
 
 def index_ok(index_path: str) -> bool:

@@ -100,9 +100,13 @@ def _skip_id3(data: bytes) -> int:
     return 10 + size + footer
 
 
-def _xing_frames(data: bytes, off: int, hdr: dict) -> int | None:
-    """Frame count from a Xing/Info or VBRI header in the first
-    frame's side-info region, if present."""
+def _xing_frames(data: bytes, off: int,
+                 hdr: dict) -> tuple[int | None, str | None]:
+    """(frame count, tag name) from a Xing/Info or VBRI header in the
+    first frame's side-info region, if present. The tag name matters:
+    LAME writes ``Info`` specifically to mark CBR streams, so only
+    ``Xing``/``VBRI`` are VBR signals — but an ``Info`` frame count
+    is still authoritative for duration."""
     if hdr["version"] == "1":
         side = 32 if hdr["mode"] != "mono" else 17
     else:
@@ -111,11 +115,12 @@ def _xing_frames(data: bytes, off: int, hdr: dict) -> int | None:
     tag = data[p:p + 4]
     if tag in (b"Xing", b"Info") and data[p + 7:p + 8]:
         if data[p + 7] & 0x01 and len(data) >= p + 12:
-            return int.from_bytes(data[p + 8:p + 12], "big")
+            return (int.from_bytes(data[p + 8:p + 12], "big"),
+                    tag.decode("ascii"))
     q = off + 4 + 32
     if data[q:q + 4] == b"VBRI" and len(data) >= q + 20:
-        return int.from_bytes(data[q + 14:q + 18], "big")
-    return None
+        return int.from_bytes(data[q + 14:q + 18], "big"), "VBRI"
+    return None, None
 
 
 def mp3_stream_info(payload: bytes) -> dict:
@@ -149,7 +154,7 @@ def mp3_stream_info(payload: bytes) -> dict:
         raise UnsupportedCodecError(
             "mp3: no MPEG audio frame sequence found")
     off, hdr0 = first
-    xing = _xing_frames(data, off, hdr0)
+    xing, xing_tag = _xing_frames(data, off, hdr0)
 
     n_frames = 0
     bitrate_sum = 0
@@ -179,7 +184,8 @@ def mp3_stream_info(payload: bytes) -> dict:
         "duration_ms": (n_samples * 1000 // hdr0["sample_rate"]
                         if hdr0["sample_rate"] else 0),
         "bitrate_kbps": (round(bitrate_sum / max(n_frames, 1), 3)),
-        "vbr": len(bitrates) > 1 or xing is not None,
+        # Info is LAME's explicit CBR marker — never a VBR signal
+        "vbr": len(bitrates) > 1 or xing_tag in ("Xing", "VBRI"),
     }
 
 

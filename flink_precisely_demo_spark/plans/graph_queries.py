@@ -29,6 +29,10 @@ from .queries import query
 _N_HOSTS = 97          # prime, so doc_id % 97 covers all residues
 _UNIT = 10 ** 12       # rank mass granularity
 _ITER = 3              # unrolled in the SQL oracle
+# Rank rows are ~16 bytes each; above this host count a forced
+# broadcast of the rank side risks executor OOM, so the join degrades
+# to a shuffle join against the pre-partitioned edge set instead.
+_BROADCAST_HOST_LIMIT = 2_000_000
 
 
 def _pr_iter_sql(prev: str, k: int) -> str:
@@ -96,8 +100,14 @@ def _web_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the edge list is grouped once up front (one shuffle)
     and reused by every iteration; per iteration the rank side is one
     row per host — at web scale that is millions of rows against
-    billions of edges, so the join shuffles the SMALL side into the
-    edge partitioning (Spark broadcasts it here). No collect, no
+    billions of edges. Below `_BROADCAST_HOST_LIMIT` hosts the rank
+    side broadcasts into the edge partitioning; above it the hint is
+    withheld and the edge set is pre-partitioned on `src` before its
+    checkpoint, so every iteration's shuffle join reuses that
+    partitioning and only the small rank side moves — graceful
+    degradation instead of a forced-broadcast OOM. Both iterated
+    inputs use localCheckpoint (not persist) so repeated invocations
+    leave nothing pinned in executor storage. No collect, no
     driver-side loop state beyond the plan itself."""
     docs = load_table(spark, sf_dir, "documents").select(
         (F.col("doc_id") % _N_HOSTS).alias("src"),
@@ -105,22 +115,30 @@ def _web_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges0 = (docs.filter(F.col("src") != F.col("dst"))
               .groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w")))
     outdegs = edges0.groupBy("src").agg(F.sum("w").alias("outdeg"))
-    edges = edges0.join(outdegs, "src")
     hosts = (edges0.select(F.col("src").alias("host"))
              .union(edges0.select(F.col("dst").alias("host")))
              .distinct())
+    # both sides re-enter the plan every iteration: checkpoint them so
+    # the distinct-union and the edge grouping run once, not per
+    # iteration (blocks are ContextCleaner-freed when the result frame
+    # is dropped — persist() would pin a CacheManager entry for the
+    # life of the session)
     nodes = hosts.crossJoin(
         F.broadcast(hosts.agg(F.count(F.lit(1)).alias("n_hosts"))))
+    nodes = nodes.localCheckpoint(eager=True)
+    n_hosts = nodes.count()
+    broadcastable = n_hosts <= _BROADCAST_HOST_LIMIT
+    edges = edges0.join(outdegs, "src")
+    if not broadcastable:
+        edges = edges.repartition("src")
+    edges = edges.localCheckpoint(eager=True)
     ranks = nodes.select(
         "host", F.expr(f"{_UNIT} DIV n_hosts").alias("pr"), "n_hosts")
-    # both sides re-enter the plan every iteration: cache them so the
-    # distinct-union and the edge grouping run once, not per iteration
-    edges = edges.persist()
-    nodes = nodes.persist()
     for _ in range(_ITER):
-        contrib = (edges.join(
-            F.broadcast(ranks.select(F.col("host").alias("src"), "pr")),
-            "src")
+        rank_side = ranks.select(F.col("host").alias("src"), "pr")
+        if broadcastable:
+            rank_side = F.broadcast(rank_side)
+        contrib = (edges.join(rank_side, "src")
             .select("dst", F.expr("pr * w DIV outdeg").alias("m"))
             .groupBy("dst").agg(F.sum("m").alias("m")))
         ranks = (nodes.join(

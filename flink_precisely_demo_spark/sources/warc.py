@@ -36,18 +36,43 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 
-def split_gzip_members(payload: bytes) -> list[bytes]:
+# Per-member decompressed-size ceiling. Crawl input is adversarial: a
+# gzip bomb must become a typed per-row error before it expands in
+# executor memory, so decompression is chunked against this cap.
+MAX_MEMBER_BYTES = 256 * 1024 * 1024
+
+
+def split_gzip_members(payload: bytes,
+                       max_member_bytes: int = MAX_MEMBER_BYTES,
+                       ) -> list[bytes]:
     """Decompress a concatenation of gzip members into a list (one
-    entry per member). Non-gzip input returns ``[payload]``."""
+    entry per member). Non-gzip input returns ``[payload]``. A member
+    that inflates past ``max_member_bytes`` raises ``ValueError``
+    (bounded: decompression is chunked, so a gzip bomb never
+    materializes beyond the cap plus one chunk)."""
     if payload[:2] != b"\x1f\x8b":
         return [payload]
     out = []
     rest = payload
     while rest[:2] == b"\x1f\x8b":
         d = zlib.decompressobj(wbits=31)
-        out.append(d.decompress(rest))
+        chunks: list[bytes] = []
+        size = 0
+        data = rest
+        while True:
+            chunk = d.decompress(data, 1 << 20)
+            chunks.append(chunk)
+            size += len(chunk)
+            if size > max_member_bytes:
+                raise ValueError(
+                    "warc: gzip member exceeds "
+                    f"{max_member_bytes} decompressed bytes")
+            if d.eof or not d.unconsumed_tail:
+                break
+            data = d.unconsumed_tail
         if not d.eof:
             raise ValueError("warc: truncated gzip member")
+        out.append(b"".join(chunks))
         rest = d.unused_data
     if rest:
         raise ValueError("warc: trailing non-gzip bytes after members")
@@ -147,6 +172,13 @@ def warc_records(media: DataFrame) -> DataFrame:
                 except Exception as e:               # noqa: BLE001
                     out.append((mid, None, None, None, None, None,
                                 None, None, f"{type(e).__name__}: {e}"))
+                    continue
+                if not recs:
+                    # zero records parsed is measured data, never a
+                    # silent drop: one typed row keeps the file (and
+                    # its bad-segment count) visible downstream
+                    out.append((mid, None, None, None, None, None,
+                                None, n_bad, "NoRecordsParsed"))
                     continue
                 for i, r in enumerate(recs):
                     status, body = parse_http_response(r["payload"])

@@ -107,7 +107,18 @@ def test_crashed_build_remains_do_not_poison_serving(spark, tmp_path):
     assert index_ok(path)
     cell_ids, cents = load_centroids(spark, path)
     assert len(cell_ids) == 4
-    # and a crashed-midway BUILD dir is cleaned by the next build
-    os.makedirs(os.path.join(path + ".build", "vectors"), exist_ok=True)
+    # a crashed-midway BUILD dir (dead pid in its name) is reaped by
+    # the next build; a LIVE builder's dir must be left alone — the
+    # unique-name scheme is what lets concurrent builders coexist
+    dead = path + ".build-999999999-deadbeef"
+    live = path + f".build-{os.getpid()}-cafef00d"
+    os.makedirs(os.path.join(dead, "vectors"), exist_ok=True)
+    os.makedirs(os.path.join(live, "vectors"), exist_ok=True)
     build_ann_index(emb, path, k_cells=4, max_iter=1)
-    assert index_ok(path) and not os.path.isdir(path + ".build")
+    assert index_ok(path)
+    assert not os.path.isdir(dead), "dead build dir not reaped"
+    assert os.path.isdir(live), "live builder's dir clobbered"
+    # the publish leaves no .old remains either
+    leftovers = [n for n in os.listdir(str(tmp_path))
+                 if ".old-" in n or n == "idx.build"]
+    assert leftovers == []

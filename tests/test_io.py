@@ -229,3 +229,42 @@ def test_warc_records_operator_per_row_errors(spark):
     assert by_id[1][0]["body_bytes"] == 4
     assert by_id[1][0]["error"] is None
     assert by_id[2][0]["error"] is not None
+
+
+def test_warc_zero_record_payload_emits_typed_row(spark):
+    """A payload that parses to ZERO records (e.g. plain garbage —
+    parse_warc returns ([], n_bad>=1) without raising) must still
+    produce one output row carrying the bad-segment count: files
+    never vanish silently from crawl accounting (r7 advisory)."""
+    from flink_precisely_demo_spark.sources.warc import warc_records
+
+    rows = [(7, bytearray(b"this is not a WARC file at all"))]
+    out = warc_records(spark.createDataFrame(
+        rows, "media_id long, payload binary")).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["media_id"] == 7
+    assert r["error"] == "NoRecordsParsed"
+    assert r["n_bad_segments"] >= 1
+    assert r["rec_idx"] is None and r["body_md5"] is None
+
+
+def test_warc_gzip_bomb_is_a_typed_bounded_error():
+    """A gzip member inflating past the cap raises ValueError from
+    chunked decompression — the bomb never fully materializes in
+    memory (r7 advisory: adversarial crawl input)."""
+    import zlib
+
+    import pytest as _pytest
+
+    from flink_precisely_demo_spark.sources.warc import (
+        split_gzip_members,
+    )
+
+    c = zlib.compressobj(wbits=31)
+    bomb = c.compress(b"\x00" * (4 << 20)) + c.flush()  # 4 MiB -> ~4 KiB
+    with _pytest.raises(ValueError, match="decompressed bytes"):
+        split_gzip_members(bomb, max_member_bytes=1 << 20)
+    # under the cap the same member splits fine
+    (member,) = split_gzip_members(bomb, max_member_bytes=8 << 20)
+    assert len(member) == 4 << 20

@@ -1047,6 +1047,33 @@ def test_mp3_stream_info_synthetic_and_errors():
         mp3_stream_info(b"not audio at all" * 10)
 
 
+def test_mp3_info_tag_is_cbr_xing_tag_is_vbr():
+    """LAME writes an 'Info' tag into CBR files and 'Xing' into VBR
+    ones — same layout, opposite meaning. The triage must read the
+    frame count from either but flag vbr only for Xing (r7 advisory:
+    Info-tagged CBR files were misclassified as VBR)."""
+    from flink_precisely_demo_spark.operators.mp3 import (
+        make_cbr_mp3,
+        mp3_stream_info,
+    )
+
+    def with_tag(tag: bytes) -> bytes:
+        data = bytearray(make_cbr_mp3(40, 64, 22050))
+        # MPEG-2 mono side info = 9 bytes -> tag region at 4 + 9
+        p = 13
+        data[p:p + 4] = tag
+        data[p + 4:p + 8] = (1).to_bytes(4, "big")   # FRAMES flag
+        data[p + 8:p + 12] = (39).to_bytes(4, "big")  # audio frames
+        return bytes(data)
+
+    info_cbr = mp3_stream_info(with_tag(b"Info"))
+    assert info_cbr["vbr"] is False
+    assert info_cbr["n_frames"] == 39    # tag frame count still used
+    info_vbr = mp3_stream_info(with_tag(b"Xing"))
+    assert info_vbr["vbr"] is True
+    assert info_vbr["n_frames"] == 39
+
+
 def test_audio_stream_info_operator(spark):
     """audio_stream_info through Spark: mp3 rows triaged without
     sample decode, wav rows from the real decoder, junk rows get the

@@ -231,12 +231,47 @@ def test_dedup_semantic_assignment_has_no_window_shuffle(spark):
 def test_pagerank_rank_side_broadcasts_and_caches(spark):
     """Each PageRank iteration joins the one-row-per-host rank side
     into the edge partitioning as a BROADCAST (never shuffling the
-    edges per iteration), and the edge/node lineages are cached so
-    iterations reuse them instead of re-scanning documents."""
+    edges per iteration), and the edge/node lineages are checkpointed
+    (flat ExistingRDD scans) so iterations reuse them instead of
+    re-scanning documents."""
     import __spark_entry__ as m
 
     df = m.queries()["web_link_pagerank"](spark, SF)
     plan = _physical(df)
-    assert "InMemoryTableScan" in plan, "edges/nodes not cached"
+    assert "ExistingRDD" in plan, "edges/nodes not checkpointed"
     assert plan.count("BroadcastHashJoin") >= 3  # one per iteration
     assert "CartesianProduct" not in plan
+
+
+def test_pagerank_degrades_past_broadcast_host_limit(spark, monkeypatch):
+    """Above `_BROADCAST_HOST_LIMIT` hosts the forced broadcast hint
+    must be withheld (a forced broadcast of a web-scale rank side is
+    an executor OOM Catalyst can't route around) — the join degrades
+    to a shuffle join against the src-pre-partitioned edge set, and
+    the ranks it produces are IDENTICAL (exact integer arithmetic)."""
+    from flink_precisely_demo_spark.plans import graph_queries as gq
+    import __spark_entry__ as m
+
+    fn = m.queries()["web_link_pagerank"]
+    baseline = {r["host"]: r["pr_units"]
+                for r in fn(spark, SF).collect()}
+    monkeypatch.setattr(gq, "_BROADCAST_HOST_LIMIT", 10)
+    df = fn(spark, SF)
+    # the FORCED hint must be gone from the logical plan (Catalyst
+    # may still auto-broadcast from real stats — that's the graceful
+    # part; a web-scale rank side would exceed the threshold)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, analyzed
+    # with auto-broadcast off (web-scale stats surrogate) the join
+    # must run as a shuffle join and produce identical rank units
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df2 = fn(spark, SF)
+        plan = _physical(df2)
+        assert "BroadcastHashJoin" not in plan, plan
+        assert "CartesianProduct" not in plan
+        got = {r["host"]: r["pr_units"] for r in df2.collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert got == baseline
