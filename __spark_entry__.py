@@ -17,6 +17,7 @@ from flink_precisely_demo_spark.plans import queries as _q
 from flink_precisely_demo_spark.plans import (  # noqa: F401
     ann_queries,
     cdc_queries,
+    crawl_queries,
     curation_queries,
     ddl_queries,
     dedup_queries,
@@ -45,99 +46,55 @@ def entry(spark: SparkSession) -> DataFrame:
 # mechanical, enforced by tests/test_oracle_parity.py::
 # test_deferred_entries_have_driver_green_history: an entry may sit in
 # _DEFERRED only with >= 2 prior driver-green rounds recorded in the
-# CORRECTNESS_r*.json artifacts — never-driver-validated queries must
-# take a window slot first. Round-4 rotation: the nine TPC-H tail
-# queries + window_analytics (0-2 prior green rounds as a set, the
-# TPC-H nine had none) move INTO the window; ten multi-round-green
-# extension entries move out. All §2.1 parity surfaces stay in the
-# window unconditionally (guarded below). All 76 pairs still run in
-# tests/test_oracle_parity.py regardless of position.
+# CORRECTNESS_r*.json artifacts; the §2.1 parity surfaces stay in the
+# window unconditionally (guarded by
+# test_parity_queries_inside_driver_window), stalest evidence rotates
+# back in first, and ALL pairs still run in tests/test_oracle_parity.py
+# regardless of position. Per-round rotation history lives in
+# COVERAGE.md ("Window rotation log").
+#
+# r8 window: the 9 §2.1 parity surfaces, the TPC-H/window floor
+# (q5, q18, window_analytics), the 8 r7-new single-green entries, the
+# new warc_to_corpus, 5 of the double-green r6 additions, and the 24
+# r4/r5-era entries whose evidence went 3 rounds stale. Each deferred
+# name below carries its driver-green rounds.
 _DEFERRED = [
-    # r6 rotation: the 16 misc function-coverage queries (driver-green
-    # r01+r02) return to the window — their evidence was 3-4 rounds
-    # stale while the expression layer under them churned. Moved out
-    # to make room, each >= double-green: the r4/r5 TPC-H tail
-    # (q6 q7 q8 q10 q13 q14 q15 q17 q19: green r4+r5; q3: r1 r3 r4
-    # r5), sessionization (r2-r5), asof_join_prior_click (r1-r5),
-    # range_join_events (r1-r5), dedup_clusters (r3-r5),
-    # ddl_entry_pipeline (r2-r5), multimodal_manifest (r2-r5).
-    # Family floors hold: TPC-H keeps q1/q5/q18/q4/q21/q22 in-window;
-    # dedup keeps exact/minhash_lsh/pipeline_e2e; multimodal keeps the
-    # three decode entries; joins gain anti_semi/full_outer/intersect/
-    # subquery_in_exists back.
-    "q3_shipping_priority", "q6_forecast_revenue", "q7_volume_shipping",
-    "q8_market_share", "q10_returned_items", "q13_customer_distribution",
-    "q14_promo_revenue", "q15_top_supplier", "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue", "sessionization", "asof_join_prior_click",
-    "range_join_events", "dedup_clusters", "ddl_entry_pipeline",
-    "multimodal_manifest",
-    # r6 addition: cdc_state_asof (green r2-r5) cedes its slot to the
-    # never-driver-validated streaming_dedup_replay;
-    # curation_stratified (green r4+r5) cedes its slot to the new
-    # text_pii_scrub (family floor holds: curation keeps
-    # pack_chunks + pipeline_e2e in-window); kmeans_ivf_index (green
-    # r4+r5) cedes its slot to the new text_html_extract (sketch/ANN
-    # family keeps approx_sketches + similarity_ivf_topk +
-    # ann_index_topk in-window)
-    # and approx_sketches (green r4+r5) cedes its slot to the new
-    # text_chunk_windows (stats family keeps percentile_exact +
-    # histogram_buckets in-window)
-    # and ann_index_topk (green r2-r5) cedes its slot to the new
-    # cdc_history_scd2 (similarity family keeps similarity_ivf_topk
-    # in-window; brute-force + IVF cells hold deferred green)
-    # and dedup_exact (green r1-r5, five rounds) cedes its slot to
-    # the new url_canonicalize (dedup family keeps minhash_lsh +
-    # pipeline_e2e + streaming_dedup_replay in-window)
-    # and text_token_stats (green r1/r3/r4/r5) cedes its slot to
-    # the new text_tfidf_top_terms (text family keeps
-    # filter_pipeline + repetition_quality + the four round-6 ops
-    # in-window)
-    # and text_filter_pipeline (green r1/r3/r4/r5; still in the
-    # bench headline) cedes its slot to the new corpus_health_report
-    "cdc_state_asof",
-    "curation_stratified",
-    "kmeans_ivf_index",
-    "approx_sketches",
-    "ann_index_topk",
-    "dedup_exact",
-    "text_token_stats",
-    "text_filter_pipeline",
-    # r7 rotation: the 16 r3/r4-era deferred entries (evidence 3-4
-    # rounds stale by now: top_k_per_group, similarity_bruteforce/
-    # ivf_cells, dedup_simhash/_pairs/ngram_jaccard, text_language_id,
-    # text_quality_score last green r3; sliding/session windows,
-    # date_functions, embedding_quantize_stats, dedup_embedding_cosine,
-    # curation_contamination last green r4; curation_sample/split last
-    # green r3) return to the window — the same staleness argument that
-    # justified r6's fully-successful misc rotation. The 16 misc
-    # function-coverage queries (fresh triple-green r1+r2+r6) cede the
-    # slots they reclaimed in r6:
-    # r7 additions: multimodal_video_decode (green r5+r6) cedes its
-    # slot to the never-driver-validated multimodal_format_audit
-    # (family floor holds: multimodal keeps image_decode,
-    # audio_decode, format_audit AND the new audio_stream_triage
-    # in-window); the TPC-H q4/q21/q22 shapes (each green r5+r6)
-    # cede theirs to audio_stream_triage, dedup_semantic and
-    # curation_mixture_sample (TPC-H floor holds: q1/q5/q18 stay)
+    # rotated out r8 after regaining fresh r7 green
+    "q1_pricing_summary",          # r1-r7
+    "top_k_per_group",             # r1 r2 r3 r7
+    "similarity_bruteforce_topk",  # r1 r2 r3 r7
+    "similarity_ivf_cells",        # r1 r2 r3 r7
+    "similarity_ivf_topk",         # r1-r7
+    "embedding_quantize_stats",    # r2 r3 r4 r7
+    "curation_sample",             # r2 r3 r7
+    "curation_split",              # r2 r3 r7
+    "curation_contamination",      # r2 r3 r4 r7
+    "curation_pipeline_e2e",       # r2-r7
+    "dedup_minhash_lsh",           # r1-r7
+    "dedup_simhash",               # r1 r2 r3 r7
+    "dedup_ngram_jaccard",         # r1 r2 r3 r7
+    "dedup_simhash_pairs",         # r1 r2 r3 r7
+    "multimodal_image_decode",     # r5 r6 r7
+    "multimodal_audio_decode",     # r5 r6 r7
+    "date_functions",              # r1 r3 r4 r7
+    "dedup_embedding_cosine",      # r1 r3 r4 r7
+    "text_language_id",            # r1 r3 r7
+    "text_quality_score",          # r1 r3 r7
+    "text_repetition_quality",     # r3-r7
+    "sliding_window_events",       # r1 r3 r4 r7
+    "session_window_events",       # r1 r3 r4 r7
+    # r6 additions at exactly the double-green floor, ceding seats to
+    # the r8 E2E + returning stale entries
+    "text_html_extract",           # r6 r7
+    "text_chunk_windows",          # r6 r7
+    # deferred since earlier rounds (>= 2 greens, evidence 2 rounds old)
     "multimodal_video_decode",     # r5 r6
     "q4_order_priority",           # r5 r6
     "q21_waiting_supplier",        # r5 r6
     "q22_global_sales_opportunity",  # r5 r6
-    # and curation_pack_chunks (green r2-r6, five rounds) cedes its
-    # slot to the new web_link_pagerank (curation family keeps
-    # pipeline_e2e, sample, split, contamination, mixture_sample
-    # in-window)
-    "curation_pack_chunks",        # r2 r3 r4 r5 r6
-    # and dedup_pipeline_e2e (green r3-r6; still a bench headline)
-    # cedes its slot to the new corpus_snapshot_diff (dedup family
-    # keeps minhash_lsh, simhash x2, ngram_jaccard, embedding_cosine,
-    # semantic and streaming replay in-window)
-    "dedup_pipeline_e2e",          # r3 r4 r5 r6
-    # and cdc_apply_snapshot (green r1-r6, six rounds — the most
-    # driver-validated entry in the repo; still a bench headline)
-    # cedes its slot to the new warc_ingest_extract (CDC family keeps
-    # envelope_decode, history_scd2 and the flagship in-window)
-    "cdc_apply_snapshot",          # r1 r2 r3 r4 r5 r6
+    "curation_pack_chunks",        # r2-r6
+    "dedup_pipeline_e2e",          # r3-r6
+    "cdc_apply_snapshot",          # r1-r6
     "anti_semi_join",              # r1 r2 r6
     "array_functions_embeddings",  # r1 r2 r6
     "cube_agg",                    # r1 r2 r6
@@ -155,6 +112,7 @@ _DEFERRED = [
     "full_outer_join_nulls",       # r1 r2 r6
     "subquery_in_exists",          # r1 r2 r6
 ]
+
 
 
 def _ordered(mapping: dict) -> dict:

@@ -1,0 +1,227 @@
+"""End-to-end crawl ingestion: WARC bytes -> curated text corpus.
+
+This is the first pipeline a training-data user runs: take raw crawl
+archives, parse the records, extract text from the HTML, gate on
+language/quality, and emit canonicalized, fingerprinted corpus rows
+ready for dedup and packing. Every stage exists (and is individually
+driver-green) elsewhere in this repo — `sources/warc.warc_records`,
+`functions/text.html_to_text` / `language_id` / `quality_score` /
+`url_canonicalize` / `doc_fingerprint` — this module proves the
+COMPOSITION: one narrow pass, scan stage only, no shuffle anywhere
+(guarded by tests/test_scale_patterns.py). At 100 TB the whole
+pipeline is embarrassingly parallel: each WARC file parses, extracts
+and scores inside its own scan partition, and only the curated
+corpus rows reach the sink.
+
+The WARC input is synthesized deterministically from the documents
+table (HTML shell + HTTP envelope + WARC framing, every other file
+gzip-per-record like Common Crawl), so the DuckDB oracle can rebuild
+the expected output arithmetically — a hash match proves the full
+parse -> extract -> gate -> canonicalize chain end to end.
+
+No counterpart in the reference (extension scope, SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    STOPWORDS_EN,
+    doc_fingerprint,
+    html_title,
+    html_to_text,
+    language_id,
+    quality_score,
+    token_count,
+    url_canonicalize,
+)
+from ..sources.parquet import load_table
+from .queries import query
+from .text_queries import _lang_case_sql, _marker_count, _TOKS, canonical_sql
+
+# Quality gate for corpus admission. The synthetic pages score across
+# the whole [0,1] range (length + stopword-band + alpha terms), so
+# this threshold genuinely splits the corpus (~1/3 admitted, 2/3
+# rejected at the test SFs) — both engines compare the identical
+# 6-dp-rounded double.
+_QUALITY_GATE = 0.4
+
+# DuckDB twin of the per-document HTML page the synthesizer builds in
+# Python below: identical string arithmetic (full text in the body, a
+# title, comment + script/style noise, entities, doc_id-dependent
+# link count) so the extractor has markup to strip on every row.
+_PAGE_SQL = """
+    '<!DOCTYPE html><html><head><title> Doc ' || CAST(doc_id AS VARCHAR)
+    || ' &amp; friends </title><style>p{color:red}</style>'
+    || '<script>var x = doc < 3 && doc > 1;</script></head>'
+    || '<!-- crawl id ' || CAST(doc_id AS VARCHAR) || ' --><body><p>'
+    || text
+    || '</p><p>&quot;quoted&#39;&nbsp;&amp;lt;kept&gt;</p>'
+    || repeat('<a href="/x">link</a> ', CAST(doc_id % 4 AS INTEGER))
+    || '<div>tail ' || CAST(doc_id AS VARCHAR) || '</div></body></html>'
+"""
+
+# DuckDB twin of the per-document target URI (same arithmetic as the
+# url_canonicalize query's synthetic URLs: scheme case, default and
+# explicit ports, utm_* params, fragments all vary by doc_id).
+_URI_SQL = """
+    CASE doc_id % 3 WHEN 0 THEN 'HTTPS://WWW.Site' WHEN 1
+         THEN 'https://cdn.site' ELSE 'HTTP://Site' END
+    || CAST(doc_id % 50 AS VARCHAR)
+    || CASE doc_id % 3 WHEN 0 THEN '.COM:443' WHEN 1 THEN '.com'
+            ELSE '.ORG:80' END
+    || '/p/' || CAST(doc_id % 17 AS VARCHAR)
+    || CASE WHEN doc_id % 2 = 0
+            THEN '/?utm_source=a&x=' || CAST(doc_id % 11 AS VARCHAR)
+                 || '&utm_b=c'
+            ELSE '?id=' || CAST(doc_id % 13 AS VARCHAR) || '#frag' END
+"""
+
+
+def _page_html(did: int, text: str) -> str:
+    """Python twin of ``_PAGE_SQL`` (what the crawler 'fetched')."""
+    return (
+        f"<!DOCTYPE html><html><head><title> Doc {did} &amp; friends "
+        "</title><style>p{color:red}</style>"
+        "<script>var x = doc < 3 && doc > 1;</script></head>"
+        f"<!-- crawl id {did} --><body><p>{text}"
+        "</p><p>&quot;quoted&#39;&nbsp;&amp;lt;kept&gt;</p>"
+        + '<a href="/x">link</a> ' * (did % 4)
+        + f"<div>tail {did}</div></body></html>")
+
+
+def _target_uri(did: int) -> str:
+    """Python twin of ``_URI_SQL``."""
+    scheme = ("HTTPS://WWW.Site", "https://cdn.site",
+              "HTTP://Site")[did % 3]
+    tld = (".COM:443", ".com", ".ORG:80")[did % 3]
+    uri = f"{scheme}{did % 50}{tld}/p/{did % 17}"
+    if did % 2 == 0:
+        return uri + f"/?utm_source=a&x={did % 11}&utm_b=c"
+    return uri + f"?id={did % 13}#frag"
+
+
+def _html_strip_sql(col: str) -> str:
+    """DuckDB regexp chain identical to functions.text.html_to_text
+    (patterns held to the RE2/Java common subset)."""
+    cur = col
+    cur = f"regexp_replace({cur}, '(?s)<!--.*?-->', ' ', 'g')"
+    cur = (f"regexp_replace({cur}, "
+           "'(?s)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g')")
+    cur = f"regexp_replace({cur}, '<[^>]+>', ' ', 'g')"
+    for ent, repl in [("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+                      ("&quot;", '"'), ("&#39;", "''"), ("&amp;", "&")]:
+        cur = f"regexp_replace({cur}, '{ent}', '{repl}', 'g')"
+    return f"trim(regexp_replace({cur}, '\\s+', ' ', 'g'))"
+
+
+_QUALITY_SQL = f"""round(
+      0.4 * least(CAST(len({_TOKS}) AS DOUBLE) / 200.0, 1.0)
+    + 0.3 * (CASE WHEN len({_TOKS}) > 0
+                   AND {_marker_count(STOPWORDS_EN)}
+                       / CAST(len({_TOKS}) AS DOUBLE) >= 0.1
+                   AND {_marker_count(STOPWORDS_EN)}
+                       / CAST(len({_TOKS}) AS DOUBLE) <= 0.6
+              THEN 1.0 ELSE 0.0 END)
+    + 0.3 * (CASE WHEN length(text) > 0
+              THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                        AS DOUBLE) / CAST(length(text) AS DOUBLE)
+              ELSE 0.0 END)
+    , 6)"""
+
+
+@query(
+    "warc_to_corpus",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id, {_PAGE_SQL} AS aug, {_URI_SQL} AS uri
+      FROM documents WHERE text IS NOT NULL
+    ),
+    e AS (
+      SELECT doc_id, uri,
+             trim(regexp_extract(aug, '(?s)<title[^>]*>(.*?)</title>', 1))
+               AS title,
+             {_html_strip_sql('aug')} AS text
+      FROM a
+    ),
+    s AS (
+      SELECT doc_id, uri, title,
+             {_lang_case_sql()} AS lang,
+             {_QUALITY_SQL} AS quality,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+             substring(md5(regexp_replace(trim(lower(text)),
+                                          '\\s+', ' ', 'g')), 1, 16)
+               AS fingerprint
+      FROM e
+    )
+    SELECT doc_id, {canonical_sql('uri')} AS canonical_url, title,
+           lang, quality, n_tokens, fingerprint
+    FROM s
+    WHERE quality >= {_QUALITY_GATE} AND lang <> 'und'
+    """,
+)
+def _warc_to_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl -> corpus, one narrow pass: synthesize a gzip'd WARC
+    file per document (1 warcinfo + 1 HTTP 200 response whose body is
+    an HTML page around the document text), parse it with
+    `warc_records` (real ISO 28500 framing + gzip member walking +
+    HTTP splitting; `redistribute=False` keeps the parse fused into
+    the scan), strip the HTML to text, gate on language-ID and the
+    composite quality score, and emit canonical URL + content
+    fingerprint per admitted page. The plan has ZERO exchanges —
+    every stage is a scan-stage map, so at crawl scale throughput is
+    bounded by parse+regex CPU, never the network."""
+    from ..sources.warc import warc_records, write_warc
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("text").isNotNull())
+            .select("doc_id", "text"))
+
+    def synthesize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                html = _page_html(did, text).encode("utf-8")
+                http = (b"HTTP/1.1 200 OK\r\n"
+                        b"Content-Type: text/html\r\n\r\n" + html)
+                recs = [
+                    {"warc_type": "warcinfo",
+                     "payload": b"software: sparkwarc 1.0\r\n"},
+                    {"warc_type": "response",
+                     "target_uri": _target_uri(did),
+                     "payload": http},
+                ]
+                ids.append(did)
+                payloads.append(write_warc(
+                    recs, gzip_members=bool(did % 2)))
+            yield pd.DataFrame({
+                "media_id": pd.Series(ids, dtype="int64"),
+                "payload": pd.Series(payloads, dtype="object")})
+
+    media = docs.mapInPandas(synthesize, "media_id long, payload binary")
+    recs = warc_records(media, include_body=True, redistribute=False)
+    page = (recs
+            .filter((F.col("warc_type") == "response")
+                    & (F.col("http_status") == 200))
+            .select(F.col("media_id").alias("doc_id"), "target_uri",
+                    html_title("body").alias("title"),
+                    html_to_text("body").alias("extracted")))
+    scored = page.select(
+        "doc_id", "target_uri", "title",
+        language_id(F.col("extracted")).alias("lang"),
+        quality_score(F.col("extracted")).alias("quality"),
+        token_count(F.col("extracted")).cast("long").alias("n_tokens"),
+        doc_fingerprint(F.col("extracted")).alias("fingerprint"))
+    return (scored
+            .filter((F.col("quality") >= _QUALITY_GATE)
+                    & (F.col("lang") != "und"))
+            .select("doc_id",
+                    url_canonicalize("target_uri").alias("canonical_url"),
+                    "title", "lang", "quality", "n_tokens",
+                    "fingerprint"))

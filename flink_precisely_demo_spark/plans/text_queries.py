@@ -422,23 +422,29 @@ _URL_AUG = """
 """
 
 
-def _url_oracle() -> str:
-    scheme = "lower(regexp_extract(aug, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
-    hostport = ("lower(regexp_extract(aug, "
+def canonical_sql(col: str) -> str:
+    """DuckDB expression mirroring functions.text.url_canonicalize
+    over the named URL column (shared with the crawl E2E oracle)."""
+    scheme = f"lower(regexp_extract({col}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    hostport = (f"lower(regexp_extract({col}, "
                 "'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1))")
     host = f"""CASE WHEN {scheme} = 'https'
                     THEN regexp_replace({hostport}, ':443$', '')
                     WHEN {scheme} = 'http'
                     THEN regexp_replace({hostport}, ':80$', '')
                     ELSE {hostport} END"""
-    path = ("regexp_extract(aug, "
+    path = (f"regexp_extract({col}, "
             "'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1)")
     path = f"CASE WHEN {path} = '' THEN '/' ELSE {path} END"
-    q = "regexp_extract(aug, '\\?([^#]*)', 1)"
+    q = f"regexp_extract({col}, '\\?([^#]*)', 1)"
     kept = (f"array_to_string(list_filter(string_split({q}, '&'), "
             f"p -> NOT starts_with(p, 'utm_') AND p <> ''), '&')")
-    canonical = (f"{scheme} || '://' || {host} || {path} || "
-                 f"CASE WHEN {kept} <> '' THEN '?' || {kept} ELSE '' END")
+    return (f"{scheme} || '://' || {host} || {path} || "
+            f"CASE WHEN {kept} <> '' THEN '?' || {kept} ELSE '' END")
+
+
+def _url_oracle() -> str:
+    canonical = canonical_sql("aug")
     return f"""
     WITH a AS (
       SELECT doc_id, {_URL_AUG} AS aug

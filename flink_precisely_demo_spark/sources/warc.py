@@ -158,41 +158,59 @@ WARC_RECORDS_SCHEMA = ("media_id long, rec_idx int, warc_type string, "
                        "n_bad_segments int, error string")
 
 
-def warc_records(media: DataFrame) -> DataFrame:
+def warc_records(media: DataFrame, include_body: bool = False,
+                 redistribute: bool = True) -> DataFrame:
     """Binary WARC payloads -> one row per record (see module doc).
-    Per-payload parse failures are typed rows, never job aborts."""
-    n = media.sparkSession.sparkContext.defaultParallelism
+    Per-payload parse failures are typed rows, never job aborts.
+
+    ``include_body=True`` appends a ``body`` string column (utf-8,
+    replacement-decoded) for downstream text extraction.
+    ``redistribute=False`` skips the spreading repartition so the
+    parse stays fused into the upstream scan stage — use it when the
+    source is already well-partitioned and the consumer wants one
+    narrow pass (e.g. the crawl-to-corpus pipeline)."""
+    cols = ["media_id", "rec_idx", "warc_type", "target_uri",
+            "http_status", "body_bytes", "body_md5",
+            "n_bad_segments", "error"]
+    schema = WARC_RECORDS_SCHEMA
+    if include_body:
+        cols = cols + ["body"]
+        schema = schema + ", body string"
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def row(*vals) -> tuple:
+            return vals if include_body else vals[:-1]
         for pdf in batches:
             out = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
                     recs, n_bad = parse_warc(bytes(payload))
                 except Exception as e:               # noqa: BLE001
-                    out.append((mid, None, None, None, None, None,
-                                None, None, f"{type(e).__name__}: {e}"))
+                    out.append(row(mid, None, None, None, None, None,
+                                   None, None,
+                                   f"{type(e).__name__}: {e}", None))
                     continue
                 if not recs:
                     # zero records parsed is measured data, never a
                     # silent drop: one typed row keeps the file (and
                     # its bad-segment count) visible downstream
-                    out.append((mid, None, None, None, None, None,
-                                None, n_bad, "NoRecordsParsed"))
+                    out.append(row(mid, None, None, None, None, None,
+                                   None, n_bad, "NoRecordsParsed",
+                                   None))
                     continue
                 for i, r in enumerate(recs):
                     status, body = parse_http_response(r["payload"])
-                    out.append((mid, i, r["warc_type"], r["target_uri"],
-                                status, len(body),
-                                hashlib.md5(body).hexdigest(),
-                                n_bad, None))
-            yield pd.DataFrame(out, columns=[
-                "media_id", "rec_idx", "warc_type", "target_uri",
-                "http_status", "body_bytes", "body_md5",
-                "n_bad_segments", "error"])
+                    out.append(row(
+                        mid, i, r["warc_type"], r["target_uri"],
+                        status, len(body),
+                        hashlib.md5(body).hexdigest(), n_bad, None,
+                        body.decode("utf-8", "replace")))
+            yield pd.DataFrame(out, columns=cols)
 
-    return (media.repartition(n, "media_id")
-                 .mapInPandas(compute, schema=WARC_RECORDS_SCHEMA))
+    if redistribute:
+        n = media.sparkSession.sparkContext.defaultParallelism
+        media = media.repartition(n, "media_id")
+    return media.mapInPandas(compute, schema=schema)
 
 
 def write_warc(records: list[dict], gzip_members: bool = False) -> bytes:

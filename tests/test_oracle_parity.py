@@ -66,27 +66,28 @@ def test_parity_queries_inside_driver_window():
                  "cdc_envelope_decode", "projection_flatten",
                  "parse_ts_roundtrip", "enrichment_latest_join",
                  "tumbling_window_events", "window_analytics",
-                 # r7 rotation: the r3/r4-era entries (evidence 3-4
-                 # rounds stale) must hold their reclaimed slots until
-                 # they regain fresh driver-green evidence
-                 "top_k_per_group", "similarity_bruteforce_topk",
-                 "similarity_ivf_cells", "dedup_simhash",
-                 "dedup_simhash_pairs", "dedup_ngram_jaccard",
-                 "text_language_id", "text_quality_score",
-                 "sliding_window_events", "date_functions",
-                 "session_window_events", "embedding_quantize_stats",
-                 "dedup_embedding_cosine", "curation_contamination",
-                 "curation_sample", "curation_split",
-                 # r6's never-validated additions hold until >=2 greens
-                 "corpus_health_report", "streaming_dedup_replay",
-                 "cdc_history_scd2", "text_pii_scrub",
-                 "text_html_extract", "text_chunk_windows",
-                 "url_canonicalize", "text_tfidf_top_terms",
-                 # r7's never-validated additions
+                 # r8 rotation: the r4/r5-era entries (evidence 3
+                 # rounds stale) hold their reclaimed slots until they
+                 # regain fresh driver-green evidence
+                 "q3_shipping_priority", "q6_forecast_revenue",
+                 "q7_volume_shipping", "q8_market_share",
+                 "q10_returned_items", "q13_customer_distribution",
+                 "q14_promo_revenue", "q15_top_supplier",
+                 "q17_small_quantity_revenue", "q19_disjunctive_revenue",
+                 "sessionization", "asof_join_prior_click",
+                 "range_join_events", "dedup_clusters",
+                 "ddl_entry_pipeline", "multimodal_manifest",
+                 "cdc_state_asof", "curation_stratified",
+                 "kmeans_ivf_index", "approx_sketches",
+                 "ann_index_topk", "dedup_exact",
+                 "text_token_stats", "text_filter_pipeline",
+                 # r7's once-validated additions hold until >=2 greens
                  "multimodal_format_audit", "audio_stream_triage",
                  "dedup_semantic", "curation_mixture_sample",
                  "web_link_pagerank", "corpus_snapshot_diff",
-                 "warc_ingest_extract"]:
+                 "warc_ingest_extract", "corpus_health_report",
+                 # r8's never-validated addition
+                 "warc_to_corpus"]:
         assert name in first50, f"{name} fell outside the driver window"
 
 

@@ -228,6 +228,19 @@ def test_dedup_semantic_assignment_has_no_window_shuffle(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_warc_to_corpus_is_one_narrow_pass(spark):
+    """The crawl E2E (WARC parse -> HTML strip -> language/quality
+    gate -> canonicalize + fingerprint) must plan as ONE scan-stage
+    pass: zero Exchange operators anywhere — at crawl scale each
+    archive file flows parse-to-corpus inside its own partition and
+    only curated rows reach the sink."""
+    import __spark_entry__ as m
+
+    plan = _physical(m.queries()["warc_to_corpus"](spark, SF))
+    assert "Exchange" not in plan, plan
+    assert "CartesianProduct" not in plan
+
+
 def test_pagerank_rank_side_broadcasts_and_caches(spark):
     """Each PageRank iteration joins the one-row-per-host rank side
     into the edge partitioning as a BROADCAST (never shuffling the
