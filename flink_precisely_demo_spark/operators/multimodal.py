@@ -243,10 +243,28 @@ def _decode_ppm(payload: bytes) -> np.ndarray:
     return arr.reshape(h, w, 3).copy()
 
 
-def _decode_image(payload: bytes, fmt: str) -> np.ndarray:
+def _decode_image(payload: bytes, fmt: str,
+                  decoders: dict | None = None) -> np.ndarray:
     """(h, w, 3) uint8 RGB. Baseline JPEG, PNG, BMP and PPM decode
     for real; anything else raises UnsupportedCodecError (surfaced
-    per row by the operators below, never a job abort)."""
+    per row by the operators below, never a job abort).
+
+    ``decoders`` is the PRODUCTION SEAM for the formats this build's
+    pure-numpy codecs can't handle (VP8-lossy WebP et al.): a
+    {format: callable(bytes) -> (h, w, 3) array} mapping consulted
+    BEFORE the built-ins (an external library replaces the whole
+    format, as PIL would). The mapping is captured by value into the
+    operator closures, so it ships to executors with the plan; a
+    decoder that returns the wrong shape or raises becomes the same
+    per-row typed error as a missing codec — the swap cannot change
+    the schema or the error contract (tests/test_multimodal.py)."""
+    if decoders and fmt in decoders:
+        arr = np.asarray(decoders[fmt](payload))
+        if arr.ndim != 3 or arr.shape[2] != 3:
+            raise UnsupportedCodecError(
+                f"external decoder for {fmt!r} returned shape "
+                f"{arr.shape}, want (h, w, 3)")
+        return arr.astype(np.uint8, copy=False)
     if fmt in ("jpeg", "jpg"):
         return decode_jpeg(payload)
     if fmt == "png":
@@ -398,10 +416,19 @@ def encode_au(samples: np.ndarray, rate: int, mulaw: bool = False) -> bytes:
             + rate.to_bytes(4, "big") + (1).to_bytes(4, "big") + body)
 
 
-def _decode_audio(payload: bytes, fmt: str) -> tuple[np.ndarray, int]:
+def _decode_audio(payload: bytes, fmt: str,
+                  decoders: dict | None = None) -> tuple[np.ndarray, int]:
     """(mono float32 samples in [-1,1], sample_rate). WAV, FLAC,
     AIFF and AU decode for real; lossy audio (mp3/aac/...) raises
-    UnsupportedCodecError (surfaced per row, never a job abort)."""
+    UnsupportedCodecError (surfaced per row, never a job abort).
+
+    ``decoders`` is the production seam for lossy-DSP formats —
+    {format: callable(bytes) -> (samples, rate)} consulted before
+    the built-ins; see :func:`_decode_image` for the contract."""
+    if decoders and fmt in decoders:
+        samples, rate = decoders[fmt](payload)
+        samples = np.asarray(samples, dtype=np.float32).reshape(-1)
+        return samples, int(rate)
     if fmt == "wav":
         return _decode_wav(payload)
     if fmt == "flac":
@@ -423,12 +450,14 @@ IMAGE_FEATURES_SCHEMA = ("media_id long, width int, height int, "
                          "payload_bytes long, error string")
 
 
-def image_features(media: DataFrame, partitions: int | None = None) -> DataFrame:
+def image_features(media: DataFrame, partitions: int | None = None,
+                   decoders: dict | None = None) -> DataFrame:
     """Decode + feature-extract images: (media_id, width, height,
     n_channels, mean_luma, payload_bytes, error). A row whose payload
     fails to decode (unsupported codec, truncated/corrupt bytes)
     comes back with null features and the error message — decode
-    failures are data, not job aborts, at 100 TB."""
+    failures are data, not job aborts, at 100 TB. ``decoders``:
+    external per-format decoder overrides (see :func:`_decode_image`)."""
     n = partitions or media.sparkSession.sparkContext.defaultParallelism
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -437,7 +466,8 @@ def image_features(media: DataFrame, partitions: int | None = None) -> DataFrame
             for mid, meta, payload in zip(pdf["media_id"], pdf["meta"],
                                           pdf["payload"]):
                 try:
-                    arr = _decode_image(bytes(payload), meta["format"])
+                    arr = _decode_image(bytes(payload), meta["format"],
+                                        decoders)
                 except Exception as e:               # noqa: BLE001
                     out.append((mid, None, None, None, None,
                                 len(payload), f"{type(e).__name__}: {e}"))
@@ -510,10 +540,12 @@ AUDIO_FEATURES_SCHEMA = ("media_id long, n_samples long, sample_rate int, "
                          "rms double, duration_ms long, error string")
 
 
-def audio_features(media: DataFrame) -> DataFrame:
+def audio_features(media: DataFrame,
+                   decoders: dict | None = None) -> DataFrame:
     """Decode + feature-extract audio: RMS energy and duration, with
     per-row decode errors surfaced in ``error`` (same contract as
-    :func:`image_features`)."""
+    :func:`image_features`). ``decoders``: external per-format
+    decoder overrides (see :func:`_decode_audio`)."""
     n = media.sparkSession.sparkContext.defaultParallelism
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -523,7 +555,8 @@ def audio_features(media: DataFrame) -> DataFrame:
                                           pdf["payload"]):
                 try:
                     samples, rate = _decode_audio(bytes(payload),
-                                                  meta["format"])
+                                                  meta["format"],
+                                                  decoders)
                 except Exception as e:               # noqa: BLE001
                     out.append((mid, None, None, None, None,
                                 f"{type(e).__name__}: {e}"))
@@ -584,10 +617,14 @@ VIDEO_FEATURES_SCHEMA = ("media_id long, n_frames int, fps double, "
                          "error string")
 
 
-def video_features(media: DataFrame) -> DataFrame:
+def video_features(media: DataFrame,
+                   decoders: dict | None = None) -> DataFrame:
     """Demux-level video stats (frame count, fps, duration, mean
     compressed frame size) with per-row decode errors — same contract
-    as the other feature operators. MJPEG/AVI is the real path."""
+    as the other feature operators. MJPEG/AVI is the real path;
+    ``decoders`` maps format -> callable(bytes) -> (frames, fps) for
+    external demuxers (mp4/mkv), same seam contract as
+    :func:`_decode_image`."""
     from .avi import demux_mjpeg_avi
 
     n = media.sparkSession.sparkContext.defaultParallelism
@@ -595,9 +632,14 @@ def video_features(media: DataFrame) -> DataFrame:
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+            for mid, meta, payload in zip(pdf["media_id"], pdf["meta"],
+                                          pdf["payload"]):
                 try:
-                    frames, fps = demux_mjpeg_avi(bytes(payload))
+                    fmt = meta["format"]
+                    if decoders and fmt in decoders:
+                        frames, fps = decoders[fmt](bytes(payload))
+                    else:
+                        frames, fps = demux_mjpeg_avi(bytes(payload))
                 except Exception as e:               # noqa: BLE001
                     out.append((mid, None, None, None, None,
                                 f"{type(e).__name__}: {e}"))

@@ -389,6 +389,19 @@ def _multimodal_format_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     loss or a job abort. Scale shape: synthesis+decode is a
     zero-shuffle scan-stage map; the only exchange is the final
     14-group aggregate."""
+    return format_audit(spark, sf_dir)
+
+
+def format_audit(spark: SparkSession, sf_dir: str,
+                 image_decoders: dict | None = None,
+                 audio_decoders: dict | None = None,
+                 video_decoders: dict | None = None) -> DataFrame:
+    """Audit implementation with the external-decoder seam exposed:
+    production swaps PIL/soundfile/ffmpeg into the three feature
+    operators via these mappings, and the seam test injects fakes
+    here to prove the swap keeps the schema and per-row error
+    contract and shifts the audit by exactly the reclaimed lossy
+    slice (tests/test_multimodal.py::test_external_decoder_seam*)."""
     import io
     import wave
 
@@ -488,11 +501,14 @@ def _multimodal_format_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         return sliced.mapInPandas(synthesize, schema=MEDIA_SCHEMA)
 
     outcomes = (
-        image_features(branch("image")).select("media_id", "error")
+        image_features(branch("image"), decoders=image_decoders)
+        .select("media_id", "error")
         .unionByName(
-            audio_features(branch("audio")).select("media_id", "error"))
+            audio_features(branch("audio"), decoders=audio_decoders)
+            .select("media_id", "error"))
         .unionByName(
-            video_features(branch("video")).select("media_id", "error")))
+            video_features(branch("video"), decoders=video_decoders)
+            .select("media_id", "error")))
     labeled = outcomes.select(
         "error",
         F.expr(_audit_mtype_case("media_id % 100")).alias("media_type"),

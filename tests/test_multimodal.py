@@ -1140,3 +1140,121 @@ def test_mp3_parser_fuzz_never_hangs_or_crashes():
             assert info["n_frames"] >= 1
         except UnsupportedCodecError:
             pass
+
+
+def test_external_decoder_seam_keeps_contract(spark):
+    """The production decoder swap (`decoders=` on the feature
+    operators, consulted by _decode_image/_decode_audio before the
+    built-ins): injecting an external decoder must (a) leave the
+    output schema untouched, (b) leave rows of OTHER formats
+    byte-identical, (c) reclaim the injected format's rows, and
+    (d) route a BROKEN external decoder into the same per-row typed
+    error — never a job abort."""
+    from flink_precisely_demo_spark.operators.multimodal import (
+        IMAGE_FEATURES_SCHEMA,
+    )
+
+    jpeg = encode_jpeg(_grad_img(8, 10, seed=3), quality=90)
+    vp8_stub = (b"RIFF" + (36).to_bytes(4, "little") + b"WEBP"
+                + b"VP8 " + (24).to_bytes(4, "little") + b"\x00" * 24)
+    rows = [(0, _meta("image", "jpeg"), jpeg),
+            (1, _meta("image", "webp"), vp8_stub),
+            (2, _meta("image", "heic"), b"\x00" * 40)]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    def fake_webp(payload: bytes) -> np.ndarray:
+        return _grad_img(5, 6, seed=len(payload) % 17)
+
+    base = {r["media_id"]: r for r in image_features(media).collect()}
+    assert base[1]["error"].startswith("UnsupportedCodecError")
+    df = image_features(media, decoders={"webp": fake_webp})
+    assert df.schema == spark.createDataFrame(
+        [], IMAGE_FEATURES_SCHEMA).schema      # (a) schema unchanged
+    out = {r["media_id"]: r for r in df.collect()}
+    assert out[0] == base[0]                   # (b) jpeg row untouched
+    assert out[1]["error"] is None             # (c) webp reclaimed
+    assert (out[1]["width"], out[1]["height"],
+            out[1]["n_channels"]) == (6, 5, 3)
+    assert out[2]["error"].startswith("UnsupportedCodecError")
+
+    # (d) broken externals: wrong shape and raising both stay per-row
+    def bad_shape(payload: bytes) -> np.ndarray:
+        return np.zeros((4, 4), dtype=np.uint8)
+
+    def boom(payload: bytes) -> np.ndarray:
+        raise RuntimeError("external decoder crashed")
+
+    out = {r["media_id"]: r for r in image_features(
+        media, decoders={"webp": bad_shape, "heic": boom}).collect()}
+    assert out[0]["error"] is None
+    assert "shape" in out[1]["error"]
+    assert out[2]["error"].startswith("RuntimeError")
+
+    # audio seam: same contract
+    mp3ish = b"\xff\xfb\x90\x64" + bytes(64)
+    amedia = spark.createDataFrame(
+        [(0, _meta("audio", "wav"),
+          _encode_wav(0.2 * np.sin(np.arange(400) * 0.05), 8000)),
+         (1, _meta("audio", "mp3"), mp3ish)], MEDIA_SCHEMA)
+    base = {r["media_id"]: r for r in audio_features(amedia).collect()}
+    assert base[1]["error"].startswith("UnsupportedCodecError")
+
+    def fake_mp3(payload: bytes):
+        return 0.25 * np.sin(np.arange(320) * 0.1), 16000
+
+    out = {r["media_id"]: r for r in audio_features(
+        amedia, decoders={"mp3": fake_mp3}).collect()}
+    assert out[0] == base[0]
+    assert out[1]["error"] is None
+    assert (out[1]["n_samples"], out[1]["sample_rate"]) == (320, 16000)
+    assert out[1]["duration_ms"] == 320 * 1000 // 16000
+
+
+def test_external_decoder_seam_shifts_format_audit(spark):
+    """Swapping external decoders into `format_audit` must move the
+    audit by EXACTLY the reclaimed lossy slice (webp_lossy + mp3 +
+    aac + mp4, the measured 12%): those rows flip to decode_rate 1.0
+    / zero typed errors, and every other format's row is unchanged —
+    the audit query doubles as the regression gate for the swap."""
+    from flink_precisely_demo_spark.plans.multimodal_queries import (
+        format_audit,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    def fake_img(payload: bytes) -> np.ndarray:
+        return _grad_img(4, 4, seed=1)
+
+    def fake_aud(payload: bytes):
+        return 0.1 * np.sin(np.arange(200) * 0.1), 8000
+
+    def fake_vid(payload: bytes):
+        return [b"frame0", b"frame1"], 10.0
+
+    key = lambda r: (r["media_type"], r["format"])  # noqa: E731
+    before = {key(r): r for r in format_audit(spark, sf).collect()}
+    after = {key(r): r for r in format_audit(
+        spark, sf,
+        image_decoders={"webp": fake_img},
+        audio_decoders={"mp3": fake_aud, "aac": fake_aud},
+        video_decoders={"mp4": fake_vid}).collect()}
+    assert set(before) == set(after)
+
+    lossy = {("image", "webp_lossy"), ("audio", "mp3"),
+             ("audio", "aac"), ("video", "mp4")}
+    reclaimed = 0
+    for k in before:
+        b, a = before[k], after[k]
+        assert a["n_media"] == b["n_media"]
+        if k in lossy:
+            assert b["decode_rate"] == 0.0 and b["n_typed_error"] > 0
+            assert a["decode_rate"] == 1.0 and a["n_typed_error"] == 0
+            assert a["n_decoded"] == b["n_media"]
+            reclaimed += b["n_media"]
+        else:
+            # non-lossy rows byte-identical between runs
+            assert a == b
+    total = sum(r["n_media"] for r in before.values())
+    lossy_share = reclaimed / total
+    # the documented ~12% slice under the doc_id % 100 mix
+    assert abs(lossy_share - 0.12) < 0.02, lossy_share
