@@ -26,6 +26,7 @@ from flink_precisely_demo_spark.plans import (  # noqa: F401
     multimodal_queries,
     olap_queries,
     reference_sql,
+    search_queries,
     similarity_queries,
     sketch_queries,
     text_queries,
@@ -84,9 +85,13 @@ _DEFERRED = [
     "sliding_window_events",       # r1 r3 r4 r7
     "session_window_events",       # r1 r3 r4 r7
     # r6 additions at exactly the double-green floor, ceding seats to
-    # the r8 E2E + returning stale entries
+    # the r8 additions (warc_to_corpus, bm25, profiler) + returning
+    # stale entries
     "text_html_extract",           # r6 r7
     "text_chunk_windows",          # r6 r7
+    "text_pii_scrub",              # r6 r7
+    "text_tfidf_top_terms",        # r6 r7
+    "url_canonicalize",            # r6 r7 (warc_to_corpus covers it)
     # deferred since earlier rounds (>= 2 greens, evidence 2 rounds old)
     "multimodal_video_decode",     # r5 r6
     "q4_order_priority",           # r5 r6

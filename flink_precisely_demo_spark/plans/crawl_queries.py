@@ -225,3 +225,103 @@ def _warc_to_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                     url_canonicalize("target_uri").alias("canonical_url"),
                     "title", "lang", "quality", "n_tokens",
                     "fingerprint"))
+
+
+# ------------------------------------------------------- robots.txt gate
+
+# Per-domain rule set, synthesized arithmetically (domain key d):
+# three rules with DISTINCT prefix lengths (1, 3, 4), so the RFC 9309
+# longest-match winner is unique and the allow-wins-ties clause never
+# has to fire — argmax on the single integer 2*len+allow is exact.
+#   "/"          -> allow            (the default-open root rule)
+#   "/p/"        -> allow iff d%2==0 (section gate)
+#   "/p/<d%5>"   -> allow iff d%3==0 (subtree override; matches every
+#                                     path whose id starts with d%5,
+#                                     real REP prefix behavior)
+_ROBOTS_N_DOMAINS = 50
+
+
+_ROBOTS_RULES_SQL = """
+      SELECT dom, '/' AS prefix, 1 AS allow, 1 AS rule_len FROM doms
+      UNION ALL
+      SELECT dom, '/p/', CASE WHEN dom % 2 = 0 THEN 1 ELSE 0 END, 3
+      FROM doms
+      UNION ALL
+      SELECT dom, '/p/' || CAST(dom % 5 AS VARCHAR),
+             CASE WHEN dom % 3 = 0 THEN 1 ELSE 0 END, 4
+      FROM doms
+"""
+
+
+@query(
+    "robots_txt_gate",
+    oracle=f"""
+    WITH urls AS (
+      SELECT doc_id, doc_id % {_ROBOTS_N_DOMAINS} AS dom,
+             '/p/' || CAST(doc_id % 17 AS VARCHAR) AS path
+      FROM documents WHERE text IS NOT NULL
+    ),
+    doms AS (SELECT DISTINCT dom FROM urls),
+    rules AS ({_ROBOTS_RULES_SQL}),
+    matched AS (
+      SELECT u.doc_id, u.dom, u.path,
+             max(2 * r.rule_len + r.allow) AS score,
+             max_by(r.prefix, 2 * r.rule_len + r.allow) AS matched_rule
+      FROM urls u JOIN rules r ON u.dom = r.dom
+                 AND starts_with(u.path, r.prefix)
+      GROUP BY u.doc_id, u.dom, u.path
+    )
+    SELECT doc_id, CAST(dom AS BIGINT) AS dom, path, matched_rule,
+           CAST(score // 2 AS BIGINT) AS rule_len,
+           CAST(score % 2 AS BOOLEAN) AS allowed
+    FROM matched
+    """,
+)
+def _robots_txt_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-policy gate: apply RFC 9309 (robots.txt) longest-match
+    semantics to every URL — the admission decision a crawler makes
+    before a page may enter the corpus at all. Each URL joins its
+    domain's rule set on a prefix match and the longest matching rule
+    wins (allow would win ties; the synthesized rule lengths are
+    distinct so the argmax on ``2*rule_len + allow`` is unique —
+    module comment). Scale shape: the rule set is domains x 3 rows —
+    orders of magnitude smaller than the URL stream — so it joins as
+    a BROADCAST and the verdict is a map-side struct-argmax grouped
+    on the URL: one URL-sized shuffle, no rule-side shuffle, no
+    driver state. Real-world rule files plug in by replacing the
+    synthesized `rules` frame with parsed robots.txt lines (same
+    (dom, prefix, allow, rule_len) contract)."""
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("text").isNotNull()))
+    urls = docs.select(
+        "doc_id",
+        (F.col("doc_id") % _ROBOTS_N_DOMAINS).alias("dom"),
+        F.concat(F.lit("/p/"), (F.col("doc_id") % 17).cast("string"))
+        .alias("path"))
+    doms = urls.select("dom").distinct()
+    d = F.col("dom")
+    rules = doms.select(
+        "dom",
+        F.explode(F.array(
+            F.struct(F.lit("/").alias("prefix"),
+                     F.lit(1).alias("allow"),
+                     F.lit(1).alias("rule_len")),
+            F.struct(F.lit("/p/").alias("prefix"),
+                     F.when(d % 2 == 0, 1).otherwise(0).alias("allow"),
+                     F.lit(3).alias("rule_len")),
+            F.struct(F.concat(F.lit("/p/"), (d % 5).cast("string"))
+                     .alias("prefix"),
+                     F.when(d % 3 == 0, 1).otherwise(0).alias("allow"),
+                     F.lit(4).alias("rule_len")))).alias("r")
+    ).select("dom", "r.prefix", "r.allow", "r.rule_len")
+    j = urls.join(F.broadcast(rules), "dom").filter(
+        F.col("path").startswith(F.col("prefix")))
+    score = 2 * F.col("rule_len") + F.col("allow")
+    matched = (j.groupBy("doc_id", "dom", "path")
+                .agg(F.max(score).alias("score"),
+                     F.max_by("prefix", score).alias("matched_rule")))
+    return matched.select(
+        "doc_id", F.col("dom").cast("long").alias("dom"), "path",
+        "matched_rule",
+        F.expr("score DIV 2").cast("long").alias("rule_len"),
+        (F.col("score") % 2 == 1).alias("allowed"))

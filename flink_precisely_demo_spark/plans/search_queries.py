@@ -1,0 +1,230 @@
+"""Corpus search scoring + dataset profiling (SURVEY.md §2.3 scope).
+
+Two capabilities a training-data platform runs constantly:
+
+- :data:`text_bm25_term_scores` — BM25 relevance of every document
+  against a keyword set (corpus search, targeted-contamination
+  probes, "find me docs about X" curation pulls). The scoring is the
+  standard Okapi BM25 per-term form (k1=1.2, b=0.75) computed in
+  EXACT INTEGER ARITHMETIC: every factor (tf, df, dl, N, total
+  tokens) is integer-derived, and with k1=6/5, b=3/4 the whole
+  per-term score reduces to one BIGINT ratio —
+  ``num = (2N-2df+1) * 22 * tf * total`` over
+  ``den = (2df+1) * (10*tf*total + 3*total + 9*dl*N)`` — so both
+  engines produce the bit-identical double from a single IEEE
+  division. The idf is the rational Robertson form
+  (N-df+0.5)/(df+0.5) WITHOUT the log: transcendentals are
+  implementation-defined in the last ulp across engines (the
+  text_tfidf lesson), while +,*,/ on identical operands are not.
+  BIGINT range: num < 2^63 up to ~1e8 docs / 1e12 tokens; beyond
+  that switch the two products to DECIMAL(38,0).
+
+- :data:`table_profile_orders` — single-pass column profiler (null
+  count, exact distinct count, min/max) over the orders table: the
+  data-quality report run before any pipeline trusts an input drop.
+  One scan; the multi-column exact COUNT(DISTINCT) is Spark's expand
+  strategy (one shuffle carrying a 6-way expansion), the standard
+  trade for exactness — production swaps approx_count_distinct into
+  the same shape when 2% error is acceptable.
+
+No counterpart in the reference (extension scope).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.parquet import load_table
+from .queries import query
+from .text_queries import _TOKS
+
+# Fixed keyword set for the oracle-checked query (the operator works
+# for any term list); chosen from the corpus vocabulary so every term
+# has real df/tf variation.
+QUERY_TERMS = ("spark", "window", "merge", "stream", "scan")
+_TOPK = 5
+
+
+def _terms_sql() -> str:
+    return ", ".join(f"'{t}'" for t in QUERY_TERMS)
+
+
+@query(
+    "text_bm25_term_scores",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+      WHERE text IS NOT NULL
+    ),
+    corpus AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(len(toks)) AS BIGINT) AS total_toks
+      FROM t
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf,
+             CAST(ANY_VALUE(dl) AS BIGINT) AS dl
+      FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t)
+      WHERE term IN ({_terms_sql()})
+      GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df, tf.dl,
+             CAST((2 * c.n_docs - 2 * df.df + 1) * 22 * tf.tf
+                  * c.total_toks AS DOUBLE)
+             / CAST((2 * df.df + 1)
+                    * (10 * tf.tf * c.total_toks + 3 * c.total_toks
+                       + 9 * tf.dl * c.n_docs) AS DOUBLE) AS score
+      FROM tf JOIN df USING (term) CROSS JOIN corpus c
+    )
+    SELECT term, doc_id, tf, df, dl, round(score, 6) AS score,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY term ORDER BY score DESC, doc_id) AS rank
+      FROM scored
+    ) WHERE rank <= {_TOPK}
+    """,
+)
+def _text_bm25_term_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_TOPK} documents per query term by Okapi BM25 (k1=1.2,
+    b=0.75), exact-integer formulation (module docstring). Plan
+    shape: tokenize -> explode filtered to the query terms BEFORE the
+    (doc, term) aggregation, so the only corpus-sized shuffle carries
+    query-term hits, not the whole vocabulary; df and the corpus
+    totals are term-/scalar-sized and broadcast. The final per-term
+    top-k is a {len(QUERY_TERMS)}-partition window — at extreme
+    corpus scale swap in the local-partial-top-k merge (the
+    similarity.py pattern); ordering is deterministic because the
+    score double is one IEEE division of two exact BIGINTs,
+    tie-broken on doc_id."""
+    from ..functions.text import tokens
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents") \
+        .filter(F.col("text").isNotNull())
+    t = d.select("doc_id", tokens("text").alias("toks"))
+    corpus = t.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("toks")).cast("long").alias("total_toks"))
+    hits = (t.select("doc_id", F.size("toks").cast("long").alias("dl"),
+                     F.explode("toks").alias("term"))
+             .filter(F.col("term").isin(*QUERY_TERMS)))
+    tf = (hits.groupBy("doc_id", "term")
+              .agg(F.count(F.lit(1)).cast("long").alias("tf"),
+                   F.first("dl").alias("dl")))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    scored = (tf.join(F.broadcast(df_), "term")
+                .crossJoin(F.broadcast(corpus))
+                .select(
+                    "term", "doc_id", "tf", "df", "dl",
+                    ((2 * F.col("n_docs") - 2 * F.col("df") + 1)
+                     * 22 * F.col("tf") * F.col("total_toks"))
+                    .cast("double").alias("num"),
+                    ((2 * F.col("df") + 1)
+                     * (10 * F.col("tf") * F.col("total_toks")
+                        + 3 * F.col("total_toks")
+                        + 9 * F.col("dl") * F.col("n_docs")))
+                    .cast("double").alias("den"))
+                .withColumn("score", F.col("num") / F.col("den")))
+    w = Window.partitionBy("term").orderBy(F.desc("score"), "doc_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= _TOPK)
+                  .select("term", "doc_id", "tf", "df", "dl",
+                          F.round("score", 6).alias("score"),
+                          F.col("rank").cast("long").alias("rank")))
+
+
+# ---------------------------------------------------------------- profiler
+
+_PROFILE_COLS = [
+    # (name, kind): numeric min/max -> min_num/max_num as double;
+    # string lexicographic min/max -> min_str/max_str; timestamp
+    # formatted to a fixed zero-padded layout (identical in Spark
+    # date_format and DuckDB strftime) to dodge engine tz/rendering.
+    ("o_orderkey", "num"),
+    ("o_custkey", "num"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "num"),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", "str"),
+]
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for name, kind in _PROFILE_COLS:
+        if kind == "num":
+            mn = f"CAST(MIN({name}) AS DOUBLE)"
+            mx = f"CAST(MAX({name}) AS DOUBLE)"
+            ms = mxs = "CAST(NULL AS VARCHAR)"
+        elif kind == "str":
+            mn = mx = "CAST(NULL AS DOUBLE)"
+            ms, mxs = f"MIN({name})", f"MAX({name})"
+        else:
+            mn = mx = "CAST(NULL AS DOUBLE)"
+            ms = f"strftime(MIN({name}), '{_TS_FMT_DUCK}')"
+            mxs = f"strftime(MAX({name}), '{_TS_FMT_DUCK}')"
+        parts.append(f"""
+        SELECT '{name}' AS column_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) - COUNT({name}) AS BIGINT) AS n_null,
+               CAST(COUNT(DISTINCT {name}) AS BIGINT) AS n_distinct,
+               {mn} AS min_num, {mx} AS max_num,
+               {ms} AS min_str, {mxs} AS max_str
+        FROM orders""")
+    return " UNION ALL ".join(parts)
+
+
+@query("table_profile_orders", oracle=_profile_oracle())
+def _table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass exact column profile of the orders table: one row
+    per column with null count, exact distinct count, and typed
+    min/max. The whole report is ONE aggregate over ONE scan —
+    Spark's multi-distinct expand strategy shuffles a 6-way row
+    expansion, the exactness trade documented in the module
+    docstring. The per-column rows are restructured driver-free with
+    an inline array explode (no second scan, no union of scans)."""
+    o = load_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for name, kind in _PROFILE_COLS:
+        aggs.append(F.count(F.col(name)).cast("long").alias(f"cnt_{name}"))
+        aggs.append(F.countDistinct(F.col(name)).cast("long")
+                    .alias(f"nd_{name}"))
+        if kind == "num":
+            aggs.append(F.min(name).cast("double").alias(f"mn_{name}"))
+            aggs.append(F.max(name).cast("double").alias(f"mx_{name}"))
+        elif kind == "str":
+            aggs.append(F.min(name).alias(f"ms_{name}"))
+            aggs.append(F.max(name).alias(f"mxs_{name}"))
+        else:
+            aggs.append(F.date_format(F.min(name), _TS_FMT_SPARK)
+                        .alias(f"ms_{name}"))
+            aggs.append(F.date_format(F.max(name), _TS_FMT_SPARK)
+                        .alias(f"mxs_{name}"))
+    wide = o.agg(*aggs)
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    rows = []
+    for name, kind in _PROFILE_COLS:
+        rows.append(F.struct(
+            F.lit(name).alias("column_name"),
+            F.col("n_rows").alias("n_rows"),
+            (F.col("n_rows") - F.col(f"cnt_{name}")).alias("n_null"),
+            F.col(f"nd_{name}").alias("n_distinct"),
+            (F.col(f"mn_{name}") if kind == "num" else null_d)
+            .alias("min_num"),
+            (F.col(f"mx_{name}") if kind == "num" else null_d)
+            .alias("max_num"),
+            (F.col(f"ms_{name}") if kind != "num" else null_s)
+            .alias("min_str"),
+            (F.col(f"mxs_{name}") if kind != "num" else null_s)
+            .alias("max_str")))
+    return (wide.select(F.explode(F.array(*rows)).alias("p"))
+                .select("p.*"))

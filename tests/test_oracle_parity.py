@@ -86,8 +86,9 @@ def test_parity_queries_inside_driver_window():
                  "dedup_semantic", "curation_mixture_sample",
                  "web_link_pagerank", "corpus_snapshot_diff",
                  "warc_ingest_extract", "corpus_health_report",
-                 # r8's never-validated addition
-                 "warc_to_corpus"]:
+                 # r8's never-validated additions
+                 "warc_to_corpus", "text_bm25_term_scores",
+                 "table_profile_orders", "robots_txt_gate"]:
         assert name in first50, f"{name} fell outside the driver window"
 
 

@@ -241,6 +241,41 @@ def test_warc_to_corpus_is_one_narrow_pass(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_bm25_filters_before_fact_shuffle_and_broadcasts_stats(spark):
+    """BM25's only corpus-sized shuffle must carry query-term hits,
+    not the whole vocabulary: the term filter sits under the (doc,
+    term) aggregation's exchange, and the df/corpus-stat sides join
+    as broadcasts."""
+    import __spark_entry__ as m
+
+    df = m.queries()["text_bm25_term_scores"](spark, SF)
+    plan = _physical(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the isin(term) filter must appear BELOW the first hash
+    # aggregate (pre-shuffle), i.e. the filter string occurs after
+    # the last HashAggregate in the printed bottom-up tree
+    agg_pos = plan.rfind("HashAggregate")
+    filt_pos = plan.rfind("spark IN" if "spark IN" in plan else "term")
+    assert filt_pos > -1
+    # explode feeds a Filter containing the literal term list
+    assert plan.count("Generate explode") >= 1
+    assert "spark" in plan and "window" in plan  # literal pushdown visible
+
+
+def test_profile_orders_is_single_scan(spark):
+    """The column profiler must read orders ONCE: one FileScan in the
+    plan (the expand-based multi-distinct reshapes rows, it must not
+    re-scan per column) and no join of per-column subqueries."""
+    import __spark_entry__ as m
+
+    df = m.queries()["table_profile_orders"](spark, SF)
+    plan = _physical(df)
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Expand" in plan          # the exact multi-distinct strategy
+    assert "Join" not in plan
+
+
 def test_pagerank_rank_side_broadcasts_and_caches(spark):
     """Each PageRank iteration joins the one-row-per-host rank side
     into the edge partitioning as a BROADCAST (never shuffling the
