@@ -112,8 +112,8 @@ def main() -> None:
         except Exception as exc:
             _err(name, exc)
 
-    # secondary group: the round-6/7 pipeline operators. Tracked per
-    # round but kept OUT of the headline total, which stays the
+    # secondary group: the round-6/7/8 pipeline operators. Tracked
+    # per round but kept OUT of the headline total, which stays the
     # stable comparator against BASELINE's round-1 measurement.
     SECONDARY = ["text_pii_scrub", "text_html_extract",
                  "text_chunk_windows", "url_canonicalize",
@@ -121,7 +121,9 @@ def main() -> None:
                  "web_link_pagerank",
                  "multimodal_format_audit", "audio_stream_triage",
                  "dedup_semantic", "curation_mixture_sample",
-                 "corpus_snapshot_diff", "warc_ingest_extract"]
+                 "corpus_snapshot_diff", "warc_ingest_extract",
+                 "warc_to_corpus", "text_bm25_term_scores",
+                 "table_profile_orders", "robots_txt_gate"]
     secondary: dict[str, float] = {}
     for name in SECONDARY:
         try:

@@ -212,6 +212,20 @@ def _warc_to_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("media_id").alias("doc_id"), "target_uri",
                     html_title("body").alias("title"),
                     html_to_text("body").alias("extracted")))
+
+    # Arrow identity barrier: materialize the 10-regex extraction
+    # ONCE. Without it, CollapseProject inlines the whole
+    # html_to_text chain into every downstream consumer (language,
+    # quality, token count, fingerprint), and the tokenizer's
+    # higher-order-function lambdas run interpreted where
+    # subexpression elimination can't dedupe them — measured 4.6 s
+    # -> 2.6 s at sf0.1. Still a narrow map: zero exchanges.
+    def materialize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        yield from batches
+
+    page = page.mapInPandas(
+        materialize,
+        "doc_id long, target_uri string, title string, extracted string")
     scored = page.select(
         "doc_id", "target_uri", "title",
         language_id(F.col("extracted")).alias("lang"),

@@ -186,45 +186,61 @@ def _profile_oracle() -> str:
 def _table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass exact column profile of the orders table: one row
     per column with null count, exact distinct count, and typed
-    min/max. The whole report is ONE aggregate over ONE scan —
-    Spark's multi-distinct expand strategy shuffles a 6-way row
-    expansion, the exactness trade documented in the module
-    docstring. The per-column rows are restructured driver-free with
-    an inline array explode (no second scan, no union of scans)."""
+    min/max.
+
+    Shape: each row explodes into one (cid, val_str, val_num) pair
+    per column, then TWO hash aggregations — (cid, value) distinct,
+    then per-cid stats. This deliberately avoids both the naive
+    per-column-scan union AND Spark's multi-distinct Expand rewrite:
+    the Expand form pulls min/max(string) into the same aggregate,
+    and string buffers are not HashAggregate-capable, so the whole
+    6x-expanded fact falls back to SortAggregate — a full sort of
+    every expanded row (measured 3.1 s vs 0.55 s at sf0.1). Here the
+    fact-sized stages are pure hash; the only sort-based aggregate
+    runs over the already-deduplicated (cid, value) rows. Numeric
+    min/max ride a double channel (hash-capable); string/timestamp
+    min/max come from the value column itself (timestamps rendered
+    to a fixed zero-padded layout, so lexicographic = chronological
+    and the comparison dodges engine rendering)."""
     o = load_table(spark, sf_dir, "orders")
-    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
-    for name, kind in _PROFILE_COLS:
-        aggs.append(F.count(F.col(name)).cast("long").alias(f"cnt_{name}"))
-        aggs.append(F.countDistinct(F.col(name)).cast("long")
-                    .alias(f"nd_{name}"))
-        if kind == "num":
-            aggs.append(F.min(name).cast("double").alias(f"mn_{name}"))
-            aggs.append(F.max(name).cast("double").alias(f"mx_{name}"))
-        elif kind == "str":
-            aggs.append(F.min(name).alias(f"ms_{name}"))
-            aggs.append(F.max(name).alias(f"mxs_{name}"))
-        else:
-            aggs.append(F.date_format(F.min(name), _TS_FMT_SPARK)
-                        .alias(f"ms_{name}"))
-            aggs.append(F.date_format(F.max(name), _TS_FMT_SPARK)
-                        .alias(f"mxs_{name}"))
-    wide = o.agg(*aggs)
     null_d = F.lit(None).cast("double")
-    null_s = F.lit(None).cast("string")
-    rows = []
-    for name, kind in _PROFILE_COLS:
-        rows.append(F.struct(
-            F.lit(name).alias("column_name"),
-            F.col("n_rows").alias("n_rows"),
-            (F.col("n_rows") - F.col(f"cnt_{name}")).alias("n_null"),
-            F.col(f"nd_{name}").alias("n_distinct"),
-            (F.col(f"mn_{name}") if kind == "num" else null_d)
-            .alias("min_num"),
-            (F.col(f"mx_{name}") if kind == "num" else null_d)
-            .alias("max_num"),
-            (F.col(f"ms_{name}") if kind != "num" else null_s)
-            .alias("min_str"),
-            (F.col(f"mxs_{name}") if kind != "num" else null_s)
-            .alias("max_str")))
-    return (wide.select(F.explode(F.array(*rows)).alias("p"))
-                .select("p.*"))
+    structs = []
+    for i, (name, kind) in enumerate(_PROFILE_COLS):
+        if kind == "num":
+            val_str = F.col(name).cast("string")
+            val_num = F.col(name).cast("double")
+        elif kind == "str":
+            val_str = F.col(name)
+            val_num = null_d
+        else:
+            val_str = F.date_format(F.col(name), _TS_FMT_SPARK)
+            val_num = null_d
+        structs.append(F.struct(F.lit(i).alias("cid"),
+                                val_str.alias("val_str"),
+                                val_num.alias("val_num")))
+    pairs = o.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+    # stage 1: collapse to distinct (cid, value); val_num is
+    # functionally determined by the key, so first() is deterministic
+    stage1 = (pairs.groupBy("cid", "val_str")
+                   .agg(F.count(F.lit(1)).alias("cnt"),
+                        F.first("val_num").alias("val_num")))
+    # stage 2: per-column stats over the deduped values (small input;
+    # the string min/max's sort-aggregate fallback is cheap here)
+    stage2 = stage1.groupBy("cid").agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("val_str").isNull(), F.col("cnt"))
+               .otherwise(0)).cast("long").alias("n_null"),
+        F.count(F.when(F.col("val_str").isNotNull(), 1)).cast("long")
+         .alias("n_distinct"),
+        F.min("val_num").alias("min_num"),
+        F.max("val_num").alias("max_num"),
+        F.min("val_str").alias("mn_str"),
+        F.max("val_str").alias("mx_str"))
+    names = F.array(*[F.lit(n) for n, _ in _PROFILE_COLS])
+    is_num = F.array(*[F.lit(k == "num") for _, k in _PROFILE_COLS])
+    numeric = F.element_at(is_num, F.col("cid") + 1)
+    return stage2.select(
+        F.element_at(names, F.col("cid") + 1).alias("column_name"),
+        "n_rows", "n_null", "n_distinct", "min_num", "max_num",
+        F.when(~numeric, F.col("mn_str")).alias("min_str"),
+        F.when(~numeric, F.col("mx_str")).alias("max_str"))

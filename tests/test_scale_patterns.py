@@ -263,17 +263,25 @@ def test_bm25_filters_before_fact_shuffle_and_broadcasts_stats(spark):
     assert "spark" in plan and "window" in plan  # literal pushdown visible
 
 
-def test_profile_orders_is_single_scan(spark):
-    """The column profiler must read orders ONCE: one FileScan in the
-    plan (the expand-based multi-distinct reshapes rows, it must not
-    re-scan per column) and no join of per-column subqueries."""
+def test_profile_orders_is_single_scan_all_hash(spark):
+    """The column profiler must read orders ONCE (one FileScan — no
+    per-column scan union, no join of subqueries) and keep every
+    fact-sized aggregate HASH-based: Spark's multi-distinct Expand
+    rewrite would drag min/max(string) into a SortAggregate over the
+    6x-expanded fact (measured 6x slower). Sort-based aggregation is
+    allowed only above the deduped (cid, value) stage."""
     import __spark_entry__ as m
 
     df = m.queries()["table_profile_orders"](spark, SF)
     plan = _physical(df)
     assert plan.count("FileScan parquet") == 1, plan
-    assert "Expand" in plan          # the exact multi-distinct strategy
+    assert "Expand" not in plan
     assert "Join" not in plan
+    # the scan must feed a HashAggregate, not a Sort: the first
+    # aggregate above the FileScan (bottom of the printed tree) is
+    # the fact-sized stage-1
+    below_scan = plan[plan.rfind("HashAggregate"):]
+    assert "SortAggregate" not in below_scan
 
 
 def test_pagerank_rank_side_broadcasts_and_caches(spark):
