@@ -85,3 +85,87 @@ def _session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("session_window.start").alias("session_start"),
         F.col("session_window.end").alias("session_end"),
         "n_events", "session_value")
+
+
+@query(
+    "event_funnel_steps",
+    oracle="""
+    WITH a AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1
+      FROM events GROUP BY user_id
+    ),
+    b AS (
+      SELECT e.user_id,
+             MIN(CASE WHEN e.event_type = 'click'
+                       AND e.ts >= a.t1
+                       AND e.ts <= a.t1 + INTERVAL 1 HOUR
+                      THEN e.ts END) AS t2
+      FROM events e JOIN a ON e.user_id = a.user_id
+      GROUP BY e.user_id
+    ),
+    c AS (
+      SELECT e.user_id,
+             MIN(CASE WHEN e.event_type = 'purchase'
+                       AND e.ts >= b.t2
+                       AND e.ts <= a.t1 + INTERVAL 1 HOUR
+                      THEN e.ts END) AS t3
+      FROM events e
+      JOIN a ON e.user_id = a.user_id
+      JOIN b ON e.user_id = b.user_id
+      GROUP BY e.user_id
+    )
+    SELECT a.user_id, a.t1 AS first_view, b.t2 AS first_click,
+           c.t3 AS first_purchase,
+           CAST(CASE WHEN c.t3 IS NOT NULL THEN 3
+                     WHEN b.t2 IS NOT NULL THEN 2
+                     WHEN a.t1 IS NOT NULL THEN 1
+                     ELSE 0 END AS INTEGER) AS funnel_stage
+    FROM a JOIN b ON a.user_id = b.user_id
+           JOIN c ON a.user_id = c.user_id
+    """,
+)
+def _event_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch conversion funnel (view -> click -> purchase
+    within 1 hour of the first view), the classic product-analytics
+    shape: per user, the earliest view, the earliest click after it,
+    and the earliest purchase after that click — each stage gated by
+    the 1-hour conversion window anchored at the first view.
+
+    Scale plan: ONE exchange. The three stage timestamps are chained
+    unbounded-window MINs over the same `partitionBy(user_id)` spec,
+    so Catalyst plans a single hash exchange feeding three Window
+    operators, and the final per-user collapse reuses that
+    partitioning (no second shuffle — guarded by the plan test). The
+    oracle states the identical semantics as three min-filter CTE
+    joins; timestamps are microsecond ntz on both engines so the
+    interval comparisons are exact."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events") \
+        .select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    hour = F.expr("INTERVAL 1 HOUR")
+    e1 = ev.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == "view",
+                           F.col("ts"))).over(w))
+    e2 = e1.withColumn(
+        "t2", F.min(F.when((F.col("event_type") == "click")
+                           & (F.col("ts") >= F.col("t1"))
+                           & (F.col("ts") <= F.col("t1") + hour),
+                           F.col("ts"))).over(w))
+    e3 = e2.withColumn(
+        "t3", F.min(F.when((F.col("event_type") == "purchase")
+                           & (F.col("ts") >= F.col("t2"))
+                           & (F.col("ts") <= F.col("t1") + hour),
+                           F.col("ts"))).over(w))
+    per_user = e3.groupBy("user_id").agg(
+        F.min("t1").alias("first_view"),
+        F.min("t2").alias("first_click"),
+        F.min("t3").alias("first_purchase"))
+    return per_user.select(
+        "user_id", "first_view", "first_click", "first_purchase",
+        F.when(F.col("first_purchase").isNotNull(), 3)
+         .when(F.col("first_click").isNotNull(), 2)
+         .when(F.col("first_view").isNotNull(), 1)
+         .otherwise(0).cast("int").alias("funnel_stage"))

@@ -88,7 +88,8 @@ def test_parity_queries_inside_driver_window():
                  "warc_ingest_extract", "corpus_health_report",
                  # r8's never-validated additions
                  "warc_to_corpus", "text_bm25_term_scores",
-                 "table_profile_orders", "robots_txt_gate"]:
+                 "table_profile_orders", "robots_txt_gate",
+                 "event_funnel_steps"]:
         assert name in first50, f"{name} fell outside the driver window"
 
 

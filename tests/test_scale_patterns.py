@@ -241,6 +241,21 @@ def test_warc_to_corpus_is_one_narrow_pass(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_event_funnel_is_single_exchange(spark):
+    """The three funnel-stage window MINs share one
+    partitionBy(user_id) spec and the final per-user collapse reuses
+    that partitioning: exactly ONE shuffle Exchange in the plan (an
+    extra exchange would mean the chained windows or the groupBy
+    re-partitioned the fact)."""
+    import __spark_entry__ as m
+
+    df = m.queries()["event_funnel_steps"](spark, SF)
+    plan = _physical(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Window") >= 3
+    assert "CartesianProduct" not in plan
+
+
 def test_bm25_filters_before_fact_shuffle_and_broadcasts_stats(spark):
     """BM25's only corpus-sized shuffle must carry query-term hits,
     not the whole vocabulary: the term filter sits under the (doc,
