@@ -93,6 +93,7 @@ _DEFERRED = [
     "text_tfidf_top_terms",        # r6 r7
     "url_canonicalize",            # r6 r7 (warc_to_corpus covers it)
     "cdc_history_scd2",            # r6 r7 (cedes to event_funnel_steps)
+    "streaming_dedup_replay",      # r6 r7 (cedes to skew_salted_agg)
     # deferred since earlier rounds (>= 2 greens, evidence 2 rounds old)
     "multimodal_video_decode",     # r5 r6
     "q4_order_priority",           # r5 r6

@@ -169,3 +169,47 @@ def _event_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
          .when(F.col("first_click").isNotNull(), 2)
          .when(F.col("first_view").isNotNull(), 1)
          .otherwise(0).cast("int").alias("funnel_stage"))
+
+
+@query(
+    "skew_salted_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+             AS total_value,
+           CAST(MIN(value) AS DOUBLE) AS min_value,
+           CAST(MAX(value) AS DOUBLE) AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def _skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation (operators/skew.py) under the
+    oracle gate: events grouped on `event_type` — 5 distinct keys, so
+    at 100 TB every reducer hosts a fact-fraction-sized hot key, the
+    exact shape AQE's skew handling cannot split (it only splits
+    JOINs). The salted form aggregates on (key, salt) first — 16x the
+    reducers, map-side combine intact — then merges per key. The
+    oracle is the PLAIN group-by: a hash match proves salting is
+    result-invariant, which holds because every phase pair is
+    algebraic and the value sum stays DECIMAL through the merge
+    (decimal addition is exact and associative, so the salt-induced
+    regrouping cannot drift; the double cast happens once at the
+    output edge)."""
+    from ..operators.skew import salted_grouped_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_grouped_agg(
+        ev, "event_type",
+        aggs=[F.count(F.lit(1)).alias("pc"),
+              F.sum(F.col("value").cast("decimal(28,6)")).alias("ps"),
+              F.min("value").alias("pmin"),
+              F.max("value").alias("pmax")],
+        reaggs=[F.sum("pc").cast("long").alias("n_events"),
+                F.sum("ps").cast("double").alias("total_value"),
+                F.min("pmin").cast("double").alias("min_value"),
+                F.max("pmax").cast("double").alias("max_value")],
+        n_salts=16)
+    return out.select("event_type", "n_events", "total_value",
+                      "min_value", "max_value")

@@ -89,7 +89,7 @@ def test_parity_queries_inside_driver_window():
                  # r8's never-validated additions
                  "warc_to_corpus", "text_bm25_term_scores",
                  "table_profile_orders", "robots_txt_gate",
-                 "event_funnel_steps"]:
+                 "event_funnel_steps", "skew_salted_agg"]:
         assert name in first50, f"{name} fell outside the driver window"
 
 
