@@ -22,6 +22,7 @@ from flink_precisely_demo_spark.plans import (  # noqa: F401
     ddl_queries,
     dedup_queries,
     graph_queries,
+    layout_queries,
     misc_queries,
     multimodal_queries,
     olap_queries,
@@ -94,6 +95,8 @@ _DEFERRED = [
     "url_canonicalize",            # r6 r7 (warc_to_corpus covers it)
     "cdc_history_scd2",            # r6 r7 (cedes to event_funnel_steps)
     "streaming_dedup_replay",      # r6 r7 (cedes to skew_salted_agg)
+    "q15_top_supplier",            # r4 r5 (cedes to zorder_layout_stats;
+                                   # returns with the r9 rotation)
     # deferred since earlier rounds (>= 2 greens, evidence 2 rounds old)
     "multimodal_video_decode",     # r5 r6
     "q4_order_priority",           # r5 r6
