@@ -123,7 +123,9 @@ def main() -> None:
                  "dedup_semantic", "curation_mixture_sample",
                  "corpus_snapshot_diff", "warc_ingest_extract",
                  "warc_to_corpus", "text_bm25_term_scores",
-                 "table_profile_orders", "robots_txt_gate"]
+                 "table_profile_orders", "robots_txt_gate",
+                 "event_funnel_steps", "skew_salted_agg",
+                 "zorder_layout_stats"]
     secondary: dict[str, float] = {}
     for name in SECONDARY:
         try:
