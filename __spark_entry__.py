@@ -97,6 +97,8 @@ _DEFERRED = [
     "streaming_dedup_replay",      # r6 r7 (cedes to skew_salted_agg)
     "q15_top_supplier",            # r4 r5 (cedes to zorder_layout_stats;
                                    # returns with the r9 rotation)
+    "q17_small_quantity_revenue",  # r4 r5 (cedes to
+                                   # streaming_funnel_replay; returns r9)
     # deferred since earlier rounds (>= 2 greens, evidence 2 rounds old)
     "multimodal_video_decode",     # r5 r6
     "q4_order_priority",           # r5 r6

@@ -87,9 +87,7 @@ def _session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events", "session_value")
 
 
-@query(
-    "event_funnel_steps",
-    oracle="""
+_FUNNEL_ORACLE = """
     WITH a AS (
       SELECT user_id,
              MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1
@@ -123,8 +121,10 @@ def _session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ELSE 0 END AS INTEGER) AS funnel_stage
     FROM a JOIN b ON a.user_id = b.user_id
            JOIN c ON a.user_id = c.user_id
-    """,
-)
+"""
+
+
+@query("event_funnel_steps", oracle=_FUNNEL_ORACLE)
 def _event_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-touch conversion funnel (view -> click -> purchase
     within 1 hour of the first view), the classic product-analytics
@@ -213,3 +213,61 @@ def _skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_salts=16)
     return out.select("event_type", "n_events", "total_value",
                       "min_value", "max_value")
+
+
+@query("streaming_funnel_replay", oracle=_FUNNEL_ORACLE)
+def _streaming_funnel_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING funnel (streaming/funnel.py,
+    applyInPandasWithState) driven end-to-end through Structured
+    Streaming and batch-compared: the events table becomes a finite
+    3-file feed split by event_id (mtime-ordered, one file per
+    trigger — each user's events arrive scattered across triggers in
+    arbitrary event-time order), drains through `funnel_stream`
+    (availableNow, update-mode memory sink), and each user's LAST
+    snapshot must hash-match the batch min-chain oracle. This is the
+    external validation that the stateful recompute-under-
+    out-of-order design converges to batch semantics on real data;
+    the watermark is held below the feed's range so no event is
+    dropped and every late-view window shift is exercised."""
+    import os
+    import tempfile
+    import uuid
+
+    from ..streaming.funnel import funnel_stream
+
+    ev = load_table(spark, sf_dir, "events") \
+        .select("event_id", "user_id", "event_type", "ts")
+    work = tempfile.mkdtemp(prefix="stream_funnel_replay_")
+    feed = os.path.join(work, "feed")
+    os.makedirs(feed)
+    for k in range(3):
+        part = os.path.join(work, f"part{k}")
+        (ev.filter(F.col("event_id") % 3 == k)
+           .select("user_id", "event_type", "ts")
+           .coalesce(1).write.parquet(part))
+        src = next(f for f in os.listdir(part) if f.endswith(".parquet"))
+        dst = os.path.join(feed, f"b{k}.parquet")
+        os.rename(os.path.join(part, src), dst)
+        os.utime(dst, (1_000_000_000 + 10 * k,) * 2)
+
+    schema = "user_id long, event_type string, ts timestamp"
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(feed)
+              .withWatermark("ts", "36500 days"))
+    name = f"funnel_replay_{uuid.uuid4().hex[:8]}"
+    q = (funnel_stream(stream).writeStream.outputMode("update")
+         .format("memory").queryName(name)
+         .option("checkpointLocation", os.path.join(work, "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    from pyspark.sql import Window
+    snap = spark.table(name)
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_seen"))
+    return (snap.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("user_id",
+                        F.col("first_view").cast("timestamp_ntz"),
+                        F.col("first_click").cast("timestamp_ntz"),
+                        F.col("first_purchase").cast("timestamp_ntz"),
+                        "funnel_stage"))

@@ -72,8 +72,7 @@ def test_parity_queries_inside_driver_window():
                  "q3_shipping_priority", "q6_forecast_revenue",
                  "q7_volume_shipping", "q8_market_share",
                  "q10_returned_items", "q13_customer_distribution",
-                 "q14_promo_revenue",
-                 "q17_small_quantity_revenue", "q19_disjunctive_revenue",
+                 "q14_promo_revenue", "q19_disjunctive_revenue",
                  "sessionization", "asof_join_prior_click",
                  "range_join_events", "dedup_clusters",
                  "ddl_entry_pipeline", "multimodal_manifest",
@@ -90,7 +89,7 @@ def test_parity_queries_inside_driver_window():
                  "warc_to_corpus", "text_bm25_term_scores",
                  "table_profile_orders", "robots_txt_gate",
                  "event_funnel_steps", "skew_salted_agg",
-                 "zorder_layout_stats"]:
+                 "zorder_layout_stats", "streaming_funnel_replay"]:
         assert name in first50, f"{name} fell outside the driver window"
 
 

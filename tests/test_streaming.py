@@ -913,3 +913,130 @@ def test_streaming_scd2_matches_batch(spark, tmp_path):
     for (k, vf), (val, vt) in expect.items():
         r = closed[(k, vf)]
         assert r["value"] == val and r["valid_to"].isoformat() == vt
+
+
+def test_streaming_funnel_matches_batch_on_shuffled_replay(spark, tmp_path):
+    """The streaming funnel must converge to the batch min-chain on
+    ANY arrival order: events for 20 users (every archetype: full
+    conversion, click-no-purchase, view-only, no-view, pre-view
+    click) are split across three files with the EARLIEST view of the
+    converting users arriving LAST — the non-monotone case where a
+    late view shifts the window backward and admits a click that was
+    previously outside it."""
+    import os
+
+    from flink_precisely_demo_spark.streaming.funnel import funnel_stream
+
+    base = "2020-01-01T{:02d}:{:02d}:00"
+
+    def ev(u, mm_h, typ):
+        return {"user_id": u, "event_type": typ,
+                "ts": base.format(mm_h // 60, mm_h % 60)}
+
+    f1, f2, f3, expected = [], [], [], {}
+    for u in range(20):
+        a = u % 5
+        if a == 0:
+            # late-arriving earlier view: t1 drops 0:20 -> 0:05 and
+            # admits the 0:15 click that the 0:20 anchor excluded
+            f1 += [ev(u, 20, "view"), ev(u, 15, "click")]
+            f2 += [ev(u, 40, "purchase")]
+            f3 += [ev(u, 5, "view")]
+            expected[u] = (5, 15, 40, 3)
+        elif a == 1:
+            # purchase outside t1 + 1h: stage 2
+            f1 += [ev(u, 10, "view")]
+            f2 += [ev(u, 30, "click"), ev(u, 80, "purchase")]
+            expected[u] = (10, 30, None, 2)
+        elif a == 2:
+            f2 += [ev(u, 25, "view")]
+            expected[u] = (25, None, None, 1)
+        elif a == 3:
+            f1 += [ev(u, 12, "click")]
+            f3 += [ev(u, 50, "purchase")]
+            expected[u] = (None, None, None, 0)
+        else:
+            # click strictly before the first view never counts, so
+            # the purchase has no anchor either
+            f1 += [ev(u, 8, "click")]
+            f2 += [ev(u, 22, "view"), ev(u, 45, "purchase")]
+            expected[u] = (22, None, None, 1)
+
+    d = tmp_path / "funnel_src"
+    d.mkdir()
+    for i, rows in enumerate([f1, f2, f3]):
+        _write_jsonl(d / f"b{i}.json", rows)
+        os.utime(d / f"b{i}.json", (1000000000 + i,) * 2)
+
+    src = (spark.readStream.schema("user_id long, event_type string, "
+                                   "ts timestamp")
+           .option("maxFilesPerTrigger", 1).json(str(d))
+           .withWatermark("ts", "2 hours"))   # nothing late in-test
+    q = (funnel_stream(src).writeStream.outputMode("update")
+         .format("memory").queryName("funnel_replay")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    rows = spark.sql("SELECT * FROM funnel_replay").collect()
+    latest = {}
+    for r in rows:
+        if r["user_id"] not in latest or \
+                r["n_seen"] > latest[r["user_id"]]["n_seen"]:
+            latest[r["user_id"]] = r
+
+    def mm(ts):
+        return None if ts is None else ts.hour * 60 + ts.minute
+
+    assert set(latest) == set(expected)
+    for u, (t1, t2, t3, stage) in expected.items():
+        r = latest[u]
+        got = (mm(r["first_view"]), mm(r["first_click"]),
+               mm(r["first_purchase"]), r["funnel_stage"])
+        assert got == (t1, t2, t3, stage), f"user {u}: {got}"
+
+
+def test_streaming_funnel_finalization_tombstone(spark, tmp_path):
+    """Once the watermark closes a user's conversion window the
+    funnel is FINAL: a straggler view later must not reopen the user
+    with a bogus new chain (the batch semantics would still anchor
+    on the original first view)."""
+    import os
+
+    from flink_precisely_demo_spark.streaming.funnel import funnel_stream
+
+    d = tmp_path / "funnel_fin"
+    d.mkdir()
+    _write_jsonl(d / "b0.json", [
+        {"user_id": 1, "event_type": "view", "ts": "2020-01-01T00:00:00"},
+        {"user_id": 2, "event_type": "view", "ts": "2020-01-01T02:00:00"},
+    ])
+    # watermark is now 01:59 > user 1's window end (01:00): the next
+    # event for user 1 finalizes it...
+    _write_jsonl(d / "b1.json", [
+        {"user_id": 1, "event_type": "view", "ts": "2020-01-01T02:30:00"},
+    ])
+    # ...and this straggler hits the tombstone (no effect)
+    _write_jsonl(d / "b2.json", [
+        {"user_id": 1, "event_type": "view", "ts": "2020-01-01T03:00:00"},
+        {"user_id": 1, "event_type": "click", "ts": "2020-01-01T03:10:00"},
+    ])
+    for i in range(3):
+        os.utime(d / f"b{i}.json", (1000000000 + i,) * 2)
+
+    src = (spark.readStream.schema("user_id long, event_type string, "
+                                   "ts timestamp")
+           .option("maxFilesPerTrigger", 1).json(str(d))
+           .withWatermark("ts", "1 minute"))
+    q = (funnel_stream(src).writeStream.outputMode("update")
+         .format("memory").queryName("funnel_fin")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    rows = [r for r in spark.sql("SELECT * FROM funnel_fin").collect()
+            if r["user_id"] == 1]
+    assert rows, "user 1 produced no snapshots"
+    last = max(rows, key=lambda r: r["n_seen"])
+    # anchored on the ORIGINAL first view, never the straggler
+    assert last["first_view"].hour == 0
+    assert last["funnel_stage"] == 1
+    assert all(r["first_view"].hour == 0 for r in rows)
