@@ -127,10 +127,24 @@ _DEFERRED = [
 
 
 
+# Queries added MID-ROUND after the 50-seat window was finalized
+# (sweeps/bench already recorded against it) park here until the next
+# rotation hands them seats. Distinct from _DEFERRED: a _PENDING entry
+# has NEVER appeared in any CORRECTNESS_r*.json (guarded by
+# tests/test_oracle_parity.py::test_pending_entries_are_never_validated
+# — the list cannot be used to hide once-red or once-green entries).
+# All pairs still run in the local pytest oracle sweep regardless.
+_PENDING: list[str] = [
+    "dedup_passage_exact",
+]
+
+
 def _ordered(mapping: dict) -> dict:
-    head = {k: v for k, v in mapping.items() if k not in _DEFERRED}
+    parked = set(_DEFERRED) | set(_PENDING)
+    head = {k: v for k, v in mapping.items() if k not in parked}
     tail = {k: mapping[k] for k in _DEFERRED if k in mapping}
-    return {**head, **tail}
+    pend = {k: mapping[k] for k in _PENDING if k in mapping}
+    return {**head, **tail, **pend}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

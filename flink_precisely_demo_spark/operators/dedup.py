@@ -84,6 +84,33 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
                    F.count(F.lit(1)).alias("n_copies")))
 
 
+def passage_hashes(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", width: int = 8) -> DataFrame:
+    """(id, passage_hash) — one row per non-overlapping `width`-token
+    passage of the lowercased text (trailing partial passage kept).
+
+    Sub-document exact dedup at passage granularity ("Deduplicating
+    Training Data Makes Language Models Better", Lee et al. 2022,
+    recast from suffix-array substrings to fixed token windows so the
+    unit is engine-portable and hashable). Pure built-in array
+    expressions in the scan stage — tokenize, slice, md5 — so at
+    100 TB only (id, 16-hex-hash) pairs ever leave the scan; document
+    text never shuffles. Empty documents are dropped explicitly (both
+    engines agree no tokens => no passages)."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    n_chunks = F.floor((n + F.lit(width - 1)) / F.lit(width)).cast("int")
+    idx = F.sequence(F.lit(0), n_chunks - 1)
+    passages = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i * width + 1, width)))
+    return (df.filter(F.size(tokens(text_col)) > 0)
+              .select(F.col(id_col),
+                      F.explode(passages).alias("__passage"))
+              .select(id_col,
+                      F.substring(F.md5("__passage"), 1, 16)
+                       .alias("passage_hash")))
+
+
 def word_shingles(text_col: str = "text", n: int = 3) -> Column:
     """Distinct word n-gram shingles of the lowercased text.
 

@@ -15,6 +15,7 @@ from ..operators.dedup import (
     exact_dedup,
     minhash_near_dup_pairs,
     ngram_jaccard_pairs,
+    passage_hashes,
     simhash_fingerprint,
     simhash_near_dup_pairs,
 )
@@ -405,3 +406,61 @@ def _streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
                        os.path.join(work, "ckpt"))
     return dedup_survivors(spark, os.path.join(work, "out")) \
         .select("doc_id")
+
+
+@query(
+    "dedup_passage_exact",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, toks,
+             unnest(range(0, (len(toks) + 7) // 8)) AS i
+      FROM toks WHERE len(toks) > 0
+    ),
+    p AS (
+      SELECT doc_id,
+             substring(md5(array_to_string(
+               toks[CAST(i * 8 + 1 AS INT):CAST(i * 8 + 8 AS INT)],
+               ' ')), 1, 16) AS passage_hash
+      FROM chunks
+    ),
+    hd AS (
+      SELECT passage_hash, COUNT(DISTINCT doc_id) AS n_docs
+      FROM p GROUP BY 1
+    )
+    SELECT p.doc_id,
+           COUNT(*) AS n_passages,
+           CAST(SUM(CASE WHEN hd.n_docs > 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_passages,
+           CAST(ROUND(SUM(CASE WHEN hd.n_docs > 1 THEN 1 ELSE 0 END)
+                      / CAST(COUNT(*) AS DOUBLE), 6)
+                AS DOUBLE) AS dup_ratio
+    FROM p JOIN hd USING (passage_hash)
+    GROUP BY p.doc_id
+    """,
+)
+def _dedup_passage_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact dedup: per-document count and share of
+    8-token passages that also occur verbatim in ANOTHER document
+    (operators/dedup.py::passage_hashes — the Lee et al. 2022
+    exact-substring dedup recast to fixed token windows). The plan is
+    scan-stage passage hashing (text never shuffles), one shuffle on
+    passage_hash for the cross-corpus doc-frequency agg, a
+    co-partitioned join back (Catalyst reuses the hash exchange), and
+    one shuffle on doc_id for the per-document rollup — all widths
+    survive 100x data because only 16-hex hashes move."""
+    docs = load_table(spark, sf_dir, "documents")
+    p = passage_hashes(docs)
+    hd = p.groupBy("passage_hash").agg(
+        F.count_distinct("doc_id").alias("n_docs"))
+    per_doc = (p.join(hd, "passage_hash")
+                .groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("n_passages"),
+                     F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+                      .cast("long").alias("n_dup_passages")))
+    return per_doc.select(
+        "doc_id", "n_passages", "n_dup_passages",
+        F.round(F.col("n_dup_passages").cast("double")
+                / F.col("n_passages"), 6).alias("dup_ratio"))

@@ -56,9 +56,11 @@ def test_parity_queries_inside_driver_window():
     # the 50 snapshot slots: smaller wastes driver evidence, larger
     # silently pushes the last head entries out of the window — any
     # new registration must make a conscious deferral choice
-    assert len(qs) - len(e._DEFERRED) == 50, (
-        f"head holds {len(qs) - len(e._DEFERRED)} queries; "
-        "extend _DEFERRED so exactly 50 remain in the driver window")
+    n_head = len(qs) - len(e._DEFERRED) - len(e._PENDING)
+    assert n_head == 50, (
+        f"head holds {n_head} queries; "
+        "extend _DEFERRED (or _PENDING for mid-round additions) so "
+        "exactly 50 remain in the driver window")
     first50 = qs[:50]
     for name in ["flagship_cdc_window_sum", "flagship_sql_path",
                  "reference_pipeline_verbatim", "reference_sql_orders",
@@ -118,6 +120,31 @@ def test_deferred_entries_have_driver_green_history():
     offenders = [n for n in e._DEFERRED if greens.get(n, 0) < 2]
     assert not offenders, (
         f"deferred without >= 2 prior driver-green rounds: {offenders}")
+
+
+def test_pending_entries_are_never_validated():
+    """`_PENDING` exists ONLY for queries registered mid-round after
+    the 50-seat window was finalized: such an entry must never have
+    appeared in ANY correctness artifact (green OR red). Anything the
+    driver has ever seen must route through the window/_DEFERRED
+    rules instead — this list cannot hide history."""
+    import glob
+    import json
+    import os
+
+    import __spark_entry__ as e
+
+    root = os.path.dirname(os.path.abspath(e.__file__))
+    seen: set[str] = set()
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        with open(path) as f:
+            seen.update(json.load(f))
+    offenders = [n for n in e._PENDING if n in seen]
+    assert not offenders, (
+        f"_PENDING entries with driver history: {offenders}")
+    # and every pending name must actually be registered
+    missing = [n for n in e._PENDING if n not in e.queries()]
+    assert not missing, f"_PENDING entries not registered: {missing}"
 
 
 def test_compare_flags_decimal_vs_float_dtype_divergence(con):
