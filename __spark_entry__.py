@@ -136,6 +136,7 @@ _DEFERRED = [
 # All pairs still run in the local pytest oracle sweep regardless.
 _PENDING: list[str] = [
     "dedup_passage_exact",
+    "text_winnow_fingerprints",
 ]
 
 

@@ -655,3 +655,73 @@ def _corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("distinct_ratio").cast("decimal(18,6)"))
          .cast("decimal(28,6)").cast("double")
          .alias("sum_distinct_ratio")))
+
+
+@query(
+    "text_winnow_fingerprints",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         t -> t <> '') AS toks
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+               i -> substring(md5(array_to_string(
+                      toks[CAST(i AS INT):CAST(i + 2 AS INT)], ' ')),
+                    1, 16)) AS hs
+      FROM toks
+    ),
+    fps AS (
+      SELECT DISTINCT doc_id, len(hs) AS n_grams,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(hs) - 3, 1) + 1),
+               i -> list_aggregate(
+                      hs[CAST(i AS INT):CAST(i + 3 AS INT)], 'min'))))
+               AS fp
+      FROM grams
+    ),
+    dfreq AS (SELECT fp, COUNT(DISTINCT doc_id) AS nd
+              FROM fps GROUP BY 1)
+    SELECT f.doc_id,
+           CAST(MAX(f.n_grams) AS BIGINT) AS n_grams,
+           CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+           CAST(SUM(CASE WHEN dfreq.nd > 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_shared_fps
+    FROM fps f JOIN dfreq USING (fp)
+    GROUP BY f.doc_id
+    """,
+)
+def _text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint audit (functions/text.py::
+    winnow_fingerprints — Schleimer et al. 2003): per document, the
+    3-token-gram count, the winnowed fingerprint-set size (window
+    w=4), and how many of those fingerprints also occur in another
+    document (the copy-detection signal: any shared 6-token run
+    forces a shared fingerprint). Plan shape mirrors
+    dedup_passage_exact: fingerprints are minted in the scan stage,
+    one shuffle on fp for the doc-frequency agg, a co-partitioned
+    join back, one shuffle on doc_id for the rollup — only 16-hex
+    strings ever move."""
+    from ..functions.text import winnow_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.size(F.filter(F.split(F.lower(F.col("text")), r"\s+"),
+                        lambda t: t != "")).alias("__n_toks"),
+        F.explode(winnow_fingerprints("text")).alias("fp"))
+    base = base.select(
+        "doc_id",
+        F.greatest(F.col("__n_toks") - 2, F.lit(1)).alias("n_grams"),
+        "fp")
+    dfreq = base.groupBy("fp").agg(
+        F.count_distinct("doc_id").alias("nd"))
+    return (base.join(dfreq, "fp")
+                .groupBy("doc_id")
+                .agg(F.max("n_grams").cast("long").alias("n_grams"),
+                     F.count(F.lit(1)).alias("n_fingerprints"),
+                     F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+                      .cast("long").alias("n_shared_fps")))
