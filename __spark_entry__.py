@@ -137,6 +137,7 @@ _DEFERRED = [
 _PENDING: list[str] = [
     "dedup_passage_exact",
     "text_winnow_fingerprints",
+    "sketch_heavy_hitters",
 ]
 
 

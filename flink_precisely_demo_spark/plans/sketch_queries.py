@@ -156,3 +156,53 @@ def _approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank_ok(F.col("__a50"), F.col("__lo50"), F.col("__hi50"))("p50_ok"),
         rank_ok(F.col("__a95"), F.col("__lo95"), F.col("__hi95"))("p95_ok"),
         rank_ok(F.col("__a99"), F.col("__lo99"), F.col("__hi99"))("p99_ok"))
+
+
+@query(
+    "sketch_heavy_hitters",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(list_filter(
+               regexp_split_to_array(lower(text), '\\s+'),
+               t -> t <> '')) AS token
+      FROM documents
+    ),
+    exact AS (SELECT token, COUNT(*) AS exact_n FROM tok GROUP BY 1)
+    SELECT token, exact_n,
+           TRUE AS underestimate_ok, TRUE AS bound_ok
+    FROM exact
+    ORDER BY exact_n DESC, token
+    LIMIT 10
+    """,
+)
+def _sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Misra-Gries heavy hitters
+    (operators/heavy_hitters.py) under the verdict-oracle pattern of
+    _approx_sketches: sketch CONTENTS depend on the partition layout,
+    so the hash-checkable claims are the two invariants that hold for
+    every item under ANY partitioning — mg(x) <= f(x) (the sketch
+    never overcounts) and f(x) - mg(x) <= n/(m+1) (total deduction
+    bound, m=8). Both are asserted in exact integer arithmetic
+    ((exact - mg) * (m+1) <= n — no doubles to drift) for the exact
+    top-10 tokens; a buggy fold or merge flips a boolean and fails
+    the driver's hash compare. The token stream is deliberately
+    decrement-heavy: 31 distinct tokens through capacity-8 counters
+    exercises the eviction path constantly."""
+    from ..functions.text import tokens
+    from ..operators.heavy_hitters import misra_gries_summary
+
+    m = 8
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens("text")).alias("token"))
+    mg = misra_gries_summary(tok, "token", capacity=m)
+    exact = tok.groupBy("token").agg(F.count(F.lit(1)).alias("exact_n"))
+    total = exact.agg(F.sum("exact_n").alias("__n"))
+    top = (exact.orderBy(F.desc("exact_n"), "token").limit(10)
+                .join(mg, "token", "left")
+                .crossJoin(F.broadcast(total)))
+    mg_n = F.coalesce(F.col("mg_count"), F.lit(0))
+    return top.select(
+        "token", "exact_n",
+        (mg_n <= F.col("exact_n")).alias("underestimate_ok"),
+        ((F.col("exact_n") - mg_n) * (m + 1) <= F.col("__n"))
+          .alias("bound_ok"))

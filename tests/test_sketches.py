@@ -54,3 +54,31 @@ def test_kmeans_improves_fit(spark):
     m3 = kmeans_assignments(emb, k=4, max_iter=4) \
         .agg(F.avg("sim").alias("m")).first()["m"]
     assert m3 >= m0 - 1e-9
+
+def test_misra_gries_invariants_on_skewed_stream(spark):
+    """Decrement-heavy fold on a stream with one true heavy hitter:
+    both sketch invariants hold, and the guaranteed-survival corollary
+    (f(x) > n/(m+1) => mg(x) > 0) finds the heavy hitter regardless
+    of how the rows are partitioned."""
+    from flink_precisely_demo_spark.operators.heavy_hitters import (
+        misra_gries_summary,
+    )
+
+    rows = (["hot"] * 300 + ["warm"] * 60
+            + [f"tail{i}" for i in range(200) for _ in range(2)])
+    n, m = len(rows), 3
+    df = spark.createDataFrame([(t,) for t in rows], "token string") \
+        .repartition(7)
+    mg = {r["token"]: r["mg_count"]
+          for r in misra_gries_summary(df, "token", capacity=m).collect()}
+    exact = {}
+    for t in rows:
+        exact[t] = exact.get(t, 0) + 1
+    for t, c in mg.items():
+        assert c <= exact[t], f"overcount for {t}"
+    for t, c in exact.items():
+        assert c - mg.get(t, 0) <= n / (m + 1) + 1e-9, f"bound for {t}"
+    assert exact["hot"] > n / (m + 1)  # the premise holds
+    assert mg.get("hot", 0) > 0        # ...so survival is guaranteed
+    # the sketch is a real compression: far fewer survivors than keys
+    assert len(mg) <= m * 7
