@@ -138,6 +138,7 @@ _PENDING: list[str] = [
     "dedup_passage_exact",
     "text_winnow_fingerprints",
     "sketch_heavy_hitters",
+    "streaming_session_replay",
 ]
 
 

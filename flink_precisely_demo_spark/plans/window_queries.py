@@ -271,3 +271,84 @@ def _streaming_funnel_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("first_click").cast("timestamp_ntz"),
                         F.col("first_purchase").cast("timestamp_ntz"),
                         "funnel_stage"))
+
+
+_SESSION_REPLAY_ORACLE = """
+    WITH marked AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                       <= 1800000000
+                  THEN 0 ELSE 1 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, sid
+"""
+
+
+@query("streaming_session_replay", oracle=_SESSION_REPLAY_ORACLE)
+def _streaming_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING sessionizer (streaming/sessionize.py,
+    applyInPandasWithState) driven end-to-end through Structured
+    Streaming and batch-compared: the events table becomes a finite
+    3-file feed split by event_id (one file per trigger, so each
+    user's events arrive scattered across triggers in arbitrary
+    event-time order — every extend/bridge/merge path is exercised),
+    drains through `sessionize_stream` (availableNow, update-mode
+    memory sink), and each user's LAST snapshot must hash-match the
+    batch lag/cumsum session oracle. External validation that the
+    interval-merge state design converges to batch semantics on any
+    arrival order; the watermark is held below the feed's range so
+    no session finalizes early."""
+    import os
+    import tempfile
+    import uuid
+
+    from ..streaming.sessionize import sessionize_stream
+
+    ev = load_table(spark, sf_dir, "events") \
+        .select("event_id", "user_id", "ts")
+    work = tempfile.mkdtemp(prefix="stream_session_replay_")
+    feed = os.path.join(work, "feed")
+    os.makedirs(feed)
+    for k in range(3):
+        part = os.path.join(work, f"part{k}")
+        (ev.filter(F.col("event_id") % 3 == k)
+           .select("user_id", "ts")
+           .coalesce(1).write.parquet(part))
+        src = next(f for f in os.listdir(part) if f.endswith(".parquet"))
+        dst = os.path.join(feed, f"b{k}.parquet")
+        os.rename(os.path.join(part, src), dst)
+        os.utime(dst, (1_000_000_000 + 10 * k,) * 2)
+
+    schema = "user_id long, ts timestamp"
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(feed)
+              .withWatermark("ts", "36500 days"))
+    name = f"session_replay_{uuid.uuid4().hex[:8]}"
+    q = (sessionize_stream(stream).writeStream.outputMode("update")
+         .format("memory").queryName(name)
+         .option("checkpointLocation", os.path.join(work, "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    from pyspark.sql import Window
+    snap = spark.table(name)
+    w = Window.partitionBy("user_id")
+    return (snap.withColumn("__last", F.max("n_seen").over(w))
+                .filter(F.col("n_seen") == F.col("__last"))
+                .select("user_id",
+                        F.col("session_start").cast("timestamp_ntz"),
+                        F.col("session_end").cast("timestamp_ntz"),
+                        "n_events"))

@@ -1040,3 +1040,98 @@ def test_streaming_funnel_finalization_tombstone(spark, tmp_path):
     assert last["first_view"].hour == 0
     assert last["funnel_stage"] == 1
     assert all(r["first_view"].hour == 0 for r in rows)
+
+
+def test_streaming_sessionize_bridge_merge_out_of_order(spark, tmp_path):
+    """A late middle event must BRIDGE two previously-separate
+    sessions: batches deliver t=0min and t=50min first (two sessions,
+    gap 30min), then t=25min arrives and welds them into one."""
+    import os
+
+    from flink_precisely_demo_spark.streaming.sessionize import (
+        sessionize_stream,
+    )
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    base = 1_700_000_000_000_000  # us
+    mins = 60_000_000
+
+    def write_batch(k, times_min):
+        rows = [(1, t) for t in times_min]
+        df = spark.createDataFrame(
+            [(u, (base + t * mins) // 1_000_000) for u, t in rows],
+            "user_id long, epoch long") \
+            .select("user_id", F.col("epoch").cast("timestamp").alias("ts"))
+        part = tmp_path / f"part{k}"
+        df.coalesce(1).write.parquet(str(part))
+        src = next(f for f in os.listdir(part) if f.endswith(".parquet"))
+        os.rename(part / src, feed / f"b{k}.parquet")
+        os.utime(feed / f"b{k}.parquet", (1_000_000_000 + 10 * k,) * 2)
+
+    write_batch(0, [0, 50])
+    write_batch(1, [25])
+
+    stream = (spark.readStream.schema("user_id long, ts timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(str(feed))
+              .withWatermark("ts", "36500 days"))
+    snap = run_to_memory(sessionize_stream(stream), "sess_bridge",
+                         spark, output_mode="update")
+    rows = sorted(snap.collect(), key=lambda r: r["n_seen"])
+    # first trigger: two separate 1-event sessions
+    first = [r for r in rows if r["n_seen"] == 2]
+    assert len(first) == 2
+    assert {r["n_events"] for r in first} == {1}
+    # after the bridge event: exactly one 3-event session
+    last = [r for r in rows if r["n_seen"] == 3]
+    assert len(last) == 1
+    assert last[0]["n_events"] == 3
+    span = last[0]["session_end"] - last[0]["session_start"]
+    assert span.total_seconds() == (50 + 30) * 60  # 0..50min + 30min gap
+
+
+def test_streaming_sessionize_watermark_finalizes_and_evicts(spark, tmp_path):
+    """Once the watermark passes session_end + gap the session is
+    emitted final=true and leaves state; a much-later event then
+    opens a FRESH session rather than extending the dead one."""
+    import json as _json
+    import os
+
+    from flink_precisely_demo_spark.streaming.sessionize import (
+        sessionize_stream,
+    )
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    base = 1_700_000_000_000_000
+    mins = 60_000_000
+
+    def write_batch(k, times_min):
+        df = spark.createDataFrame(
+            [(1, (base + t * mins) // 1_000_000) for t in times_min],
+            "user_id long, epoch long") \
+            .select("user_id", F.col("epoch").cast("timestamp").alias("ts"))
+        part = tmp_path / f"part{k}"
+        df.coalesce(1).write.parquet(str(part))
+        src = next(f for f in os.listdir(part) if f.endswith(".parquet"))
+        os.rename(part / src, feed / f"b{k}.parquet")
+        os.utime(feed / f"b{k}.parquet", (1_000_000_000 + 10 * k,) * 2)
+
+    write_batch(0, [0])
+    write_batch(1, [600])  # 10h later: advances the watermark
+    write_batch(2, [610])  # trigger 3 sees wm=599min: session@0 dead
+
+    stream = (spark.readStream.schema("user_id long, ts timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(str(feed))
+              .withWatermark("ts", "1 minutes"))
+    snap = run_to_memory(sessionize_stream(stream), "sess_final",
+                         spark, output_mode="update")
+    rows = snap.collect()
+    finals = [r for r in rows if r["final"]]
+    assert len(finals) == 1 and finals[0]["n_events"] == 1
+    # the last trigger's live snapshot holds ONLY the fresh session
+    # (600 and 610 merged; the dead session@0 was evicted, so the
+    # late-window recount did NOT resurrect it)
+    live_last = [r for r in rows if r["n_seen"] == 3 and not r["final"]]
+    assert len(live_last) == 1 and live_last[0]["n_events"] == 2
+    assert live_last[0]["session_start"] > finals[0]["session_end"]
