@@ -139,6 +139,7 @@ _PENDING: list[str] = [
     "text_winnow_fingerprints",
     "sketch_heavy_hitters",
     "streaming_session_replay",
+    "jsonl_corpus_roundtrip",
 ]
 
 

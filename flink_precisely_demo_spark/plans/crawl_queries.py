@@ -339,3 +339,57 @@ def _robots_txt_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "matched_rule",
         F.expr("score DIV 2").cast("long").alias("rule_len"),
         (F.col("score") % 2 == 1).alias("allowed"))
+
+
+@query(
+    "jsonl_corpus_roundtrip",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(0 AS BIGINT) AS n_corrupt
+    FROM documents
+    GROUP BY lang
+    UNION ALL
+    SELECT NULL AS lang, 2 AS n_docs, NULL AS total_chars,
+           2 AS n_corrupt
+    """,
+)
+def _jsonl_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JSONL source/sink contract (sources/jsonl.py) proven as a
+    roundtrip: documents -> JSONL files -> read back under an
+    EXPLICIT schema with two injected malformed lines. Valid rows
+    aggregate per language exactly as the parquet originals (the
+    hash match proves the serializer/parser pair is lossless for the
+    corpus schema); the two corrupt lines surface as the NULL-lang
+    quarantine row with their raw text captured, not as a job abort
+    — the per-row poison contract a 1000-executor ingest needs.
+    Scan-stage only until one groupBy(lang) shuffle."""
+    import os
+    import tempfile
+
+    from ..sources.jsonl import (
+        CORRUPT_COL,
+        read_jsonl_corpus,
+        write_jsonl_corpus,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="jsonl_roundtrip_")
+    out = os.path.join(work, "corpus")
+    write_jsonl_corpus(
+        docs, out, ["doc_id", "text", "lang", "source", "n_chars"])
+    with open(os.path.join(out, "zz_corrupt.txt"), "w") as f:
+        f.write('{"doc_id": 1, "lang": "en", truncated\n')
+        f.write("not json at all\n")
+
+    back = read_jsonl_corpus(
+        spark, out,
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    return (back.groupBy("lang")
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.sum("n_chars").alias("total_chars"),
+                     F.sum(F.when(F.col(CORRUPT_COL).isNotNull(), 1)
+                            .otherwise(0)).cast("long")
+                      .alias("n_corrupt")))

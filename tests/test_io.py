@@ -268,3 +268,27 @@ def test_warc_gzip_bomb_is_a_typed_bounded_error():
     # under the cap the same member splits fine
     (member,) = split_gzip_members(bomb, max_member_bytes=8 << 20)
     assert len(member) == 4 << 20
+
+
+def test_jsonl_corrupt_lines_preserve_raw_text(spark, tmp_path):
+    """PERMISSIVE JSONL read: malformed lines yield NULL fields plus
+    the verbatim raw line in _corrupt; valid rows parse losslessly."""
+    from flink_precisely_demo_spark.sources.jsonl import (
+        CORRUPT_COL,
+        read_jsonl_corpus,
+    )
+
+    p = tmp_path / "corpus"
+    p.mkdir()
+    (p / "a.jsonl").write_text(
+        '{"doc_id": 7, "text": "ok doc", "n_chars": 6}\n'
+        '{"doc_id": 8, "text": bad\n'
+        "garbage line\n")
+    df = read_jsonl_corpus(spark, str(p),
+                           "doc_id long, text string, n_chars long")
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert rows[7]["text"] == "ok doc" and rows[7][CORRUPT_COL] is None
+    bad = [r for r in df.collect() if r[CORRUPT_COL] is not None]
+    assert sorted(r[CORRUPT_COL] for r in bad) == [
+        "garbage line", '{"doc_id": 8, "text": bad']
+    assert all(r["doc_id"] is None for r in bad)
