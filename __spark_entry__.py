@@ -140,6 +140,7 @@ _PENDING: list[str] = [
     "sketch_heavy_hitters",
     "streaming_session_replay",
     "jsonl_corpus_roundtrip",
+    "bloom_semijoin_prune",
 ]
 
 

@@ -896,3 +896,90 @@ def _q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame
              .groupBy(F.col("c_nationkey").alias("cntry"))
              .agg(F.count(F.lit(1)).alias("numcust"),
                   sum_exact("c_acctbal").alias("totacctbal")))
+
+
+@query(
+    "bloom_semijoin_prune",
+    oracle="""
+    WITH keys AS (
+      SELECT DISTINCT c_custkey FROM customer
+      WHERE c_mktsegment = 'BUILDING'
+    ),
+    pos AS (
+      SELECT DISTINCT
+             ('0x' || substring(md5(CAST(c_custkey AS VARCHAR) || ':'
+                                    || CAST(i AS VARCHAR)), 1, 15))::BIGINT
+               % 2048 AS pos
+      FROM keys, unnest([0, 1, 2]) AS t(i)
+    ),
+    posl AS (SELECT list(pos) AS pl FROM pos),
+    opos AS (
+      SELECT o_orderkey, o_custkey,
+             list_distinct(list_transform([0, 1, 2],
+               i -> ('0x' || substring(md5(CAST(o_custkey AS VARCHAR)
+                       || ':' || CAST(i AS VARCHAR)), 1, 15))::BIGINT
+                    % 2048)) AS ps
+      FROM orders
+    ),
+    flags AS (
+      SELECT o.o_orderkey,
+             list_has_all(posl.pl, o.ps) AS bloom_pass,
+             o.o_custkey IN (SELECT c_custkey FROM keys) AS exact
+      FROM opos o, posl
+    )
+    SELECT (SELECT COUNT(*) FROM keys) AS n_keys,
+           (SELECT COUNT(*) FROM pos) AS n_bits_set,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CASE WHEN exact THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact,
+           CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bloom_pass,
+           CAST(SUM(CASE WHEN bloom_pass AND NOT exact THEN 1 ELSE 0
+                    END) AS BIGINT) AS n_false_pos,
+           CAST(SUM(CASE WHEN exact AND NOT bloom_pass THEN 1 ELSE 0
+                    END) AS BIGINT) AS n_false_neg
+    FROM flags
+    """,
+)
+def _bloom_semijoin_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit Bloom-filter semi-join pruning (operators/bloom.py):
+    BUILDING-segment customers build a 2048-bit k=3 filter whose
+    position set broadcasts onto the orders scan; the summary row
+    counts exact members, bloom passes, false positives and — the
+    invariant — zero false negatives, all in md5-derived integer
+    arithmetic that DuckDB reproduces bit-for-bit (library bloom
+    layouts never cross engines; this one does). At 100 TB this is
+    the runtime-filter pattern: the probe table never shuffles, rows
+    failing the broadcast membership probe die in the scan stage,
+    and the downstream join moves (selectivity + fp_rate) of the
+    fact instead of all of it."""
+    from ..operators.bloom import bloom_positions, bloom_probe
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    keys = (cust.filter(F.col("c_mktsegment") == "BUILDING")
+                .select("c_custkey").distinct())
+    pos = bloom_positions(keys, "c_custkey")
+    flagged = bloom_probe(orders.select("o_orderkey", "o_custkey"),
+                          "o_custkey", pos)
+    exact = keys.withColumn("__exact", F.lit(True))
+    flagged = (flagged.join(
+        F.broadcast(exact),
+        flagged["o_custkey"] == exact["c_custkey"], "left")
+        .fillna({"__exact": False}))
+    core = flagged.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(F.col("__exact"), 1).otherwise(0))
+         .cast("long").alias("n_exact"),
+        F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0))
+         .cast("long").alias("n_bloom_pass"),
+        F.sum(F.when(F.col("bloom_pass") & ~F.col("__exact"), 1)
+               .otherwise(0)).cast("long").alias("n_false_pos"),
+        F.sum(F.when(F.col("__exact") & ~F.col("bloom_pass"), 1)
+               .otherwise(0)).cast("long").alias("n_false_neg"))
+    nk = keys.agg(F.count(F.lit(1)).alias("n_keys"))
+    nb = pos.agg(F.count(F.lit(1)).alias("n_bits_set"))
+    return (core.crossJoin(F.broadcast(nk))
+                .crossJoin(F.broadcast(nb))
+                .select("n_keys", "n_bits_set", "n_orders", "n_exact",
+                        "n_bloom_pass", "n_false_pos", "n_false_neg"))

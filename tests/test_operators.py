@@ -116,3 +116,23 @@ def test_enrich_broadcast_false_forbids_broadcast(spark):
     assert "BroadcastHashJoin" not in plan, plan
     assert "SortMergeJoin" in plan, plan
     assert out.count() == 1000
+
+
+def test_bloom_probe_no_false_negatives_and_total(spark):
+    """Every build-side member must pass the filter (the bloom
+    invariant), every probe row must get a flag (operator totality),
+    and non-members must mostly fail at this load factor."""
+    from flink_precisely_demo_spark.operators.bloom import (
+        bloom_positions,
+        bloom_probe,
+    )
+
+    members = spark.range(0, 50).withColumnRenamed("id", "k")
+    probe = spark.range(0, 2000).withColumnRenamed("id", "k")
+    pos = bloom_positions(members, "k", m=512, k=3)
+    flagged = bloom_probe(probe, "k", pos, m=512, k=3)
+    rows = {r["k"]: r["bloom_pass"] for r in flagged.collect()}
+    assert len(rows) == 2000                      # total
+    assert all(rows[k] for k in range(50))        # no false negatives
+    fp = sum(1 for k in range(50, 2000) if rows[k])
+    assert fp / 1950 < 0.30  # 150/512 load, k=3: far below this bound
