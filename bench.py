@@ -125,7 +125,10 @@ def main() -> None:
                  "warc_to_corpus", "text_bm25_term_scores",
                  "table_profile_orders", "robots_txt_gate",
                  "event_funnel_steps", "skew_salted_agg",
-                 "zorder_layout_stats"]
+                 "zorder_layout_stats",
+                 "dedup_passage_exact", "text_winnow_fingerprints",
+                 "sketch_heavy_hitters", "jsonl_corpus_roundtrip",
+                 "bloom_semijoin_prune"]
     secondary: dict[str, float] = {}
     for name in SECONDARY:
         try:
