@@ -141,6 +141,7 @@ _PENDING: list[str] = [
     "streaming_session_replay",
     "jsonl_corpus_roundtrip",
     "bloom_semijoin_prune",
+    "embedding_pq_codebook",
 ]
 
 

@@ -128,7 +128,8 @@ def main() -> None:
                  "zorder_layout_stats",
                  "dedup_passage_exact", "text_winnow_fingerprints",
                  "sketch_heavy_hitters", "jsonl_corpus_roundtrip",
-                 "bloom_semijoin_prune"]
+                 "bloom_semijoin_prune",
+                 "embedding_pq_codebook"]
     secondary: dict[str, float] = {}
     for name in SECONDARY:
         try:

@@ -27,34 +27,41 @@ _K = 8
 _ITERS = 3
 
 
-def kmeans_ctes(k: int, iters: int) -> str:
+def kmeans_ctes(k: int, iters: int, vec_expr: str = "embedding",
+                prefix: str = "") -> str:
     """CTE body (``e``, ``c0``, ``a1``..``c{iters}``) that replays
     k-means-by-cosine training in SQL, exactly mirroring kmeans_fit:
     lowest-id init, 6-dp rounded sims with lowest-cell-id tiebreak,
     6-dp rounded centroid means, empty cells keeping the previous
-    centroid. Reused by the ann_index oracle (plans/ann_queries.py)."""
-    cos_c = _cos("e.embedding", "c.c")
+    centroid. Reused by the ann_index oracle (plans/ann_queries.py).
+
+    ``vec_expr`` substitutes the trained vector (e.g. an
+    ``embedding[1:32]`` subspace slice for product quantization);
+    ``prefix`` namespaces the CTEs so several trainings can coexist
+    in one statement."""
+    p = prefix
+    cos_c = _cos(f"{p}e.embedding", "c.c")
     parts = [f"""
-    e AS (SELECT vec_id, embedding FROM embeddings),
-    c0 AS (
+    {p}e AS (SELECT vec_id, {vec_expr} AS embedding FROM embeddings),
+    {p}c0 AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell_id,
              list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS c
-      FROM (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT {k})
+      FROM (SELECT vec_id, embedding FROM {p}e ORDER BY vec_id LIMIT {k})
     )"""]
     for i in range(1, iters + 1):
         parts.append(f"""
-    a{i} AS (
+    {p}a{i} AS (
       SELECT vec_id, embedding, cell_id FROM (
-        SELECT e.vec_id, e.embedding, c.cell_id,
-               row_number() OVER (PARTITION BY e.vec_id
+        SELECT {p}e.vec_id, {p}e.embedding, c.cell_id,
+               row_number() OVER (PARTITION BY {p}e.vec_id
                                   ORDER BY round({cos_c}, 6) DESC,
                                            c.cell_id ASC) AS r
-        FROM e CROSS JOIN c{i - 1} c
+        FROM {p}e CROSS JOIN {p}c{i - 1} c
       ) WHERE r = 1
     ),
-    c{i} AS (
+    {p}c{i} AS (
       SELECT p.cell_id, coalesce(u.c, p.c) AS c
-      FROM c{i - 1} p LEFT JOIN (
+      FROM {p}c{i - 1} p LEFT JOIN (
         SELECT cell_id, list(m ORDER BY i) AS c
         FROM (
           SELECT cell_id, i, round(avg(x), 6) AS m
@@ -62,7 +69,7 @@ def kmeans_ctes(k: int, iters: int) -> str:
             SELECT cell_id,
                    unnest(range(1, len(embedding) + 1)) AS i,
                    unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
-            FROM a{i}
+            FROM {p}a{i}
           )
           GROUP BY cell_id, i
         )
@@ -206,3 +213,67 @@ def _sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         (mg_n <= F.col("exact_n")).alias("underestimate_ok"),
         ((F.col("exact_n") - mg_n) * (m + 1) <= F.col("__n"))
           .alias("bound_ok"))
+
+
+def _pq_final_assign(prefix: str, iters: int) -> str:
+    """Final (vec_id, cell_id, sim) assignment CTE against the last
+    trained codebook of a kmeans_ctes(prefix=...) block."""
+    cos = _cos(f"{prefix}e.embedding", "c.c")
+    return f"""
+    {prefix}f AS (
+      SELECT vec_id, cell_id, sim FROM (
+        SELECT {prefix}e.vec_id, c.cell_id, round({cos}, 6) AS sim,
+               row_number() OVER (PARTITION BY {prefix}e.vec_id
+                                  ORDER BY round({cos}, 6) DESC,
+                                           c.cell_id ASC) AS r
+        FROM {prefix}e CROSS JOIN {prefix}c{iters} c
+      ) WHERE r = 1
+    )"""
+
+
+@query(
+    "embedding_pq_codebook",
+    oracle=f"""
+    WITH {kmeans_ctes(4, 2, "embedding[1:32]", "s1")},
+    {_pq_final_assign("s1", 2)},
+    {kmeans_ctes(4, 2, "embedding[33:64]", "s2")},
+    {_pq_final_assign("s2", 2)}
+    SELECT s1f.cell_id AS code1, s2f.cell_id AS code2,
+           COUNT(*) AS n_vectors,
+           CAST(MIN(s1f.sim + s2f.sim) AS DOUBLE) AS min_sim_sum,
+           CAST(MAX(s1f.sim + s2f.sim) AS DOUBLE) AS max_sim_sum
+    FROM s1f JOIN s2f USING (vec_id)
+    GROUP BY 1, 2
+    """,
+)
+def _embedding_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jegou et al., TPAMI 2011) on the
+    existing deterministic k-means machinery: the 64-dim embedding
+    splits into two 32-dim subspaces, each trained to a 4-centroid
+    codebook (2 iterations, 6-dp rounding — the same bit-reproducible
+    recipe as kmeans_ivf_index, so the oracle just unrolls BOTH
+    trainings via kmeans_ctes(prefix=...)). Every vector compresses
+    to a (code1, code2) pair — 4 bits instead of 256 bytes; the
+    output is the populated code-cell histogram with the within-cell
+    range of summed subspace similarities (the PQ fidelity signal).
+    At 100 TB: two independent trainings (scan + k*dim-row shuffle
+    per iteration each), one final keyed join on vec_id — the
+    codebooks themselves are 8 rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    s1 = kmeans_assignments(
+        emb.select("vec_id", F.slice("embedding", 1, 32)
+                   .alias("embedding")), k=4, max_iter=2)
+    s2 = kmeans_assignments(
+        emb.select("vec_id", F.slice("embedding", 33, 32)
+                   .alias("embedding")), k=4, max_iter=2)
+    a = s1.select("vec_id", F.col("cell_id").alias("code1"),
+                  F.col("sim").alias("__s1"))
+    b = s2.select("vec_id", F.col("cell_id").alias("code2"),
+                  F.col("sim").alias("__s2"))
+    return (a.join(b, "vec_id")
+             .groupBy("code1", "code2")
+             .agg(F.count(F.lit(1)).alias("n_vectors"),
+                  F.min(F.col("__s1") + F.col("__s2"))
+                   .alias("min_sim_sum"),
+                  F.max(F.col("__s1") + F.col("__s2"))
+                   .alias("max_sim_sum")))
