@@ -346,3 +346,55 @@ def test_pagerank_degrades_past_broadcast_host_limit(spark, monkeypatch):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert got == baseline
+
+
+def test_passage_dedup_shuffles_only_hashes(spark):
+    """dedup_passage_exact: text must die in the scan stage — every
+    exchange in the plan carries only ids/hashes/counts, never the
+    text column; the hash-agg -> join-back reuses one partitioning."""
+    import __spark_entry__ as e
+    plan = _physical(e.queries()["dedup_passage_exact"](spark, SF))
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text" not in line, line
+    assert "CartesianProduct" not in plan
+
+
+def test_winnow_fingerprints_shuffles_only_hashes(spark):
+    import __spark_entry__ as e
+    plan = _physical(e.queries()["text_winnow_fingerprints"](spark, SF))
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text" not in line, line
+    assert "CartesianProduct" not in plan
+
+
+def test_bloom_probe_never_shuffles_the_probe_table(spark):
+    """The probe fact joins the filter via broadcast only: the plan
+    must contain BroadcastHashJoins for membership and no
+    SortMergeJoin / probe-side hash exchange (the one shuffle allowed
+    is the distinct over the probe KEY column, which is map-side
+    combined and key-width)."""
+    import __spark_entry__ as e
+    plan = _physical(e.queries()["bloom_semijoin_prune"](spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # positions + ride-back
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "o_orderkey" not in line, (
+                "probe rows shuffled: " + line)
+
+
+def test_heavy_hitters_summary_rows_bound_the_shuffle(spark):
+    """Misra-Gries merge: the only exchange above the token scan on
+    the sketch branch carries (token, mg_count) summary rows — the
+    fold itself is a narrow mapInPandas."""
+    from flink_precisely_demo_spark.functions.text import tokens
+    from flink_precisely_demo_spark.operators.heavy_hitters import (
+        misra_gries_summary,
+    )
+    docs = load_table(spark, SF, "documents")
+    tok = docs.select(F.explode(tokens("text")).alias("token"))
+    plan = _physical(misra_gries_summary(tok, "token", capacity=8))
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+    assert plan.count("Exchange") == 1  # the summary merge only
