@@ -696,27 +696,20 @@ def _corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def _text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint audit (functions/text.py::
-    winnow_fingerprints — Schleimer et al. 2003): per document, the
-    3-token-gram count, the winnowed fingerprint-set size (window
+    winnow_fingerprint_rows — Schleimer et al. 2003): per document,
+    the 3-token-gram count, the winnowed fingerprint-set size (window
     w=4), and how many of those fingerprints also occur in another
     document (the copy-detection signal: any shared 6-token run
-    forces a shared fingerprint). Plan shape mirrors
-    dedup_passage_exact: fingerprints are minted in the scan stage,
-    one shuffle on fp for the doc-frequency agg, a co-partitioned
-    join back, one shuffle on doc_id for the rollup — only 16-hex
-    strings ever move."""
-    from ..functions.text import winnow_fingerprints
+    forces a shared fingerprint). Gram hashes are minted ONCE in the
+    scan stage (see winnow_fingerprint_rows on why the all-expression
+    form is an O(n^2) trap), then one shuffle on doc_id for the
+    window minima, one on fp for the doc-frequency agg, a
+    co-partitioned join back, one on doc_id for the rollup — only
+    ids and 16-hex strings ever move."""
+    from ..functions.text import winnow_fingerprint_rows
 
     docs = load_table(spark, sf_dir, "documents")
-    base = docs.select(
-        "doc_id",
-        F.size(F.filter(F.split(F.lower(F.col("text")), r"\s+"),
-                        lambda t: t != "")).alias("__n_toks"),
-        F.explode(winnow_fingerprints("text")).alias("fp"))
-    base = base.select(
-        "doc_id",
-        F.greatest(F.col("__n_toks") - 2, F.lit(1)).alias("n_grams"),
-        "fp")
+    base = winnow_fingerprint_rows(docs)
     dfreq = base.groupBy("fp").agg(
         F.count_distinct("doc_id").alias("nd"))
     return (base.join(dfreq, "fp")
