@@ -142,6 +142,7 @@ _PENDING: list[str] = [
     "jsonl_corpus_roundtrip",
     "bloom_semijoin_prune",
     "embedding_pq_codebook",
+    "ann_ivf_pq_topk",
 ]
 
 

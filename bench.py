@@ -129,7 +129,8 @@ def main() -> None:
                  "dedup_passage_exact", "text_winnow_fingerprints",
                  "sketch_heavy_hitters", "jsonl_corpus_roundtrip",
                  "bloom_semijoin_prune",
-                 "embedding_pq_codebook"]
+                 "embedding_pq_codebook",
+                 "ann_ivf_pq_topk"]
     secondary: dict[str, float] = {}
     for name in SECONDARY:
         try:

@@ -91,3 +91,158 @@ def _ann_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") < _N_QUERIES)
     return query_ann(spark, path, queries_df, k=_TOPK, nprobe=_NPROBE) \
         .withColumnRenamed("rank", "rnk")
+
+
+@query(
+    "ann_ivf_pq_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    cent AS (SELECT vec_id AS cell_id, embedding AS cvec
+             FROM e WHERE vec_id < 8),
+    cb1 AS (SELECT vec_id AS cb_id, embedding[1:32] AS cv
+            FROM e WHERE vec_id < 4),
+    cb2 AS (SELECT vec_id AS cb_id, embedding[33:64] AS cv
+            FROM e WHERE vec_id < 4),
+    assign AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT e.vec_id, c.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_cos('e.embedding', 'c.cvec')} DESC,
+                          c.cell_id) AS rn
+        FROM e CROSS JOIN cent c) WHERE rn = 1),
+    code1 AS (
+      SELECT vec_id, cb_id AS code1 FROM (
+        SELECT e.vec_id, c.cb_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_cos('e.embedding[1:32]', 'c.cv')} DESC,
+                          c.cb_id) AS rn
+        FROM e CROSS JOIN cb1 c) WHERE rn = 1),
+    code2 AS (
+      SELECT vec_id, cb_id AS code2 FROM (
+        SELECT e.vec_id, c.cb_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_cos('e.embedding[33:64]', 'c.cv')} DESC,
+                          c.cb_id) AS rn
+        FROM e CROSS JOIN cb2 c) WHERE rn = 1),
+    q AS (SELECT e.vec_id AS query_id, e.embedding AS q_vec, a.cell_id
+          FROM e JOIN assign a USING (vec_id)
+          WHERE e.vec_id < {_N_QUERIES}),
+    qcb1 AS (SELECT q.query_id, c.cb_id AS code1,
+                    {_cos('q.q_vec[1:32]', 'c.cv')} AS qs1
+             FROM q CROSS JOIN cb1 c),
+    qcb2 AS (SELECT q.query_id, c.cb_id AS code2,
+                    {_cos('q.q_vec[33:64]', 'c.cv')} AS qs2
+             FROM q CROSS JOIN cb2 c),
+    cand AS (
+      SELECT q.query_id, a.vec_id AS neighbor_id,
+             qcb1.qs1 + qcb2.qs2 AS approx
+      FROM assign a
+      JOIN q ON a.cell_id = q.cell_id AND a.vec_id <> q.query_id
+      JOIN code1 ON code1.vec_id = a.vec_id
+      JOIN code2 ON code2.vec_id = a.vec_id
+      JOIN qcb1 ON qcb1.query_id = q.query_id
+               AND qcb1.code1 = code1.code1
+      JOIN qcb2 ON qcb2.query_id = q.query_id
+               AND qcb2.code2 = code2.code2),
+    short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY approx DESC, neighbor_id) AS rn
+        FROM cand) WHERE rn <= 8),
+    rer AS (
+      SELECT s.query_id, s.neighbor_id,
+             round({_cos('q.q_vec', 'n.embedding')}, 6) AS sim
+      FROM short s
+      JOIN q ON q.query_id = s.query_id
+      JOIN e n ON n.vec_id = s.neighbor_id)
+    SELECT query_id, neighbor_id, sim, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY sim DESC, neighbor_id) AS rnk
+      FROM rer) WHERE rnk <= 3
+    """,
+)
+def _ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ serving path (Jegou et al. 2011 — the recipe every
+    planet-scale ANN system runs): coarse quantizer routes each query
+    to its cell; inside the cell, candidates are scored by
+    ASYMMETRIC distance (query vs the candidate's two 4-bit subspace
+    codes — candidates' full vectors never touched); the approx
+    shortlist (top-8) is re-ranked by exact cosine for the final
+    top-3. Codebooks/centroids are the fixed deterministic low-id
+    vectors (matching similarity_ivf_topk's convention; TRAINED
+    codebooks live in embedding_pq_codebook) so the whole path is
+    replayed verbatim by the oracle. Orderings use the unrounded
+    sequential-fold cosine (bit-identical cross-engine; rounding only
+    on the displayed sim).
+
+    Scale shape: centroids and codebooks broadcast (8 + 4 + 4 rows);
+    PQ codes are two narrow struct-max aggregations; the candidate
+    stage moves only (query, neighbor, two codes) — vectors stay in
+    their scan stage until the 64-row re-rank join."""
+    from ..operators.similarity import cosine_expr
+
+    emb = load_table(spark, sf_dir, "embeddings") \
+        .select("vec_id", "embedding")
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cvec"))
+    cb1 = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cb_id"),
+        F.slice("embedding", 1, 32).alias("cv"))
+    cb2 = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cb_id"),
+        F.slice("embedding", 33, 32).alias("cv"))
+
+    def argmax(df, vec_expr, side, out):
+        sims = df.crossJoin(F.broadcast(side)).select(
+            "vec_id", side.columns[0],
+            cosine_expr(vec_expr, F.col(side.columns[1])).alias("s"))
+        key = side.columns[0]
+        return (sims.groupBy("vec_id")
+                .agg(F.max(F.struct(F.col("s"),
+                                    (-F.col(key)).alias("nk"))).alias("m"))
+                .select("vec_id", (-F.col("m.nk")).cast("long").alias(out)))
+
+    assign = argmax(emb, F.col("embedding"), cent, "cell_id")
+    code1 = argmax(emb, F.slice("embedding", 1, 32), cb1, "code1")
+    code2 = argmax(emb, F.slice("embedding", 33, 32), cb2, "code2")
+
+    q = (emb.filter(F.col("vec_id") < _N_QUERIES)
+            .join(assign, "vec_id")
+            .select(F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("q_vec"), "cell_id"))
+    qcb1 = q.crossJoin(F.broadcast(cb1)).select(
+        "query_id", F.col("cb_id").alias("code1"),
+        cosine_expr(F.slice("q_vec", 1, 32), F.col("cv")).alias("qs1"))
+    qcb2 = q.crossJoin(F.broadcast(cb2)).select(
+        "query_id", F.col("cb_id").alias("code2"),
+        cosine_expr(F.slice("q_vec", 33, 32), F.col("cv")).alias("qs2"))
+
+    cand = (assign.join(F.broadcast(q.select("query_id", "cell_id")),
+                        "cell_id")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .join(code1, "vec_id").join(code2, "vec_id")
+            .join(F.broadcast(qcb1), ["query_id", "code1"])
+            .join(F.broadcast(qcb2), ["query_id", "code2"])
+            .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                    (F.col("qs1") + F.col("qs2")).alias("approx")))
+
+    from pyspark.sql import Window
+    w_a = Window.partitionBy("query_id").orderBy(
+        F.desc("approx"), F.asc("neighbor_id"))
+    short = (cand.withColumn("rn", F.row_number().over(w_a))
+                 .filter(F.col("rn") <= 8)
+                 .select("query_id", "neighbor_id"))
+    nvec = emb.select(F.col("vec_id").alias("neighbor_id"),
+                      F.col("embedding").alias("n_vec"))
+    rer = (short.join(nvec, "neighbor_id")
+                .join(F.broadcast(q.select("query_id", "q_vec")),
+                      "query_id")
+                .select("query_id", "neighbor_id",
+                        F.round(cosine_expr(F.col("q_vec"),
+                                            F.col("n_vec")), 6)
+                         .alias("sim")))
+    w_r = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id"))
+    return (rer.withColumn("rnk", F.row_number().over(w_r))
+               .filter(F.col("rnk") <= 3)
+               .select("query_id", "neighbor_id", "sim", "rnk"))
