@@ -398,3 +398,19 @@ def test_heavy_hitters_summary_rows_bound_the_shuffle(spark):
     plan = _physical(misra_gries_summary(tok, "token", capacity=8))
     assert "ArrowEvalPython" in plan or "MapInPandas" in plan
     assert plan.count("Exchange") == 1  # the summary merge only
+
+
+def test_ivf_pq_candidates_never_carry_vectors(spark):
+    """ann_ivf_pq_topk: centroid/codebook/query sides broadcast; no
+    CartesianProduct; and no exchange in the candidate stage carries
+    an embedding column — vectors stay in their scan stage until the
+    bounded re-rank join."""
+    import __spark_entry__ as e
+    plan = _physical(e.queries()["ann_ivf_pq_topk"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") + \
+        plan.count("BroadcastNestedLoopJoin") >= 4
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "embedding" not in line and "q_vec" not in line \
+                and "n_vec" not in line, line
