@@ -477,3 +477,95 @@ def test_png_adam7_roundtrip(w, h, ft, seed):
     img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
     enc = encode_png(img, filter_type=ft, interlace=True)
     assert np.array_equal(decode_png(enc), img)
+
+
+# --- streaming sessionize _absorb vs a brute-force closure -----------
+
+event_times = st.lists(st.integers(min_value=0, max_value=500),
+                       min_size=1, max_size=40)
+
+
+def _brute_sessions(times, gap):
+    """Reference: connected components of the gap graph over the
+    event MULTISET — sort, split where the gap exceeds `gap`."""
+    ts = sorted(times)
+    out, start, last, n = [], ts[0], ts[0], 1
+    for t in ts[1:]:
+        if t - last <= gap:
+            last, n = t, n + 1
+        else:
+            out.append((start, last, n))
+            start, last, n = t, t, 1
+    out.append((start, last, n))
+    return out
+
+
+@given(times=event_times, order_seed=st.integers(0, 2**32 - 1),
+       gap=st.integers(min_value=1, max_value=60))
+@settings(max_examples=200, deadline=None)
+def test_sessionize_absorb_is_arrival_order_independent(times, order_seed,
+                                                        gap):
+    import random
+
+    from flink_precisely_demo_spark.streaming.sessionize import _absorb
+
+    shuffled = list(times)
+    random.Random(order_seed).shuffle(shuffled)
+    sessions: list[list[int]] = []
+    for t in shuffled:
+        _absorb(sessions, t, gap)
+    got = [(s[0], s[1], s[2]) for s in sorted(sessions)]
+    assert got == _brute_sessions(times, gap)
+
+
+# --- winnowing: the shared-run guarantee -----------------------------
+
+words = st.lists(st.sampled_from("abcdefgh"), min_size=6, max_size=30)
+
+
+@given(run=words, pre_a=words, pre_b=words)
+@settings(max_examples=25, deadline=None)
+def test_winnow_shared_run_forces_shared_fingerprint(spark, run, pre_a,
+                                                     pre_b):
+    """Schleimer et al.'s guarantee: two documents sharing any run of
+    >= w + k - 1 = 6 tokens share at least one fingerprint."""
+    from flink_precisely_demo_spark.functions.text import (
+        winnow_fingerprint_rows,
+    )
+
+    doc_a = " ".join(pre_a + run)
+    doc_b = " ".join(pre_b + run)
+    df = spark.createDataFrame(
+        [(0, doc_a), (1, doc_b)], "doc_id long, text string")
+    rows = winnow_fingerprint_rows(df).collect()
+    fps_a = {r["fp"] for r in rows if r["doc_id"] == 0}
+    fps_b = {r["fp"] for r in rows if r["doc_id"] == 1}
+    assert fps_a & fps_b, "shared 6-token run yielded no shared fp"
+
+
+# --- passage hashing vs a pure-Python reference ----------------------
+
+texts = st.lists(
+    st.lists(st.sampled_from(["alpha", "beta", "gamma", "delta"]),
+             min_size=0, max_size=25).map(" ".join),
+    min_size=1, max_size=8)
+
+
+@given(texts=texts)
+@settings(max_examples=25, deadline=None)
+def test_passage_hashes_match_python_reference(spark, texts):
+    import hashlib
+
+    from flink_precisely_demo_spark.operators.dedup import passage_hashes
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string")
+    got = sorted((r["doc_id"], r["passage_hash"])
+                 for r in passage_hashes(df).collect())
+    want = []
+    for i, t in enumerate(texts):
+        toks = [w for w in t.lower().split() if w]
+        for j in range(0, len(toks), 8):
+            p = " ".join(toks[j:j + 8])
+            want.append((i, hashlib.md5(p.encode()).hexdigest()[:16]))
+    assert got == sorted(want)
