@@ -143,6 +143,8 @@ _PENDING: list[str] = [
     "bloom_semijoin_prune",
     "embedding_pq_codebook",
     "ann_ivf_pq_topk",
+    "q16_supplier_part_types",
+    "q20_potential_promotion",
 ]
 
 

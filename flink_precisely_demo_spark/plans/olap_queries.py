@@ -983,3 +983,93 @@ def _bloom_semijoin_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .crossJoin(F.broadcast(nb))
                 .select("n_keys", "n_bits_set", "n_orders", "n_exact",
                         "n_bloom_pass", "n_false_pos", "n_false_neg"))
+
+
+@query(
+    "q16_supplier_part_types",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT ps.l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part p ON p.p_partkey = ps.l_partkey
+    WHERE p.p_brand <> 'Brand#13'
+      AND p.p_type <> 'MEDIUM'
+      AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+    GROUP BY 1, 2, 3
+    """,
+)
+def _q16_supplier_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship), adapted to this
+    schema: the absent partsupp relation is derived as the DISTINCT
+    (l_partkey, l_suppkey) pairs actually observed in lineitem (the
+    supplier-complaint exclusion drops with the absent s_comment).
+    Shape preserved: distinct-pair derivation, selective dimension
+    filters, COUNT(DISTINCT supplier) per part attribute group.
+    Plan: the pair-distinct shuffles (partkey, suppkey) only; the
+    filtered part dimension broadcasts onto it; the count-distinct
+    agg is the one fact-sized shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    p = part.filter((F.col("p_brand") != "Brand#13")
+                    & (F.col("p_type") != "MEDIUM")
+                    & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+    return (ps.join(F.broadcast(p),
+                    ps["l_partkey"] == p["p_partkey"])
+              .groupBy("p_brand", "p_type", "p_size")
+              .agg(F.count_distinct("l_suppkey").alias("supplier_cnt")))
+
+
+@query(
+    "q20_potential_promotion",
+    oracle="""
+    WITH vol AS (
+      SELECT l.l_suppkey,
+             CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_name LIKE 'small%'
+        AND l.l_shipdate >= DATE '1996-01-01'
+        AND l.l_shipdate <  DATE '1997-01-01'
+      GROUP BY 1
+    ),
+    mx AS (SELECT MAX(qty) AS max_qty FROM vol)
+    SELECT s.s_suppkey, s.s_name, n.n_name, v.qty
+    FROM vol v
+    JOIN supplier s ON s.s_suppkey = v.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    CROSS JOIN mx
+    WHERE 2 * v.qty > mx.max_qty
+    """,
+)
+def _q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion), adapted: the absent
+    ps_availqty threshold becomes a scale-free relative one —
+    suppliers whose 1996 shipped quantity of 'small%' parts exceeds
+    HALF THE MAX such volume (Q20's availqty > 0.5 * shipped spirit,
+    invariant across SFs where an absolute cutoff is not). Quantity
+    accumulates as exact BIGINT (the q18 house rule: TPC-H quantities
+    are integral; a fractional row fails loudly in the cast parity),
+    so the half-max comparison has no floating-point boundary.
+    Plan: part filter broadcasts onto the lineitem scan, one shuffle
+    on suppkey for the volume agg, the 1-row max broadcasts back,
+    supplier/nation dims broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    p = part.filter(F.col("p_name").like("small%")).select("p_partkey")
+    vol = (li.filter((F.col("l_shipdate") >= "1996-01-01")
+                     & (F.col("l_shipdate") < "1997-01-01"))
+             .join(F.broadcast(p),
+                   li["l_partkey"] == p["p_partkey"])
+             .groupBy("l_suppkey")
+             .agg(F.sum(F.col("l_quantity").cast("bigint"))
+                   .cast("bigint").alias("qty")))
+    mx = vol.agg(F.max("qty").alias("max_qty"))
+    return (vol.crossJoin(F.broadcast(mx))
+               .filter(2 * F.col("qty") > F.col("max_qty"))
+               .join(F.broadcast(sup),
+                     vol["l_suppkey"] == sup["s_suppkey"])
+               .join(F.broadcast(nat),
+                     sup["s_nationkey"] == nat["n_nationkey"])
+               .select("s_suppkey", "s_name", "n_name", "qty"))
