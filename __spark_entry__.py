@@ -145,6 +145,7 @@ _PENDING: list[str] = [
     "ann_ivf_pq_topk",
     "q16_supplier_part_types",
     "q20_potential_promotion",
+    "event_pattern_match",
 ]
 
 

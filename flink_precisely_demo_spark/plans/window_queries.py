@@ -352,3 +352,52 @@ def _streaming_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("session_start").cast("timestamp_ntz"),
                         F.col("session_end").cast("timestamp_ntz"),
                         "n_events"))
+
+
+@query(
+    "event_pattern_match",
+    oracle="""
+    WITH seqs AS (
+      SELECT user_id,
+             string_agg(substring(event_type, 1, 1), ''
+                        ORDER BY ts, event_id) AS seq
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(length(seq) AS BIGINT) AS n_events,
+           regexp_matches(seq, 'v.*c.*p') AS has_funnel_path,
+           regexp_matches(seq, 'e{2}') AS has_error_burst,
+           CAST(length(seq) - length(replace(seq, 'p', ''))
+                AS BIGINT) AS n_purchases
+    FROM seqs
+    """,
+)
+def _event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern matching (the MATCH_RECOGNIZE / Flink CEP
+    shape, reduced to its portable core): each user's event-type
+    SEQUENCE — ordered by (ts, event_id), encoded one char per event
+    — is matched against regex patterns: an ordered view->click->
+    purchase path anywhere in the history and an immediate error-error
+    burst. Encoding the ordered history as a string turns CEP
+    patterns into ordinary regexes, which both engines evaluate
+    identically. Plan: one shuffle on user_id; per-user state is the
+    bounded activity string (same bound as any per-user CEP state);
+    matching is a scan-stage regex over the aggregated rows.
+    Event-type initials are unique in this domain (view/click/
+    purchase/signup/error -> v/c/p/s/e)."""
+    ev = load_table(spark, sf_dir, "events")
+    seqs = (ev.groupBy("user_id")
+              .agg(F.concat_ws("", F.transform(
+                  F.array_sort(F.collect_list(F.struct(
+                      "ts", "event_id",
+                      F.substring("event_type", 1, 1).alias("c")))),
+                  lambda s: s["c"])).alias("seq")))
+    return seqs.select(
+        "user_id",
+        F.length("seq").cast("long").alias("n_events"),
+        F.col("seq").rlike("v.*c.*p").alias("has_funnel_path"),
+        F.col("seq").rlike("e{2}").alias("has_error_burst"),
+        (F.length("seq")
+         - F.length(F.regexp_replace("seq", "p", "")))
+        .cast("long").alias("n_purchases"))
