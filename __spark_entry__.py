@@ -146,6 +146,7 @@ _PENDING: list[str] = [
     "q16_supplier_part_types",
     "q20_potential_promotion",
     "event_pattern_match",
+    "crawl_to_training_shards",
 ]
 
 

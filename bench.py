@@ -130,7 +130,8 @@ def main() -> None:
                  "sketch_heavy_hitters", "jsonl_corpus_roundtrip",
                  "bloom_semijoin_prune",
                  "embedding_pq_codebook",
-                 "ann_ivf_pq_topk"]
+                 "ann_ivf_pq_topk",
+                 "crawl_to_training_shards"]
     secondary: dict[str, float] = {}
     for name in SECONDARY:
         try:

@@ -393,3 +393,82 @@ def _jsonl_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.sum(F.when(F.col(CORRUPT_COL).isNotNull(), 1)
                             .otherwise(0)).cast("long")
                       .alias("n_corrupt")))
+
+
+@query(
+    "crawl_to_training_shards",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id, {_PAGE_SQL} AS aug, {_URI_SQL} AS uri
+      FROM documents WHERE text IS NOT NULL
+    ),
+    e AS (
+      SELECT doc_id, uri,
+             {_html_strip_sql('aug')} AS text
+      FROM a
+    ),
+    s AS (
+      SELECT doc_id,
+             {_lang_case_sql()} AS lang,
+             {_QUALITY_SQL} AS quality,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+             substring(md5(regexp_replace(trim(lower(text)),
+                                          '\\s+', ' ', 'g')), 1, 16)
+               AS fingerprint
+      FROM e
+    ),
+    corpus AS (
+      SELECT * FROM s
+      WHERE quality >= {_QUALITY_GATE} AND lang <> 'und'
+    ),
+    kept AS (
+      SELECT * FROM (
+        SELECT *, MIN(doc_id) OVER (PARTITION BY fingerprint)
+                    AS keep_id
+        FROM corpus
+      ) WHERE doc_id = keep_id
+    ),
+    c AS (
+      SELECT lang, n_tokens,
+             CAST(floor(coalesce(SUM(n_tokens) OVER (
+                    PARTITION BY lang ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0)
+                  / 512.0) AS BIGINT) AS chunk_id
+      FROM kept
+    )
+    SELECT lang, chunk_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS chunk_tokens
+    FROM c GROUP BY 1, 2
+    """,
+)
+def _crawl_to_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE training-data path in one plan: raw WARC crawl
+    archives -> parsed pages -> HTML-stripped text -> language/quality
+    gate (warc_to_corpus, reused directly) -> exact content dedup
+    (lowest-id survivor per fingerprint) -> deterministic 512-token
+    packing into per-language training shards. This is what a user
+    actually ships to a trainer; every stage is individually green
+    elsewhere and this row proves the end-to-end composition under
+    one hash.
+
+    Scale shape: the crawl->corpus prefix is the same zero-exchange
+    scan-stage map; dedup adds ONE shuffle on the 16-hex fingerprint;
+    packing windows within (lang) — the shard key — so chunk
+    assignment parallelizes across languages with no global sort; the
+    final rollup reuses the lang partitioning."""
+    from pyspark.sql import Window
+
+    from ..operators.curation import pack_token_chunks
+
+    corpus = _warc_to_corpus(spark, sf_dir) \
+        .withColumnRenamed("n_tokens", "__toks")
+    w = Window.partitionBy("fingerprint")
+    kept = (corpus.withColumn("__keep", F.min("doc_id").over(w))
+                  .filter(F.col("doc_id") == F.col("__keep")))
+    packed = pack_token_chunks(kept, ["lang"], F.col("__toks"),
+                               order_col="doc_id", budget=512)
+    return (packed.groupBy("lang", "chunk_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").cast("bigint").alias("chunk_tokens")))
