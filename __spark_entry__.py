@@ -147,6 +147,7 @@ _PENDING: list[str] = [
     "q20_potential_promotion",
     "event_pattern_match",
     "crawl_to_training_shards",
+    "streaming_pattern_replay",
 ]
 
 

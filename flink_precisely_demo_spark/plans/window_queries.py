@@ -401,3 +401,76 @@ def _event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.length("seq")
          - F.length(F.regexp_replace("seq", "p", "")))
         .cast("long").alias("n_purchases"))
+
+
+@query(
+    "streaming_pattern_replay",
+    oracle="""
+    WITH seqs AS (
+      SELECT user_id,
+             string_agg(substring(event_type, 1, 1), ''
+                        ORDER BY ts, event_id) AS seq
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(length(seq) AS BIGINT) AS n_events,
+           regexp_matches(seq, 'v.*c.*p') AS has_funnel_path,
+           regexp_matches(seq, 'e{2}') AS has_error_burst,
+           CAST(length(seq) - length(replace(seq, 'p', ''))
+                AS BIGINT) AS n_purchases
+    FROM seqs
+    """,
+)
+def _streaming_pattern_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING pattern matcher (streaming/pattern.py — the
+    watermark-sorted CEP runner with O(1) automaton state) driven
+    end-to-end through Structured Streaming: the events table becomes
+    a 3-file feed split by event_id (each user's events arrive
+    scattered across triggers in arbitrary event-time order), drains
+    through `pattern_stream` (availableNow, update-mode memory sink),
+    and each user's LAST snapshot must hash-match the batch
+    regex-over-encoded-history oracle — external validation that the
+    buffered-suffix simulation converges to batch semantics on any
+    arrival order. The watermark is held below the feed's range here;
+    the finalize-and-fold path (buffer -> DFA consumption) is
+    exercised by the unit tests with a real advancing watermark."""
+    import os
+    import tempfile
+    import uuid
+
+    from ..streaming.pattern import pattern_stream
+
+    ev = load_table(spark, sf_dir, "events") \
+        .select("event_id", "user_id", "event_type", "ts")
+    work = tempfile.mkdtemp(prefix="stream_pattern_replay_")
+    feed = os.path.join(work, "feed")
+    os.makedirs(feed)
+    for k in range(3):
+        part = os.path.join(work, f"part{k}")
+        (ev.filter(F.col("event_id") % 3 == k)
+           .coalesce(1).write.parquet(part))
+        src = next(f for f in os.listdir(part) if f.endswith(".parquet"))
+        dst = os.path.join(feed, f"b{k}.parquet")
+        os.rename(os.path.join(part, src), dst)
+        os.utime(dst, (1_000_000_000 + 10 * k,) * 2)
+
+    schema = ("event_id long, user_id long, event_type string, "
+              "ts timestamp")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(feed)
+              .withWatermark("ts", "36500 days"))
+    name = f"pattern_replay_{uuid.uuid4().hex[:8]}"
+    q = (pattern_stream(stream).writeStream.outputMode("update")
+         .format("memory").queryName(name)
+         .option("checkpointLocation", os.path.join(work, "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    from pyspark.sql import Window
+    snap = spark.table(name)
+    w = Window.partitionBy("user_id")
+    return (snap.withColumn("__last", F.max("n_seen").over(w))
+                .filter(F.col("n_seen") == F.col("__last"))
+                .select("user_id", "n_events", "has_funnel_path",
+                        "has_error_burst", "n_purchases"))

@@ -1135,3 +1135,57 @@ def test_streaming_sessionize_watermark_finalizes_and_evicts(spark, tmp_path):
     live_last = [r for r in rows if r["n_seen"] == 3 and not r["final"]]
     assert len(live_last) == 1 and live_last[0]["n_events"] == 2
     assert live_last[0]["session_start"] > finals[0]["session_end"]
+
+
+def test_streaming_pattern_watermark_folds_finalized_prefix(spark, tmp_path):
+    """Out-of-order events buffer until the watermark passes them,
+    then fold into the O(1) automata in event-time order: the funnel
+    DFA must see v,c (arriving c AFTER e, with an earlier timestamp)
+    in timestamp order, and the adjacent-ee burst must be detected
+    across the finalize boundary."""
+    import os
+
+    from flink_precisely_demo_spark.streaming.pattern import pattern_stream
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    base = 1_700_000_000_000_000
+    mins = 60_000_000
+
+    def write_batch(k, rows):  # rows: (event_id, user_id, type, t_min)
+        df = spark.createDataFrame(
+            [(eid, u, et, (base + t * mins) // 1_000_000)
+             for eid, u, et, t in rows],
+            "event_id long, user_id long, event_type string, epoch long"
+        ).select("event_id", "user_id", "event_type",
+                 F.col("epoch").cast("timestamp").alias("ts"))
+        part = tmp_path / f"part{k}"
+        df.coalesce(1).write.parquet(str(part))
+        src = next(f for f in os.listdir(part) if f.endswith(".parquet"))
+        os.rename(part / src, feed / f"b{k}.parquet")
+        os.utime(feed / f"b{k}.parquet", (1_000_000_000 + 10 * k,) * 2)
+
+    write_batch(0, [(1, 1, "view", 0), (2, 1, "error", 5)])
+    # c arrives AFTER the errors but with an EARLIER timestamp; the
+    # user-2 event at t=600 advances the global watermark
+    write_batch(1, [(3, 1, "error", 6), (4, 1, "click", 3),
+                    (5, 2, "view", 600)])
+    write_batch(2, [(6, 1, "purchase", 1200)])
+
+    schema = ("event_id long, user_id long, event_type string, "
+              "ts timestamp")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(feed))
+              .withWatermark("ts", "1 minutes"))
+    snap = run_to_memory(pattern_stream(stream), "pat_fold",
+                         spark, output_mode="update")
+    rows = [r for r in snap.collect() if r["user_id"] == 1]
+    last = max(rows, key=lambda r: r["n_seen"])
+    assert last["n_events"] == 5
+    # v(0) c(3) e(5) e(6) p(1200) in event-time order:
+    assert last["has_funnel_path"] is True   # v < c < p by TIME
+    assert last["has_error_burst"] is True   # adjacent ee at 5,6
+    assert last["n_purchases"] == 1
+    # mid-stream snapshot (before the click arrived): no funnel yet
+    first = min(rows, key=lambda r: r["n_seen"])
+    assert first["n_events"] == 2 and first["has_funnel_path"] is False
