@@ -148,6 +148,7 @@ _PENDING: list[str] = [
     "event_pattern_match",
     "crawl_to_training_shards",
     "streaming_pattern_replay",
+    "embedding_hard_negatives",
 ]
 
 

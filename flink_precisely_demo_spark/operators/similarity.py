@@ -178,13 +178,24 @@ def _global_topk(local: DataFrame, k: int) -> DataFrame:
 
 
 def brute_force_topk(candidates: DataFrame, queries: DataFrame, k: int = 3,
-                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     exclude_same_label: bool = False,
+                     label_col: str = "label") -> DataFrame:
     """Exact cosine top-k: (query_id, neighbor_id, sim, rank).
 
     Self-matches are excluded. ``queries`` must be small enough to
     collect (it is the probe set, not the corpus).
-    """
+    ``exclude_same_label=True`` masks candidates sharing the query's
+    ``label_col`` inside the kernel — hard-negative mining for
+    contrastive training, at the same zero-inflation cost."""
     query_ids, q_mat = collect_vectors(queries, id_col, vec_col)
+    q_labels = None
+    if exclude_same_label:
+        q_rows = queries.select(id_col, label_col).collect()
+        by_id = {r[id_col]: r[label_col] for r in q_rows}
+        q_labels = np.array([by_id[q] for q in query_ids])
+
+    cols = [id_col, vec_col] + ([label_col] if exclude_same_label else [])
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -193,10 +204,14 @@ def brute_force_topk(candidates: DataFrame, queries: DataFrame, k: int = 3,
             batch = np.stack(pdf[vec_col].map(
                 lambda v: np.asarray(v, dtype=np.float64)).to_numpy())
             nids = pdf[id_col].to_numpy(dtype=np.int64)
+            mask = None
+            if q_labels is not None:
+                c_labels = pdf[label_col].to_numpy()
+                mask = c_labels[:, None] != q_labels[None, :]
             sims = _cosine_matrix(batch, q_mat)
-            yield _local_topk(sims, nids, query_ids, k)
+            yield _local_topk(sims, nids, query_ids, k, mask=mask)
 
-    local = candidates.select(id_col, vec_col).mapInPandas(
+    local = candidates.select(*cols).mapInPandas(
         kernel, schema="query_id long, neighbor_id long, sim double")
     return _global_topk(local, k)
 

@@ -284,3 +284,50 @@ def _dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.when(F.col("is_dup").isNull(), 1).otherwise(0))
                  .cast("long").alias("n_kept"))
             .withColumnRenamed("seed", "cluster_seed"))
+
+
+@query(
+    "embedding_hard_negatives",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS q_vec, label AS q_label
+      FROM embeddings WHERE vec_id < {_N_QUERIES}
+    ),
+    sims AS (
+      SELECT q.query_id, e.vec_id AS negative_id, e.label AS neg_label,
+             round({_cos('q.q_vec', 'e.embedding')}, 6) AS sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.label <> q.q_label
+    )
+    SELECT query_id, negative_id, neg_label, sim, rnk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, negative_id ASC)
+                  AS rnk
+      FROM sims
+    ) WHERE rnk <= 3
+    """,
+)
+def _embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the top-3 most similar vectors with a DIFFERENT label —
+    the negatives that actually move a contrastive loss (random
+    negatives are trivially easy; hard ones define the decision
+    boundary). Same map-side batch-matmul + local-top-k kernel as
+    brute_force_topk with the label-mismatch mask pushed into the
+    kernel, so at 100 TB the corpus never inflates: each scan
+    partition emits at most k rows per query and the global window
+    touches only k * q * n_partitions candidates."""
+    from ..operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < _N_QUERIES)
+    top = (brute_force_topk(emb, queries_df, k=3,
+                            exclude_same_label=True)
+           .withColumnRenamed("neighbor_id", "negative_id")
+           .withColumnRenamed("rank", "rnk"))
+    labels = emb.select(F.col("vec_id").alias("negative_id"),
+                        F.col("label").alias("neg_label"))
+    return (F.broadcast(top).join(labels, "negative_id")
+            .select("query_id", "negative_id", "neg_label",
+                    "sim", "rnk"))
