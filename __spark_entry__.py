@@ -149,6 +149,7 @@ _PENDING: list[str] = [
     "crawl_to_training_shards",
     "streaming_pattern_replay",
     "embedding_hard_negatives",
+    "deletion_propagation_audit",
 ]
 
 

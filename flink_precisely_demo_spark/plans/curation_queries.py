@@ -362,3 +362,90 @@ def _corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (d.join(docs.select("doc_id", "source"), "doc_id")
             .groupBy("source", "status")
             .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
+
+
+@query(
+    "deletion_propagation_audit",
+    oracle="""
+    WITH forget AS (
+      SELECT doc_id FROM documents WHERE doc_id % 37 = 0
+    ),
+    remaining AS (
+      SELECT * FROM documents WHERE doc_id % 37 <> 0
+    ),
+    toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         t -> t <> '') AS toks,
+             doc_id % 37 = 0 AS forgotten
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, forgotten, toks,
+             unnest(range(0, (len(toks) + 7) // 8)) AS i
+      FROM toks WHERE len(toks) > 0
+    ),
+    p AS (
+      SELECT DISTINCT forgotten,
+             substring(md5(array_to_string(
+               toks[CAST(i * 8 + 1 AS INT):CAST(i * 8 + 8 AS INT)],
+               ' ')), 1, 16) AS h
+      FROM chunks
+    ),
+    fg AS (SELECT h FROM p WHERE forgotten),
+    sv AS (SELECT h FROM p WHERE NOT forgotten)
+    SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+           (SELECT COUNT(*) FROM forget) AS n_forgotten,
+           (SELECT COUNT(*) FROM remaining) AS n_remaining,
+           (SELECT COUNT(*) FROM remaining r
+             JOIN forget f ON r.doc_id = f.doc_id) AS residue_docs,
+           (SELECT COUNT(*) FROM fg WHERE h NOT IN (SELECT h FROM sv))
+             AS n_passages_erased,
+           (SELECT COUNT(*) FROM fg WHERE h IN (SELECT h FROM sv))
+             AS n_passages_surviving_elsewhere
+    """,
+)
+def _deletion_propagation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten propagation audit: apply a deletion
+    request list (deterministic doc_id % 37 = 0) to the corpus and
+    verify the cascade — zero residue rows in the retained set, plus
+    the governance numbers a DPO actually asks for: how many of the
+    forgotten documents' 8-token passages are ERASED outright vs
+    still present verbatim in surviving documents (content that
+    deletion of the requested rows alone cannot remove — the signal
+    that passage-level scrubbing or dedup-aware deletion is needed).
+    Plan: anti-join for the retained set, passage hashing in the
+    scan stage (operators/dedup.passage_hashes), one shuffle on the
+    16-hex hash for the erased/surviving split — at 100 TB the same
+    shape as dedup_passage_exact."""
+    from ..operators.dedup import passage_hashes
+
+    docs = load_table(spark, sf_dir, "documents")
+    forget = docs.filter(F.col("doc_id") % 37 == 0).select("doc_id")
+    remaining = docs.filter(F.col("doc_id") % 37 != 0)
+    residue = remaining.join(forget, "doc_id", "left_semi")
+
+    ph = passage_hashes(docs).withColumn(
+        "forgotten", F.col("doc_id") % 37 == 0)
+    sides = (ph.select("passage_hash", "forgotten").distinct()
+               .groupBy("passage_hash")
+               .agg(F.max(F.when(F.col("forgotten"), 1).otherwise(0))
+                     .alias("in_fg"),
+                    F.max(F.when(~F.col("forgotten"), 1).otherwise(0))
+                     .alias("in_sv")))
+    erased = sides.filter((F.col("in_fg") == 1) & (F.col("in_sv") == 0))
+    shared = sides.filter((F.col("in_fg") == 1) & (F.col("in_sv") == 1))
+
+    def cnt(df, name):
+        return df.agg(F.count(F.lit(1)).alias(name))
+
+    out = (cnt(docs, "n_docs")
+           .crossJoin(F.broadcast(cnt(forget, "n_forgotten")))
+           .crossJoin(F.broadcast(cnt(remaining, "n_remaining")))
+           .crossJoin(F.broadcast(cnt(residue, "residue_docs")))
+           .crossJoin(F.broadcast(cnt(erased, "n_passages_erased")))
+           .crossJoin(F.broadcast(
+               cnt(shared, "n_passages_surviving_elsewhere"))))
+    return out.select("n_docs", "n_forgotten", "n_remaining",
+                      "residue_docs", "n_passages_erased",
+                      "n_passages_surviving_elsewhere")
