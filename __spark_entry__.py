@@ -133,7 +133,16 @@ _DEFERRED = [
 # has NEVER appeared in any CORRECTNESS_r*.json (guarded by
 # tests/test_oracle_parity.py::test_pending_entries_are_never_validated
 # — the list cannot be used to hide once-red or once-green entries).
-# All pairs still run in the local pytest oracle sweep regardless.
+# All pairs still run in the local pytest oracle sweep regardless, and
+# each entry below is additionally full-hash green at sf1 AND sf10
+# (SWEEP_sf{1,10}_r8_pending.json).
+#
+# r9 rotation plan: seat ALL of these (0 driver greens) plus the r8
+# single-green cohort's second-green holdovers; pay with the r8
+# double-green entries (q3/q6-q19 family, sessionization, asof, range
+# join, dedup_clusters, ddl_entry, manifests, cdc_state_asof,
+# sketches, kmeans, ann_index, dedup_exact, token_stats,
+# filter_pipeline will each hold >= 3 greens after r8).
 _PENDING: list[str] = [
     "dedup_passage_exact",
     "text_winnow_fingerprints",
