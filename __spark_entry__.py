@@ -159,6 +159,7 @@ _PENDING: list[str] = [
     "streaming_pattern_replay",
     "embedding_hard_negatives",
     "deletion_propagation_audit",
+    "corpus_datasheet",
 ]
 
 

@@ -718,3 +718,65 @@ def _text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.count(F.lit(1)).alias("n_fingerprints"),
                      F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
                       .cast("long").alias("n_shared_fps")))
+
+
+@query(
+    "corpus_datasheet",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, source,
+             CAST(len(list_filter(
+               regexp_split_to_array(lower(text), '\\s+'),
+               x -> x <> '')) AS BIGINT) AS n_tokens,
+             substring(md5(regexp_replace(trim(lower(text)),
+                                          '\\s+', ' ', 'g')), 1, 16)
+               AS fingerprint
+      FROM documents
+    ),
+    fp AS (
+      SELECT fingerprint, COUNT(*) AS n_copies FROM t GROUP BY 1
+    )
+    SELECT t.lang, t.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(t.n_tokens) AS BIGINT) AS total_tokens,
+           CAST(MIN(t.n_tokens) AS BIGINT) AS min_tokens,
+           round(quantile_cont(t.n_tokens, 0.5), 6) AS p50_tokens,
+           round(quantile_cont(t.n_tokens, 0.95), 6) AS p95_tokens,
+           CAST(MAX(t.n_tokens) AS BIGINT) AS max_tokens,
+           CAST(SUM(CASE WHEN fp.n_copies > 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_duplicated_docs
+    FROM t JOIN fp USING (fingerprint)
+    GROUP BY 1, 2
+    """,
+)
+def _corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datasheets-for-datasets (Gebru et al. 2021) as a query: the
+    per-(language, source) shard card every corpus release ships —
+    volume, exact interpolated token-length quantiles (the
+    percentile/quantile_cont shared definition, 6-dp rounded), and
+    how many documents in the shard duplicate content appearing
+    anywhere in the corpus (fingerprint doc-frequency > 1). Plan:
+    scan-stage tokenize+fingerprint, one shuffle on fingerprint for
+    the copy counts, a co-partitioned join back, one shuffle on the
+    shard key for the rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "lang", "source",
+        F.size(F.filter(F.split(F.lower(F.col("text")), r"\s+"),
+                        lambda x: x != "")).cast("long")
+         .alias("n_tokens"),
+        doc_fingerprint("text").alias("fingerprint"))
+    fp = t.groupBy("fingerprint").agg(
+        F.count(F.lit(1)).alias("n_copies"))
+    return (t.join(fp, "fingerprint")
+             .groupBy("lang", "source")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+                  F.min("n_tokens").cast("bigint").alias("min_tokens"),
+                  F.round(F.expr("percentile(n_tokens, 0.5)"), 6)
+                   .alias("p50_tokens"),
+                  F.round(F.expr("percentile(n_tokens, 0.95)"), 6)
+                   .alias("p95_tokens"),
+                  F.max("n_tokens").cast("bigint").alias("max_tokens"),
+                  F.sum(F.when(F.col("n_copies") > 1, 1).otherwise(0))
+                   .cast("bigint").alias("n_duplicated_docs")))
