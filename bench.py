@@ -131,7 +131,9 @@ def main() -> None:
                  "bloom_semijoin_prune",
                  "embedding_pq_codebook",
                  "ann_ivf_pq_topk",
-                 "crawl_to_training_shards"]
+                 "crawl_to_training_shards",
+                 "embedding_hard_negatives", "deletion_propagation_audit",
+                 "corpus_datasheet"]
     secondary: dict[str, float] = {}
     for name in SECONDARY:
         try:
