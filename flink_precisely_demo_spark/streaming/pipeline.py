@@ -112,3 +112,34 @@ def write_json_sink(df: DataFrame, path: str, checkpoint: str):
               .option("path", path)
               .option("checkpointLocation", checkpoint)
               .start())
+
+
+def stream_interval_join(clicks: DataFrame, purchases: DataFrame,
+                         key: str = "user_id",
+                         window: str = "1 hour") -> DataFrame:
+    """Native stream-stream event-time interval join (the built-in
+    Structured Streaming operator, complementing the custom stateful
+    join in streaming/stateful_join.py): each purchase joins the
+    clicks of the same key whose timestamp falls in
+    [purchase_ts - window, purchase_ts]. Both sides carry watermarks,
+    so the engine bounds both join buffers itself — click state is
+    dropped once the watermark passes click_ts + window, purchase
+    state once it passes purchase_ts. At scale this is the canonical
+    attribution join: state per key is one window of clicks, the
+    shuffle is the keyed exchange both inputs already need.
+
+    Inputs must have (key, ts) columns with watermarks attached;
+    output: (key, click_ts, purchase_ts, lag_seconds)."""
+    c = clicks.select(F.col(key), F.col("ts").alias("click_ts"))
+    p = purchases.select(F.col(key).alias("__pk"),
+                         F.col("ts").alias("purchase_ts"))
+    joined = c.join(
+        p,
+        (F.col(key) == F.col("__pk"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts")
+           - F.expr(f"INTERVAL {window}")))
+    return joined.select(
+        key, "click_ts", "purchase_ts",
+        (F.unix_timestamp("purchase_ts")
+         - F.unix_timestamp("click_ts")).alias("lag_seconds"))

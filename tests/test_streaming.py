@@ -1189,3 +1189,44 @@ def test_streaming_pattern_watermark_folds_finalized_prefix(spark, tmp_path):
     # mid-stream snapshot (before the click arrived): no funnel yet
     first = min(rows, key=lambda r: r["n_seen"])
     assert first["n_events"] == 2 and first["has_funnel_path"] is False
+
+
+def test_native_stream_stream_interval_join(spark, tmp_path):
+    """The built-in stream-stream interval join: purchases match
+    same-user clicks within the preceding hour; a click outside the
+    interval never joins, and both state buffers are engine-bounded
+    by the two watermarks (no custom state code at all)."""
+    import os
+
+    from flink_precisely_demo_spark.streaming.pipeline import (
+        stream_interval_join,
+    )
+
+    cdir = tmp_path / "clicks"; cdir.mkdir()
+    pdir = tmp_path / "purchases"; pdir.mkdir()
+    base = 1_700_000_000  # s
+
+    def write(d, name, rows):  # rows: (user, t_offset_min)
+        df = spark.createDataFrame(
+            [(u, base + t * 60) for u, t in rows],
+            "user_id long, epoch long") \
+            .select("user_id", F.col("epoch").cast("timestamp").alias("ts"))
+        part = tmp_path / f"__{name}"
+        df.coalesce(1).write.parquet(str(part))
+        src = next(f for f in os.listdir(part) if f.endswith(".parquet"))
+        os.rename(part / src, d / f"{name}.parquet")
+
+    write(cdir, "c1", [(1, 0), (1, 30), (2, 0), (3, 500)])
+    write(pdir, "p1", [(1, 45), (2, 90), (3, 520)])
+    # user 1: clicks at 0,30 both within [45-60, 45] -> 2 rows
+    # user 2: click at 0 vs purchase at 90 -> outside 1h -> no row
+    # user 3: click 500, purchase 520 -> 1 row
+
+    clicks = (spark.readStream.schema("user_id long, ts timestamp")
+              .parquet(str(cdir)).withWatermark("ts", "2 hours"))
+    purchases = (spark.readStream.schema("user_id long, ts timestamp")
+                 .parquet(str(pdir)).withWatermark("ts", "2 hours"))
+    res = run_to_memory(stream_interval_join(clicks, purchases),
+                        "ss_interval", spark)
+    rows = sorted((r["user_id"], r["lag_seconds"]) for r in res.collect())
+    assert rows == [(1, 900), (1, 2700), (3, 1200)]
