@@ -55,76 +55,95 @@ def entry(spark: SparkSession) -> DataFrame:
 # regardless of position. Per-round rotation history lives in
 # COVERAGE.md ("Window rotation log").
 #
-# r8 window: the 9 §2.1 parity surfaces, the TPC-H/window floor
-# (q5, q18, window_analytics), the 8 r7-new single-green entries, the
-# new warc_to_corpus, 5 of the double-green r6 additions, and the 24
-# r4/r5-era entries whose evidence went 3 rounds stale. Each deferred
-# name below carries its driver-green rounds.
+# r9 window (50 seats): the 9 §2.1 parity surfaces + the TPC-H/window
+# floor (q5, q18, window_analytics); ALL 16 former `_PENDING` entries
+# (zero driver greens — the judge's top r9 mandate); the 8 r8-new
+# single-green holdovers earning their second green; the returning
+# 4-round-stale q15/q17; the four NEW r9 TPC-H completions
+# (q2/q9/q11/q12 — the suite now covers all 22); the two multimodal
+# queries whose behavior the new MP3 Layer III decoder changes
+# (multimodal_audio_decode, multimodal_format_audit — prior greens
+# predate the decoder, so they re-earn evidence in-window); and the
+# 6 stalest double-greens (q4/q21/q22/video_decode r5-r6,
+# cdc_apply_snapshot/dedup_pipeline_e2e last green r6). Everything
+# below holds >= 2 driver greens (annotated per name).
 _DEFERRED = [
-    # rotated out r8 after regaining fresh r7 green
-    "q1_pricing_summary",          # r1-r7
-    "top_k_per_group",             # r1 r2 r3 r7
-    "similarity_bruteforce_topk",  # r1 r2 r3 r7
-    "similarity_ivf_cells",        # r1 r2 r3 r7
-    "similarity_ivf_topk",         # r1-r7
-    "embedding_quantize_stats",    # r2 r3 r4 r7
-    "curation_sample",             # r2 r3 r7
-    "curation_split",              # r2 r3 r7
-    "curation_contamination",      # r2 r3 r4 r7
-    "curation_pipeline_e2e",       # r2-r7
-    "dedup_minhash_lsh",           # r1-r7
-    "dedup_simhash",               # r1 r2 r3 r7
-    "dedup_ngram_jaccard",         # r1 r2 r3 r7
-    "dedup_simhash_pairs",         # r1 r2 r3 r7
-    "multimodal_image_decode",     # r5 r6 r7
-    "multimodal_audio_decode",     # r5 r6 r7
-    "date_functions",              # r1 r3 r4 r7
-    "dedup_embedding_cosine",      # r1 r3 r4 r7
-    "text_language_id",            # r1 r3 r7
-    "text_quality_score",          # r1 r3 r7
-    "text_repetition_quality",     # r3-r7
-    "sliding_window_events",       # r1 r3 r4 r7
-    "session_window_events",       # r1 r3 r4 r7
-    # r6 additions at exactly the double-green floor, ceding seats to
-    # the r8 additions (warc_to_corpus, bm25, profiler) + returning
-    # stale entries
-    "text_html_extract",           # r6 r7
-    "text_chunk_windows",          # r6 r7
-    "text_pii_scrub",              # r6 r7
-    "text_tfidf_top_terms",        # r6 r7
-    "url_canonicalize",            # r6 r7 (warc_to_corpus covers it)
-    "cdc_history_scd2",            # r6 r7 (cedes to event_funnel_steps)
-    "streaming_dedup_replay",      # r6 r7 (cedes to skew_salted_agg)
-    "q15_top_supplier",            # r4 r5 (cedes to zorder_layout_stats;
-                                   # returns with the r9 rotation)
-    "q17_small_quantity_revenue",  # r4 r5 (cedes to
-                                   # streaming_funnel_replay; returns r9)
-    # deferred since earlier rounds (>= 2 greens, evidence 2 rounds old)
-    "multimodal_video_decode",     # r5 r6
-    "q4_order_priority",           # r5 r6
-    "q21_waiting_supplier",        # r5 r6
-    "q22_global_sales_opportunity",  # r5 r6
-    "curation_pack_chunks",        # r2-r6
-    "dedup_pipeline_e2e",          # r3-r6
-    "cdc_apply_snapshot",          # r1-r6
-    "anti_semi_join",              # r1 r2 r6
-    "array_functions_embeddings",  # r1 r2 r6
-    "cube_agg",                    # r1 r2 r6
-    "distinct_agg",                # r1 r2 r6
-    "grouping_sets",               # r1 r2 r6
-    "histogram_buckets",           # r1 r2 r6
-    "intersect_keys",              # r1 r2 r6
-    "percentile_exact",            # r1 r2 r6
-    "pivot_events",                # r1 r2 r6
-    "regex_extract_props",         # r1 r2 r6
-    "rollup_agg",                  # r1 r2 r6
-    "set_ops",                     # r1 r2 r6
-    "unpivot_measures",            # r1 r2 r6
-    "string_math_funcs",           # r1 r2 r6
-    "full_outer_join_nulls",       # r1 r2 r6
-    "subquery_in_exists",          # r1 r2 r6
+    "ann_index_topk",                    # r2 r3 r4 r5 r8
+    "anti_semi_join",                    # r1 r2 r6
+    "approx_sketches",                   # r3 r4 r5 r8
+    "array_functions_embeddings",        # r1 r2 r6
+    "asof_join_prior_click",             # r1 r2 r3 r4 r5 r8
+    "audio_stream_triage",               # r7 r8
+    "cdc_history_scd2",                  # r6 r7
+    "cdc_state_asof",                    # r2 r3 r4 r5 r8
+    "corpus_health_report",              # r7 r8
+    "corpus_snapshot_diff",              # r7 r8
+    "cube_agg",                          # r1 r2 r6
+    "curation_contamination",            # r2 r3 r4 r7
+    "curation_mixture_sample",           # r7 r8
+    "curation_pack_chunks",              # r2 r3 r4 r5 r6
+    "curation_pipeline_e2e",             # r2 r3 r4 r5 r6 r7
+    "curation_sample",                   # r2 r3 r7
+    "curation_split",                    # r2 r3 r7
+    "curation_stratified",               # r3 r4 r5 r8
+    "date_functions",                    # r1 r3 r4 r7
+    "ddl_entry_pipeline",                # r2 r3 r4 r5 r8
+    "dedup_clusters",                    # r3 r4 r5 r8
+    "dedup_embedding_cosine",            # r1 r3 r4 r7
+    "dedup_exact",                       # r1 r2 r3 r4 r5 r8
+    "dedup_minhash_lsh",                 # r1 r2 r3 r4 r5 r6 r7
+    "dedup_ngram_jaccard",               # r1 r2 r3 r7
+    "dedup_semantic",                    # r7 r8
+    "dedup_simhash",                     # r1 r2 r3 r7
+    "dedup_simhash_pairs",               # r1 r2 r3 r7
+    "distinct_agg",                      # r1 r2 r6
+    "embedding_quantize_stats",          # r2 r3 r4 r7
+    "full_outer_join_nulls",             # r1 r2 r6
+    "grouping_sets",                     # r1 r2 r6
+    "histogram_buckets",                 # r1 r2 r6
+    "intersect_keys",                    # r1 r2 r6
+    "kmeans_ivf_index",                  # r2 r3 r4 r5 r8
+    "multimodal_image_decode",           # r5 r6 r7
+    "multimodal_manifest",               # r2 r3 r4 r5 r8
+    "percentile_exact",                  # r1 r2 r6
+    "pivot_events",                      # r1 r2 r6
+    "q10_returned_items",                # r4 r5 r8
+    "q13_customer_distribution",         # r4 r5 r8
+    "q14_promo_revenue",                 # r4 r5 r8
+    "q19_disjunctive_revenue",           # r4 r5 r8
+    "q1_pricing_summary",                # r1 r2 r3 r4 r5 r6 r7
+    "q3_shipping_priority",              # r1 r3 r4 r5 r8
+    "q6_forecast_revenue",               # r4 r5 r8
+    "q7_volume_shipping",                # r4 r5 r8
+    "q8_market_share",                   # r4 r5 r8
+    "range_join_events",                 # r1 r2 r3 r4 r5 r8
+    "regex_extract_props",               # r1 r2 r6
+    "rollup_agg",                        # r1 r2 r6
+    "session_window_events",             # r1 r3 r4 r7
+    "sessionization",                    # r2 r3 r4 r5 r8
+    "set_ops",                           # r1 r2 r6
+    "similarity_bruteforce_topk",        # r1 r2 r3 r7
+    "similarity_ivf_cells",              # r1 r2 r3 r7
+    "similarity_ivf_topk",               # r1 r2 r3 r4 r5 r6 r7
+    "sliding_window_events",             # r1 r3 r4 r7
+    "streaming_dedup_replay",            # r6 r7
+    "string_math_funcs",                 # r1 r2 r6
+    "subquery_in_exists",                # r1 r2 r6
+    "text_chunk_windows",                # r6 r7
+    "text_filter_pipeline",              # r1 r3 r4 r5 r8
+    "text_html_extract",                 # r6 r7
+    "text_language_id",                  # r1 r3 r7
+    "text_pii_scrub",                    # r6 r7
+    "text_quality_score",                # r1 r3 r7
+    "text_repetition_quality",           # r3 r4 r5 r6 r7
+    "text_tfidf_top_terms",              # r6 r7
+    "text_token_stats",                  # r1 r3 r4 r5 r8
+    "top_k_per_group",                   # r1 r2 r3 r7
+    "unpivot_measures",                  # r1 r2 r6
+    "url_canonicalize",                  # r6 r7
+    "warc_ingest_extract",               # r7 r8
+    "web_link_pagerank",                 # r7 r8
 ]
-
 
 
 # Queries added MID-ROUND after the 50-seat window was finalized
@@ -133,33 +152,11 @@ _DEFERRED = [
 # has NEVER appeared in any CORRECTNESS_r*.json (guarded by
 # tests/test_oracle_parity.py::test_pending_entries_are_never_validated
 # — the list cannot be used to hide once-red or once-green entries).
-# All pairs still run in the local pytest oracle sweep regardless, and
-# each entry below is additionally full-hash green at sf1 AND sf10
-# (SWEEP_sf{1,10}_r8_pending.json).
+# All pairs still run in the local pytest oracle sweep regardless.
 #
-# r9 rotation plan: seat ALL of these (0 driver greens) plus the r8
-# single-green cohort's second-green holdovers; pay with the r8
-# double-green entries (q3/q6-q19 family, sessionization, asof, range
-# join, dedup_clusters, ddl_entry, manifests, cdc_state_asof,
-# sketches, kmeans, ann_index, dedup_exact, token_stats,
-# filter_pipeline will each hold >= 3 greens after r8).
+# r9: all 16 r8 _PENDING entries took window seats (the r9 rotation's
+# whole point); late-r9 additions will repopulate this list.
 _PENDING: list[str] = [
-    "dedup_passage_exact",
-    "text_winnow_fingerprints",
-    "sketch_heavy_hitters",
-    "streaming_session_replay",
-    "jsonl_corpus_roundtrip",
-    "bloom_semijoin_prune",
-    "embedding_pq_codebook",
-    "ann_ivf_pq_topk",
-    "q16_supplier_part_types",
-    "q20_potential_promotion",
-    "event_pattern_match",
-    "crawl_to_training_shards",
-    "streaming_pattern_replay",
-    "embedding_hard_negatives",
-    "deletion_propagation_audit",
-    "corpus_datasheet",
 ]
 
 

@@ -1073,3 +1073,218 @@ def _q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
                .join(F.broadcast(nat),
                      sup["s_nationkey"] == nat["n_nationkey"])
                .select("s_suppkey", "s_name", "n_name", "qty"))
+
+
+# =====================================================================
+# TPC-H completion wave (r9): Q2 / Q9 / Q11 / Q12 — the last four of
+# the 22, each adapted to this schema the q16/q20 way (no partsupp
+# relation, no p_mfgr / l_shipmode / l_commitdate / l_receiptdate
+# columns; the SHAPE — correlated min, multi-dim profit rollup,
+# having-over-global-fraction, conditional mode counts — is the thing
+# preserved and oracle-checked).
+# =====================================================================
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem
+      GROUP BY 1, 2
+    ),
+    eu AS (
+      SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+      FROM supplier s
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'
+    ),
+    offer AS (
+      SELECT p.p_partkey, p.p_brand, p.p_type, p.p_size,
+             eu.s_name, eu.s_acctbal, eu.n_name, c.unit_cost,
+             MIN(c.unit_cost) OVER (PARTITION BY p.p_partkey)
+               AS best_cost
+      FROM cost c
+      JOIN eu ON c.l_suppkey = eu.s_suppkey
+      JOIN part p ON c.l_partkey = p.p_partkey
+      WHERE p.p_type = 'STANDARD' AND p.p_size <= 15
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, unit_cost
+    FROM offer WHERE unit_cost = best_cost
+    """,
+)
+def _q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum cost supplier), adapted: the absent partsupp
+    relation is derived from lineitem as the MIN observed unit price
+    per (part, supplier) pair — IEEE double division, bit-identical
+    across engines, and MIN is order-independent so no decimal
+    accumulator is needed. The correlated `ps_supplycost = (SELECT
+    MIN ...)` subquery of the TPC-H text becomes a window MIN over
+    p_partkey (one pass, no self-join); p_brand stands in for the
+    absent p_mfgr in the output. Plan: the pair-agg is the one
+    fact-sized shuffle (map-side partial MINs); the EUROPE supplier
+    side and the filtered part dim both broadcast; the window min
+    rides the partkey partitioning AQE picks for the part join."""
+    li = _t(spark, sf_dir, "lineitem")
+    cost = (li.groupBy("l_partkey", "l_suppkey")
+              .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+                    .alias("unit_cost")))
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (sup.join(F.broadcast(nat.join(F.broadcast(reg),
+                                        nat["n_regionkey"] == reg["r_regionkey"])),
+                   sup["s_nationkey"] == F.col("n_nationkey"))
+             .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    p = (_t(spark, sf_dir, "part")
+         .filter((F.col("p_type") == "STANDARD") & (F.col("p_size") <= 15))
+         .select("p_partkey", "p_brand"))
+    offer = (cost.join(F.broadcast(eu),
+                       cost["l_suppkey"] == F.col("s_suppkey"))
+                 .join(F.broadcast(p),
+                       cost["l_partkey"] == p["p_partkey"]))
+    w = Window.partitionBy("p_partkey")
+    return (offer.withColumn("best_cost", F.min("unit_cost").over(w))
+                 .filter(F.col("unit_cost") == F.col("best_cost"))
+                 .select("s_acctbal", "s_name", "n_name", "p_partkey",
+                         "p_brand", "unit_cost"))
+
+
+@query(
+    "q9_product_type_profit",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         - p.p_retailprice * l.l_quantity
+                         AS DECIMAL(28,6))) AS DOUBLE) AS sum_profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY 1, 2
+    """,
+)
+def _q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product type profit measure), adapted: the absent
+    ps_supplycost becomes p_retailprice as the per-unit cost basis
+    (profit = revenue - retailprice*qty), keeping the 5-table join
+    and the nation x order-year profit rollup intact; '%red%' plays
+    the '%green%' part-name color filter. Plan: the part-name filter
+    broadcasts onto the lineitem scan FIRST (it is the selective
+    predicate — ~13% of parts), then supplier/nation broadcast; the
+    only fact-sized shuffles are the orderkey join to orders and the
+    final (nation, year) agg with map-side decimal partials."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = (_t(spark, sf_dir, "part")
+         .filter(F.col("p_name").like("%red%"))
+         .select("p_partkey", "p_retailprice"))
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              - F.col("p_retailprice") * F.col("l_quantity"))
+    return (li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+              .join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+              .join(F.broadcast(nat),
+                    sup["s_nationkey"] == nat["n_nationkey"])
+              .join(o, li["l_orderkey"] == o["o_orderkey"])
+              .groupBy(F.col("n_name").alias("nation"),
+                       F.year("o_orderdate").cast("long").alias("o_year"))
+              .agg(sum_exact(profit).alias("sum_profit")))
+
+
+@query(
+    "q11_important_stock",
+    oracle="""
+    WITH val AS (
+      SELECT l.l_partkey,
+             CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(28,6))) AS DOUBLE) AS part_value
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      JOIN region r   ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'ASIA'
+      GROUP BY 1
+    )
+    SELECT l_partkey, part_value
+    FROM val
+    WHERE part_value > (SELECT SUM(part_value) * 0.001 FROM val)
+    """,
+)
+def _q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock identification), adapted: the
+    absent ps_availqty*ps_supplycost inventory value becomes the
+    revenue flowing through each part via one region's suppliers
+    (nation at sf0.001 holds a single supplier, so the geography
+    widens one level to keep the pytest-scale result non-empty),
+    keeping Q11's signature shape — a grouped value per part kept
+    only when it exceeds a FRACTION of the global total (the
+    correlated HAVING over an uncorrelated scalar subquery).
+    Plan: nation+supplier broadcast onto the lineitem scan; one
+    partkey shuffle builds the per-part values; the global total is
+    a 1-row reaggregation of those partials broadcast back — the
+    fact table is scanned ONCE (the TPC-H text scans it twice)."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nat = (_t(spark, sf_dir, "nation")
+           .join(F.broadcast(reg),
+                 F.col("n_regionkey") == reg["r_regionkey"])
+           .select("n_nationkey"))
+    val = (li.join(F.broadcast(sup.join(F.broadcast(nat),
+                                        sup["s_nationkey"] == F.col("n_nationkey"))),
+                   li["l_suppkey"] == F.col("s_suppkey"))
+             .groupBy("l_partkey")
+             .agg(sum_exact(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                   .alias("part_value")))
+    total = val.agg((F.sum("part_value") * 0.001).alias("threshold"))
+    return (val.crossJoin(F.broadcast(total))
+               .filter(F.col("part_value") > F.col("threshold"))
+               .select("l_partkey", "part_value"))
+
+
+@query(
+    "q12_shipping_priority_class",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    GROUP BY 1
+    """,
+)
+def _q12_shipping_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping modes and order priority), adapted: the
+    schema has no l_shipmode/l_commitdate/l_receiptdate, so the
+    "late" predicate becomes shipped >60 days after order placement
+    and l_returnflag plays the mode grouping — preserving Q12's
+    shape: a fact-fact join with a cross-table date predicate and
+    CASE-based conditional counts per class. Plan: the shipdate year
+    window reaches the parquet scan as PushedFilters; the orderkey
+    join is the one shuffle (the cross-table date predicate can only
+    apply post-join); the conditional counts are map-side LONG
+    partials."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority")
+    f = (li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz")) &
+            (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz")))
+           .join(o, li["l_orderkey"] == o["o_orderkey"])
+           .filter(F.col("l_shipdate")
+                   > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (f.groupBy("l_returnflag")
+             .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+                  F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count")))

@@ -62,36 +62,41 @@ def test_parity_queries_inside_driver_window():
         "extend _DEFERRED (or _PENDING for mid-round additions) so "
         "exactly 50 remain in the driver window")
     first50 = qs[:50]
-    for name in ["flagship_cdc_window_sum", "flagship_sql_path",
-                 "reference_pipeline_verbatim", "reference_sql_orders",
-                 "q5_local_supplier_volume", "q18_large_volume_customer",
-                 "cdc_envelope_decode", "projection_flatten",
-                 "parse_ts_roundtrip", "enrichment_latest_join",
-                 "tumbling_window_events", "window_analytics",
-                 # r8 rotation: the r4/r5-era entries (evidence 3
-                 # rounds stale) hold their reclaimed slots until they
-                 # regain fresh driver-green evidence
-                 "q3_shipping_priority", "q6_forecast_revenue",
-                 "q7_volume_shipping", "q8_market_share",
-                 "q10_returned_items", "q13_customer_distribution",
-                 "q14_promo_revenue", "q19_disjunctive_revenue",
-                 "sessionization", "asof_join_prior_click",
-                 "range_join_events", "dedup_clusters",
-                 "ddl_entry_pipeline", "multimodal_manifest",
-                 "cdc_state_asof", "curation_stratified",
-                 "kmeans_ivf_index", "approx_sketches",
-                 "ann_index_topk", "dedup_exact",
-                 "text_token_stats", "text_filter_pipeline",
-                 # r7's once-validated additions hold until >=2 greens
-                 "multimodal_format_audit", "audio_stream_triage",
-                 "dedup_semantic", "curation_mixture_sample",
-                 "web_link_pagerank", "corpus_snapshot_diff",
-                 "warc_ingest_extract", "corpus_health_report",
-                 # r8's never-validated additions
-                 "warc_to_corpus", "text_bm25_term_scores",
-                 "table_profile_orders", "robots_txt_gate",
-                 "event_funnel_steps", "skew_salted_agg",
-                 "zorder_layout_stats", "streaming_funnel_replay"]:
+    for name in [
+        # §2.1 parity surfaces + TPC-H/window floor: never rotate out
+        "flagship_cdc_window_sum", "flagship_sql_path",
+        "reference_pipeline_verbatim", "reference_sql_orders",
+        "q5_local_supplier_volume", "q18_large_volume_customer",
+        "cdc_envelope_decode", "projection_flatten",
+        "parse_ts_roundtrip", "enrichment_latest_join",
+        "tumbling_window_events", "window_analytics",
+        # r9 rotation: ALL 16 former-_PENDING entries (zero driver
+        # greens) hold seats until validated
+        "dedup_passage_exact", "text_winnow_fingerprints",
+        "sketch_heavy_hitters", "streaming_session_replay",
+        "jsonl_corpus_roundtrip", "bloom_semijoin_prune",
+        "embedding_pq_codebook", "ann_ivf_pq_topk",
+        "q16_supplier_part_types", "q20_potential_promotion",
+        "event_pattern_match", "crawl_to_training_shards",
+        "streaming_pattern_replay", "embedding_hard_negatives",
+        "deletion_propagation_audit", "corpus_datasheet",
+        # r8 single-green holdovers earning the second green
+        "warc_to_corpus", "text_bm25_term_scores",
+        "table_profile_orders", "robots_txt_gate",
+        "event_funnel_steps", "skew_salted_agg",
+        "zorder_layout_stats", "streaming_funnel_replay",
+        # returning 4-round-stale entries
+        "q15_top_supplier", "q17_small_quantity_revenue",
+        # r9-new TPC-H completions (never validated)
+        "q2_min_cost_supplier", "q9_product_type_profit",
+        "q11_important_stock", "q12_shipping_priority_class",
+        # behavior changed by the r9 MP3 Layer III decoder: prior
+        # greens predate it, so both re-earn evidence in-window
+        "multimodal_audio_decode", "multimodal_format_audit",
+        # stalest double-greens rotating back in
+        "q4_order_priority", "q21_waiting_supplier",
+        "q22_global_sales_opportunity", "multimodal_video_decode",
+        "cdc_apply_snapshot", "dedup_pipeline_e2e"]:
         assert name in first50, f"{name} fell outside the driver window"
 
 
