@@ -37,6 +37,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def misra_gries_summary(df: DataFrame, item_col: str,
@@ -72,7 +73,12 @@ def misra_gries_summary(df: DataFrame, item_col: str,
             {item_col: list(counters), "mg_count": list(counters.values())}
         ) if counters else pd.DataFrame({item_col: [], "mg_count": []})
 
-    summaries = df.select(item_col).mapInPandas(
-        fold, schema=f"{item_col} string, mg_count long")
+    # the item field keeps the INPUT column's type (r8 advisory: a
+    # hardcoded string schema silently stringified long keys)
+    out_schema = T.StructType([
+        df.schema[item_col],
+        T.StructField("mg_count", T.LongType()),
+    ])
+    summaries = df.select(item_col).mapInPandas(fold, schema=out_schema)
     return summaries.groupBy(item_col).agg(
         F.sum("mg_count").alias("mg_count"))

@@ -387,12 +387,22 @@ def _jsonl_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, out,
         "doc_id long, text string, lang string, source string, "
         "n_chars long")
-    return (back.groupBy("lang")
-                .agg(F.count(F.lit(1)).alias("n_docs"),
-                     F.sum("n_chars").alias("total_chars"),
-                     F.sum(F.when(F.col(CORRUPT_COL).isNotNull(), 1)
-                            .otherwise(0)).cast("long")
-                      .alias("n_corrupt")))
+    agg = (back.groupBy("lang")
+               .agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("n_chars").alias("total_chars"),
+                    F.sum(F.when(F.col(CORRUPT_COL).isNotNull(), 1)
+                           .otherwise(0)).cast("long")
+                     .alias("n_corrupt")))
+    # materialize the per-language rollup (one tiny row per language)
+    # so the JSONL work dir — a full corpus copy per invocation, the
+    # r8 temp-leak advisory — can be reclaimed before returning; the
+    # caller gets a local-relation DataFrame with identical schema
+    import shutil
+    try:
+        rows = agg.collect()
+        return spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 @query(

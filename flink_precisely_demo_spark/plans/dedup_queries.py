@@ -404,6 +404,13 @@ def _streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_near_dup_dedup(stream, os.path.join(work, "store"),
                        os.path.join(work, "out"),
                        os.path.join(work, "ckpt"))
+    # the returned DataFrame lazily reads work/out, so only the
+    # now-dead inputs are reclaimed: the feed (a full table copy),
+    # the bucket store and the checkpoint (r8 advisory — repeated
+    # bench/sweep invocations leaked multi-GB temp copies at sf10)
+    import shutil
+    for sub in ("feed", "store", "ckpt"):
+        shutil.rmtree(os.path.join(work, sub), ignore_errors=True)
     return dedup_survivors(spark, os.path.join(work, "out")) \
         .select("doc_id")
 

@@ -230,8 +230,11 @@ def _streaming_funnel_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     the watermark is held below the feed's range so no event is
     dropped and every late-view window shift is exercised."""
     import os
+    import shutil
     import tempfile
     import uuid
+
+    from ..streaming.pipeline import drain_query
 
     from ..streaming.funnel import funnel_stream
 
@@ -259,7 +262,9 @@ def _streaming_funnel_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
          .format("memory").queryName(name)
          .option("checkpointLocation", os.path.join(work, "ckpt"))
          .trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    drain_query(q, 300, name)
+    shutil.rmtree(work, ignore_errors=True)  # memory sink holds the
+    # rows; the feed copy + checkpoint are dead weight once drained
 
     from pyspark.sql import Window
     snap = spark.table(name)
@@ -312,8 +317,11 @@ def _streaming_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrival order; the watermark is held below the feed's range so
     no session finalizes early."""
     import os
+    import shutil
     import tempfile
     import uuid
+
+    from ..streaming.pipeline import drain_query
 
     from ..streaming.sessionize import sessionize_stream
 
@@ -341,7 +349,9 @@ def _streaming_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
          .format("memory").queryName(name)
          .option("checkpointLocation", os.path.join(work, "ckpt"))
          .trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    drain_query(q, 300, name)
+    shutil.rmtree(work, ignore_errors=True)  # memory sink holds the
+    # rows; the feed copy + checkpoint are dead weight once drained
 
     from pyspark.sql import Window
     snap = spark.table(name)
@@ -436,8 +446,11 @@ def _streaming_pattern_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     the finalize-and-fold path (buffer -> DFA consumption) is
     exercised by the unit tests with a real advancing watermark."""
     import os
+    import shutil
     import tempfile
     import uuid
+
+    from ..streaming.pipeline import drain_query
 
     from ..streaming.pattern import pattern_stream
 
@@ -465,7 +478,9 @@ def _streaming_pattern_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
          .format("memory").queryName(name)
          .option("checkpointLocation", os.path.join(work, "ckpt"))
          .trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    drain_query(q, 300, name)
+    shutil.rmtree(work, ignore_errors=True)  # memory sink holds the
+    # rows; the feed copy + checkpoint are dead weight once drained
 
     from pyspark.sql import Window
     snap = spark.table(name)

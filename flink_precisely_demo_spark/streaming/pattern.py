@@ -27,6 +27,12 @@ After all data is absorbed the snapshot equals the batch
 regex-over-encoded-history query on any replay order (the
 `streaming_pattern_replay` oracle). Scale shape: one keyed shuffle
 per trigger; state per user = 3 ints + 1 char + the horizon buffer.
+
+Idle keys fold too: whenever a buffer is non-empty, an event-time
+timeout is armed at its earliest entry, so a user who stops sending
+events still has the finalized prefix folded and shed from state
+when the watermark passes — buffer retention never depends on the
+key receiving another row.
 """
 
 from __future__ import annotations
@@ -78,19 +84,28 @@ def pattern_stream(events: DataFrame) -> DataFrame:
     latest). Attach a watermark upstream: it both bounds the buffer
     and drives the finalized-prefix fold."""
 
-    def fn(key, pdfs: Iterator[pd.DataFrame],
-           state: GroupState) -> Iterator[pd.DataFrame]:
-        rows = pd.concat(list(pdfs), ignore_index=True)
-        if state.exists:
-            stage, prev, burst, n_events, n_purch, buffer_json = state.get
-            buf = [tuple(x) for x in json.loads(buffer_json)]
-        else:
-            stage, prev, burst, n_events, n_purch, buf = 0, "", False, 0, 0, []
+    return (events.groupBy("user_id")
+            .applyInPandasWithState(
+                pattern_step, PATTERN_OUTPUT_SCHEMA, _STATE_SCHEMA,
+                "update", GroupStateTimeout.EventTimeTimeout))
 
+
+def pattern_step(key, pdfs: Iterator[pd.DataFrame],
+                 state: GroupState) -> Iterator[pd.DataFrame]:
+    """One keyed state transition (module-level so the timeout path
+    is unit-testable against a faked GroupState handle)."""
+    if state.exists:
+        stage, prev, burst, n_events, n_purch, buffer_json = state.get
+        buf = [tuple(x) for x in json.loads(buffer_json)]
+    else:
+        stage, prev, burst, n_events, n_purch, buf = 0, "", False, 0, 0, []
+
+    if not state.hasTimedOut:
+        rows = pd.concat(list(pdfs), ignore_index=True)
         us = rows["ts"].astype("int64") // 1_000
-        # event_id may be absent in minimal feeds; synthesize stable
-        # per-arrival ids from the running count so sort ties break
-        # deterministically for identical timestamps
+        # event_id may be absent in minimal feeds; synthesize
+        # stable per-arrival ids from the running count so sort
+        # ties break deterministically for identical timestamps
         ids = (rows["event_id"].astype("int64")
                if "event_id" in rows else
                pd.RangeIndex(n_events, n_events + len(rows)))
@@ -101,30 +116,42 @@ def pattern_stream(events: DataFrame) -> DataFrame:
             if c == "p":
                 n_purch += 1
 
-        wm_us = state.getCurrentWatermarkMs() * 1000
-        buf.sort()
-        final = [b for b in buf if b[0] < wm_us]
-        buf = [b for b in buf if b[0] >= wm_us]
-        stage, prev, burst = _advance(stage, prev, burst,
-                                      (c for _, _, c in final))
-        state.update((stage, prev, burst, n_events, n_purch,
-                      json.dumps(buf)))
+    wm_ms = state.getCurrentWatermarkMs()
+    wm_us = wm_ms * 1000
+    buf.sort()
+    final = [b for b in buf if b[0] < wm_us]
+    buf = [b for b in buf if b[0] >= wm_us]
+    stage, prev, burst = _advance(stage, prev, burst,
+                                  (c for _, _, c in final))
+    state.update((stage, prev, burst, n_events, n_purch,
+                  json.dumps(buf)))
+    if buf:
+        # wake this key when the watermark passes its earliest
+        # buffered event, so an idle user's finalized prefix is
+        # folded and shed WITHOUT waiting for another row (r8
+        # advisory); once the buffer is empty committed state is
+        # the O(1) automaton and no timeout is needed
+        state.setTimeoutTimestamp(max(buf[0][0] // 1000 + 1,
+                                      wm_ms + 1))
 
-        # report = committed automata advanced (non-destructively)
-        # over the still-buffered suffix
-        r_stage, _, r_burst = _advance(stage, prev, burst,
-                                       (c for _, _, c in buf))
-        n_seen = n_events
-        yield pd.DataFrame([{
-            "user_id": int(key[0]),
-            "n_events": n_events,
-            "has_funnel_path": r_stage == 3,
-            "has_error_burst": r_burst,
-            "n_purchases": n_purch,
-            "n_seen": n_seen,
-        }])
+    if state.hasTimedOut:
+        # the fold changed only internal representation, not the
+        # reported verdicts (the report already simulates over
+        # the buffered suffix) — emit nothing so snapshot rows
+        # stay unique per n_seen
+        return
 
-    return (events.groupBy("user_id")
-            .applyInPandasWithState(
-                fn, PATTERN_OUTPUT_SCHEMA, _STATE_SCHEMA,
-                "update", GroupStateTimeout.NoTimeout))
+    # report = committed automata advanced (non-destructively)
+    # over the still-buffered suffix
+    r_stage, _, r_burst = _advance(stage, prev, burst,
+                                   (c for _, _, c in buf))
+    n_seen = n_events
+    yield pd.DataFrame([{
+        "user_id": int(key[0]),
+        "n_events": n_events,
+        "has_funnel_path": r_stage == 3,
+        "has_error_burst": r_burst,
+        "n_purchases": n_purch,
+        "n_seen": n_seen,
+    }])
+

@@ -98,8 +98,19 @@ def run_to_memory(df: DataFrame, name: str, spark: SparkSession,
     q = (df.writeStream.outputMode(output_mode)
          .format("memory").queryName(name)
          .trigger(availableNow=True).start())
-    q.awaitTermination(timeout)
+    drain_query(q, timeout, name)
     return spark.sql(f"SELECT * FROM {name}")
+
+
+def drain_query(q, timeout: int, label: str = "streaming query") -> None:
+    """awaitTermination with a LOUD timeout: a slow run must fail
+    here, not surface later as a confusing partial-snapshot hash
+    mismatch (r8 advisory — the boolean return was ignored)."""
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(
+            f"{label} did not finish within {timeout}s — partial "
+            "results would be silently wrong, aborting instead")
 
 
 def write_json_sink(df: DataFrame, path: str, checkpoint: str):

@@ -18,7 +18,12 @@ Bounded state, watermark-driven:
   event that could extend or bridge it can arrive any more): it is
   emitted one last time and evicted from state;
 - live state per user is therefore bounded by the sessions inside
-  one watermark horizon, not by history.
+  one watermark horizon, not by history;
+- IDLE keys finalize too: every state update arms an event-time
+  timeout at the earliest open session's expiry, so a user who
+  stops sending events still gets the final=true emission and the
+  eviction when the watermark passes — finalization never depends
+  on the key receiving another row.
 
 Scale shape: one keyed shuffle into the state store per trigger
 (RocksDB-backed on a cluster); state per user = a short JSON list of
@@ -84,32 +89,53 @@ def sessionize_stream(events: DataFrame,
 
     def fn(key, pdfs: Iterator[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
-        rows = pd.concat(list(pdfs), ignore_index=True)
-        if state.exists:
-            sessions_json, n_seen = state.get
-            sessions = json.loads(sessions_json)
-        else:
-            sessions, n_seen = [], 0
-
-        for t in (rows["ts"].astype("int64") // 1_000):
-            _absorb(sessions, int(t), gap_us)
-        n_seen += len(rows)
-
-        wm_us = state.getCurrentWatermarkMs() * 1000
-        live = [s for s in sessions if s[1] + gap_us >= wm_us]
-        state.update((json.dumps(live), n_seen))
-
-        uid = int(key[0])
-        yield pd.DataFrame([{
-            "user_id": uid,
-            "session_start": pd.Timestamp(s[0], unit="us"),
-            "session_end": pd.Timestamp(s[1] + gap_us, unit="us"),
-            "n_events": s[2],
-            "final": s[1] + gap_us < wm_us,
-            "n_seen": n_seen,
-        } for s in sessions])
+        return session_step(key, pdfs, state, gap_us)
 
     return (events.groupBy("user_id")
             .applyInPandasWithState(
                 fn, SESSION_OUTPUT_SCHEMA, _STATE_SCHEMA,
-                "update", GroupStateTimeout.NoTimeout))
+                "update", GroupStateTimeout.EventTimeTimeout))
+
+
+def session_step(key, pdfs: Iterator[pd.DataFrame],
+                 state: GroupState,
+                 gap_us: int) -> Iterator[pd.DataFrame]:
+    """One keyed state transition (module-level so the timeout path
+    is unit-testable against a faked GroupState handle)."""
+    if state.exists:
+        sessions_json, n_seen = state.get
+        sessions = json.loads(sessions_json)
+    else:
+        sessions, n_seen = [], 0
+
+    if not state.hasTimedOut:
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        for t in (rows["ts"].astype("int64") // 1_000):
+            _absorb(sessions, int(t), gap_us)
+        n_seen += len(rows)
+    # on timeout the key received no rows this trigger: the
+    # watermark alone decides which sessions finalize below
+
+    wm_ms = state.getCurrentWatermarkMs()
+    wm_us = wm_ms * 1000
+    live = [s for s in sessions if s[1] + gap_us >= wm_us]
+    if live:
+        state.update((json.dumps(live), n_seen))
+        # wake this key when its earliest open session can finalize
+        # even if the user goes quiet forever — without this, an idle
+        # key would hold state and never see its documented
+        # final=true emission (r8 advisory)
+        expiry_ms = min(s[1] + gap_us for s in live) // 1000 + 1
+        state.setTimeoutTimestamp(max(expiry_ms, wm_ms + 1))
+    else:
+        state.remove()
+
+    uid = int(key[0])
+    yield pd.DataFrame([{
+        "user_id": uid,
+        "session_start": pd.Timestamp(s[0], unit="us"),
+        "session_end": pd.Timestamp(s[1] + gap_us, unit="us"),
+        "n_events": s[2],
+        "final": s[1] + gap_us < wm_us,
+        "n_seen": n_seen,
+    } for s in sessions])

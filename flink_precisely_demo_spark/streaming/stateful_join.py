@@ -32,6 +32,7 @@ reference's keyBy pair performs.
 from __future__ import annotations
 
 import json
+import time
 from collections.abc import Iterator
 from typing import Any
 
@@ -44,6 +45,8 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 _STATE_SCHEMA = T.StructType([
     T.StructField("dim_json", T.StringType()),
     T.StructField("buffer_json", T.StringType()),
+    # wall-clock of the key's last activity, for the lazy TTL check
+    T.StructField("last_touch_ms", T.LongType()),
 ])
 
 
@@ -61,7 +64,8 @@ def _join_output_schema(fact: DataFrame, dim: DataFrame, key: str) -> T.StructTy
 
 def enrich_stream(fact: DataFrame, dim: DataFrame, key: str,
                   order_col: str, dim_order_col: str | None = None,
-                  state_ttl_ms: int | None = None) -> DataFrame:
+                  state_ttl_ms: int | None = None,
+                  ttl_mode: str = "lazy") -> DataFrame:
     """Streaming enrichment join of two streaming DataFrames.
 
     ``fact`` and ``dim`` must share the join key column name ``key``
@@ -72,11 +76,29 @@ def enrich_stream(fact: DataFrame, dim: DataFrame, key: str,
 
     ``state_ttl_ms``: the reference keeps dim state forever
     (EnrichmentJoin.java has no TTL) — faithful default. At 100 TB an
-    unbounded key space needs bounded state: a TTL evicts a key's
+    unbounded key space needs bounded state: a TTL expires a key's
     state after that many ms without any activity (processing-time,
-    per key); a later fact for an evicted key buffers again until the
+    per key); a later fact for an expired key buffers again until the
     dim re-arrives, which is the reference's own cold-start path.
+
+    ``ttl_mode`` picks how expiry is realized:
+
+    - ``"lazy"`` (default): the last-touch wall clock is stored in
+      state and checked on the key's next access — expired state is
+      discarded before use. Deterministic join semantics, works
+      under EVERY trigger including availableNow; an idle key's row
+      lingers physically until next touched (or the store's own
+      maintenance), but is semantically dead.
+    - ``"evict"``: additionally arms a per-key
+      ProcessingTimeTimeout so idle keys are physically removed.
+      For CONTINUOUS deployments only: Spark never terminates an
+      availableNow/once run while processing-time timeouts are
+      pending (each no-data batch re-enters the timeout loop — we
+      measured an unbounded 0-input batch spin), so run-to-
+      completion tools must use "lazy".
     """
+    if ttl_mode not in ("lazy", "evict"):
+        raise ValueError(f"ttl_mode must be 'lazy' or 'evict', got {ttl_mode!r}")
     out_schema = _join_output_schema(fact, dim, key)
     fact_cols = [f.name for f in fact.schema.fields]
     dim_cols = [f.name for f in dim.schema.fields]
@@ -102,8 +124,14 @@ def enrich_stream(fact: DataFrame, dim: DataFrame, key: str,
         if state.hasTimedOut:
             state.remove()
             return
+        now_ms = int(time.time() * 1000)
         if state.exists:
-            dim_json, buffer_json = state.get
+            dim_json, buffer_json, last_touch_ms = state.get
+            if (ttl is not None and last_touch_ms is not None
+                    and now_ms - last_touch_ms > ttl):
+                # lazy expiry: the key sat idle past the TTL, so its
+                # state is semantically dead — discard before use
+                dim_json, buffer_json = None, "[]"
         else:
             dim_json, buffer_json = None, "[]"
         dim_row = json.loads(dim_json) if dim_json else None
@@ -135,8 +163,8 @@ def enrich_stream(fact: DataFrame, dim: DataFrame, key: str,
                     buffer.append(rec)
 
         state.update((json.dumps(dim_row) if dim_row else None,
-                      json.dumps(buffer)))
-        if ttl is not None:
+                      json.dumps(buffer), now_ms))
+        if ttl is not None and ttl_mode == "evict":
             state.setTimeoutDuration(ttl)
         if out_rows:
             out = pd.DataFrame(out_rows, columns=out_cols)
@@ -148,7 +176,8 @@ def enrich_stream(fact: DataFrame, dim: DataFrame, key: str,
 
     grouped = unioned.groupBy("__key")
     timeout = (GroupStateTimeout.ProcessingTimeTimeout
-               if state_ttl_ms is not None else GroupStateTimeout.NoTimeout)
+               if state_ttl_ms is not None and ttl_mode == "evict"
+               else GroupStateTimeout.NoTimeout)
     result = grouped.applyInPandasWithState(
         process, out_schema, _STATE_SCHEMA, "append", timeout)
     return result

@@ -82,3 +82,21 @@ def test_misra_gries_invariants_on_skewed_stream(spark):
     assert mg.get("hot", 0) > 0        # ...so survival is guaranteed
     # the sketch is a real compression: far fewer survivors than keys
     assert len(mg) <= m * 7
+
+
+def test_misra_gries_preserves_item_column_type(spark):
+    """Non-string item columns keep their type end to end (r8
+    advisory: the output schema was hardcoded to string, silently
+    stringifying long keys)."""
+    from flink_precisely_demo_spark.operators.heavy_hitters import (
+        misra_gries_summary,
+    )
+
+    df = spark.createDataFrame(
+        [(k,) for k in [7] * 50 + [11] * 20 + list(range(100, 130))],
+        "item_id long").repartition(4)
+    out = misra_gries_summary(df, "item_id", capacity=4)
+    assert dict(out.dtypes)["item_id"] == "bigint"
+    mg = {r["item_id"]: r["mg_count"] for r in out.collect()}
+    assert all(isinstance(k, int) for k in mg)
+    assert mg.get(7, 0) > 0  # heavy hitter survives, as a LONG key

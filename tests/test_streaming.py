@@ -427,15 +427,17 @@ def test_fully_streaming_three_source_pipeline(spark, tmp_path):
 def test_stateful_enrich_ttl_evicts_state(spark, tmp_path):
     """state_ttl_ms bounds state for unbounded key spaces: after the
     TTL passes with no activity for the key, the dim state is
-    evicted, so a later fact buffers (cold-start path) instead of
-    joining — versus the faithful no-TTL default where it joins."""
+    expired (lazy check on next access — the default ttl_mode, which
+    terminates under availableNow; ProcessingTimeTimeout eviction
+    spins no-data batches forever there, measured r9), so a later
+    fact buffers (cold-start path) instead of joining — versus the
+    faithful no-TTL default where it joins."""
     import os
     fact_dir = tmp_path / "facts"; fact_dir.mkdir()
     dim_dir = tmp_path / "dims"; dim_dir.mkdir()
-    # each trigger consumes one file from EACH source. GroupState
-    # timeouts only fire for keys with NO data in a batch, so the
-    # timeline is: batch1 dim(k=1) sets TTL; batch2 (unrelated keys)
-    # fires the timeout and evicts k=1; batch3 delivers the fact.
+    # each trigger consumes one file from EACH source: batch1 dim
+    # (k=1) stamps last_touch; batch2 (unrelated keys) lets the TTL
+    # lapse; batch3's fact finds the state expired and buffers.
     _write_jsonl(dim_dir / "d1.json", [{"k": 1, "ord": 1.0, "dval": "v1"}])
     _write_jsonl(dim_dir / "d2.json", [{"k": 50, "ord": 2.0, "dval": "x"}])
     _write_jsonl(dim_dir / "d3.json", [{"k": 51, "ord": 3.0, "dval": "x"}])
@@ -1230,3 +1232,169 @@ def test_native_stream_stream_interval_join(spark, tmp_path):
                         "ss_interval", spark)
     rows = sorted((r["user_id"], r["lag_seconds"]) for r in res.collect())
     assert rows == [(1, 900), (1, 2700), (3, 1200)]
+
+
+class _FakeGroupState:
+    """Minimal GroupState stand-in for driving session_step /
+    pattern_step through the timeout branch deterministically."""
+
+    def __init__(self, value=None, wm_ms=0, timed_out=False):
+        self._value = value
+        self._wm = wm_ms
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.timeout_set_ms = None
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        assert self._value is not None
+        return self._value
+
+    def update(self, v):
+        self._value = v
+
+    def remove(self):
+        self._value = None
+        self.removed = True
+
+    def getCurrentWatermarkMs(self):
+        return self._wm
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout_set_ms = ms
+
+
+def test_session_step_timeout_finalizes_and_evicts_idle_key():
+    """EventTimeTimeout branch: a key that receives NO rows still
+    emits final=true and sheds its state once the watermark passes
+    session_end + gap (r8 advisory — NoTimeout kept idle keys
+    forever)."""
+    import json as _json
+
+    from flink_precisely_demo_spark.streaming.sessionize import (
+        session_step,
+    )
+
+    gap_us = 1_800_000_000  # 30 min
+    base_us = 1_700_000_000_000_000
+    state = _FakeGroupState(
+        value=(_json.dumps([[base_us, base_us, 1]]), 1),
+        wm_ms=(base_us + gap_us) // 1000 + 60_000,  # past expiry
+        timed_out=True)
+    out = list(session_step((1,), iter([]), state, gap_us))
+    assert state.removed, "idle key must be evicted"
+    assert state.timeout_set_ms is None, "no live session, no re-arm"
+    rows = out[0].to_dict("records")
+    assert len(rows) == 1
+    assert rows[0]["final"] is True and rows[0]["n_events"] == 1
+
+
+def test_session_step_timeout_rearms_for_surviving_sessions():
+    """Timeout with one dead and one live session: the dead one is
+    emitted final and dropped, the live one stays in state with a
+    fresh timeout at ITS expiry."""
+    import json as _json
+
+    from flink_precisely_demo_spark.streaming.sessionize import (
+        session_step,
+    )
+
+    gap_us = 1_800_000_000
+    base_us = 1_700_000_000_000_000
+    late_us = base_us + 100 * gap_us
+    wm_ms = (base_us + gap_us) // 1000 + 60_000  # past s1, before s2
+    state = _FakeGroupState(
+        value=(_json.dumps([[base_us, base_us, 1],
+                            [late_us, late_us, 2]]), 3),
+        wm_ms=wm_ms, timed_out=True)
+    out = list(session_step((1,), iter([]), state, gap_us))
+    kept = _json.loads(state.get[0])
+    assert kept == [[late_us, late_us, 2]]
+    assert state.timeout_set_ms == (late_us + gap_us) // 1000 + 1
+    finals = [r for r in out[0].to_dict("records") if r["final"]]
+    assert len(finals) == 1 and finals[0]["n_events"] == 1
+
+
+def test_pattern_step_timeout_folds_buffer_silently():
+    """EventTimeTimeout branch for the CEP runner: an idle key's
+    finalized buffer prefix folds into the O(1) automaton and leaves
+    state, with NO emission (verdicts are unchanged by the fold, and
+    a duplicate row would break per-n_seen snapshot uniqueness)."""
+    import json as _json
+
+    from flink_precisely_demo_spark.streaming.pattern import (
+        pattern_step,
+    )
+
+    base_us = 1_700_000_000_000_000
+    buf = [[base_us, 1, "v"], [base_us + 1_000_000, 2, "c"],
+           [base_us + 2_000_000, 3, "p"]]
+    state = _FakeGroupState(
+        value=(0, "", False, 3, 1, _json.dumps(buf)),
+        wm_ms=base_us // 1000 + 600_000,  # past every buffered event
+        timed_out=True)
+    out = list(pattern_step((1,), iter([]), state))
+    assert out == [], "timeout fold must not emit"
+    stage, prev, burst, n_events, n_purch, buffer_json = state.get
+    assert stage == 3 and _json.loads(buffer_json) == []
+    assert n_events == 3 and n_purch == 1
+    assert state.timeout_set_ms is None, "empty buffer, no re-arm"
+
+
+def test_streaming_sessionize_idle_key_finalized_without_new_rows(
+        spark, tmp_path):
+    """End to end: user 1 sends ONE event then goes silent; user 2's
+    later events advance the watermark. The event-time timeout must
+    still deliver user 1's final=true emission and evict the state
+    row (total state rows drop to user 2 only)."""
+    import os
+    import uuid
+
+    from flink_precisely_demo_spark.streaming.sessionize import (
+        sessionize_stream,
+    )
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    base = 1_700_000_000_000_000
+    mins = 60_000_000
+
+    def write_batch(k, rows):  # rows: (user_id, t_min)
+        df = spark.createDataFrame(
+            [(u, (base + t * mins) // 1_000_000) for u, t in rows],
+            "user_id long, epoch long") \
+            .select("user_id", F.col("epoch").cast("timestamp").alias("ts"))
+        part = tmp_path / f"part{k}"
+        df.coalesce(1).write.parquet(str(part))
+        src = next(f for f in os.listdir(part) if f.endswith(".parquet"))
+        os.rename(part / src, feed / f"b{k}.parquet")
+        os.utime(feed / f"b{k}.parquet", (1_000_000_000 + 10 * k,) * 2)
+
+    write_batch(0, [(1, 0)])       # user 1: one event, then silence
+    write_batch(1, [(2, 600)])     # user 2 advances the watermark
+    write_batch(2, [(2, 610)])     # trigger 3: wm=599min fires the
+    # user-1 timeout (session expiry 30min) with no user-1 rows
+
+    stream = (spark.readStream.schema("user_id long, ts timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(str(feed))
+              .withWatermark("ts", "1 minutes"))
+    name = f"sess_idle_{uuid.uuid4().hex[:8]}"
+    q = (sessionize_stream(stream).writeStream.outputMode("update")
+         .format("memory").queryName(name)
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+
+    u1 = [r for r in rows if r["user_id"] == 1]
+    finals = [r for r in u1 if r["final"]]
+    assert len(finals) == 1 and finals[0]["n_events"] == 1
+    # state sheds the idle key: the last progress with state metrics
+    # reports only user 2's live session
+    progresses = [p for p in q.recentProgress
+                  if p.get("stateOperators")]
+    assert progresses, "no state metrics recorded"
+    assert progresses[-1]["stateOperators"][0]["numRowsTotal"] == 1
