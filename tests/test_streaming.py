@@ -1231,7 +1231,64 @@ def test_native_stream_stream_interval_join(spark, tmp_path):
     res = run_to_memory(stream_interval_join(clicks, purchases),
                         "ss_interval", spark)
     rows = sorted((r["user_id"], r["lag_seconds"]) for r in res.collect())
-    assert rows == [(1, 900), (1, 2700), (3, 1200)]
+    assert rows == [(1, 900.0), (1, 2700.0), (3, 1200.0)]
+
+
+def test_stream_stream_left_outer_interval_join_timeout_nulls(
+        spark, tmp_path):
+    """LEFT OUTER interval join: a click with a purchase inside the
+    forward window emits matched; a click with NO purchase must
+    still emit — null-padded — once the watermark passes
+    click_ts + window and the engine evicts its state. The null row
+    IS the eviction event (the semantics the inner join never
+    exercises)."""
+    import os
+
+    from flink_precisely_demo_spark.streaming.pipeline import (
+        stream_interval_join_outer,
+    )
+
+    cdir = tmp_path / "clicks"; cdir.mkdir()
+    pdir = tmp_path / "purchases"; pdir.mkdir()
+    base = 1_700_000_000  # s
+
+    def write(d, name, rows):  # rows: (user, t_offset_min)
+        df = spark.createDataFrame(
+            [(u, base + t * 60) for u, t in rows],
+            "user_id long, epoch long") \
+            .select("user_id", F.col("epoch").cast("timestamp").alias("ts"))
+        part = tmp_path / f"__{name}"
+        df.coalesce(1).write.parquet(str(part))
+        src = next(f for f in os.listdir(part) if f.endswith(".parquet"))
+        os.rename(part / src, d / f"{name}.parquet")
+
+    # user 1 converts (purchase 10 min after the click); user 2
+    # abandons (no purchase ever); the t=2000 rows on BOTH sides
+    # push both watermarks far past click+window so the miss is
+    # provable and user 2's state is evicted
+    write(cdir, "c1", [(1, 0), (2, 0), (9, 2000)])
+    write(pdir, "p1", [(1, 10), (9, 2000)])
+
+    clicks = (spark.readStream.schema("user_id long, ts timestamp")
+              .parquet(str(cdir)).withWatermark("ts", "1 minutes"))
+    purchases = (spark.readStream.schema("user_id long, ts timestamp")
+                 .parquet(str(pdir)).withWatermark("ts", "1 minutes"))
+    res = run_to_memory(
+        stream_interval_join_outer(clicks, purchases, window="1 hour"),
+        "ss_outer", spark)
+    by_user = {}
+    for r in res.collect():
+        by_user.setdefault(r["user_id"], []).append(r)
+    # user 1: exactly one MATCHED row
+    assert len(by_user[1]) == 1
+    m = by_user[1][0]
+    assert m["converted"] is True and m["lag_seconds"] == 600.0
+    # user 2: exactly one NULL-PADDED row, emitted via state eviction
+    assert len(by_user[2]) == 1
+    miss = by_user[2][0]
+    assert miss["converted"] is False
+    assert miss["purchase_ts"] is None and miss["lag_seconds"] is None
+    assert miss["click_ts"] is not None
 
 
 class _FakeGroupState:
