@@ -358,3 +358,76 @@ def winnow_fingerprint_rows(df, text_col: str = "text",
                      <= F.greatest(F.col("n_grams") - w, F.lit(0)))
              .select(id_col, "n_grams", "fp")
              .distinct())
+
+
+def winnow_fingerprint_rows_arrow(df, text_col: str = "text",
+                                  id_col: str = "doc_id", k: int = 3,
+                                  w: int = 4):
+    """Arrow-batched twin of `winnow_fingerprint_rows`: identical
+    (id, n_grams, fp) output (the relational form above IS the spec
+    and stays the oracle surface; a parity test pins row equality),
+    with the md5-per-gram work moved from JVM expressions into one
+    `mapInPandas` pass — the same shape that bought minhash ~3x.
+
+    Why it wins: the relational plan mints every gram hash in the
+    scan stage but then EXCHANGES all (id, gram-hash) rows for the
+    per-document window frame. Here the whole derivation — tokenize,
+    gram, hash, sliding min (O(n) monotonic deque), per-doc distinct
+    — happens inside the narrow map, so NOTHING shuffles until the
+    downstream fp aggregation, and the rows that do shuffle are the
+    already-winnowed fingerprints (~1/w of the gram count).
+    Tokenization matches the relational form's Java regex semantics
+    (`\\s` = ASCII [ \\t\\n\\x0b\\f\\r]) byte for byte."""
+    import hashlib
+    import re
+    from collections import deque
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    out_schema = T.StructType([
+        df.schema[id_col],
+        T.StructField("n_grams", T.LongType()),
+        T.StructField("fp", T.StringType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids_out: list = []
+            ng_out: list = []
+            fp_out: list = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = [t for t in ws.split((text or "").lower()) if t]
+                n = len(toks)
+                if n >= k:
+                    grams = [" ".join(toks[i:i + k])
+                             for i in range(n - k + 1)]
+                else:
+                    grams = [" ".join(toks)]
+                hs = [hashlib.md5(g.encode()).hexdigest()[:16]
+                      for g in grams]
+                ng = len(hs)
+                if ng <= w:
+                    fps = {min(hs)}
+                else:
+                    # O(n) sliding minimum: monotonic index deque
+                    fps = set()
+                    dq: deque = deque()
+                    for i, h in enumerate(hs):
+                        while dq and hs[dq[-1]] >= h:
+                            dq.pop()
+                        dq.append(i)
+                        if dq[0] <= i - w:
+                            dq.popleft()
+                        if i >= w - 1:
+                            fps.add(hs[dq[0]])
+                for fp in fps:
+                    ids_out.append(did)
+                    ng_out.append(ng)
+                    fp_out.append(fp)
+            yield pd.DataFrame({id_col: ids_out, "n_grams": ng_out,
+                                "fp": fp_out})
+
+    return df.select(id_col, text_col).mapInPandas(run, out_schema)

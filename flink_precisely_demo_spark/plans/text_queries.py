@@ -705,11 +705,27 @@ def _text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     form is an O(n^2) trap), then one shuffle on doc_id for the
     window minima, one on fp for the doc-frequency agg, a
     co-partitioned join back, one on doc_id for the rollup — only
-    ids and 16-hex strings ever move."""
-    from ..functions.text import winnow_fingerprint_rows
+    ids and 16-hex strings ever move.
+
+    r9: the serving path is the Arrow-batched twin
+    (winnow_fingerprint_rows_arrow) — same rows, pinned by
+    tests/test_functions.py parity — which keeps the whole
+    tokenize/gram/md5/sliding-min derivation in the narrow map, so
+    the first exchange carries already-winnowed fingerprints (~1/w
+    of the gram rows the relational form shuffles). The relational
+    form above remains the spec and the oracle's mirror."""
+    from ..functions.text import winnow_fingerprint_rows_arrow
 
     docs = load_table(spark, sf_dir, "documents")
-    base = winnow_fingerprint_rows(docs)
+    src = docs.select("doc_id", "text")
+    # single-file-scan parallelism floor (BASELINE.md): the bench-SF
+    # table is ONE parquet file -> one partition, serializing the
+    # Arrow map. Fan out only when the scan underfills the cluster —
+    # at real scale the condition is false and no exchange is added.
+    par = spark.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+    base = winnow_fingerprint_rows_arrow(src)
     dfreq = base.groupBy("fp").agg(
         F.count_distinct("doc_id").alias("nd"))
     return (base.join(dfreq, "fp")

@@ -201,3 +201,33 @@ def test_url_canonicalize(spark):
     assert out[3] == "https://a.b.c/path"
     assert out[4] == "http://h.io:8080/x?q=1"
     assert out[5] == out[6]  # the dedup property the op exists for
+
+
+def test_winnow_arrow_twin_matches_relational_spec(spark):
+    """The Arrow-batched winnowing path must produce EXACTLY the
+    (doc_id, n_grams, fp) row set of the relational spec form on
+    real corpus text — tokenizer regex semantics, short-doc
+    fallback, window-edge handling and all."""
+    from flink_precisely_demo_spark.functions.text import (
+        winnow_fingerprint_rows,
+        winnow_fingerprint_rows_arrow,
+    )
+    from flink_precisely_demo_spark.sources.parquet import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    spec = winnow_fingerprint_rows(docs)
+    arrow = winnow_fingerprint_rows_arrow(docs)
+    assert spec.dtypes == arrow.dtypes  # nullability may differ
+    a = sorted(map(tuple, spec.collect()))
+    b = sorted(map(tuple, arrow.collect()))
+    assert a == b and len(a) > 0
+    # edge shapes: empty text, single token, exactly k tokens,
+    # exactly w grams
+    edge = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "a b c"), (4, "a b c d e f"),
+         (5, None), (6, "  padded   whitespace\ttabs  ")],
+        "doc_id long, text string")
+    ea = sorted(map(tuple, winnow_fingerprint_rows(edge).collect()))
+    eb = sorted(map(tuple,
+                    winnow_fingerprint_rows_arrow(edge).collect()))
+    assert ea == eb
