@@ -69,6 +69,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # below holds >= 2 driver greens (annotated per name).
 _DEFERRED = [
     "ann_index_topk",                    # r2 r3 r4 r5 r8
+    "cdc_apply_snapshot",                # r1 r2 r3 r4 r5 r6 (ceded its
+                                         # r9 seat to the late-r9
+                                         # text_bigram_typicality)
+    "dedup_pipeline_e2e",                # r3 r4 r5 r6 (ceded to
+                                         # streaming_attribution_replay)
     "anti_semi_join",                    # r1 r2 r6
     "approx_sketches",                   # r3 r4 r5 r8
     "array_functions_embeddings",        # r1 r2 r6

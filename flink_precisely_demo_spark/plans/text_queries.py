@@ -19,6 +19,7 @@ from ..functions.text import (
     language_id,
     quality_score,
     token_count,
+    tokens,
 )
 from ..sources.parquet import load_table
 from .queries import query
@@ -796,3 +797,95 @@ def _corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.max("n_tokens").cast("bigint").alias("max_tokens"),
                   F.sum(F.when(F.col("n_copies") > 1, 1).otherwise(0))
                    .cast("bigint").alias("n_duplicated_docs")))
+
+
+@query(
+    "text_bigram_typicality",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+      WHERE text IS NOT NULL
+    ),
+    bi AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)),
+               i -> struct_pack(w1 := toks[CAST(i AS INT)],
+                                w2 := toks[CAST(i + 1 AS INT)]))) AS s
+      FROM t WHERE len(toks) >= 2
+    ),
+    bg AS (SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM bi),
+    c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+           FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+    v AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+          FROM (SELECT unnest(toks) AS tok FROM t)),
+    scored AS (
+      SELECT bg.doc_id,
+             CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE) AS p
+      FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(CAST(SUM(CAST(p AS DECIMAL(28,6))) / COUNT(*)
+                  AS DECIMAL(38,6)) AS DOUBLE) AS typicality
+      FROM scored GROUP BY 1
+    )
+    SELECT t.doc_id,
+           COALESCE(p.n_bigrams, 0) AS n_bigrams,
+           p.typicality
+    FROM t LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def _text_bigram_typicality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram language-model typicality score — the
+    CCNet-style "perplexity filter" quality signal, reformulated
+    without transcendental functions so it is bit-exact across
+    engines (the BM25 house trick): instead of avg negative
+    log-likelihood, each document scores the ARITHMETIC mean of its
+    bigrams' add-1-smoothed conditional probabilities
+    p(w2|w1) = (c(w1,w2)+1)/(c(w1,.)+V) — every p is one IEEE
+    division of two exact BIGINTs, and the mean is the exact-decimal
+    house accumulator. Low typicality = out-of-distribution text
+    (boilerplate, noise, wrong language); the model is trained on
+    the corpus being scored, the usual self-scoring setup.
+
+    Plan shape: tokenize+posexplode in the scan stage; ONE doc_id
+    exchange for the lead() bigram pairing (the array-expression
+    alternative risks the documented O(n^2) HOF-lambda CSE trap —
+    BASELINE.md house rule); the model aggs shuffle map-side-combined
+    (w1,w2) rows bounded by the observed-bigram vocabulary; the
+    scoring join reshuffles bigram hits onto the model keys (AQE
+    broadcasts the model side when the vocabulary is small); the
+    per-doc rollup is the last exchange. Docs with < 2 tokens emit
+    n_bigrams=0 with a NULL score rather than dropping out."""
+    from pyspark.sql import Window
+
+    from ..operators.windowed_agg import avg_exact
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("text").isNotNull())
+            .select("doc_id", tokens("text").alias("toks")))
+    tok_rows = docs.select(
+        "doc_id", F.posexplode("toks").alias("pos", "w1"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (tok_rows.withColumn("w2", F.lead("w1").over(w))
+                  .filter(F.col("w2").isNotNull())
+                  .select("doc_id", "w1", "w2"))
+    c2 = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").cast("long").alias("c1"))
+    vocab = tok_rows.agg(
+        F.count_distinct("w1").cast("long").alias("v"))
+    scored = (bg.join(c2, ["w1", "w2"]).join(c1, "w1")
+                .crossJoin(F.broadcast(vocab))
+                .withColumn("p", (F.col("c2") + 1).cast("double")
+                            / (F.col("c1") + F.col("v")).cast("double")))
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        avg_exact(F.col("p")).alias("typicality"))
+    return (docs.select("doc_id")
+                .join(per_doc, "doc_id", "left")
+                .select("doc_id",
+                        F.coalesce("n_bigrams", F.lit(0)).cast("long")
+                         .alias("n_bigrams"),
+                        "typicality"))

@@ -489,3 +489,101 @@ def _streaming_pattern_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .filter(F.col("n_seen") == F.col("__last"))
                 .select("user_id", "n_events", "has_funnel_path",
                         "has_error_burst", "n_purchases"))
+
+
+@query(
+    "streaming_attribution_replay",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, ts AS click_ts FROM events
+      WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id, ts AS purchase_ts FROM events
+      WHERE event_type = 'purchase'
+    ),
+    wm AS (
+      SELECT least((SELECT MAX(ts) FROM events WHERE event_type = 'click'),
+                   (SELECT MAX(ts) FROM events WHERE event_type = 'purchase'))
+             - INTERVAL 1 MINUTE AS w
+    ),
+    j AS (
+      SELECT c.user_id, c.click_ts, p.purchase_ts
+      FROM c LEFT JOIN p
+        ON c.user_id = p.user_id
+       AND p.purchase_ts >= c.click_ts
+       AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+    )
+    SELECT j.user_id, j.click_ts, j.purchase_ts,
+           CASE WHEN j.purchase_ts IS NULL THEN NULL
+                ELSE (epoch_us(j.purchase_ts) - epoch_us(j.click_ts))
+                     / 1000000.0 END AS lag_seconds,
+           j.purchase_ts IS NOT NULL AS converted
+    FROM j CROSS JOIN wm
+    WHERE j.purchase_ts IS NOT NULL
+       OR j.click_ts + INTERVAL 1 HOUR < wm.w
+    """,
+)
+def _streaming_attribution_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NATIVE stream-stream LEFT OUTER interval join
+    (streaming/pipeline.py::stream_interval_join_outer) driven end to
+    end and batch-compared: clicks and purchases from the events
+    table stream in as two 2-file feeds with REAL 1-minute
+    watermarks, and the outer join's output — matched attribution
+    pairs plus null-padded misses emitted at state-eviction time —
+    must hash-match the batch LEFT JOIN restricted to provable rows:
+    a miss row exists iff the final engine watermark
+    (min of the two sources' max ts, minus the delay) passed
+    click_ts + window, which is exactly the eviction condition. The
+    oracle reproduces that boundary, so this row set pins BOTH join
+    semantics and the engine's eviction/emission timing. External
+    validation that the churn/abandonment shape is safe to build on:
+    state is engine-bounded by the two watermarks, no custom state
+    code."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming.pipeline import drain_query, stream_interval_join_outer
+
+    ev = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="stream_attr_replay_")
+
+    def feed(name: str, etype: str) -> str:
+        d = os.path.join(work, name)
+        os.makedirs(d)
+        for k in range(2):
+            part = os.path.join(work, f"__{name}{k}")
+            (ev.filter((F.col("event_type") == etype)
+                       & (F.col("event_id") % 2 == k))
+               .select("user_id", "ts")
+               .coalesce(1).write.parquet(part))
+            src = next(f for f in os.listdir(part)
+                       if f.endswith(".parquet"))
+            dst = os.path.join(d, f"b{k}.parquet")
+            os.rename(os.path.join(part, src), dst)
+            os.utime(dst, (1_000_000_000 + 10 * k,) * 2)
+        return d
+
+    cdir, pdir = feed("clicks", "click"), feed("purchases", "purchase")
+    schema = "user_id long, ts timestamp"
+    clicks = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(cdir)
+              .withWatermark("ts", "1 minutes"))
+    purchases = (spark.readStream.schema(schema)
+                 .option("maxFilesPerTrigger", 1).parquet(pdir)
+                 .withWatermark("ts", "1 minutes"))
+    name = f"attr_replay_{uuid.uuid4().hex[:8]}"
+    q = (stream_interval_join_outer(clicks, purchases, window="1 hour")
+         .writeStream.outputMode("append")
+         .format("memory").queryName(name)
+         .option("checkpointLocation", os.path.join(work, "ckpt"))
+         .trigger(availableNow=True).start())
+    drain_query(q, 300, name)
+    shutil.rmtree(work, ignore_errors=True)
+    return (spark.table(name)
+            .select("user_id",
+                    F.col("click_ts").cast("timestamp_ntz"),
+                    F.col("purchase_ts").cast("timestamp_ntz"),
+                    "lag_seconds", "converted"))
