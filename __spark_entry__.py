@@ -61,9 +61,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # single-green holdovers earning their second green; the returning
 # 4-round-stale q15/q17; the four NEW r9 TPC-H completions
 # (q2/q9/q11/q12 — the suite now covers all 22); the two multimodal
-# queries whose behavior the new MP3 Layer III decoder changes
-# (multimodal_audio_decode, multimodal_format_audit — prior greens
-# predate the decoder, so they re-earn evidence in-window); and the
+# queries re-seated ahead of a planned MP3 Layer III decoder that was
+# then deliberately not shipped (COVERAGE.md lossy-codec r9 note) —
+# their seats stand as stale-evidence refresh; and the
 # 6 stalest double-greens (q4/q21/q22/video_decode r5-r6,
 # cdc_apply_snapshot/dedup_pipeline_e2e last green r6). Everything
 # below holds >= 2 driver greens (annotated per name).

@@ -133,7 +133,13 @@ def main() -> None:
                  "ann_ivf_pq_topk",
                  "crawl_to_training_shards",
                  "embedding_hard_negatives", "deletion_propagation_audit",
-                 "corpus_datasheet"]
+                 "corpus_datasheet",
+                 # r9 additions: TPC-H completion + LM typicality +
+                 # the left-outer interval-join replay
+                 "q2_min_cost_supplier", "q9_product_type_profit",
+                 "q11_important_stock", "q12_shipping_priority_class",
+                 "text_bigram_typicality",
+                 "streaming_attribution_replay"]
     secondary: dict[str, float] = {}
     for name in SECONDARY:
         try:

@@ -90,8 +90,8 @@ def test_parity_queries_inside_driver_window():
         # r9-new TPC-H completions (never validated)
         "q2_min_cost_supplier", "q9_product_type_profit",
         "q11_important_stock", "q12_shipping_priority_class",
-        # behavior changed by the r9 MP3 Layer III decoder: prior
-        # greens predate it, so both re-earn evidence in-window
+        # re-seated for stale-evidence refresh (an anticipated MP3
+        # decoder was deliberately not shipped — COVERAGE.md r9 note)
         "multimodal_audio_decode", "multimodal_format_audit",
         # stalest double-greens rotating back in
         "q4_order_priority", "q21_waiting_supplier",
