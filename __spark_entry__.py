@@ -74,6 +74,12 @@ _DEFERRED = [
                                          # text_bigram_typicality)
     "dedup_pipeline_e2e",                # r3 r4 r5 r6 (ceded to
                                          # streaming_attribution_replay)
+    "q4_order_priority",                 # r5 r6 (ceded to
+                                         # web_triangle_count)
+    "q21_waiting_supplier",              # r5 r6 (ceded to
+                                         # attribution_multi_touch)
+    "q22_global_sales_opportunity",      # r5 r6 (ceded to
+                                         # bpe_vocab_merges)
     "anti_semi_join",                    # r1 r2 r6
     "approx_sketches",                   # r3 r4 r5 r8
     "array_functions_embeddings",        # r1 r2 r6

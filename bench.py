@@ -139,7 +139,9 @@ def main() -> None:
                  "q2_min_cost_supplier", "q9_product_type_profit",
                  "q11_important_stock", "q12_shipping_priority_class",
                  "text_bigram_typicality",
-                 "streaming_attribution_replay"]
+                 "streaming_attribution_replay",
+                 "web_triangle_count", "attribution_multi_touch",
+                 "bpe_vocab_merges"]
     secondary: dict[str, float] = {}
     for name in SECONDARY:
         try:

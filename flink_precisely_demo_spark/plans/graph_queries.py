@@ -152,3 +152,115 @@ def _web_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "host",
         F.col("pr").cast("long").alias("pr_units"),
         (F.col("pr").cast("double") / _UNIT).alias("pagerank"))
+
+
+@query(
+    "web_triangle_count",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id % {_N_HOSTS} AS src,
+             (doc_id * 31 + 7) % {_N_HOSTS} AS dst
+      FROM documents
+    ),
+    und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM raw WHERE src <> dst
+    ),
+    deg AS (
+      SELECT host, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT a AS host FROM und UNION ALL SELECT b FROM und
+      ) GROUP BY 1
+    ),
+    oriented AS (
+      -- orient each edge from the lower-(degree, id) endpoint: the
+      -- classic wedge-bounding trick, deterministic so both engines
+      -- derive the identical DAG
+      SELECT CASE WHEN (da.d, u.a) < (db.d, u.b) THEN u.a ELSE u.b END AS u,
+             CASE WHEN (da.d, u.a) < (db.d, u.b) THEN u.b ELSE u.a END AS v
+      FROM und u
+      JOIN deg da ON da.host = u.a
+      JOIN deg db ON db.host = u.b
+    ),
+    tri AS (
+      SELECT e1.u AS x, e1.v AS y, e2.v AS z
+      FROM oriented e1
+      JOIN oriented e2 ON e2.u = e1.u AND e2.v > e1.v
+      JOIN oriented e3 ON e3.u = e1.v AND e3.v = e2.v
+    ),
+    per_host AS (
+      SELECT host, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+        SELECT x AS host FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+      ) GROUP BY 1
+    )
+    SELECT d.host, d.d AS degree,
+           COALESCE(p.n_triangles, 0) AS n_triangles,
+           CASE WHEN d.d >= 2 THEN
+             CAST(2 * COALESCE(p.n_triangles, 0) AS DOUBLE)
+             / CAST(d.d * (d.d - 1) AS DOUBLE)
+           ELSE 0.0 END AS clustering_coef
+    FROM deg d LEFT JOIN per_host p USING (host)
+    """,
+)
+def _web_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host triangle participation + local clustering coefficient
+    over the undirected host graph — the spam-farm / link-ring signal
+    a crawl pipeline computes next to PageRank. Implemented with the
+    DEGREE-ORDERED orientation (count every triangle exactly once
+    from its lowest-degree vertex): each undirected edge becomes a
+    directed edge from the lower (degree, id) endpoint, which bounds
+    any vertex's out-wedge fan to O(sqrt(m)) regardless of skew — a
+    hub of degree D costs D wedges, not D^2, which is the difference
+    between finishing and not finishing on a power-law web graph at
+    100 TB. The orientation is deterministic, so the oracle derives
+    the identical DAG and the whole computation full-hash-checks.
+
+    Plan: edge distinct + degree agg shuffle host-sized rows; the
+    wedge self-join and the closing-edge join shuffle on the wedge
+    pivot/endpoints (AQE broadcasts the 2-col edge set when small);
+    the clustering coefficient is one exact-integer IEEE division."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % _N_HOSTS).alias("src"),
+        ((F.col("doc_id") * 31 + 7) % _N_HOSTS).alias("dst"))
+    und = (docs.filter(F.col("src") != F.col("dst"))
+               .select(F.least("src", "dst").alias("a"),
+                       F.greatest("src", "dst").alias("b"))
+               .distinct())
+    deg = (und.select(F.col("a").alias("host"))
+              .unionAll(und.select(F.col("b").alias("host")))
+              .groupBy("host")
+              .agg(F.count(F.lit(1)).cast("long").alias("d")))
+    lower = ((F.col("da") < F.col("db"))
+             | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))))
+    oriented = (und
+                .join(deg.select(F.col("host").alias("a"),
+                                 F.col("d").alias("da")), "a")
+                .join(deg.select(F.col("host").alias("b"),
+                                 F.col("d").alias("db")), "b")
+                .select(F.when(lower, F.col("a")).otherwise(F.col("b"))
+                         .alias("u"),
+                        F.when(lower, F.col("b")).otherwise(F.col("a"))
+                         .alias("v")))
+    e1 = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    e2 = oriented.select(F.col("u").alias("x"), F.col("v").alias("z"))
+    e3 = oriented.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    tri = (e1.join(e2, "x").filter(F.col("z") > F.col("y"))
+             .join(e3, ["y", "z"]))
+    per_host = (tri.select(F.col("x").alias("host"))
+                   .unionAll(tri.select(F.col("y").alias("host")))
+                   .unionAll(tri.select(F.col("z").alias("host")))
+                   .groupBy("host")
+                   .agg(F.count(F.lit(1)).cast("long")
+                         .alias("n_triangles")))
+    return (deg.join(per_host, "host", "left")
+               .select("host", F.col("d").alias("degree"),
+                       F.coalesce("n_triangles", F.lit(0)).cast("long")
+                        .alias("n_triangles"),
+                       F.when(F.col("d") >= 2,
+                              (2 * F.coalesce("n_triangles", F.lit(0)))
+                              .cast("double")
+                              / (F.col("d") * (F.col("d") - 1))
+                              .cast("double"))
+                        .otherwise(F.lit(0.0))
+                        .alias("clustering_coef")))

@@ -1288,3 +1288,71 @@ def _q12_shipping_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (f.groupBy("l_returnflag")
              .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
                   F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count")))
+
+
+@query(
+    "attribution_multi_touch",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id,
+             ts AS purchase_ts, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT event_id AS click_id, user_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'
+    ),
+    touch AS (
+      SELECT p.purchase_id, p.user_id, p.value,
+             c.click_id, c.click_ts
+      FROM p JOIN c ON c.user_id = p.user_id
+       AND c.click_ts >= p.purchase_ts - INTERVAL 1 HOUR
+       AND c.click_ts <= p.purchase_ts
+    ),
+    n AS (
+      SELECT purchase_id, CAST(COUNT(*) AS BIGINT) AS n_touches
+      FROM touch GROUP BY 1
+    )
+    SELECT t.purchase_id, t.click_id, t.user_id, n.n_touches,
+           1.0 / n.n_touches AS weight,
+           round(CAST(t.value / n.n_touches AS DOUBLE), 6)
+             AS value_share
+    FROM touch t JOIN n USING (purchase_id)
+    """,
+)
+def _attribution_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution — the batch generalization of
+    the as-of (last-touch) join: every click inside the hour before
+    a purchase receives an equal 1/n share of the purchase value.
+    The touch set comes from one interval join (same shape as
+    range_join_events); the per-purchase touch count is a second
+    aggregation over the join output, broadcast back onto it by AQE.
+    Every weight is one IEEE division of exact integers and the
+    share is rounded at 6 dp, so the row set full-hash-checks.
+    At 100 TB both inputs shuffle once on user_id for the interval
+    join; the n_touches agg and its re-join ride the purchase_id
+    partitioning of the join output."""
+    ev = _t(spark, sf_dir, "events")
+    p = (ev.filter(F.col("event_type") == "purchase")
+           .select(F.col("event_id").alias("purchase_id"), "user_id",
+                   F.col("ts").alias("purchase_ts"), "value"))
+    c = (ev.filter(F.col("event_type") == "click")
+           .select(F.col("event_id").alias("click_id"),
+                   F.col("user_id").alias("__cu"),
+                   F.col("ts").alias("click_ts")))
+    touch = (p.join(c, (F.col("user_id") == F.col("__cu"))
+                    & (F.col("click_ts")
+                       >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+                    & (F.col("click_ts") <= F.col("purchase_ts")))
+              .select("purchase_id", "user_id", "value",
+                      "click_id", "click_ts"))
+    n = touch.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_touches"))
+    return (touch.join(n, "purchase_id")
+                 .select("purchase_id", "click_id", "user_id",
+                         "n_touches",
+                         (F.lit(1.0) / F.col("n_touches"))
+                          .alias("weight"),
+                         F.round((F.col("value") / F.col("n_touches"))
+                                 .cast("double"), 6)
+                          .alias("value_share")))

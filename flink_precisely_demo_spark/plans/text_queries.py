@@ -889,3 +889,75 @@ def _text_bigram_typicality(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.coalesce("n_bigrams", F.lit(0)).cast("long")
                          .alias("n_bigrams"),
                         "typicality"))
+
+
+def _bpe_oracle_sql(n_merges: int) -> str:
+    """Unrolled DuckDB twin of operators/bpe.bpe_merges (the
+    _pr_iter_sql house pattern): n_merges chained CTE rounds of
+    pair-count -> deterministic best -> literal sentinel replace."""
+    sep = "chr(2) || chr(1)"
+    strip = "'^' || chr(1) || '|' || chr(2) || '$'"
+    ctes = ["""base AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+        SELECT unnest(list_filter(
+          regexp_split_to_array(lower(text), '\\s+'), t -> t <> ''))
+          AS word
+        FROM documents WHERE text IS NOT NULL)
+      GROUP BY 1
+    )""", """w0 AS (
+      SELECT word, freq,
+             list_aggregate(list_transform(
+               list_append(str_split(word, ''), '</w>'),
+               s -> chr(1) || s || chr(2)), 'string_agg', '') AS enc
+      FROM base
+    )"""]
+    for k in range(1, n_merges + 1):
+        prev = f"w{k - 1}"
+        ctes.append(f"""p{k} AS (
+      SELECT s.x AS x, s.y AS y, CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM (
+        SELECT freq,
+               unnest(list_transform(range(1, len(syms)),
+                 i -> struct_pack(x := syms[CAST(i AS INT)],
+                                  y := syms[CAST(i + 1 AS INT)]))) AS s
+        FROM (SELECT freq,
+                     str_split(regexp_replace(enc, {strip}, '', 'g'),
+                               {sep}) AS syms
+              FROM {prev})
+      ) GROUP BY 1, 2
+    )""")
+        ctes.append(f"""b{k} AS (
+      SELECT x, y, cnt FROM p{k}
+      ORDER BY cnt DESC, x, y LIMIT 1
+    )""")
+        ctes.append(f"""w{k} AS (
+      SELECT w.word, w.freq,
+             replace(w.enc,
+                     chr(1) || b.x || chr(2) || chr(1) || b.y || chr(2),
+                     chr(1) || b.x || b.y || chr(2)) AS enc
+      FROM {prev} w CROSS JOIN b{k} b
+    )""")
+    selects = "\n    UNION ALL ".join(
+        f"SELECT {k} AS rank, x AS \"left\", y AS \"right\", "
+        f"cnt AS pair_count FROM b{k}"
+        for k in range(1, n_merges + 1))
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + selects
+
+
+_BPE_MERGES = 10
+
+
+@query("bpe_vocab_merges", oracle=_bpe_oracle_sql(_BPE_MERGES))
+def _bpe_vocab_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first {n} BPE merge rules learned from the corpus
+    (operators/bpe.py — Sennrich et al. 2016), the tokenizer-training
+    step of an LLM data pipeline. The ONLY corpus-sized work is the
+    word-frequency aggregation; all ten merge rounds run on the
+    vocabulary-bounded word table with deterministic tie-breaks, so
+    the full merge sequence hash-checks against a 10-round unrolled
+    SQL twin — an ITERATIVE algorithm under the full oracle gate, not
+    a rows-only exemption."""
+    from ..operators.bpe import bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_merges(docs, "text", _BPE_MERGES)

@@ -93,9 +93,11 @@ def test_parity_queries_inside_driver_window():
         # re-seated for stale-evidence refresh (an anticipated MP3
         # decoder was deliberately not shipped — COVERAGE.md r9 note)
         "multimodal_audio_decode", "multimodal_format_audit",
-        # stalest double-greens rotating back in
-        "q4_order_priority", "q21_waiting_supplier",
-        "q22_global_sales_opportunity", "multimodal_video_decode",
+        # stalest double-green rotating back in
+        "multimodal_video_decode",
+        # late-r9 never-validated additions (outrank stale greens)
+        "web_triangle_count", "attribution_multi_touch",
+        "bpe_vocab_merges",
         # late-r9 never-validated additions (outrank stale greens)
         "text_bigram_typicality", "streaming_attribution_replay"]:
         assert name in first50, f"{name} fell outside the driver window"
