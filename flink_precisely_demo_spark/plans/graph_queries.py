@@ -230,7 +230,9 @@ def _web_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = (und.select(F.col("a").alias("host"))
               .unionAll(und.select(F.col("b").alias("host")))
               .groupBy("host")
-              .agg(F.count(F.lit(1)).cast("long").alias("d")))
+              .agg(F.count(F.lit(1)).cast("long").alias("d"))
+              .localCheckpoint(eager=True))  # reused by orientation
+                                             # AND the final rollup
     lower = ((F.col("da") < F.col("db"))
              | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))))
     oriented = (und
@@ -242,6 +244,11 @@ def _web_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                          .alias("u"),
                         F.when(lower, F.col("b")).otherwise(F.col("a"))
                          .alias("v")))
+    # the oriented edge set feeds THREE join legs; without a lineage
+    # cut each leg re-derives the distinct+degree+orientation chain
+    # from the scan (measured 67 exchanges in the audited plan) —
+    # checkpoint once, reuse thrice (the PageRank house pattern)
+    oriented = oriented.localCheckpoint(eager=True)
     e1 = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
     e2 = oriented.select(F.col("u").alias("x"), F.col("v").alias("z"))
     e3 = oriented.select(F.col("u").alias("y"), F.col("v").alias("z"))
