@@ -62,6 +62,7 @@ def main() -> None:
     only = {s for s in os.environ.get("SWEEP_ONLY", "").split(",") if s}
     full, digest, rows_only, failed, skipped, bounded = \
         [], [], [], [], [], []
+    detail: dict[str, dict] = {}
     t_start = time.time()
     for name, fn in qs.items():
         if only and name not in only:
@@ -72,6 +73,7 @@ def main() -> None:
             # bounded slice; recorded explicitly, validated at the
             # previous scale point
             skipped.append(name)
+            detail[name] = {"status": "skipped-oracle-cost", "sec": 0}
             print(f"# {name}: skipped-oracle-cost", file=sys.stderr,
                   flush=True)
             continue
@@ -110,6 +112,8 @@ def main() -> None:
             failed.append(name)
         print(f"# {name}: {status} [{time.time() - t0:.1f}s]",
               file=sys.stderr, flush=True)
+        detail[name] = {"status": status,
+                        "sec": round(time.time() - t0, 1)}
 
     print(json.dumps({
         "sf_dir": sf_dir,
@@ -126,6 +130,7 @@ def main() -> None:
         "rows_only": rows_only,
         "skipped_oracle_cost": skipped,
         "wall_sec": round(time.time() - t_start, 1),
+        "detail": detail,
     }))
     spark.stop()
 
