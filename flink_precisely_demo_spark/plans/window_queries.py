@@ -550,19 +550,27 @@ def _streaming_attribution_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     ev = load_table(spark, sf_dir, "events")
     work = tempfile.mkdtemp(prefix="stream_attr_replay_")
 
+    # ONE pass builds all four feed files (2 sources x 2 trigger
+    # batches) via a partitioned write — four separate filtered
+    # scans cost more than the stream itself did
+    staged = os.path.join(work, "staged")
+    (ev.filter(F.col("event_type").isin("click", "purchase"))
+       .select("event_type", (F.col("event_id") % 2).alias("half"),
+               "user_id", "ts")
+       .repartition("event_type", "half")
+       .write.partitionBy("event_type", "half").parquet(staged))
+
     def feed(name: str, etype: str) -> str:
         d = os.path.join(work, name)
         os.makedirs(d)
         for k in range(2):
-            part = os.path.join(work, f"__{name}{k}")
-            (ev.filter((F.col("event_type") == etype)
-                       & (F.col("event_id") % 2 == k))
-               .select("user_id", "ts")
-               .coalesce(1).write.parquet(part))
-            src = next(f for f in os.listdir(part)
-                       if f.endswith(".parquet"))
+            part = os.path.join(staged, f"event_type={etype}",
+                                f"half={k}")
+            srcs = [f for f in os.listdir(part)
+                    if f.endswith(".parquet")]
+            assert len(srcs) == 1, srcs
             dst = os.path.join(d, f"b{k}.parquet")
-            os.rename(os.path.join(part, src), dst)
+            os.rename(os.path.join(part, srcs[0]), dst)
             os.utime(dst, (1_000_000_000 + 10 * k,) * 2)
         return d
 
@@ -575,13 +583,27 @@ def _streaming_attribution_replay(spark: SparkSession, sf_dir: str) -> DataFrame
                  .option("maxFilesPerTrigger", 1).parquet(pdir)
                  .withWatermark("ts", "1 minutes"))
     name = f"attr_replay_{uuid.uuid4().hex[:8]}"
-    q = (stream_interval_join_outer(clicks, purchases, window="1 hour")
-         .writeStream.outputMode("append")
-         .format("memory").queryName(name)
-         .option("checkpointLocation", os.path.join(work, "ckpt"))
-         .trigger(availableNow=True).start())
-    drain_query(q, 300, name)
-    shutil.rmtree(work, ignore_errors=True)
+    # stream-stream join state is partitioned by shuffle.partitions,
+    # and the per-batch cost here is state-store open/commit PER
+    # PARTITION, not rows (measured 14 s for 3 batches of ~20k rows
+    # at 32 partitions -> state machinery, not compute). A replay's
+    # micro-batches are small by construction, so run its state at 8
+    # partitions; a production deployment sizes this to its own
+    # volume. Conf restored afterward — streaming queries pin their
+    # partitioning at start, batch plans built later are unaffected.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = (stream_interval_join_outer(clicks, purchases,
+                                        window="1 hour")
+             .writeStream.outputMode("append")
+             .format("memory").queryName(name)
+             .option("checkpointLocation", os.path.join(work, "ckpt"))
+             .trigger(availableNow=True).start())
+        drain_query(q, 600, name)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(work, ignore_errors=True)
     return (spark.table(name)
             .select("user_id",
                     F.col("click_ts").cast("timestamp_ntz"),
