@@ -80,6 +80,10 @@ _DEFERRED = [
                                          # attribution_multi_touch)
     "q22_global_sales_opportunity",      # r5 r6 (ceded to
                                          # bpe_vocab_merges)
+    "multimodal_video_decode",           # r5 r6 (ceded to
+                                         # bpe_encode_corpus)
+    "multimodal_audio_decode",           # r5 r6 r7 (ceded to
+                                         # ann_recall_eval)
     "anti_semi_join",                    # r1 r2 r6
     "approx_sketches",                   # r3 r4 r5 r8
     "array_functions_embeddings",        # r1 r2 r6

@@ -141,7 +141,8 @@ def main() -> None:
                  "text_bigram_typicality",
                  "streaming_attribution_replay",
                  "web_triangle_count", "attribution_multi_touch",
-                 "bpe_vocab_merges"]
+                 "bpe_vocab_merges", "bpe_encode_corpus",
+                 "ann_recall_eval"]
     secondary: dict[str, float] = {}
     for name in SECONDARY:
         try:

@@ -87,6 +87,14 @@ def bpe_merges(df: DataFrame, text_col: str = "text",
     """Learn ``n_merges`` BPE merge rules; returns (rank, left,
     right, pair_count) — rank 1 is the first (highest-count) merge.
     Deterministic: ties break on (left, right) lexicographically."""
+    return bpe_train(df, text_col, n_merges)[0]
+
+
+def bpe_train(df: DataFrame, text_col: str = "text",
+              n_merges: int = 10) -> tuple[DataFrame, DataFrame]:
+    """(merges, encoded_words): the merge table plus the word table
+    AFTER all merges were applied — i.e. the corpus vocabulary in its
+    learned subword segmentation, ready for encoding."""
     words = word_frequency_table(df, text_col).localCheckpoint(eager=True)
     merges = []
     for rank in range(1, n_merges + 1):
@@ -110,4 +118,15 @@ def bpe_merges(df: DataFrame, text_col: str = "text",
     out = merges[0]
     for m in merges[1:]:
         out = out.unionAll(m)
-    return out
+    return out, words
+
+
+def subword_counts(words: DataFrame) -> DataFrame:
+    """(word, freq, n_subwords) from an encoded word table: the
+    symbol count is the number of \\x01 sentinels — pure length
+    arithmetic, no split."""
+    return words.select(
+        "word", "freq",
+        ((F.length("enc")
+          - F.length(F.replace("enc", F.lit(S1), F.lit(""))))
+         .cast("long").alias("n_subwords")))

@@ -48,10 +48,9 @@ def ann_index_path(spark: SparkSession, sf_dir: str) -> str:
     return _INDEX_CACHE[sf_dir]
 
 
-@query(
-    "ann_index_topk",
-    oracle=f"""
-    WITH {kmeans_ctes(_K, _ITERS)},
+# the IVF probe/scan CTEs, shared by the top-k oracle and the
+# recall-evaluation oracle (one definition, no drift)
+_IVF_CTES = f"""
     assigned AS (
       SELECT vec_id, embedding, cell_id FROM (
         SELECT e.vec_id, e.embedding, c.cell_id,
@@ -76,7 +75,13 @@ def ann_index_path(spark: SparkSession, sf_dir: str) -> str:
              round({_cos('q.q_vec', 'a.embedding')}, 6) AS sim
       FROM assigned a JOIN qprobe q ON a.cell_id = q.cell_id
       WHERE a.vec_id <> q.query_id
-    )
+    )"""
+
+
+@query(
+    "ann_index_topk",
+    oracle=f"""
+    WITH {kmeans_ctes(_K, _ITERS)},{_IVF_CTES}
     SELECT query_id, neighbor_id, sim, rnk
     FROM (
       SELECT *, row_number() OVER (PARTITION BY query_id
@@ -246,3 +251,69 @@ def _ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (rer.withColumn("rnk", F.row_number().over(w_r))
                .filter(F.col("rnk") <= 3)
                .select("query_id", "neighbor_id", "sim", "rnk"))
+
+
+@query(
+    "ann_recall_eval",
+    oracle=f"""
+    WITH {kmeans_ctes(_K, _ITERS)},{_IVF_CTES},
+    ivf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY sim DESC, neighbor_id ASC) AS rnk
+        FROM sims
+      ) WHERE rnk <= {_TOPK}
+    ),
+    gt_sims AS (
+      SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+             round({_cos('q.embedding', 'n.embedding')}, 6) AS sim
+      FROM e n CROSS JOIN (SELECT * FROM e WHERE vec_id < {_N_QUERIES}) q
+      WHERE n.vec_id <> q.vec_id
+    ),
+    gt AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY sim DESC, neighbor_id ASC) AS rnk
+        FROM gt_sims
+      ) WHERE rnk <= {_TOPK}
+    )
+    SELECT g.query_id,
+           CAST(COUNT(i.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(i.neighbor_id) AS DOUBLE) / {_TOPK}
+             AS recall_at_k
+    FROM gt g
+    LEFT JOIN ivf i ON i.query_id = g.query_id
+                   AND i.neighbor_id = g.neighbor_id
+    GROUP BY g.query_id
+    """,
+)
+def _ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{_TOPK} of the served IVF index against brute-force
+    ground truth — the evaluation harness that decides whether an
+    approximate index is allowed to serve: per query, how many of
+    the exact top-{_TOPK} cosine neighbors the nprobe={_NPROBE}
+    partition-pruned scan recovered. Composes the two
+    independently-oracle-checked operators (query_ann +
+    brute_force_topk) and full-hash-checks the composition — the
+    oracle replays the unrolled k-means training, the probe path,
+    AND the exact scan, so a recall regression from ANY stage
+    (training drift, routing bug, pruning bug) lands in this row
+    set. Scale: ground truth over the probe set costs one map-side
+    top-k pass (8 queries x corpus, the brute-force kernel);
+    production evaluates on a sampled probe set exactly like this."""
+    from ..operators.similarity import brute_force_topk
+
+    path = ann_index_path(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < _N_QUERIES)
+    ivf = (query_ann(spark, path, queries_df, k=_TOPK, nprobe=_NPROBE)
+           .select("query_id", F.col("neighbor_id").alias("__ivf_n")))
+    gt = (brute_force_topk(emb, queries_df, k=_TOPK)
+          .select("query_id", "neighbor_id"))
+    return (gt.join(ivf, (gt["query_id"] == ivf["query_id"])
+                    & (gt["neighbor_id"] == ivf["__ivf_n"]), "left")
+              .drop(ivf["query_id"])
+              .groupBy("query_id")
+              .agg(F.count("__ivf_n").cast("long").alias("n_hits"),
+                   (F.count("__ivf_n").cast("double") / _TOPK)
+                    .alias("recall_at_k")))

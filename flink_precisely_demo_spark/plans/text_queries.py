@@ -944,6 +944,44 @@ def _bpe_oracle_sql(n_merges: int) -> str:
     return "WITH " + ",\n    ".join(ctes) + "\n    " + selects
 
 
+def _bpe_encode_oracle_sql(n_merges: int) -> str:
+    """Corpus encoding under the learned vocabulary: the same
+    unrolled training CTEs, then per-document subword totals."""
+    train = _bpe_oracle_sql(n_merges)
+    # the training SQL ends "...<last cte>)\n    SELECT 1 AS rank..."
+    # — splice the final union off and continue the CTE list
+    ctes = train[:train.rindex("SELECT 1 AS rank")].rstrip() + ",\n    "
+    sep = "chr(2) || chr(1)"
+    strip = "'^' || chr(1) || '|' || chr(2) || '$'"
+    return ctes + f"""wlen AS (
+      SELECT word,
+             CAST(len(str_split(regexp_replace(enc, {strip}, '', 'g'),
+                                {sep})) AS BIGINT) AS n_sub
+      FROM w{n_merges}
+    ),
+    doc_toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS word
+      FROM documents WHERE text IS NOT NULL
+    ),
+    per_doc AS (
+      SELECT t.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(length(t.word)) AS BIGINT) AS n_chars,
+             CAST(SUM(w.n_sub) AS BIGINT) AS n_subword_tokens
+      FROM doc_toks t JOIN wlen w USING (word)
+      GROUP BY 1
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_words, 0) AS n_words,
+           COALESCE(p.n_chars, 0) AS n_chars,
+           COALESCE(p.n_subword_tokens, 0) AS n_subword_tokens,
+           CASE WHEN p.n_subword_tokens > 0 THEN
+             CAST(p.n_chars AS DOUBLE) / p.n_subword_tokens
+           ELSE 0.0 END AS chars_per_token
+    FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+    LEFT JOIN per_doc p USING (doc_id)"""
+
+
 _BPE_MERGES = 10
 
 
@@ -961,3 +999,46 @@ def _bpe_vocab_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bpe_merges(docs, "text", _BPE_MERGES)
+
+
+@query("bpe_encode_corpus", oracle=_bpe_encode_oracle_sql(_BPE_MERGES))
+def _bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode the corpus under the BPE vocabulary learned by
+    `bpe_vocab_merges` — train + apply is the complete tokenizer
+    loop. The word table already carries its post-merge segmentation
+    out of training, so encoding is: count sentinels per word
+    (length arithmetic, no split), broadcast the vocab onto the
+    exploded corpus tokens, sum per doc. Output per document: word /
+    char / subword-token counts and the chars-per-token compression
+    ratio (the metric a tokenizer is judged by). Fact-scale work is
+    one explode + one broadcast join + one doc_id agg; everything
+    else is vocab-bounded."""
+    from ..operators.bpe import bpe_train, subword_counts
+
+    docs = load_table(spark, sf_dir, "documents") \
+        .filter(F.col("text").isNotNull())
+    _, words = bpe_train(docs, "text", _BPE_MERGES)
+    wlen = subword_counts(words).select("word", "n_subwords")
+    doc_toks = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("word"))
+    per_doc = (doc_toks.join(F.broadcast(wlen), "word")
+               .groupBy("doc_id")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_words"),
+                    F.sum(F.length("word")).cast("long")
+                     .alias("n_chars"),
+                    F.sum("n_subwords").cast("long")
+                     .alias("n_subword_tokens")))
+    return (docs.select("doc_id")
+            .join(per_doc, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("n_words", F.lit(0)).cast("long")
+                 .alias("n_words"),
+                F.coalesce("n_chars", F.lit(0)).cast("long")
+                 .alias("n_chars"),
+                F.coalesce("n_subword_tokens", F.lit(0)).cast("long")
+                 .alias("n_subword_tokens"),
+                F.when(F.col("n_subword_tokens") > 0,
+                       F.col("n_chars").cast("double")
+                       / F.col("n_subword_tokens"))
+                 .otherwise(F.lit(0.0)).alias("chars_per_token")))

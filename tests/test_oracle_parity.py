@@ -92,12 +92,10 @@ def test_parity_queries_inside_driver_window():
         "q11_important_stock", "q12_shipping_priority_class",
         # re-seated for stale-evidence refresh (an anticipated MP3
         # decoder was deliberately not shipped — COVERAGE.md r9 note)
-        "multimodal_audio_decode", "multimodal_format_audit",
-        # stalest double-green rotating back in
-        "multimodal_video_decode",
+        "multimodal_format_audit",
         # late-r9 never-validated additions (outrank stale greens)
         "web_triangle_count", "attribution_multi_touch",
-        "bpe_vocab_merges",
+        "bpe_vocab_merges", "bpe_encode_corpus", "ann_recall_eval",
         # late-r9 never-validated additions (outrank stale greens)
         "text_bigram_typicality", "streaming_attribution_replay"]:
         assert name in first50, f"{name} fell outside the driver window"
