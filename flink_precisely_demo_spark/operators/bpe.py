@@ -55,14 +55,27 @@ def _encode_word(col):
         "")
 
 
-def word_frequency_table(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """(word, freq, enc) — the single corpus-sized aggregation."""
+def word_frequency_table(df: DataFrame, text_col: str = "text",
+                         min_freq: int = 1) -> DataFrame:
+    """(word, freq, enc) — the single corpus-sized aggregation.
+
+    ``min_freq`` is the standard vocabulary floor real tokenizer
+    trainers apply before merging (pair statistics then come from
+    the Zipf head rather than the hapax tail — an explicit, standard
+    approximation): it bounds the word table by the repeated
+    vocabulary instead of the corpus, which on an adversarial
+    unique-token corpus is the difference between a vocab-bounded
+    iteration and one that scales with the data (measured: the
+    unfloored sf1 sweep oracle grew past 45 GB before being
+    killed)."""
     from ..functions.text import tokens
 
     words = (df.filter(F.col(text_col).isNotNull())
                .select(F.explode(tokens(text_col)).alias("word"))
                .groupBy("word")
                .agg(F.count(F.lit(1)).cast("long").alias("freq")))
+    if min_freq > 1:
+        words = words.filter(F.col("freq") >= min_freq)
     return words.withColumn("enc", _encode_word(F.col("word")))
 
 
@@ -83,19 +96,21 @@ def _pair_counts(words: DataFrame) -> DataFrame:
 
 
 def bpe_merges(df: DataFrame, text_col: str = "text",
-               n_merges: int = 10) -> DataFrame:
+               n_merges: int = 10, min_freq: int = 1) -> DataFrame:
     """Learn ``n_merges`` BPE merge rules; returns (rank, left,
     right, pair_count) — rank 1 is the first (highest-count) merge.
     Deterministic: ties break on (left, right) lexicographically."""
-    return bpe_train(df, text_col, n_merges)[0]
+    return bpe_train(df, text_col, n_merges, min_freq)[0]
 
 
 def bpe_train(df: DataFrame, text_col: str = "text",
-              n_merges: int = 10) -> tuple[DataFrame, DataFrame]:
+              n_merges: int = 10,
+              min_freq: int = 1) -> tuple[DataFrame, DataFrame]:
     """(merges, encoded_words): the merge table plus the word table
     AFTER all merges were applied — i.e. the corpus vocabulary in its
     learned subword segmentation, ready for encoding."""
-    words = word_frequency_table(df, text_col).localCheckpoint(eager=True)
+    words = word_frequency_table(df, text_col, min_freq) \
+        .localCheckpoint(eager=True)
     merges = []
     for rank in range(1, n_merges + 1):
         best = (_pair_counts(words)

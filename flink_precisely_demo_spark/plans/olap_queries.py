@@ -1302,7 +1302,7 @@ def _q12_shipping_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_id AS click_id, user_id, ts AS click_ts
       FROM events WHERE event_type = 'click'
     ),
-    touch AS (
+    touch AS MATERIALIZED (
       SELECT p.purchase_id, p.user_id, p.value,
              c.click_id, c.click_ts
       FROM p JOIN c ON c.user_id = p.user_id

@@ -802,7 +802,7 @@ def _corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "text_bigram_typicality",
     oracle=f"""
-    WITH t AS (
+    WITH t AS MATERIALIZED (
       SELECT doc_id, {_TOKS} AS toks FROM documents
       WHERE text IS NOT NULL
     ),
@@ -813,8 +813,8 @@ def _corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 w2 := toks[CAST(i + 1 AS INT)]))) AS s
       FROM t WHERE len(toks) >= 2
     ),
-    bg AS (SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM bi),
-    c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+    bg AS MATERIALIZED (SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM bi),
+    c2 AS MATERIALIZED (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
            FROM bg GROUP BY 1, 2),
     c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
     v AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
@@ -897,14 +897,15 @@ def _bpe_oracle_sql(n_merges: int) -> str:
     pair-count -> deterministic best -> literal sentinel replace."""
     sep = "chr(2) || chr(1)"
     strip = "'^' || chr(1) || '|' || chr(2) || '$'"
-    ctes = ["""base AS (
+    ctes = [f"""base AS MATERIALIZED (
       SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
         SELECT unnest(list_filter(
           regexp_split_to_array(lower(text), '\\s+'), t -> t <> ''))
           AS word
         FROM documents WHERE text IS NOT NULL)
       GROUP BY 1
-    )""", """w0 AS (
+      HAVING COUNT(*) >= {_BPE_MIN_FREQ}
+    )""", """w0 AS MATERIALIZED (
       SELECT word, freq,
              list_aggregate(list_transform(
                list_append(str_split(word, ''), '</w>'),
@@ -913,7 +914,7 @@ def _bpe_oracle_sql(n_merges: int) -> str:
     )"""]
     for k in range(1, n_merges + 1):
         prev = f"w{k - 1}"
-        ctes.append(f"""p{k} AS (
+        ctes.append(f"""p{k} AS MATERIALIZED (
       SELECT s.x AS x, s.y AS y, CAST(SUM(freq) AS BIGINT) AS cnt
       FROM (
         SELECT freq,
@@ -926,11 +927,11 @@ def _bpe_oracle_sql(n_merges: int) -> str:
               FROM {prev})
       ) GROUP BY 1, 2
     )""")
-        ctes.append(f"""b{k} AS (
+        ctes.append(f"""b{k} AS MATERIALIZED (
       SELECT x, y, cnt FROM p{k}
       ORDER BY cnt DESC, x, y LIMIT 1
     )""")
-        ctes.append(f"""w{k} AS (
+        ctes.append(f"""w{k} AS MATERIALIZED (
       SELECT w.word, w.freq,
              replace(w.enc,
                      chr(1) || b.x || chr(2) || chr(1) || b.y || chr(2),
@@ -964,11 +965,14 @@ def _bpe_encode_oracle_sql(n_merges: int) -> str:
       FROM documents WHERE text IS NOT NULL
     ),
     per_doc AS (
+      -- out-of-vocabulary words (below the frequency floor) fall
+      -- back to character segmentation: length(word) chars + </w>
       SELECT t.doc_id,
              CAST(COUNT(*) AS BIGINT) AS n_words,
              CAST(SUM(length(t.word)) AS BIGINT) AS n_chars,
-             CAST(SUM(w.n_sub) AS BIGINT) AS n_subword_tokens
-      FROM doc_toks t JOIN wlen w USING (word)
+             CAST(SUM(COALESCE(w.n_sub, length(t.word) + 1))
+                  AS BIGINT) AS n_subword_tokens
+      FROM doc_toks t LEFT JOIN wlen w USING (word)
       GROUP BY 1
     )
     SELECT d.doc_id,
@@ -983,6 +987,10 @@ def _bpe_encode_oracle_sql(n_merges: int) -> str:
 
 
 _BPE_MERGES = 10
+# vocabulary floor: pair statistics come from the repeated (Zipf-head)
+# vocabulary — the standard trainer approximation that bounds the word
+# table by repeated words instead of the corpus (operators/bpe.py)
+_BPE_MIN_FREQ = 2
 
 
 @query("bpe_vocab_merges", oracle=_bpe_oracle_sql(_BPE_MERGES))
@@ -998,7 +1006,7 @@ def _bpe_vocab_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.bpe import bpe_merges
 
     docs = load_table(spark, sf_dir, "documents")
-    return bpe_merges(docs, "text", _BPE_MERGES)
+    return bpe_merges(docs, "text", _BPE_MERGES, min_freq=_BPE_MIN_FREQ)
 
 
 @query("bpe_encode_corpus", oracle=_bpe_encode_oracle_sql(_BPE_MERGES))
@@ -1017,17 +1025,21 @@ def _bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents") \
         .filter(F.col("text").isNotNull())
-    _, words = bpe_train(docs, "text", _BPE_MERGES)
+    _, words = bpe_train(docs, "text", _BPE_MERGES,
+                         min_freq=_BPE_MIN_FREQ)
     wlen = subword_counts(words).select("word", "n_subwords")
     doc_toks = docs.select(
         "doc_id", F.explode(tokens("text")).alias("word"))
-    per_doc = (doc_toks.join(F.broadcast(wlen), "word")
+    # OOV words (below the trainer's frequency floor) segment to
+    # characters: length(word) chars + the </w> marker
+    per_doc = (doc_toks.join(F.broadcast(wlen), "word", "left")
                .groupBy("doc_id")
                .agg(F.count(F.lit(1)).cast("long").alias("n_words"),
                     F.sum(F.length("word")).cast("long")
                      .alias("n_chars"),
-                    F.sum("n_subwords").cast("long")
-                     .alias("n_subword_tokens")))
+                    F.sum(F.coalesce(F.col("n_subwords"),
+                                     F.length("word") + 1))
+                     .cast("long").alias("n_subword_tokens")))
     return (docs.select("doc_id")
             .join(per_doc, "doc_id", "left")
             .select(
