@@ -1213,7 +1213,9 @@ def _q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_partkey, part_value
     FROM val
-    WHERE part_value > (SELECT SUM(part_value) * 0.001 FROM val)
+    WHERE part_value > 2.0 * (SELECT
+        CAST(CAST(SUM(CAST(part_value AS DECIMAL(28,6))) / COUNT(*)
+             AS DECIMAL(38,6)) AS DOUBLE) FROM val)
     """,
 )
 def _q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1223,8 +1225,13 @@ def _q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     (nation at sf0.001 holds a single supplier, so the geography
     widens one level to keep the pytest-scale result non-empty),
     keeping Q11's signature shape — a grouped value per part kept
-    only when it exceeds a FRACTION of the global total (the
-    correlated HAVING over an uncorrelated scalar subquery).
+    only when it exceeds a threshold derived from a global aggregate
+    (the correlated HAVING over an uncorrelated scalar subquery).
+    The cutoff is 2x the MEAN part value rather than TPC-H's
+    fixed fraction of the total: the spec scales its fraction by
+    1/SF precisely because a fixed share empties as the part count
+    grows (observed: 0 rows at sf1) — a mean-relative cutoff keeps
+    the result proportional at every SF with no per-SF parameter.
     Plan: nation+supplier broadcast onto the lineitem scan; one
     partkey shuffle builds the per-part values; the global total is
     a 1-row reaggregation of those partials broadcast back — the
@@ -1242,7 +1249,8 @@ def _q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
              .groupBy("l_partkey")
              .agg(sum_exact(F.col("l_extendedprice") * (1 - F.col("l_discount")))
                    .alias("part_value")))
-    total = val.agg((F.sum("part_value") * 0.001).alias("threshold"))
+    total = val.agg((avg_exact(F.col("part_value")) * 2.0)
+                    .alias("threshold"))
     return (val.crossJoin(F.broadcast(total))
                .filter(F.col("part_value") > F.col("threshold"))
                .select("l_partkey", "part_value"))
