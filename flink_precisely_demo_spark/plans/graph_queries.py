@@ -161,6 +161,10 @@ def _web_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id % {_N_HOSTS} AS src,
              (doc_id * 31 + 7) % {_N_HOSTS} AS dst
       FROM documents
+      UNION ALL
+      SELECT doc_id % {_N_HOSTS},
+             (doc_id * 17 + 3) % {_N_HOSTS}
+      FROM documents
     ),
     und AS (
       SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
@@ -174,17 +178,25 @@ def _web_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     oriented AS (
       -- orient each edge from the lower-(degree, id) endpoint: the
       -- classic wedge-bounding trick, deterministic so both engines
-      -- derive the identical DAG
+      -- derive the identical DAG; dv = the head's degree, carried so
+      -- the wedge dedup below can stay in (degree, id) order
       SELECT CASE WHEN (da.d, u.a) < (db.d, u.b) THEN u.a ELSE u.b END AS u,
-             CASE WHEN (da.d, u.a) < (db.d, u.b) THEN u.b ELSE u.a END AS v
+             CASE WHEN (da.d, u.a) < (db.d, u.b) THEN u.b ELSE u.a END AS v,
+             CASE WHEN (da.d, u.a) < (db.d, u.b) THEN db.d ELSE da.d END AS dv
       FROM und u
       JOIN deg da ON da.host = u.a
       JOIN deg db ON db.host = u.b
     ),
     tri AS (
+      -- each wedge pair once, ordered by the SAME (degree, id) key the
+      -- orientation used, so the closing edge between y and z is
+      -- guaranteed to be oriented y -> z and ONE probe finds it; a raw
+      -- id-order dedup here would probe the wrong direction whenever
+      -- (degree, id) order disagrees with id order and miss triangles
       SELECT e1.u AS x, e1.v AS y, e2.v AS z
       FROM oriented e1
-      JOIN oriented e2 ON e2.u = e1.u AND e2.v > e1.v
+      JOIN oriented e2 ON e2.u = e1.u
+       AND (e2.dv > e1.dv OR (e2.dv = e1.dv AND e2.v > e1.v))
       JOIN oriented e3 ON e3.u = e1.v AND e3.v = e2.v
     ),
     per_host AS (
@@ -220,13 +232,31 @@ def _web_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     wedge self-join and the closing-edge join shuffle on the wedge
     pivot/endpoints (AQE broadcasts the 2-col edge set when small);
     the clustering coefficient is one exact-integer IEEE division."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        (F.col("doc_id") % _N_HOSTS).alias("src"),
-        ((F.col("doc_id") * 31 + 7) % _N_HOSTS).alias("dst"))
-    und = (docs.filter(F.col("src") != F.col("dst"))
-               .select(F.least("src", "dst").alias("a"),
-                       F.greatest("src", "dst").alias("b"))
-               .distinct())
+    docs = load_table(spark, sf_dir, "documents")
+    raw = (docs.select(
+               (F.col("doc_id") % _N_HOSTS).alias("src"),
+               ((F.col("doc_id") * 31 + 7) % _N_HOSTS).alias("dst"))
+           .unionAll(docs.select(
+               (F.col("doc_id") % _N_HOSTS).alias("src"),
+               ((F.col("doc_id") * 17 + 3) % _N_HOSTS).alias("dst"))))
+    und = (raw.filter(F.col("src") != F.col("dst"))
+              .select(F.least("src", "dst").alias("a"),
+                      F.greatest("src", "dst").alias("b"))
+              .distinct())
+    return triangle_stats(und)
+
+
+def triangle_stats(und: DataFrame) -> DataFrame:
+    """Degree-ordered triangle enumeration over a distinct undirected
+    edge set (columns `a` < `b`); returns one row per host with
+    (host, degree, n_triangles, clustering_coef).
+
+    Every ordering decision — edge orientation, wedge-pair dedup, and
+    the closing-edge probe direction — uses the SAME (degree, id) key.
+    Mixing key spaces (orient by (degree, id) but dedup wedges by raw
+    id) silently drops any triangle where the two orders disagree;
+    property-tested against a brute-force counter on random graphs in
+    tests/test_graph.py."""
     deg = (und.select(F.col("a").alias("host"))
               .unionAll(und.select(F.col("b").alias("host")))
               .groupBy("host")
@@ -243,16 +273,26 @@ def _web_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select(F.when(lower, F.col("a")).otherwise(F.col("b"))
                          .alias("u"),
                         F.when(lower, F.col("b")).otherwise(F.col("a"))
-                         .alias("v")))
+                         .alias("v"),
+                        # head's degree: kept so wedge dedup stays in
+                        # (degree, id) order — see docstring
+                        F.when(lower, F.col("db")).otherwise(F.col("da"))
+                         .alias("dv")))
     # the oriented edge set feeds THREE join legs; without a lineage
     # cut each leg re-derives the distinct+degree+orientation chain
     # from the scan (measured 67 exchanges in the audited plan) —
     # checkpoint once, reuse thrice (the PageRank house pattern)
     oriented = oriented.localCheckpoint(eager=True)
-    e1 = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
-    e2 = oriented.select(F.col("u").alias("x"), F.col("v").alias("z"))
+    e1 = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"),
+                         F.col("dv").alias("dy"))
+    e2 = oriented.select(F.col("u").alias("x"), F.col("v").alias("z"),
+                         F.col("dv").alias("dz"))
     e3 = oriented.select(F.col("u").alias("y"), F.col("v").alias("z"))
-    tri = (e1.join(e2, "x").filter(F.col("z") > F.col("y"))
+    # wedge pair dedup in (degree, id) order: y is then the lower
+    # (degree, id) endpoint, so the closing edge is oriented y -> z
+    # and the single equi-join probe below is guaranteed to find it
+    tri = (e1.join(e2, "x")
+             .filter(F.struct("dz", "z") > F.struct("dy", "y"))
              .join(e3, ["y", "z"]))
     per_host = (tri.select(F.col("x").alias("host"))
                    .unionAll(tri.select(F.col("y").alias("host")))
