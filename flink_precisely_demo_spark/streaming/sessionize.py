@@ -83,8 +83,12 @@ def sessionize_stream(events: DataFrame,
     (update mode): every trigger re-emits the user's current open
     sessions plus, once the watermark passes end + gap, a last
     ``final=true`` row before the session leaves state. The row set
-    with the highest ``n_seen`` per user is the latest snapshot.
-    Attach a watermark on ``ts`` upstream to activate eviction."""
+    with the highest ``n_seen`` per user is the latest snapshot:
+    ``n_seen`` is a per-user MONOTONIC snapshot sequence number
+    (advanced by every absorbed event and by every timeout
+    finalization, and preserved across full eviction via a tombstone)
+    so no two emissions of a user ever share it. Attach a watermark
+    on ``ts`` upstream to activate eviction."""
     gap_us = gap_ms * 1000
 
     def fn(key, pdfs: Iterator[pd.DataFrame],
@@ -113,8 +117,14 @@ def session_step(key, pdfs: Iterator[pd.DataFrame],
         for t in (rows["ts"].astype("int64") // 1_000):
             _absorb(sessions, int(t), gap_us)
         n_seen += len(rows)
-    # on timeout the key received no rows this trigger: the
-    # watermark alone decides which sessions finalize below
+    else:
+        # on timeout the key received no rows, but this emission is
+        # still a NEW snapshot (it flips final=false rows to true):
+        # bump the sequence number so the max-n_seen dedup downstream
+        # selects it instead of keeping both versions (r9 advisory —
+        # an unchanged n_seen yielded two contradictory rows for the
+        # same (user, n_seen) key)
+        n_seen += 1
 
     wm_ms = state.getCurrentWatermarkMs()
     wm_us = wm_ms * 1000
@@ -128,7 +138,13 @@ def session_step(key, pdfs: Iterator[pd.DataFrame],
         expiry_ms = min(s[1] + gap_us for s in live) // 1000 + 1
         state.setTimeoutTimestamp(max(expiry_ms, wm_ms + 1))
     else:
-        state.remove()
+        # tombstone, NOT remove(): n_seen must survive full eviction
+        # or a returning user restarts at 0 and the max-n_seen dedup
+        # resurrects stale pre-eviction snapshots (r9 advisory). The
+        # tombstone is ~2 fields and arms no timeout, so state stays
+        # bounded by n_users — the same bound the longevity gate
+        # already enforces — instead of growing with history.
+        state.update((json.dumps([]), n_seen))
 
     uid = int(key[0])
     yield pd.DataFrame([{

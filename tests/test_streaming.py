@@ -1327,9 +1327,12 @@ class _FakeGroupState:
 
 def test_session_step_timeout_finalizes_and_evicts_idle_key():
     """EventTimeTimeout branch: a key that receives NO rows still
-    emits final=true and sheds its state once the watermark passes
-    session_end + gap (r8 advisory — NoTimeout kept idle keys
-    forever)."""
+    emits final=true and sheds its session state once the watermark
+    passes session_end + gap (r8 advisory — NoTimeout kept idle keys
+    forever). The r9 advisory refinement: the timeout emission must
+    carry a HIGHER n_seen than the data-trigger snapshot it
+    supersedes, and eviction leaves a tombstone carrying n_seen (not
+    remove()) so a returning user cannot restart the sequence."""
     import json as _json
 
     from flink_precisely_demo_spark.streaming.sessionize import (
@@ -1343,11 +1346,42 @@ def test_session_step_timeout_finalizes_and_evicts_idle_key():
         wm_ms=(base_us + gap_us) // 1000 + 60_000,  # past expiry
         timed_out=True)
     out = list(session_step((1,), iter([]), state, gap_us))
-    assert state.removed, "idle key must be evicted"
+    assert not state.removed, "tombstone must persist n_seen"
+    assert state.get == (_json.dumps([]), 2), \
+        "tombstone = empty session list + bumped n_seen"
     assert state.timeout_set_ms is None, "no live session, no re-arm"
     rows = out[0].to_dict("records")
     assert len(rows) == 1
     assert rows[0]["final"] is True and rows[0]["n_events"] == 1
+    assert rows[0]["n_seen"] == 2, \
+        "timeout snapshot must supersede the final=false snapshot"
+
+
+def test_session_step_returning_user_continues_n_seen():
+    """A user whose state was fully evicted (tombstone) and who then
+    sends a new event must continue the monotonic n_seen sequence —
+    a restart at 0 would make the max-n_seen dedup select stale
+    pre-eviction snapshots (r9 advisory)."""
+    import json as _json
+
+    import pandas as _pd
+
+    from flink_precisely_demo_spark.streaming.sessionize import (
+        session_step,
+    )
+
+    gap_us = 1_800_000_000
+    base_us = 1_700_000_000_000_000
+    state = _FakeGroupState(
+        value=(_json.dumps([]), 5),  # tombstone after eviction
+        wm_ms=base_us // 1000, timed_out=False)
+    rows = _pd.DataFrame({"ts": _pd.to_datetime(
+        [base_us + 200 * gap_us], unit="us")})
+    out = list(session_step((1,), iter([rows]), state, gap_us))
+    recs = out[0].to_dict("records")
+    assert len(recs) == 1
+    assert recs[0]["n_seen"] == 6, "sequence continues past eviction"
+    assert not recs[0]["final"]
 
 
 def test_session_step_timeout_rearms_for_surviving_sessions():
@@ -1449,9 +1483,16 @@ def test_streaming_sessionize_idle_key_finalized_without_new_rows(
     u1 = [r for r in rows if r["user_id"] == 1]
     finals = [r for r in u1 if r["final"]]
     assert len(finals) == 1 and finals[0]["n_events"] == 1
-    # state sheds the idle key: the last progress with state metrics
-    # reports only user 2's live session
+    # the final=true snapshot must carry the highest n_seen of the
+    # user's rows, so a max-n_seen dedup keeps IT and not the earlier
+    # final=false version (r9 advisory)
+    assert finals[0]["n_seen"] == max(r["n_seen"] for r in u1)
+    # state sheds the idle key's SESSIONS but keeps a 2-field
+    # tombstone carrying n_seen (r9 advisory: remove() let returning
+    # users restart the sequence): user-1 tombstone + user-2 live
+    # session = 2 state rows, bounded by n_users as the longevity
+    # gate enforces
     progresses = [p for p in q.recentProgress
                   if p.get("stateOperators")]
     assert progresses, "no state metrics recorded"
-    assert progresses[-1]["stateOperators"][0]["numRowsTotal"] == 1
+    assert progresses[-1]["stateOperators"][0]["numRowsTotal"] == 2
