@@ -566,11 +566,27 @@ def _streaming_attribution_replay(spark: SparkSession, sf_dir: str) -> DataFrame
         for k in range(2):
             part = os.path.join(staged, f"event_type={etype}",
                                 f"half={k}")
-            srcs = [f for f in os.listdir(part)
-                    if f.endswith(".parquet")]
-            assert len(srcs) == 1, srcs
+            srcs = ([f for f in os.listdir(part)
+                     if f.endswith(".parquet")]
+                    if os.path.isdir(part) else [])
             dst = os.path.join(d, f"b{k}.parquet")
-            os.rename(os.path.join(part, srcs[0]), dst)
+            if srcs:
+                assert len(srcs) == 1, (
+                    f"feed split precondition: expected one parquet "
+                    f"part per (event_type, half), got {srcs} in "
+                    f"{part}")
+                os.rename(os.path.join(part, srcs[0]), dst)
+            else:
+                # a scale point where one half has no rows of this
+                # event type writes no partition dir at all: feed an
+                # EMPTY batch file so the trigger cadence (and the
+                # other stream's watermark advancement) is preserved
+                (spark.createDataFrame([], "user_id long, ts timestamp")
+                 .coalesce(1).write.mode("overwrite")
+                 .parquet(dst + ".tmp"))
+                src = next(f for f in os.listdir(dst + ".tmp")
+                           if f.endswith(".parquet"))
+                os.rename(os.path.join(dst + ".tmp", src), dst)
             os.utime(dst, (1_000_000_000 + 10 * k,) * 2)
         return d
 

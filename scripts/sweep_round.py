@@ -32,9 +32,17 @@ def main() -> None:
              sf_dir],
             capture_output=True, text=True, check=False)
         sys.stderr.write(proc.stderr)
-        line = [ln for ln in proc.stdout.splitlines()
-                if ln.startswith("{")][-1]
-        res = json.loads(line)
+        lines = [ln for ln in proc.stdout.splitlines()
+                 if ln.startswith("{")]
+        if not lines:
+            # child crashed before printing its JSON line: surface ITS
+            # diagnosis, not an IndexError traceback from here
+            sys.stderr.write(
+                f"sweep_scale.py produced no JSON for {sf_dir} "
+                f"(rc={proc.returncode}); stderr above is the real "
+                f"failure\n")
+            sys.exit(proc.returncode or 1)
+        res = json.loads(lines[-1])
         detail = res.pop("detail", {})
         per_sf[label] = res
         failed_any = failed_any or res["n_failed"] > 0
