@@ -1,8 +1,15 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+The LAST stdout line is ONE compact JSON record (kept under 1500
+characters so a tail-capture of stdout always holds it whole — the
+r9 driver artifact kept only the final 2000 chars and lost the
+headline total to the full record's size):
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...20
+   headline times...}, "sf": ..., "streaming_orders_per_sec": ...}
+The full record — secondary query times, error details, metric
+provenance — is written to BENCH_DETAIL.json next to this file and
+echoed to stderr.
 
 Each query is forced to full materialization with the noop sink
 (count() could let Catalyst prune work; noop executes the complete
@@ -185,8 +192,44 @@ def main() -> None:
         # number
         result["errors"] = errors
         result["value_is_partial"] = True
-    print(json.dumps(result))
+
+    # full record: file + stderr (never the tail-captured stdout)
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(result, f, indent=1, sort_keys=True)
+    print(json.dumps(result), file=sys.stderr)
+
+    print(compact_line(result))
     spark.stop()
+
+
+def compact_line(result: dict) -> str:
+    """The record that MUST survive a 2000-char stdout tail capture:
+    headline total + all headline times + streaming rate + secondary
+    rollup, guaranteed <= 1500 chars (per-query detail is shed first
+    if a pathological name set ever pushes past that)."""
+    compact = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "queries": result["queries"],
+        "sf": result["sf"],
+        "streaming_orders_per_sec": result["streaming_orders_per_sec"],
+        "secondary_total": round(
+            sum(result["secondary_queries"].values()), 3),
+        "n_secondary": len(result["secondary_queries"]),
+        "detail": "BENCH_DETAIL.json",
+    }
+    if result.get("errors"):
+        compact["value_is_partial"] = True
+        compact["n_errors"] = len(result["errors"])
+    line = json.dumps(compact)
+    if len(line) > 1500:
+        compact["queries"] = "truncated, see BENCH_DETAIL.json"
+        line = json.dumps(compact)
+    assert len(line) <= 1500, "compact bench line must survive tail capture"
+    return line
 
 
 def _run_stream_once(spark, env_dir, address, states, name):

@@ -1,0 +1,60 @@
+"""The bench artifact contract: the driver keeps only the LAST 2000
+characters of bench.py's stdout, and the r9 round lost the headline
+total and the first four query times to exactly that (the full JSON
+line with 41 secondary entries exceeded the capture). The compact
+final line must always fit, always parse, and always carry every
+headline query, the total, and the streaming rate.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from bench import HEADLINE, compact_line  # noqa: E402
+
+
+def _fake_result(n_secondary: int = 60, with_errors: bool = False):
+    res = {
+        "metric": "headline_queries_total",
+        "value": 123.456,
+        "unit": "sec",
+        "queries": {n: 99.999 for n in HEADLINE},
+        "secondary_queries": {f"some_secondary_query_name_{i:03d}": 99.999
+                              for i in range(n_secondary)},
+        "sf": 0.1,
+        "streaming_orders_per_sec": 123456.7,
+        "streaming_metric": "x" * 300,
+    }
+    if with_errors:
+        res["errors"] = {n: "Boom: " + "y" * 490 for n in HEADLINE}
+        res["value_is_partial"] = True
+    return res
+
+
+def test_compact_line_survives_tail_capture():
+    for kwargs in ({}, {"n_secondary": 500}, {"with_errors": True}):
+        line = compact_line(_fake_result(**kwargs))
+        assert len(line) <= 1500
+        rec = json.loads(line)
+        assert rec["value"] == 123.456
+        assert rec["streaming_orders_per_sec"] == 123456.7
+        assert set(rec["queries"]) == set(HEADLINE)
+        assert rec["metric"] == "headline_queries_total"
+
+
+def test_compact_line_flags_partial_totals():
+    rec = json.loads(compact_line(_fake_result(with_errors=True)))
+    assert rec["value_is_partial"] is True
+    assert rec["n_errors"] == len(HEADLINE)
+
+
+def test_compact_line_is_last_and_detail_is_elsewhere():
+    """The compact record points at the detail file instead of
+    inlining per-secondary times (which is what blew the capture)."""
+    rec = json.loads(compact_line(_fake_result(n_secondary=200)))
+    assert "secondary_queries" not in rec
+    assert rec["n_secondary"] == 200
+    assert rec["detail"] == "BENCH_DETAIL.json"
