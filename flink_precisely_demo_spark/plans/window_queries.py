@@ -625,3 +625,151 @@ def _streaming_attribution_replay(spark: SparkSession, sf_dir: str) -> DataFrame
                     F.col("click_ts").cast("timestamp_ntz"),
                     F.col("purchase_ts").cast("timestamp_ntz"),
                     "lag_seconds", "converted"))
+
+
+@query(
+    "streaming_enrichment_replay",
+    oracle="""
+    WITH dims AS (
+      SELECT c_custkey % 997 AS k,
+             CAST(c_custkey AS DOUBLE) AS ord,
+             c_custkey % 2 AS batch,
+             c_custkey, c_nationkey,
+             CAST(c_acctbal AS DOUBLE) AS acctbal
+      FROM customer WHERE c_custkey % 4 < 2
+    ),
+    facts AS (
+      SELECT o_custkey % 997 AS k,
+             CAST(o_orderkey AS DOUBLE) AS ord,
+             o_orderkey % 2 AS batch,
+             o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+      FROM orders
+    ),
+    seq AS (
+      SELECT k, batch, ord, 0 AS side, c_custkey,
+             CAST(NULL AS BIGINT) AS o_orderkey,
+             CAST(NULL AS DOUBLE) AS price
+      FROM dims
+      UNION ALL
+      SELECT k, batch, ord, 1, CAST(NULL AS BIGINT), o_orderkey, price
+      FROM facts
+    ),
+    -- per key, the engine applies each micro-batch's rows in
+    -- (event-time, side) order with dim-before-fact ties, so the
+    -- TOTAL application order is (batch, ord, side); a fact joins
+    -- the last dim BEFORE it (immediate emit) or, if none, the
+    -- first dim AFTER it (the buffer flushed by that dim's arrival)
+    resolved AS (
+      SELECT *,
+        LAST_VALUE(CASE WHEN side = 0 THEN c_custkey END IGNORE NULLS)
+          OVER (PARTITION BY k ORDER BY batch, ord, side
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          AS prev_ck,
+        FIRST_VALUE(CASE WHEN side = 0 THEN c_custkey END IGNORE NULLS)
+          OVER (PARTITION BY k ORDER BY batch, ord, side
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+          AS next_ck
+      FROM seq
+    )
+    SELECT r.k, r.o_orderkey, r.price,
+           d.c_custkey, d.c_nationkey, d.acctbal
+    FROM resolved r
+    JOIN dims d ON d.k = r.k
+     AND d.c_custkey = COALESCE(r.prev_ck, r.next_ck)
+    WHERE r.side = 1
+    """,
+)
+def _streaming_enrichment_replay(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """The STATEFUL streaming enrichment join (streaming/
+    stateful_join.py — the applyInPandasWithState port of
+    EnrichmentJoin.java's KeyedCoProcessFunction) driven end to end
+    through Structured Streaming and ORACLE-CHECKED, not just
+    pytest-replayed: orders play the fact stream, a filtered slice of
+    customer plays the dim stream (the filter leaves ~25% of keys
+    dim-less so never-emitted facts stay buffered), each split into 2
+    deterministic trigger files. The batch oracle reproduces the
+    buffer/flush contract exactly — immediate emit against the latest
+    prior dim, buffered facts flushing against the first dim that
+    arrives after them, latest-dim overwrite on re-arrival — so a
+    regression in ANY of those state transitions breaks the hash.
+
+    Scale shape: the union is shuffle-partitioned once on the join
+    key into the state store; per key the state holds one dim row
+    plus a buffer that drains on first match, exactly the reference's
+    ValueState + ListState footprint."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming.pipeline import drain_query
+    from ..streaming.stateful_join import enrich_stream
+
+    work = tempfile.mkdtemp(prefix="stream_enrich_replay_")
+
+    def stage(df: DataFrame, batch_col, name: str) -> str:
+        staged = os.path.join(work, name + "_staged")
+        d = os.path.join(work, name)
+        os.makedirs(d)
+        (df.withColumn("half", batch_col)
+           .repartition("half")
+           .write.partitionBy("half").parquet(staged))
+        for kk in range(2):
+            part = os.path.join(staged, f"half={kk}")
+            srcs = ([f for f in os.listdir(part)
+                     if f.endswith(".parquet")]
+                    if os.path.isdir(part) else [])
+            dst = os.path.join(d, f"b{kk}.parquet")
+            if srcs:
+                assert len(srcs) == 1, srcs
+                os.rename(os.path.join(part, srcs[0]), dst)
+            else:
+                (df.limit(0).drop("half") if "half" in df.columns
+                 else df.limit(0)) \
+                    .coalesce(1).write.parquet(dst + ".tmp")
+                src = next(f for f in os.listdir(dst + ".tmp")
+                           if f.endswith(".parquet"))
+                os.rename(os.path.join(dst + ".tmp", src), dst)
+            os.utime(dst, (1_000_000_000 + 10 * kk,) * 2)
+        return d
+
+    dims_b = load_table(spark, sf_dir, "customer") \
+        .filter(F.col("c_custkey") % 4 < 2) \
+        .select((F.col("c_custkey") % 997).alias("k"),
+                "c_custkey", "c_nationkey",
+                F.col("c_acctbal").cast("double").alias("acctbal"))
+    facts_b = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 997).alias("k"),
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("price"))
+    ddir = stage(dims_b, F.col("c_custkey") % 2, "dims")
+    fdir = stage(facts_b, F.col("o_orderkey") % 2, "facts")
+
+    dim_schema = "k long, c_custkey long, c_nationkey long, acctbal double"
+    fact_schema = "k long, o_orderkey long, price double"
+    dim_s = (spark.readStream.schema(dim_schema)
+             .option("maxFilesPerTrigger", 1).parquet(ddir))
+    fact_s = (spark.readStream.schema(fact_schema)
+              .option("maxFilesPerTrigger", 1).parquet(fdir))
+
+    name = f"enrich_replay_{uuid.uuid4().hex[:8]}"
+    # state partitions sized to the replay's micro-batch volume, not
+    # core count (the attribution-replay house note: per-batch cost is
+    # state-store open/commit PER PARTITION); conf restored after
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = (enrich_stream(fact_s, dim_s, key="k",
+                           order_col="o_orderkey",
+                           dim_order_col="c_custkey")
+             .writeStream.outputMode("append")
+             .format("memory").queryName(name)
+             .option("checkpointLocation", os.path.join(work, "ckpt"))
+             .trigger(availableNow=True).start())
+        drain_query(q, 600, name)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.table(name).select(
+        "k", "o_orderkey", "price", "c_custkey", "c_nationkey", "acctbal")

@@ -70,46 +70,53 @@ def test_parity_queries_inside_driver_window():
         "cdc_envelope_decode", "projection_flatten",
         "parse_ts_roundtrip", "enrichment_latest_join",
         "tumbling_window_events", "window_analytics",
-        # r9 rotation: ALL 16 former-_PENDING entries (zero driver
-        # greens) hold seats until validated
-        "dedup_passage_exact", "text_winnow_fingerprints",
-        "sketch_heavy_hitters", "streaming_session_replay",
-        "jsonl_corpus_roundtrip", "bloom_semijoin_prune",
-        "embedding_pq_codebook", "ann_ivf_pq_topk",
-        "q16_supplier_part_types", "q20_potential_promotion",
-        "event_pattern_match", "crawl_to_training_shards",
-        "streaming_pattern_replay", "embedding_hard_negatives",
-        "deletion_propagation_audit", "corpus_datasheet",
-        # r8 single-green holdovers earning the second green
-        "warc_to_corpus", "text_bm25_term_scores",
-        "table_profile_orders", "robots_txt_gate",
-        "event_funnel_steps", "skew_salted_agg",
-        "zorder_layout_stats", "streaming_funnel_replay",
-        # returning 4-round-stale entries
-        "q15_top_supplier", "q17_small_quantity_revenue",
-        # r9-new TPC-H completions (never validated)
-        "q2_min_cost_supplier", "q9_product_type_profit",
-        "q11_important_stock", "q12_shipping_priority_class",
-        # re-seated for stale-evidence refresh (an anticipated MP3
-        # decoder was deliberately not shipped — COVERAGE.md r9 note)
-        "multimodal_format_audit",
-        # late-r9 never-validated additions (outrank stale greens)
-        "web_triangle_count", "attribution_multi_touch",
-        "bpe_vocab_merges", "bpe_encode_corpus", "ann_recall_eval",
-        # late-r9 never-validated additions (outrank stale greens)
-        "text_bigram_typicality", "streaming_attribution_replay"]:
+        # r10 rotation: every entry whose last driver green is r6
+        # (4 rounds stale — the r9 verdict's mandated refresh cohort)
+        "cdc_apply_snapshot", "dedup_pipeline_e2e",
+        "q4_order_priority", "q21_waiting_supplier",
+        "q22_global_sales_opportunity", "multimodal_video_decode",
+        "curation_pack_chunks",
+        "anti_semi_join", "array_functions_embeddings", "cube_agg",
+        "distinct_agg", "full_outer_join_nulls", "grouping_sets",
+        "histogram_buckets", "intersect_keys", "percentile_exact",
+        "pivot_events", "regex_extract_props", "rollup_agg",
+        "set_ops", "string_math_funcs", "subquery_in_exists",
+        "unpivot_measures",
+        # stalest r7-last-green block (13 seats)
+        "q1_pricing_summary", "dedup_minhash_lsh",
+        "similarity_ivf_topk", "multimodal_image_decode",
+        "text_repetition_quality", "curation_pipeline_e2e",
+        "curation_sample", "curation_split",
+        "dedup_simhash", "dedup_simhash_pairs",
+        "text_language_id", "text_quality_score",
+        "session_window_events",
+        # re-seated: semantics changed in r10 (the (degree,id)
+        # wedge-order fix + triangle-bearing graph), so its r9
+        # evidence no longer covers the code
+        "web_triangle_count",
+        # new in r10, never validated: the oracle-checked stateful
+        # enrichment-join replay
+        "streaming_enrichment_replay"]:
         assert name in first50, f"{name} fell outside the driver window"
 
 
 def test_deferred_entries_have_driver_green_history():
     """Mechanical deferral criterion: a query may be parked outside
-    the driver's 50-slot snapshot ONLY after >= 2 driver-green rounds
-    recorded in the repo's CORRECTNESS_r*.json artifacts. This makes
-    hand-picking the externally-verified set impossible: new code must
-    earn its green rows inside the window before it can rotate out."""
+    the driver's 50-slot snapshot ONLY with
+    (a) >= 2 driver-green rounds in the repo's CORRECTNESS_r*.json
+        artifacts, or
+    (b) exactly 1 driver-green round PLUS a passing row at EVERY
+        scale point of the latest SWEEP_r*.json artifact (the sf1 +
+        sf10 full-hash/digest checks) — the r10 amendment that lets a
+        driver-validated-once entry yield its seat to a staler one
+        when large-scale hash evidence also backs it.
+    This makes hand-picking the externally-verified set impossible:
+    new code must earn a green row inside the window before it can
+    rotate out."""
     import glob
     import json
     import os
+    import re
 
     import __spark_entry__ as e
 
@@ -123,9 +130,30 @@ def test_deferred_entries_have_driver_green_history():
                 if (row.get("rows_match") and row.get("schema_match")
                         and row.get("hash_match")):
                     greens[name] = greens.get(name, 0) + 1
-    offenders = [n for n in e._DEFERRED if greens.get(n, 0) < 2]
+
+    sweeps = glob.glob(os.path.join(root, "SWEEP_r*.json"))
+    latest_sweep = max(
+        sweeps,
+        key=lambda p: int(re.search(r"SWEEP_r(\d+)", p).group(1)),
+        default=None)
+    sweep_green: set[str] = set()
+    if latest_sweep:
+        with open(latest_sweep) as f:
+            doc = json.load(f)
+        points = doc.get("scale_points", [])
+        for name, by_sf in doc.get("entries", {}).items():
+            ok = [sf for sf in points
+                  if str(by_sf.get(sf, "")).split("(")[0]
+                  in ("full", "digest", "full-bounded-docs")]
+            if points and len(ok) == len(points):
+                sweep_green.add(name)
+
+    offenders = [n for n in e._DEFERRED
+                 if greens.get(n, 0) < 2
+                 and not (greens.get(n, 0) == 1 and n in sweep_green)]
     assert not offenders, (
-        f"deferred without >= 2 prior driver-green rounds: {offenders}")
+        "deferred without (>= 2 driver greens) or (1 driver green + "
+        f"all-scale-point sweep greens): {offenders}")
 
 
 def test_pending_entries_are_never_validated():
