@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .broadcast import hint_broadcast_if_small
+
 
 def hot_keys(df: DataFrame, key: str,
              min_fraction: float = 0.01) -> DataFrame:
@@ -63,5 +65,8 @@ def salted_broadcast_left(fact: DataFrame, dim: DataFrame, key: str,
         F.broadcast(
             fact.sparkSession.range(n_salts)
                 .select(F.col("id").cast("int").alias("__salt"))))
-    out = fact_s.join(F.broadcast(dim_s), [key, "__salt"])
+    # the replicated dim is n_salts x dim rows — measured hint, so
+    # an oversized dim degrades to a shuffle join on (key, salt)
+    # instead of OOM-ing the broadcast
+    out = fact_s.join(hint_broadcast_if_small(dim_s), [key, "__salt"])
     return out.drop("__salt")

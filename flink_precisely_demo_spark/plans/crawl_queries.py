@@ -41,6 +41,7 @@ from ..functions.text import (
     url_canonicalize,
 )
 from ..sources.parquet import load_table
+from ..operators.broadcast import hint_broadcast_if_small
 from .queries import query
 from .text_queries import _lang_case_sql, _marker_count, _TOKS, canonical_sql
 
@@ -328,7 +329,7 @@ def _robots_txt_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.when(d % 3 == 0, 1).otherwise(0).alias("allow"),
                      F.lit(4).alias("rule_len")))).alias("r")
     ).select("dom", "r.prefix", "r.allow", "r.rule_len")
-    j = urls.join(F.broadcast(rules), "dom").filter(
+    j = urls.join(hint_broadcast_if_small(rules), "dom").filter(
         F.col("path").startswith(F.col("prefix")))
     score = 2 * F.col("rule_len") + F.col("allow")
     matched = (j.groupBy("doc_id", "dom", "path")

@@ -14,8 +14,9 @@ FIXTURES.md §B role mapping): Country := r_name, State := n_name,
 OrderAsOf := o_orderdate, TotalDue := o_totalprice.
 
 Physical shape (checked with .explain — see tests/test_flagship.py):
-nation (25 rows) and region (5 rows) broadcast; customer broadcasts at
-test SF and shuffles at 100 TB where AQE decides; the single big
+nation (25 rows) and region (5 rows) broadcast; customer broadcasts
+only under the measured hint_broadcast_if_small bound and shuffles
+past it; the single big
 shuffle is the hash aggregation on (Country, State, window), with
 map-side partial aggregation. No Python anywhere in the plan.
 """
@@ -25,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.broadcast import hint_broadcast_if_small
 from ..operators.enrichment_join import enrich
 from ..operators.windowed_agg import sum_exact, tumbling_window_agg
 from ..sources.parquet import load_table
@@ -52,7 +54,11 @@ def flagship_query(spark: SparkSession, sf_dir: str,
     fact = orders.withColumnRenamed("o_custkey", "c_custkey") \
                  .withColumn("OrderAsOf", F.col("o_orderdate")) \
                  .withColumn("TotalDue", F.col("o_totalprice"))
-    enriched = enrich(fact, F.broadcast(dim), "c_custkey") \
+    # customer GROWS with SF: hint only under the measured bound,
+    # above it the join degrades to shuffle (the unconditional hint
+    # here contradicted this module's own 100 TB claim — r9 advisory
+    # family)
+    enriched = enrich(fact, hint_broadcast_if_small(dim), "c_custkey") \
         .withColumn("Country", F.col("r_name")) \
         .withColumn("State", F.col("n_name"))
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.broadcast import hint_broadcast_if_small
 from ..operators.windowed_agg import avg_exact, sum_exact
 from ..sources.parquet import load_table, register_views
 from .queries import query
@@ -223,7 +224,7 @@ def _q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp_ntz"))
     return (li.join(o, li.l_orderkey == o.o_orderkey)
-              .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+              .join(hint_broadcast_if_small(c), o.o_custkey == c.c_custkey)
               .groupBy("l_orderkey", "o_orderdate")
               .agg(sum_exact(F.col("l_extendedprice") * (1 - F.col("l_discount")))
                    .alias("revenue"))
@@ -443,7 +444,8 @@ def _q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
-    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    j = li.join(hint_broadcast_if_small(p),
+                F.col("l_partkey") == F.col("p_partkey"))
     return j.agg(
         F.round(100.0 * sum_exact(promo) / sum_exact(rev), 6)
          .alias("promo_pct"))
@@ -596,8 +598,10 @@ def _q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation"))
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    j = (li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-           .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+    j = (li.join(hint_broadcast_if_small(p),
+                 F.col("l_partkey") == F.col("p_partkey"))
+           .join(hint_broadcast_if_small(s),
+                 F.col("l_suppkey") == F.col("s_suppkey"))
            .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
            .join(c, F.col("o_custkey") == F.col("c_custkey"))
            .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nkey"))
@@ -636,7 +640,8 @@ def _q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
-    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    j = li.join(hint_broadcast_if_small(p),
+                F.col("l_partkey") == F.col("p_partkey"))
     b = (((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
           & F.col("l_quantity").between(1, 21))
          | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30)
@@ -712,9 +717,12 @@ def _q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
               .filter(F.col("total_revenue") == F.col("__max"))
               .drop("__max"))
     s = _t(spark, sf_dir, "supplier")
-    return (top.join(F.broadcast(s),
-                     F.col("supplier_no") == F.col("s_suppkey"))
-               .select("s_suppkey", "s_name", "total_revenue"))
+    # the max-revenue side is 1 row (ties aside) — THAT is the
+    # broadcast side; supplier grows with SF and was the r9-flagged
+    # wrong-way hint
+    return (s.join(F.broadcast(top),
+                   F.col("supplier_no") == F.col("s_suppkey"))
+             .select("s_suppkey", "s_name", "total_revenue"))
 
 
 @query(
@@ -748,7 +756,8 @@ def _q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .agg((0.5 * (sum_exact("l_quantity") / F.count(F.lit(1))))
                        .alias("half_avg")))
     p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
-    j = (li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    j = (li.join(hint_broadcast_if_small(p),
+                 F.col("l_partkey") == F.col("p_partkey"))
            .join(avg_half, F.col("l_partkey") == F.col("a_partkey"))
            .filter(F.col("l_quantity") < F.col("half_avg")))
     return j.agg(
@@ -846,7 +855,7 @@ def _q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").isin("NATION_3", "NATION_7"))
     dim = s.join(F.broadcast(n),
                  F.col("s_nationkey") == F.col("n_nationkey"))
-    return (cand.join(F.broadcast(dim),
+    return (cand.join(hint_broadcast_if_small(dim),
                       F.col("l_suppkey") == F.col("s_suppkey"))
                 .groupBy("s_name")
                 .agg(F.count(F.lit(1)).alias("numwait")))
@@ -964,7 +973,7 @@ def _bloom_semijoin_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
                           "o_custkey", pos)
     exact = keys.withColumn("__exact", F.lit(True))
     flagged = (flagged.join(
-        F.broadcast(exact),
+        hint_broadcast_if_small(exact),
         flagged["o_custkey"] == exact["c_custkey"], "left")
         .fillna({"__exact": False}))
     core = flagged.agg(
@@ -1014,7 +1023,7 @@ def _q16_supplier_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = part.filter((F.col("p_brand") != "Brand#13")
                     & (F.col("p_type") != "MEDIUM")
                     & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
-    return (ps.join(F.broadcast(p),
+    return (ps.join(hint_broadcast_if_small(p),
                     ps["l_partkey"] == p["p_partkey"])
               .groupBy("p_brand", "p_type", "p_size")
               .agg(F.count_distinct("l_suppkey").alias("supplier_cnt")))
@@ -1060,7 +1069,7 @@ def _q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = part.filter(F.col("p_name").like("small%")).select("p_partkey")
     vol = (li.filter((F.col("l_shipdate") >= "1996-01-01")
                      & (F.col("l_shipdate") < "1997-01-01"))
-             .join(F.broadcast(p),
+             .join(hint_broadcast_if_small(p),
                    li["l_partkey"] == p["p_partkey"])
              .groupBy("l_suppkey")
              .agg(F.sum(F.col("l_quantity").cast("bigint"))
@@ -1068,7 +1077,7 @@ def _q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = vol.agg(F.max("qty").alias("max_qty"))
     return (vol.crossJoin(F.broadcast(mx))
                .filter(2 * F.col("qty") > F.col("max_qty"))
-               .join(F.broadcast(sup),
+               .join(hint_broadcast_if_small(sup),
                      vol["l_suppkey"] == sup["s_suppkey"])
                .join(F.broadcast(nat),
                      sup["s_nationkey"] == nat["n_nationkey"])
@@ -1140,9 +1149,9 @@ def _q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = (_t(spark, sf_dir, "part")
          .filter((F.col("p_type") == "STANDARD") & (F.col("p_size") <= 15))
          .select("p_partkey", "p_brand"))
-    offer = (cost.join(F.broadcast(eu),
+    offer = (cost.join(hint_broadcast_if_small(eu),
                        cost["l_suppkey"] == F.col("s_suppkey"))
-                 .join(F.broadcast(p),
+                 .join(hint_broadcast_if_small(p),
                        cost["l_partkey"] == p["p_partkey"]))
     w = Window.partitionBy("p_partkey")
     return (offer.withColumn("best_cost", F.min("unit_cost").over(w))
@@ -1187,8 +1196,10 @@ def _q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     profit = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
               - F.col("p_retailprice") * F.col("l_quantity"))
-    return (li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
-              .join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+    return (li.join(hint_broadcast_if_small(p),
+                    li["l_partkey"] == p["p_partkey"])
+              .join(hint_broadcast_if_small(sup),
+                    li["l_suppkey"] == sup["s_suppkey"])
               .join(F.broadcast(nat),
                     sup["s_nationkey"] == nat["n_nationkey"])
               .join(o, li["l_orderkey"] == o["o_orderkey"])
@@ -1243,8 +1254,9 @@ def _q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
            .join(F.broadcast(reg),
                  F.col("n_regionkey") == reg["r_regionkey"])
            .select("n_nationkey"))
-    val = (li.join(F.broadcast(sup.join(F.broadcast(nat),
-                                        sup["s_nationkey"] == F.col("n_nationkey"))),
+    val = (li.join(hint_broadcast_if_small(
+                       sup.join(F.broadcast(nat),
+                                sup["s_nationkey"] == F.col("n_nationkey"))),
                    li["l_suppkey"] == F.col("s_suppkey"))
              .groupBy("l_partkey")
              .agg(sum_exact(F.col("l_extendedprice") * (1 - F.col("l_discount")))

@@ -22,6 +22,7 @@ from ..functions.text import (
     tokens,
 )
 from ..sources.parquet import load_table
+from ..operators.broadcast import hint_broadcast_if_small
 from .queries import query
 
 
@@ -573,7 +574,7 @@ def _text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
            .groupBy("doc_id", "term")
            .agg(F.count(F.lit(1)).alias("tf")))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(F.broadcast(df_), "term").select(
+    scored = tf.join(hint_broadcast_if_small(df_), "term").select(
         "doc_id", "term", "tf", "df",
         (F.col("tf") * (F.lit(n_docs) + 1) / (F.col("df") + 1))
         .alias("score"))
@@ -1032,7 +1033,8 @@ def _bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(tokens("text")).alias("word"))
     # OOV words (below the trainer's frequency floor) segment to
     # characters: length(word) chars + the </w> marker
-    per_doc = (doc_toks.join(F.broadcast(wlen), "word", "left")
+    per_doc = (doc_toks.join(hint_broadcast_if_small(wlen),
+                             "word", "left")
                .groupBy("doc_id")
                .agg(F.count(F.lit(1)).cast("long").alias("n_words"),
                     F.sum(F.length("word")).cast("long")

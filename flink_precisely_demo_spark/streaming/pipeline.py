@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.broadcast import hint_broadcast_if_small
+
 from ..functions.datetime_fns import parse_ts
 from ..operators.windowed_agg import sum_exact
 from ..schemas import ORDERS_PAYLOAD
@@ -68,8 +70,11 @@ def streaming_flagship(spark: SparkSession, envelope_dir: str,
     states = states_dim.select(
         "StateProvinceID", "CountryRegionCode",
         F.col("Name").alias("StateName"))
+    # addr plays the customer table and grows with SF: measured
+    # hint (stream-static join probes the STATIC side, so the bounded
+    # count is legal here); states is nation-sized — fixed
     enriched = (orders
-                .join(F.broadcast(addr), "AddressId")
+                .join(hint_broadcast_if_small(addr), "AddressId")
                 .join(F.broadcast(states), "StateProvinceID"))
 
     agg = (enriched

@@ -414,3 +414,86 @@ def test_ivf_pq_candidates_never_carry_vectors(spark):
         if "Exchange hashpartitioning" in line:
             assert "embedding" not in line and "q_vec" not in line \
                 and "n_vec" not in line, line
+
+
+def test_hint_broadcast_if_small_both_regimes(spark):
+    """The r10 conditional-broadcast helper: under the measured row
+    bound the join carries the broadcast hint; above it the hint is
+    withheld and (with auto-broadcast off, the web-scale surrogate)
+    the join runs as a shuffle join — same rows either way."""
+    from flink_precisely_demo_spark.operators.broadcast import (
+        hint_broadcast_if_small,
+    )
+
+    fact = spark.range(0, 10_000).select(
+        (F.col("id") % 100).alias("k"), F.col("id").alias("v"))
+    dim = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 7).alias("w"))
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # small regime: probe passes, hint forces the broadcast even
+        # with auto-broadcast disabled
+        j_small = fact.join(hint_broadcast_if_small(dim, 1000), "k")
+        plan = _physical(j_small)
+        assert "BroadcastHashJoin" in plan, plan
+        # large regime: probe fails, no hint -> shuffle join
+        j_large = fact.join(hint_broadcast_if_small(dim, 10), "k")
+        plan = _physical(j_large)
+        assert "BroadcastHashJoin" not in plan, plan
+        assert "CartesianProduct" not in plan
+        a = sorted(tuple(r) for r in j_small.collect())
+        b = sorted(tuple(r) for r in j_large.collect())
+        assert a == b and len(a) == 10_000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_no_unconditional_broadcast_on_sf_growing_sides():
+    """Source-level guard for the r9 advisory: every F.broadcast()
+    call site in the package must feed from a fixed-cardinality frame
+    (nation/region, 1-row aggregates, probe/seed sets bounded by
+    construction) — SF-growing sides (part, supplier, customer,
+    vocabularies, rule tables) must route through
+    hint_broadcast_if_small. The allowlist below was audited in r10;
+    a NEW F.broadcast call site fails this test until it is either
+    converted or audited onto the list."""
+    import re
+    import subprocess
+
+    out = subprocess.run(
+        ["grep", "-rn", r"F\.broadcast(", "flink_precisely_demo_spark/"],
+        capture_output=True, text=True, cwd="/root/repo").stdout
+    sites = set()
+    for line in out.splitlines():
+        m = re.match(r"([^:]+):(\d+):", line)
+        if m:
+            sites.add(m.group(1))
+    audited_fixed_cardinality = {
+        # nation/region chains, 1-row aggregates, bounded seed/probe
+        # sets, codebooks, bit-position sets, salt ranges (audited r10)
+        "flink_precisely_demo_spark/operators/bloom.py",
+        "flink_precisely_demo_spark/operators/bpe.py",
+        "flink_precisely_demo_spark/operators/curation.py",
+        "flink_precisely_demo_spark/operators/enrichment_join.py",
+        "flink_precisely_demo_spark/operators/skew.py",
+        "flink_precisely_demo_spark/operators/broadcast.py",
+        "flink_precisely_demo_spark/plans/ann_queries.py",
+        "flink_precisely_demo_spark/plans/crawl_queries.py",
+        "flink_precisely_demo_spark/plans/curation_queries.py",
+        "flink_precisely_demo_spark/plans/flagship.py",
+        "flink_precisely_demo_spark/plans/graph_queries.py",
+        "flink_precisely_demo_spark/plans/layout_queries.py",
+        "flink_precisely_demo_spark/plans/olap_queries.py",
+        "flink_precisely_demo_spark/plans/queries.py",
+        "flink_precisely_demo_spark/plans/search_queries.py",
+        "flink_precisely_demo_spark/plans/similarity_queries.py",
+        "flink_precisely_demo_spark/plans/sketch_queries.py",
+        "flink_precisely_demo_spark/plans/text_queries.py",
+        "flink_precisely_demo_spark/streaming/pipeline.py",
+    }
+    unaudited = sites - audited_fixed_cardinality
+    assert not unaudited, (
+        f"new F.broadcast call sites need a growing-side audit: "
+        f"{sorted(unaudited)}")
