@@ -147,7 +147,15 @@ def _range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     a per-key cross product. At 100 TB the shuffle key is
     (user_id, time_bucket) — bounded fanout of 2 buckets per row —
     versus a user_id-only key whose per-key cross product is
-    quadratic in the hottest user."""
+    quadratic in the hottest user.
+
+    Hot-key output bound (r9 advisory): the PAIR COUNT itself is
+    still click x followup per (user, bucket) — for this query that
+    is the requested result (every pair IS a row), so no cap applies
+    here; a deployment facing adversarial per-key rates applies the
+    per-(user, hour) candidate pre-cap exactly as
+    `multi_touch_attribution` does (`_TOUCH_CAND_CAP` above), which
+    bounds any key's fan before the join."""
     ev = _t(spark, sf_dir, "events")
     gap_us = 300 * 1_000_000
     us = F.unix_micros(F.col("ts").cast("timestamp"))
@@ -1310,17 +1318,96 @@ def _q12_shipping_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count")))
 
 
+# Hot-key bounds for the attribution interval join (r9 advisory: an
+# uncapped bot user with C clicks and P purchases in one hour makes
+# the pair output C*P — quadratic in the key's rate). Two caps, both
+# reproduced exactly in the oracle so the row set still full-hashes:
+# - _TOUCH_CAND_CAP: clicks kept per (user, hour bucket), applied
+#   BEFORE the join — bounds the join fan to <= 2*cap candidates per
+#   purchase (a 1-hour window spans at most 2 buckets), which is what
+#   actually kills the quadratic blowup;
+# - _MAX_TOUCHES: most-recent touches kept per purchase AFTER the
+#   join — the attribution-semantics cap (linear credit over at most
+#   N touches), with the overflow visible via
+#   `attribution_oversized_purchases` (the minhash_oversized_buckets
+#   house pattern).
+# Neither cap binds on the synthetic feed at ANY tested scale point
+# (measured max: 2 touches/purchase, 2 clicks/(user, hour) — events
+# scale by adding users, not per-user rate), so the rows equal the
+# uncapped r9 output everywhere the evidence ladder runs.
+_TOUCH_CAND_CAP = 64
+_MAX_TOUCHES = 16
+
+
+def _touch_pairs(p: DataFrame, c: DataFrame) -> DataFrame:
+    """Interval join of purchases x candidate-capped clicks, with the
+    per-purchase recency rank and candidate count attached (one
+    purchase_id shuffle serves both window functions)."""
+    wc = (Window.partitionBy("__cu", "__bkt")
+                .orderBy(F.desc("click_ts"), F.desc("click_id")))
+    c = (c.withColumn("__bkt", F.date_trunc("hour", "click_ts"))
+          .withColumn("__r", F.row_number().over(wc))
+          .filter(F.col("__r") <= _TOUCH_CAND_CAP)
+          .drop("__r", "__bkt"))
+    touch = (p.join(c, (F.col("user_id") == F.col("__cu"))
+                    & (F.col("click_ts")
+                       >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+                    & (F.col("click_ts") <= F.col("purchase_ts")))
+              .select("purchase_id", "user_id", "value",
+                      "click_id", "click_ts"))
+    wp = Window.partitionBy("purchase_id")
+    wpo = wp.orderBy(F.desc("click_ts"), F.desc("click_id"))
+    return (touch.withColumn("__rank", F.row_number().over(wpo))
+                 .withColumn("__cand", F.count(F.lit(1)).over(wp)))
+
+
+def multi_touch_attribution(p: DataFrame, c: DataFrame) -> DataFrame:
+    """Capped linear attribution over (purchases, clicks) frames —
+    factored out so the degenerate-input bound test can drive it with
+    a planted bot user. Column contract: p = (purchase_id, user_id,
+    purchase_ts, value); c = (click_id, __cu, click_ts)."""
+    kept = _touch_pairs(p, c).filter(F.col("__rank") <= _MAX_TOUCHES)
+    n = F.least(F.col("__cand"), F.lit(_MAX_TOUCHES))
+    return kept.select(
+        "purchase_id", "click_id", "user_id",
+        n.cast("long").alias("n_touches"),
+        (F.lit(1.0) / n).alias("weight"),
+        F.round((F.col("value") / n).cast("double"), 6)
+         .alias("value_share"))
+
+
+def attribution_oversized_purchases(p: DataFrame,
+                                    c: DataFrame) -> DataFrame:
+    """Side output: purchases whose candidate touch set exceeded
+    `_MAX_TOUCHES` (credit was truncated to the most recent N) —
+    route to logging/review, the minhash_oversized_buckets pattern."""
+    return (_touch_pairs(p, c)
+            .filter(F.col("__rank") == 1)
+            .filter(F.col("__cand") > _MAX_TOUCHES)
+            .select("purchase_id", "user_id",
+                    F.col("__cand").cast("long").alias("n_candidates"),
+                    F.lit(_MAX_TOUCHES).cast("long").alias("kept")))
+
+
 @query(
     "attribution_multi_touch",
-    oracle="""
-    WITH p AS (
+    oracle=f"""
+    WITH c0 AS (
+      SELECT event_id AS click_id, user_id, ts AS click_ts,
+             date_trunc('hour', ts) AS bkt
+      FROM events WHERE event_type = 'click'
+    ),
+    c AS (
+      SELECT click_id, user_id, click_ts FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, bkt
+                    ORDER BY click_ts DESC, click_id DESC) AS r
+        FROM c0)
+      WHERE r <= {_TOUCH_CAND_CAP}
+    ),
+    p AS (
       SELECT event_id AS purchase_id, user_id,
              ts AS purchase_ts, value
       FROM events WHERE event_type = 'purchase'
-    ),
-    c AS (
-      SELECT event_id AS click_id, user_id, ts AS click_ts
-      FROM events WHERE event_type = 'click'
     ),
     touch AS MATERIALIZED (
       SELECT p.purchase_id, p.user_id, p.value,
@@ -1329,29 +1416,35 @@ def _q12_shipping_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
        AND c.click_ts >= p.purchase_ts - INTERVAL 1 HOUR
        AND c.click_ts <= p.purchase_ts
     ),
-    n AS (
-      SELECT purchase_id, CAST(COUNT(*) AS BIGINT) AS n_touches
-      FROM touch GROUP BY 1
+    ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY purchase_id
+                 ORDER BY click_ts DESC, click_id DESC) AS rnk,
+             COUNT(*) OVER (PARTITION BY purchase_id) AS cand
+      FROM touch
     )
-    SELECT t.purchase_id, t.click_id, t.user_id, n.n_touches,
-           1.0 / n.n_touches AS weight,
-           round(CAST(t.value / n.n_touches AS DOUBLE), 6)
+    SELECT purchase_id, click_id, user_id,
+           CAST(LEAST(cand, {_MAX_TOUCHES}) AS BIGINT) AS n_touches,
+           1.0 / LEAST(cand, {_MAX_TOUCHES}) AS weight,
+           round(CAST(value / LEAST(cand, {_MAX_TOUCHES}) AS DOUBLE), 6)
              AS value_share
-    FROM touch t JOIN n USING (purchase_id)
+    FROM ranked WHERE rnk <= {_MAX_TOUCHES}
     """,
 )
 def _attribution_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear multi-touch attribution — the batch generalization of
     the as-of (last-touch) join: every click inside the hour before
-    a purchase receives an equal 1/n share of the purchase value.
-    The touch set comes from one interval join (same shape as
-    range_join_events); the per-purchase touch count is a second
-    aggregation over the join output, broadcast back onto it by AQE.
-    Every weight is one IEEE division of exact integers and the
-    share is rounded at 6 dp, so the row set full-hash-checks.
+    a purchase receives an equal 1/n share of the purchase value,
+    over at most `_MAX_TOUCHES` most-recent touches with the click
+    candidates pre-capped per (user, hour) — see the cap block above
+    for the hot-key bound argument (r9 advisory). Every weight is one
+    IEEE division of exact integers and the share is rounded at 6 dp,
+    so the row set full-hash-checks against the identically-capped
+    oracle.
     At 100 TB both inputs shuffle once on user_id for the interval
-    join; the n_touches agg and its re-join ride the purchase_id
-    partitioning of the join output."""
+    join; the recency rank and candidate count share ONE purchase_id
+    window partitioning, and the pre-cap bounds any key's join fan
+    to 2 x cap regardless of its click rate."""
     ev = _t(spark, sf_dir, "events")
     p = (ev.filter(F.col("event_type") == "purchase")
            .select(F.col("event_id").alias("purchase_id"), "user_id",
@@ -1360,19 +1453,4 @@ def _attribution_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select(F.col("event_id").alias("click_id"),
                    F.col("user_id").alias("__cu"),
                    F.col("ts").alias("click_ts")))
-    touch = (p.join(c, (F.col("user_id") == F.col("__cu"))
-                    & (F.col("click_ts")
-                       >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
-                    & (F.col("click_ts") <= F.col("purchase_ts")))
-              .select("purchase_id", "user_id", "value",
-                      "click_id", "click_ts"))
-    n = touch.groupBy("purchase_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_touches"))
-    return (touch.join(n, "purchase_id")
-                 .select("purchase_id", "click_id", "user_id",
-                         "n_touches",
-                         (F.lit(1.0) / F.col("n_touches"))
-                          .alias("weight"),
-                         F.round((F.col("value") / F.col("n_touches"))
-                                 .cast("double"), 6)
-                          .alias("value_share")))
+    return multi_touch_attribution(p, c)

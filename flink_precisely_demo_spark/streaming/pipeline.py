@@ -144,6 +144,18 @@ def stream_interval_join(clicks: DataFrame, purchases: DataFrame,
     attribution join: state per key is one window of clicks, the
     shuffle is the keyed exchange both inputs already need.
 
+    State/output bound under hot keys (r9 advisory): the watermark
+    bounds STATE to rate x horizon per key — that is the engine's
+    guarantee and it holds for any key — but a bot key's in-horizon
+    rows still pair multiplicatively in the OUTPUT (C clicks x P
+    purchases inside one window). The engine cannot cap that without
+    changing join semantics; a deployment facing adversarial per-key
+    rates applies the per-(key, bucket) candidate pre-cap upstream of
+    the join, exactly as the batch twin does
+    (plans/olap_queries.py `_TOUCH_CAND_CAP`) — the stream version is
+    one windowed row_number before the join, sharing the keyed
+    exchange.
+
     Inputs must have (key, ts) columns with watermarks attached;
     output: (key, click_ts, purchase_ts, lag_seconds)."""
     c = clicks.select(F.col(key), F.col("ts").alias("click_ts"))

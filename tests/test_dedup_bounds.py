@@ -261,3 +261,67 @@ def test_fan_out_no_extra_shuffle_on_wide_lineage(spark):
     assert out is wide                       # no-op, no added shuffle
     narrow = spark.range(10).coalesce(1)
     assert _fan_out(narrow, "id").rdd.getNumPartitions() >= 8
+
+
+def _bot_feed(spark, n_clicks=5_000, n_purchases=20):
+    """One bot user: n_clicks clicks and n_purchases purchases packed
+    into a single hour (uncapped, the interval join emits
+    n_clicks x n_purchases pairs), plus one normal user with 2 clicks
+    before their 1 purchase."""
+    base = 1_700_000_000  # seconds
+    clicks = spark.range(n_clicks).select(
+        (F.col("id") + 1_000_000).alias("click_id"),
+        F.lit(7).alias("__cu"),
+        (F.col("id") % 3600 + base).cast("timestamp").alias("click_ts"))
+    purchases = spark.range(n_purchases).select(
+        (F.col("id") + 2_000_000).alias("purchase_id"),
+        F.lit(7).alias("user_id"),
+        F.lit(base + 3_599).cast("timestamp").alias("purchase_ts"),
+        F.lit(100.0).alias("value"))
+    normal_c = spark.createDataFrame(
+        [(1, 8, base + 100), (2, 8, base + 200)],
+        "click_id long, __cu long, epoch long"
+    ).select("click_id", "__cu",
+             F.col("epoch").cast("timestamp").alias("click_ts"))
+    normal_p = spark.createDataFrame(
+        [(3, 8, base + 300, 50.0)],
+        "purchase_id long, user_id long, epoch long, value double"
+    ).select("purchase_id", "user_id",
+             F.col("epoch").cast("timestamp").alias("purchase_ts"),
+             "value")
+    return purchases.unionByName(normal_p), clicks.unionByName(normal_c)
+
+
+def test_attribution_bot_user_bounded(spark):
+    """The r9 advisory bound: a bot with 5k clicks x 20 purchases in
+    one hour must NOT emit 100k attribution pairs — the per-(user,
+    hour) candidate cap bounds the join fan and the per-purchase
+    touch cap bounds the credit rows to _MAX_TOUCHES, while the
+    normal user's attribution is untouched."""
+    from flink_precisely_demo_spark.plans.olap_queries import (
+        _MAX_TOUCHES,
+        _TOUCH_CAND_CAP,
+        attribution_oversized_purchases,
+        multi_touch_attribution,
+    )
+
+    p, c = _bot_feed(spark)
+    out = multi_touch_attribution(p, c).collect()
+    bot = [r for r in out if r.user_id == 7]
+    # every bot purchase carries exactly the cap, never more
+    assert len(bot) == 20 * _MAX_TOUCHES
+    assert all(r.n_touches == _MAX_TOUCHES for r in bot)
+    assert all(abs(r.value_share - 100.0 / _MAX_TOUCHES) < 1e-9
+               for r in bot)
+    # the normal user's 2-touch linear split is unaffected
+    normal = [r for r in out if r.user_id == 8]
+    assert len(normal) == 2
+    assert all(r.n_touches == 2 and abs(r.value_share - 25.0) < 1e-9
+               for r in normal)
+
+    over = attribution_oversized_purchases(p, c).collect()
+    assert len(over) == 20
+    assert all(r.user_id == 7 and r.kept == _MAX_TOUCHES for r in over)
+    # candidates reaching the rank stage were themselves pre-capped:
+    # a 1-hour window spans at most two hour buckets
+    assert all(r.n_candidates <= 2 * _TOUCH_CAND_CAP for r in over)
