@@ -253,3 +253,64 @@ def ivf_topk(candidates: DataFrame, queries: DataFrame, centroids: DataFrame,
     local = candidates.select(id_col, vec_col).mapInPandas(
         kernel, schema="query_id long, neighbor_id long, sim double")
     return _global_topk(local, k)
+
+
+def semantic_cluster_stats(assigned: DataFrame,
+                           cluster_col: str = "seed",
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           threshold: float = 0.4,
+                           block: int = 1024) -> DataFrame:
+    """Per-cluster SemDeDup rollup: within each cluster, mark every
+    vector that is the HIGHER id of any pair with
+    round(cosine, 6) >= threshold, and emit ONE row per cluster with
+    (cluster, n_vectors, n_removed, n_kept).
+
+    This replaces the self-join + per-pair cosine shape (O(n_c^2)
+    rows shuffled and Arrow-shipped — measured 252 k pair rows at
+    sf0.1) with one grouped BLOCKED MATMUL: each cluster's vectors
+    land in one task via the single cluster-key shuffle, the pair
+    similarities are computed `block` rows at a time ((block x n_c)
+    working set, never the full n_c^2 matrix), and only the 4-number
+    rollup leaves the task. At 100 TB the within-cluster quadratic is
+    the SemDeDup algorithm's own cost model — clusters are sized by
+    choosing k so a cluster's vectors fit a task, exactly as the
+    paper's implementation shards by cluster.
+
+    Numerics: dot / (norm_a * norm_b) in float64, rounded to 6 dp
+    before the threshold — numpy's pairwise summation differs from
+    the oracle's sequential fold by ~1e-15, absorbed by the rounding
+    (the module-docstring contract all kernels here share)."""
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        M = np.stack(pdf[vec_col].to_numpy()[order]).astype(np.float64)
+        n = len(ids)
+        norms = np.sqrt((M * M).sum(axis=1))
+        dup = np.zeros(n, dtype=bool)
+        for i0 in range(0, n, block):
+            i1 = min(i0 + block, n)
+            num = M[i0:i1] @ M.T
+            den = norms[i0:i1, None] * norms[None, :]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                sims = np.round(num / den, 6)
+            hit = sims >= threshold
+            # only pairs (i, j) with i < j mark j; ids are sorted, so
+            # id order == index order
+            col_idx = np.arange(n)[None, :]
+            row_idx = np.arange(i0, i1)[:, None]
+            hit &= row_idx < col_idx
+            dup |= hit.any(axis=0)
+        n_removed = int(dup.sum())
+        return pd.DataFrame([{
+            "cluster_seed": int(pdf[cluster_col].iloc[0]),
+            "n_vectors": n,
+            "n_removed": n_removed,
+            "n_kept": n - n_removed,
+        }])
+
+    return (assigned.select(cluster_col, id_col, vec_col)
+            .groupBy(cluster_col)
+            .applyInPandas(fn, "cluster_seed long, n_vectors long, "
+                               "n_removed long, n_kept long"))

@@ -242,22 +242,34 @@ def _dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape (the SemDeDup argument itself): the O(n^2) cosine
     blow-up is fenced to within-cluster blocks. Assignment is a
     BROADCAST nested-loop over the tiny seed set folded map-side by
-    a struct-max aggregation (no window shuffle, combiner-friendly);
-    the pair join shuffles on cluster id only. Assignment ordering
-    uses the pure-expression cosine (sequential fold) so Spark and
-    DuckDB compare bit-identical doubles — no rounding boundary can
-    flip an argmax cross-engine."""
-    from ..operators.similarity import cosine, cosine_expr
+    a struct-max aggregation (no window shuffle, combiner-friendly),
+    with both sides' norms precomputed ONCE per vector instead of
+    once per (vector, seed) pair; the pair stage is ONE cluster-key
+    shuffle into `semantic_cluster_stats` (grouped blocked matmul,
+    only the 4-number rollup leaves each task — the r10 rework of the
+    self-join + 252 k Arrow-shipped pair rows this query used to
+    run). Assignment ordering uses the pure-expression cosine
+    (sequential fold) so Spark and DuckDB compare bit-identical
+    doubles — no rounding boundary can flip an argmax cross-engine."""
+    from ..operators.similarity import _dot, _norm, semantic_cluster_stats
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding")
-    seeds = emb.filter((F.col("vec_id") % 7 == 0) & (F.col("vec_id") < 50)) \
-        .select(F.col("vec_id").alias("seed"), F.col("embedding").alias("sv"))
+    embn = emb.withColumn("ne", _norm(F.col("embedding")))
+    seeds = embn.filter((F.col("vec_id") % 7 == 0) & (F.col("vec_id") < 50)) \
+        .select(F.col("vec_id").alias("seed"),
+                F.col("embedding").alias("sv"),
+                F.col("ne").alias("ns"))
 
-    sims = emb.crossJoin(F.broadcast(seeds)).select(
+    # sim = dot/(norm_a*norm_b) with the norms hoisted out of the
+    # pair projection: same expressions, same fold order, computed
+    # once per vector instead of once per pair (HOF lambdas get no
+    # CSE — the interpreted fold is the expensive part)
+    sims = embn.crossJoin(F.broadcast(seeds)).select(
         "vec_id",
         "seed",
-        cosine_expr(F.col("embedding"), F.col("sv")).alias("sim"))
+        (_dot(F.col("embedding"), F.col("sv"))
+         / (F.col("ne") * F.col("ns"))).alias("sim"))
     # argmax(sim), ties to the LOWER seed: max of (sim, -seed) struct;
     # map-side combinable, unlike a row_number window
     assign = (sims.groupBy("vec_id")
@@ -266,24 +278,7 @@ def _dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .alias("m"))
               .select("vec_id", (-F.col("m.neg_seed")).alias("seed")))
 
-    av = assign.join(emb, "vec_id")
-    a = av.select(F.col("vec_id").alias("a"), F.col("seed").alias("sa"),
-                  F.col("embedding").alias("va"))
-    b = av.select(F.col("vec_id").alias("b"), F.col("seed").alias("sb"),
-                  F.col("embedding").alias("vb"))
-    pairs = (a.join(b, (F.col("sa") == F.col("sb"))
-                    & (F.col("a") < F.col("b")))
-             .filter(F.round(cosine(F.col("va"), F.col("vb")), 6) >= 0.4)
-             .select("b"))
-    dups = pairs.distinct().withColumn("is_dup", F.lit(1))
-    return (assign.join(dups, assign.vec_id == dups.b, "left")
-            .groupBy("seed")
-            .agg(F.count(F.lit(1)).alias("n_vectors"),
-                 F.sum(F.coalesce(F.col("is_dup"), F.lit(0)))
-                 .cast("long").alias("n_removed"),
-                 F.sum(F.when(F.col("is_dup").isNull(), 1).otherwise(0))
-                 .cast("long").alias("n_kept"))
-            .withColumnRenamed("seed", "cluster_seed"))
+    return semantic_cluster_stats(assign.join(emb, "vec_id"))
 
 
 @query(
