@@ -292,3 +292,26 @@ def test_jsonl_corrupt_lines_preserve_raw_text(spark, tmp_path):
     assert sorted(r[CORRUPT_COL] for r in bad) == [
         "garbage line", '{"doc_id": 8, "text": bad']
     assert all(r["doc_id"] is None for r in bad)
+
+
+def test_jsonl_roundtrip_corpus_copy_is_session_cached(spark):
+    """The r10 perf fix: repeated invocations must reuse ONE corpus
+    copy per (session, sf_dir) instead of writing (and deleting) a
+    fresh copy each call; rows stay identical either way."""
+    import os
+
+    from flink_precisely_demo_spark.plans import crawl_queries as cq
+    from flink_precisely_demo_spark.plans.queries import QUERIES
+
+    fn = QUERIES["jsonl_corpus_roundtrip"]
+    r1 = {tuple(r) for r in fn(spark, "/root/testdata/sf0.001").collect()}
+    d1 = dict(cq._ROUNDTRIP_DIRS)
+    r2 = {tuple(r) for r in fn(spark, "/root/testdata/sf0.001").collect()}
+    d2 = dict(cq._ROUNDTRIP_DIRS)
+    assert r1 == r2
+    key = os.path.realpath("/root/testdata/sf0.001")
+    assert d1[key] == d2[key], "second call must reuse the cached copy"
+    assert os.path.isdir(d1[key])
+    # distinct sf_dirs get distinct copies
+    fn(spark, "/root/testdata/sf0.01")
+    assert len(cq._ROUNDTRIP_DIRS) >= 2

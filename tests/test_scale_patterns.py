@@ -497,3 +497,25 @@ def test_no_unconditional_broadcast_on_sf_growing_sides():
     assert not unaudited, (
         f"new F.broadcast call sites need a growing-side audit: "
         f"{sorted(unaudited)}")
+
+
+def test_hint_broadcast_probe_is_cached_per_plan(spark):
+    """The probe verdict is memoized per (session, plan hash): a
+    second call with a semantically identical frame must not run
+    another probe job (r10: an uncached probe cost 0.4-0.9 s per
+    invocation on a joined dim)."""
+    from flink_precisely_demo_spark.operators import broadcast as bc
+
+    dim = spark.range(0, 50).select(F.col("id").alias("k"))
+    bc._PROBE_CACHE.clear()
+    bc.hint_broadcast_if_small(dim, 1000)
+    assert len(bc._PROBE_CACHE) == 1
+    key, verdict = next(iter(bc._PROBE_CACHE.items()))
+    assert verdict is True
+    # same semantic plan, fresh python object -> same cache entry
+    dim2 = spark.range(0, 50).select(F.col("id").alias("k"))
+    bc.hint_broadcast_if_small(dim2, 1000)
+    assert len(bc._PROBE_CACHE) == 1
+    # different bound -> distinct entry (the verdict depends on it)
+    bc.hint_broadcast_if_small(dim, 10)
+    assert len(bc._PROBE_CACHE) == 2
