@@ -169,3 +169,118 @@ def _cdc_history_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("valid_from"),
         "valid_to",
         F.col("valid_to").isNull().alias("is_current"))
+
+
+@query(
+    "streaming_scd2_replay",
+    oracle="""
+    WITH ch AS (
+      SELECT o_orderkey AS key, CAST(o_orderdate AS TIMESTAMP) AS ts,
+             'I' AS m, CAST(o_totalprice AS DOUBLE) AS value
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey, CAST(o_orderdate + INTERVAL 1 DAY AS TIMESTAMP),
+             'U', CAST(o_totalprice AS DOUBLE) + 1000.0
+      FROM orders WHERE o_orderkey % 5 = 0
+      UNION ALL
+      SELECT o_orderkey, CAST(o_orderdate + INTERVAL 2 DAY AS TIMESTAMP),
+             'D', NULL
+      FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    -- the incremental maintainer closes the key's open version at
+    -- EVERY later change's ts (U overwrites, D closes without
+    -- opening), so the closed-version set is exactly: non-D changes
+    -- that have a successor, valid_to = that successor's ts
+    v AS (
+      SELECT key, ts, m, value,
+             LEAD(ts) OVER (PARTITION BY key
+                            ORDER BY ts, key) AS valid_to
+      FROM ch
+    )
+    SELECT key, value, ts AS valid_from, valid_to
+    FROM v WHERE m <> 'D' AND valid_to IS NOT NULL
+    """,
+)
+def _streaming_scd2_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INCREMENTAL SCD2 maintainer (streaming/scd2.py, the
+    applyInPandasWithState operator that holds one open version per
+    key) driven end to end through Structured Streaming and
+    ORACLE-CHECKED — the replay-oracle pattern proved on
+    streaming_enrichment_replay, applied to the last stateful
+    streaming operator whose semantics rested on pytest alone. The
+    same I/U/D feed as the batch ``cdc_history_scd2`` (insert at t0,
+    update at t0+1d for keys %5, delete at t0+2d for keys %10) is
+    split into 2 trigger files at a global event-time cutoff — a ts
+    cutoff preserves per-key log order across triggers, the
+    operator's ordering contract — and the emitted stream of CLOSED
+    versions is full-hash-compared against a LEAD() window over the
+    generation rule. A regression in any state transition
+    (open-version overwrite, delete-closes-without-opening,
+    cross-trigger state carry) breaks the hash.
+
+    Scale shape: each trigger shuffles only that batch's changes,
+    once, on the key; state is one open version per key — the
+    minimum any SCD2 maintainer can hold (reference parity:
+    EnrichmentJoin.java's ValueState footprint, here for
+    version intervals)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming.pipeline import drain_query
+    from ..streaming.replay_stage import stage_trigger_files
+    from ..streaming.scd2 import scd2_stream
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_orderdate").cast("timestamp").alias("ts"),
+        F.col("o_totalprice").cast("double").alias("value"))
+    ins = (base.withColumn("m", F.lit("I"))
+           .withColumn("row_seq", F.lit(0)))
+    upd = (base.filter(F.col("key") % 5 == 0)
+           .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 DAY"))
+           .withColumn("value", F.col("value") + 1000.0)
+           .withColumn("m", F.lit("U"))
+           .withColumn("row_seq", F.lit(1)))
+    dele = (base.filter(F.col("key") % 10 == 0)
+            .withColumn("ts", F.col("ts") + F.expr("INTERVAL 2 DAY"))
+            .withColumn("value", F.lit(None).cast("double"))
+            .withColumn("m", F.lit("D"))
+            .withColumn("row_seq", F.lit(2)))
+    changes = (ins.unionByName(upd).unionByName(dele)
+               .withColumn("trans_id", F.col("key")))
+
+    work = tempfile.mkdtemp(prefix="stream_scd2_replay_")
+    cutoff = F.lit("1995-06-17").cast("timestamp")
+    feed_dir = stage_trigger_files(
+        changes, work,
+        F.when(F.col("ts") < cutoff, 0).otherwise(1), "changes")
+
+    schema = ("key long, ts timestamp, value double, m string, "
+              "row_seq int, trans_id long")
+    feed = (spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(feed_dir))
+
+    name = f"scd2_replay_{uuid.uuid4().hex[:8]}"
+    # replay micro-batches are small by construction: size the state
+    # store to them, not to core count (the attribution-replay house
+    # note — per-batch cost is state-store open/commit PER PARTITION);
+    # conf restored after, batch plans built later are unaffected
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = (scd2_stream(feed)
+             .writeStream.outputMode("append")
+             .format("memory").queryName(name)
+             .option("checkpointLocation", os.path.join(work, "ckpt"))
+             .trigger(availableNow=True).start())
+        drain_query(q, 600, name)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.table(name).select(
+        "key", "value",
+        F.col("valid_from").cast("timestamp_ntz"),
+        F.col("valid_to").cast("timestamp_ntz"))

@@ -704,35 +704,13 @@ def _streaming_enrichment_replay(spark: SparkSession,
     import uuid
 
     from ..streaming.pipeline import drain_query
+    from ..streaming.replay_stage import stage_trigger_files
     from ..streaming.stateful_join import enrich_stream
 
     work = tempfile.mkdtemp(prefix="stream_enrich_replay_")
 
     def stage(df: DataFrame, batch_col, name: str) -> str:
-        staged = os.path.join(work, name + "_staged")
-        d = os.path.join(work, name)
-        os.makedirs(d)
-        (df.withColumn("half", batch_col)
-           .repartition("half")
-           .write.partitionBy("half").parquet(staged))
-        for kk in range(2):
-            part = os.path.join(staged, f"half={kk}")
-            srcs = ([f for f in os.listdir(part)
-                     if f.endswith(".parquet")]
-                    if os.path.isdir(part) else [])
-            dst = os.path.join(d, f"b{kk}.parquet")
-            if srcs:
-                assert len(srcs) == 1, srcs
-                os.rename(os.path.join(part, srcs[0]), dst)
-            else:
-                (df.limit(0).drop("half") if "half" in df.columns
-                 else df.limit(0)) \
-                    .coalesce(1).write.parquet(dst + ".tmp")
-                src = next(f for f in os.listdir(dst + ".tmp")
-                           if f.endswith(".parquet"))
-                os.rename(os.path.join(dst + ".tmp", src), dst)
-            os.utime(dst, (1_000_000_000 + 10 * kk,) * 2)
-        return d
+        return stage_trigger_files(df, work, batch_col, name)
 
     dims_b = load_table(spark, sf_dir, "customer") \
         .filter(F.col("c_custkey") % 4 < 2) \

@@ -1,0 +1,51 @@
+"""Deterministic trigger-file staging for streaming replay oracles.
+
+A replay query (streaming_enrichment_replay, streaming_scd2_replay)
+drives a stateful streaming operator with `maxFilesPerTrigger=1` over
+a directory of parquet files whose mtimes pin the trigger order, so
+the micro-batch sequence is reproducible and a batch SQL oracle can
+model the exact (batch, within-batch order) application sequence.
+
+This helper writes one parquet file per batch value of ``batch_col``
+(0..n_batches-1), named ``b{k}.parquet`` with ascending mtimes.
+Empty batches still get a (zero-row) file so the trigger count is
+stable across scale factors.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame
+
+
+def stage_trigger_files(df: DataFrame, work: str, batch_col: Column,
+                        name: str, n_batches: int = 2) -> str:
+    """Write ``df`` into ``n_batches`` single-file parquet batches
+    under ``work/name`` ordered by ``batch_col`` (values 0..n-1);
+    returns the directory to ``readStream.parquet(...)`` with
+    ``maxFilesPerTrigger=1``."""
+    staged = os.path.join(work, name + "_staged")
+    d = os.path.join(work, name)
+    os.makedirs(d)
+    (df.withColumn("half", batch_col)
+       .repartition("half")
+       .write.partitionBy("half").parquet(staged))
+    for kk in range(n_batches):
+        part = os.path.join(staged, f"half={kk}")
+        srcs = ([f for f in os.listdir(part)
+                 if f.endswith(".parquet")]
+                if os.path.isdir(part) else [])
+        dst = os.path.join(d, f"b{kk}.parquet")
+        if srcs:
+            assert len(srcs) == 1, srcs
+            os.rename(os.path.join(part, srcs[0]), dst)
+        else:
+            (df.limit(0).drop("half") if "half" in df.columns
+             else df.limit(0)) \
+                .coalesce(1).write.parquet(dst + ".tmp")
+            src = next(f for f in os.listdir(dst + ".tmp")
+                       if f.endswith(".parquet"))
+            os.rename(os.path.join(dst + ".tmp", src), dst)
+        os.utime(dst, (1_000_000_000 + 10 * kk,) * 2)
+    return d
