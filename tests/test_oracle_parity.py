@@ -70,33 +70,38 @@ def test_parity_queries_inside_driver_window():
         "cdc_envelope_decode", "projection_flatten",
         "parse_ts_roundtrip", "enrichment_latest_join",
         "tumbling_window_events", "window_analytics",
-        # r10 rotation: every entry whose last driver green is r6
-        # (4 rounds stale — the r9 verdict's mandated refresh cohort)
-        "cdc_apply_snapshot", "dedup_pipeline_e2e",
+        # r11 rotation: the ENTIRE r7-last-green cohort (17 entries,
+        # 4 rounds stale — the r10 verdict's mandated refresh;
+        # sliding_window_events first, displaced by the r10
+        # triangle re-seat)
+        "sliding_window_events", "top_k_per_group",
+        "similarity_bruteforce_topk", "similarity_ivf_cells",
+        "date_functions", "dedup_embedding_cosine",
+        "dedup_ngram_jaccard", "embedding_quantize_stats",
+        "multimodal_audio_decode", "cdc_history_scd2",
+        "streaming_dedup_replay", "curation_contamination",
+        "text_chunk_windows", "text_html_extract",
+        "text_pii_scrub", "text_tfidf_top_terms",
+        "url_canonicalize",
+        # seats HELD for a second green on r10's new-semantics
+        # surfaces
+        "streaming_enrichment_replay", "web_triangle_count",
+        # r10 hot-key caps' oracle mirror gets driver exposure
+        # (its only validation so far is the r10 sweep)
+        "attribution_multi_touch",
+        # new in r11, never validated: the oracle-checked streaming
+        # SCD2 replay
+        "streaming_scd2_replay",
+        # keepers from the r10 window (3-green block + function
+        # coverage)
         "q4_order_priority", "q21_waiting_supplier",
         "q22_global_sales_opportunity", "multimodal_video_decode",
-        "curation_pack_chunks",
-        "anti_semi_join", "array_functions_embeddings", "cube_agg",
-        "distinct_agg", "full_outer_join_nulls", "grouping_sets",
-        "histogram_buckets", "intersect_keys", "percentile_exact",
-        "pivot_events", "regex_extract_props", "rollup_agg",
-        "set_ops", "string_math_funcs", "subquery_in_exists",
-        "unpivot_measures",
-        # stalest r7-last-green block (13 seats)
-        "q1_pricing_summary", "dedup_minhash_lsh",
-        "similarity_ivf_topk", "multimodal_image_decode",
-        "text_repetition_quality", "curation_pipeline_e2e",
-        "curation_sample", "curation_split",
-        "dedup_simhash", "dedup_simhash_pairs",
-        "text_language_id", "text_quality_score",
-        "session_window_events",
-        # re-seated: semantics changed in r10 (the (degree,id)
-        # wedge-order fix + triangle-bearing graph), so its r9
-        # evidence no longer covers the code
-        "web_triangle_count",
-        # new in r10, never validated: the oracle-checked stateful
-        # enrichment-join replay
-        "streaming_enrichment_replay"]:
+        "multimodal_image_decode", "text_language_id",
+        "text_quality_score", "curation_sample", "curation_split",
+        "cube_agg", "grouping_sets", "subquery_in_exists",
+        "unpivot_measures", "regex_extract_props",
+        "array_functions_embeddings", "histogram_buckets",
+        "percentile_exact"]:
         assert name in first50, f"{name} fell outside the driver window"
 
 
