@@ -315,3 +315,27 @@ def test_jsonl_roundtrip_corpus_copy_is_session_cached(spark):
     # distinct sf_dirs get distinct copies
     fn(spark, "/root/testdata/sf0.01")
     assert len(cq._ROUNDTRIP_DIRS) >= 2
+
+
+def test_jsonl_roundtrip_cleanup_reclaims_whole_temp_tree(tmp_path):
+    """The atexit handler must remove the mkdtemp PARENT dirs, not
+    just the `corpus` subdirectories (r10 advisory: the old lambda
+    left empty jsonl_roundtrip_* shells behind)."""
+    import os
+
+    from flink_precisely_demo_spark.plans import crawl_queries as cq
+
+    parent = tmp_path / "jsonl_roundtrip_fake"
+    corpus = parent / "corpus"
+    corpus.mkdir(parents=True)
+    (corpus / "part-0.jsonl").write_text("{}\n")
+    saved = dict(cq._ROUNDTRIP_DIRS)
+    try:
+        cq._ROUNDTRIP_DIRS.clear()
+        cq._ROUNDTRIP_DIRS["fake"] = str(corpus)
+        cq._cleanup_roundtrip_dirs()
+        assert not parent.exists(), "mkdtemp parent must be reclaimed"
+        assert not cq._ROUNDTRIP_DIRS
+    finally:
+        cq._ROUNDTRIP_DIRS.clear()
+        cq._ROUNDTRIP_DIRS.update(saved)

@@ -451,52 +451,95 @@ def test_hint_broadcast_if_small_both_regimes(spark):
 
 
 def test_no_unconditional_broadcast_on_sf_growing_sides():
-    """Source-level guard for the r9 advisory: every F.broadcast()
-    call site in the package must feed from a fixed-cardinality frame
-    (nation/region, 1-row aggregates, probe/seed sets bounded by
-    construction) — SF-growing sides (part, supplier, customer,
-    vocabularies, rule tables) must route through
-    hint_broadcast_if_small. The allowlist below was audited in r10;
-    a NEW F.broadcast call site fails this test until it is either
-    converted or audited onto the list."""
-    import re
-    import subprocess
+    """SITE-level guard for the r9 advisory (tightened per the r10
+    verdict's advisory 1 — the old file-path allowlist let a NEW
+    unconditional ``F.broadcast`` hide inside an already-listed
+    file): every ``F.broadcast()`` call site in the package must feed
+    from a fixed-cardinality frame — SF-growing sides (part,
+    supplier, customer, vocabularies, rule tables) must route through
+    hint_broadcast_if_small. Call sites are extracted from the AST
+    (so docstrings/comments don't count and line shifts don't break
+    the pin) and keyed by (file, root identifier of the fed
+    expression, count): adding a site, removing one, or swapping the
+    frame an existing site feeds from all fail until re-audited."""
+    import ast
+    import collections
+    import glob
 
-    out = subprocess.run(
-        ["grep", "-rn", r"F\.broadcast(", "flink_precisely_demo_spark/"],
-        capture_output=True, text=True, cwd="/root/repo").stdout
-    sites = set()
-    for line in out.splitlines():
-        m = re.match(r"([^:]+):(\d+):", line)
-        if m:
-            sites.add(m.group(1))
+    def root_ident(node):
+        while isinstance(node, (ast.Attribute, ast.Call, ast.Subscript)):
+            node = node.func if isinstance(node, ast.Call) else node.value
+        return node.id if isinstance(node, ast.Name) else "<expr>"
+
+    inventory = collections.Counter()
+    for path in sorted(glob.glob(
+            "/root/repo/flink_precisely_demo_spark/**/*.py",
+            recursive=True)):
+        with open(path) as f:
+            tree = ast.parse(f.read())
+        rel = path.removeprefix("/root/repo/")
+        for node in ast.walk(tree):
+            if (isinstance(node, ast.Call)
+                    and isinstance(node.func, ast.Attribute)
+                    and node.func.attr == "broadcast"
+                    and isinstance(node.func.value, ast.Name)
+                    and node.func.value.id == "F"):
+                inventory[(rel, root_ident(node.args[0]))] += 1
+
+    p = "flink_precisely_demo_spark/"
     audited_fixed_cardinality = {
+        # each entry audited r10 (re-audited at site granularity r11):
         # nation/region chains, 1-row aggregates, bounded seed/probe
-        # sets, codebooks, bit-position sets, salt ranges (audited r10)
-        "flink_precisely_demo_spark/operators/bloom.py",
-        "flink_precisely_demo_spark/operators/bpe.py",
-        "flink_precisely_demo_spark/operators/curation.py",
-        "flink_precisely_demo_spark/operators/enrichment_join.py",
-        "flink_precisely_demo_spark/operators/skew.py",
-        "flink_precisely_demo_spark/operators/broadcast.py",
-        "flink_precisely_demo_spark/plans/ann_queries.py",
-        "flink_precisely_demo_spark/plans/crawl_queries.py",
-        "flink_precisely_demo_spark/plans/curation_queries.py",
-        "flink_precisely_demo_spark/plans/flagship.py",
-        "flink_precisely_demo_spark/plans/graph_queries.py",
-        "flink_precisely_demo_spark/plans/layout_queries.py",
-        "flink_precisely_demo_spark/plans/olap_queries.py",
-        "flink_precisely_demo_spark/plans/queries.py",
-        "flink_precisely_demo_spark/plans/search_queries.py",
-        "flink_precisely_demo_spark/plans/similarity_queries.py",
-        "flink_precisely_demo_spark/plans/sketch_queries.py",
-        "flink_precisely_demo_spark/plans/text_queries.py",
-        "flink_precisely_demo_spark/streaming/pipeline.py",
+        # sets, codebooks, bit-position sets, salt ranges
+        (p + "operators/bloom.py", "passing"): 1,   # bit-position set
+        (p + "operators/bloom.py", "positions"): 1,
+        (p + "operators/bpe.py", "best"): 1,        # 1-row argmax merge
+        (p + "operators/broadcast.py", "df"): 1,    # the hint mechanism
+        (p + "operators/curation.py", "thr"): 1,    # 1-row threshold
+        (p + "operators/curation.py", "tot"): 1,    # 1-row count
+        (p + "operators/enrichment_join.py", "d"): 1,   # latest-dim snap
+        (p + "operators/skew.py", "fact"): 1,       # salt range
+        (p + "plans/ann_queries.py", "cb1"): 1,     # PQ codebooks (k<=256)
+        (p + "plans/ann_queries.py", "cb2"): 1,
+        (p + "plans/ann_queries.py", "q"): 2,       # bounded query seeds
+        (p + "plans/ann_queries.py", "qcb1"): 1,
+        (p + "plans/ann_queries.py", "qcb2"): 1,
+        (p + "plans/ann_queries.py", "side"): 1,    # ground-truth top-k
+        (p + "plans/curation_queries.py", "cnt"): 5,  # 1-row counts
+        (p + "plans/flagship.py", "nation"): 1,     # 25 rows
+        (p + "plans/flagship.py", "region"): 1,     # 5 rows
+        (p + "plans/graph_queries.py", "hosts"): 1,     # 1-row agg
+        (p + "plans/graph_queries.py", "rank_side"): 1,  # probed upstream
+        (p + "plans/layout_queries.py", "n"): 1,    # nation
+        (p + "plans/olap_queries.py", "mx"): 1,     # 1-row max
+        (p + "plans/olap_queries.py", "n"): 3,      # nation
+        (p + "plans/olap_queries.py", "n1"): 2,     # nation pair (q7)
+        (p + "plans/olap_queries.py", "n2"): 2,
+        (p + "plans/olap_queries.py", "nat"): 4,    # nation (+1-row join)
+        (p + "plans/olap_queries.py", "nb"): 1,     # nation
+        (p + "plans/olap_queries.py", "nk"): 1,     # single nation key
+        (p + "plans/olap_queries.py", "r"): 2,      # region
+        (p + "plans/olap_queries.py", "reg"): 2,    # region
+        (p + "plans/olap_queries.py", "th"): 1,     # 1-row threshold
+        (p + "plans/olap_queries.py", "top"): 1,    # 1-row top revenue
+        (p + "plans/olap_queries.py", "total"): 1,  # 1-row total
+        (p + "plans/queries.py", "n"): 1,           # nation
+        (p + "plans/queries.py", "r"): 1,           # region
+        (p + "plans/search_queries.py", "corpus"): 1,  # 1-row stats
+        (p + "plans/search_queries.py", "df_"): 1,  # pre-filtered to the
+                                                    # fixed QUERY_TERMS set
+        (p + "plans/similarity_queries.py", "seeds"): 1,  # bounded seeds
+        (p + "plans/similarity_queries.py", "top"): 1,    # bounded top-k
+        (p + "plans/sketch_queries.py", "total"): 1,      # 1-row count
+        (p + "plans/text_queries.py", "vocab"): 1,  # 1-row count_distinct
+        (p + "streaming/pipeline.py", "states"): 1,  # nation-sized lookup
     }
-    unaudited = sites - audited_fixed_cardinality
-    assert not unaudited, (
-        f"new F.broadcast call sites need a growing-side audit: "
-        f"{sorted(unaudited)}")
+    assert dict(inventory) == audited_fixed_cardinality, (
+        "F.broadcast call-site inventory drifted — new/removed/"
+        "re-fed sites need a growing-side audit. diff: "
+        f"added={sorted(set(inventory) - set(audited_fixed_cardinality))} "
+        f"removed={sorted(set(audited_fixed_cardinality) - set(inventory))} "
+        f"count-changed={sorted(k for k in inventory if k in audited_fixed_cardinality and inventory[k] != audited_fixed_cardinality[k])}")
 
 
 def test_hint_broadcast_probe_is_cached_per_plan(spark):
@@ -519,3 +562,62 @@ def test_hint_broadcast_probe_is_cached_per_plan(spark):
     # different bound -> distinct entry (the verdict depends on it)
     bc.hint_broadcast_if_small(dim, 10)
     assert len(bc._PROBE_CACHE) == 2
+
+
+def test_hint_broadcast_rejects_streaming_frames(spark):
+    """limit().count() is illegal on a stream; the static-side-only
+    contract is enforced in code, not a comment (r10 advisory)."""
+    import pytest
+
+    from flink_precisely_demo_spark.operators.broadcast import (
+        hint_broadcast_if_small,
+    )
+
+    s = (spark.readStream.format("rate")
+         .option("rowsPerSecond", 1).load())
+    with pytest.raises(ValueError, match="streaming"):
+        hint_broadcast_if_small(s, 100)
+
+
+def test_hint_broadcast_cache_evicts_dead_sessions(spark):
+    """A probe under a NEW applicationId drops verdicts cached for
+    other (dead) sessions, so long-lived processes that restart Spark
+    sessions cannot accumulate entries (r10 advisory)."""
+    from flink_precisely_demo_spark.operators import broadcast as bc
+
+    dim = spark.range(0, 50).select(F.col("id").alias("k"))
+    bc._PROBE_CACHE.clear()
+    bc._PROBE_CACHE[("dead-app-1", 123, 1000)] = True
+    bc._PROBE_CACHE[("dead-app-2", 456, 1000)] = False
+    bc.hint_broadcast_if_small(dim, 1000)
+    assert len(bc._PROBE_CACHE) == 1
+    (key,) = bc._PROBE_CACHE
+    assert key[0] == spark.sparkContext.applicationId
+
+
+def test_default_row_bound_scales_with_row_width(spark):
+    """The default probe bound is derived from an estimated row
+    width against TARGET_BROADCAST_BYTES (r10 advisory: a wide side
+    under 2M rows can still be an oversized broadcast), clamped to
+    the slim-row 2M ceiling."""
+    from flink_precisely_demo_spark.operators import broadcast as bc
+
+    slim = spark.range(0, 10).select(F.col("id").alias("k"),
+                                     (F.col("id") * 2).alias("v"))
+    assert bc.default_row_bound(slim) == bc.DEFAULT_BROADCAST_ROW_BOUND
+
+    wide = spark.range(0, 10).select(
+        F.col("id").alias("k"),
+        *[F.concat(F.lit("x"), F.col("id")).alias(f"s{i}")
+          for i in range(10)],
+        F.array(*[F.col("id").cast("float")] * 4).alias("emb"))
+    b = bc.default_row_bound(wide)
+    assert b < bc.DEFAULT_BROADCAST_ROW_BOUND
+    assert b >= bc._MIN_ROW_BOUND
+    # and the bound follows the byte budget: width est ~= 8 + 10*48
+    # + 64*4 -> TARGET // width, not an arbitrary constant
+    from flink_precisely_demo_spark.operators.broadcast import (
+        TARGET_BROADCAST_BYTES,
+        _estimated_row_bytes,
+    )
+    assert b == TARGET_BROADCAST_BYTES // _estimated_row_bytes(wide.schema)
