@@ -24,6 +24,36 @@ import sys
 import time
 
 
+# Contention sentinel thresholds (see BASELINE.md "Contention
+# quarantine rule"): ambient load BEFORE the run beyond
+# 0.25 x cpus, or load AFTER beyond 1.25 x cpus (our own 32 worker
+# threads can legitimately push load to ~cpus; more means a
+# co-tenant), quarantine-label the record. Three rounds running
+# (r8/r9/r10) one driver number needed a quiet-host re-measure to
+# adjudicate — this makes a contended run self-identify instead.
+CONTENTION_BEFORE_FACTOR = 0.25
+CONTENTION_AFTER_FACTOR = 1.25
+
+
+def loadavg_1min() -> float | None:
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def contention_flag(load_before: float | None, load_after: float | None,
+                    cpus: int) -> bool:
+    """True when the run's load samples indicate external load that
+    would inflate wall-clock timings: ambient load before start, or
+    end-of-run load beyond what our own worker threads explain."""
+    return ((load_before is not None
+             and load_before > CONTENTION_BEFORE_FACTOR * cpus)
+            or (load_after is not None
+                and load_after > CONTENTION_AFTER_FACTOR * cpus))
+
+
 HEADLINE = [
     "flagship_cdc_window_sum",
     "q1_pricing_summary",
@@ -56,6 +86,7 @@ def main() -> None:
     from flink_precisely_demo_spark.session import get_spark
     import __spark_entry__ as entry_mod
 
+    load_before = loadavg_1min()
     spark = get_spark("bench", cpus=cpus)
     qs = entry_mod.queries()
 
@@ -172,6 +203,7 @@ def main() -> None:
         _err("streaming_flagship", exc)
 
     total = round(sum(timings.values()), 3)
+    load_after = loadavg_1min()
     result = {
         "metric": "headline_queries_total",
         "value": total,
@@ -179,6 +211,10 @@ def main() -> None:
         "queries": timings,
         "secondary_queries": secondary,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "load_before": load_before,
+        "load_after": load_after,
+        "cpus": cpus,
+        "contended": contention_flag(load_before, load_after, cpus),
         "streaming_orders_per_sec": streaming_eps,
         "streaming_metric": ("engine-accounted steady-state rate: "
                              "max-of-3 of sum(numInputRows)/"
@@ -215,6 +251,9 @@ def compact_line(result: dict) -> str:
         "unit": result["unit"],
         "queries": result["queries"],
         "sf": result["sf"],
+        "load_before": result.get("load_before"),
+        "load_after": result.get("load_after"),
+        "contended": result.get("contended"),
         "streaming_orders_per_sec": result["streaming_orders_per_sec"],
         "secondary_total": round(
             sum(result["secondary_queries"].values()), 3),

@@ -25,6 +25,10 @@ def _fake_result(n_secondary: int = 60, with_errors: bool = False):
         "secondary_queries": {f"some_secondary_query_name_{i:03d}": 99.999
                               for i in range(n_secondary)},
         "sf": 0.1,
+        "load_before": 1.23,
+        "load_after": 30.5,
+        "cpus": 32,
+        "contended": False,
         "streaming_orders_per_sec": 123456.7,
         "streaming_metric": "x" * 300,
     }
@@ -43,6 +47,11 @@ def test_compact_line_survives_tail_capture():
         assert rec["streaming_orders_per_sec"] == 123456.7
         assert set(rec["queries"]) == set(HEADLINE)
         assert rec["metric"] == "headline_queries_total"
+        # contention sentinel fields survive the tail capture (r10
+        # verdict item 4: a contended run must self-identify)
+        assert rec["load_before"] == 1.23
+        assert rec["load_after"] == 30.5
+        assert rec["contended"] is False
 
 
 def test_compact_line_flags_partial_totals():
@@ -58,3 +67,17 @@ def test_compact_line_is_last_and_detail_is_elsewhere():
     assert "secondary_queries" not in rec
     assert rec["n_secondary"] == 200
     assert rec["detail"] == "BENCH_DETAIL.json"
+
+
+def test_contention_flag_thresholds():
+    """The quarantine rule documented in BASELINE.md: ambient load
+    before the run beyond 0.25 x cpus, or end-of-run load beyond
+    1.25 x cpus (our own workers explain up to ~cpus), flags the
+    record; missing samples never flag."""
+    from bench import contention_flag
+
+    assert contention_flag(0.5, 20.0, 32) is False     # quiet host
+    assert contention_flag(9.0, 20.0, 32) is True      # ambient before
+    assert contention_flag(0.5, 41.0, 32) is True      # co-tenant during
+    assert contention_flag(8.0, 40.0, 32) is False     # exactly at bounds
+    assert contention_flag(None, None, 32) is False    # no /proc/loadavg
