@@ -180,7 +180,9 @@ def main() -> None:
                  "streaming_attribution_replay",
                  "web_triangle_count", "attribution_multi_touch",
                  "bpe_vocab_merges", "bpe_encode_corpus",
-                 "ann_recall_eval"]
+                 "ann_recall_eval",
+                 # r11 addition: the streaming SCD2 replay
+                 "streaming_scd2_replay"]
     secondary: dict[str, float] = {}
     for name in SECONDARY:
         try:
