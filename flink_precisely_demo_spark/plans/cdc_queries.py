@@ -175,26 +175,31 @@ def _cdc_history_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_scd2_replay",
     oracle="""
     WITH ch AS (
-      SELECT o_orderkey AS key, CAST(o_orderdate AS TIMESTAMP) AS ts,
+      SELECT o_orderkey % 9973 AS key, o_orderkey AS trans_id,
+             CAST(o_orderdate AS TIMESTAMP) AS ts,
              'I' AS m, CAST(o_totalprice AS DOUBLE) AS value
       FROM orders
       UNION ALL
-      SELECT o_orderkey, CAST(o_orderdate + INTERVAL 1 DAY AS TIMESTAMP),
+      SELECT o_orderkey % 9973, o_orderkey,
+             CAST(o_orderdate + INTERVAL 1 DAY AS TIMESTAMP),
              'U', CAST(o_totalprice AS DOUBLE) + 1000.0
       FROM orders WHERE o_orderkey % 5 = 0
       UNION ALL
-      SELECT o_orderkey, CAST(o_orderdate + INTERVAL 2 DAY AS TIMESTAMP),
+      SELECT o_orderkey % 9973, o_orderkey,
+             CAST(o_orderdate + INTERVAL 2 DAY AS TIMESTAMP),
              'D', NULL
       FROM orders WHERE o_orderkey % 10 = 0
     ),
     -- the incremental maintainer closes the key's open version at
     -- EVERY later change's ts (U overwrites, D closes without
     -- opening), so the closed-version set is exactly: non-D changes
-    -- that have a successor, valid_to = that successor's ts
+    -- that have a successor, valid_to = that successor's ts; the
+    -- application order per key is (ts, trans_id, row_seq) — the
+    -- reference envelope's total-order rule — mirrored here
     v AS (
       SELECT key, ts, m, value,
              LEAD(ts) OVER (PARTITION BY key
-                            ORDER BY ts, key) AS valid_to
+                            ORDER BY ts, trans_id, m) AS valid_to
       FROM ch
     )
     SELECT key, value, ts AS valid_from, valid_to
@@ -208,8 +213,10 @@ def _streaming_scd2_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORACLE-CHECKED — the replay-oracle pattern proved on
     streaming_enrichment_replay, applied to the last stateful
     streaming operator whose semantics rested on pytest alone. The
-    same I/U/D feed as the batch ``cdc_history_scd2`` (insert at t0,
-    update at t0+1d for keys %5, delete at t0+2d for keys %10) is
+    same I/U/D generation rule as the batch ``cdc_history_scd2``
+    (insert at t0, update at t0+1d for orders %5, delete at t0+2d
+    for orders %10), with the state key folded to o_orderkey % 9973
+    so several orders' version chains interleave per key, is
     split into 2 trigger files at a global event-time cutoff — a ts
     cutoff preserves per-key log order across triggers, the
     operator's ordering contract — and the emitted stream of CLOSED
@@ -233,24 +240,34 @@ def _streaming_scd2_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.scd2 import scd2_stream
 
     orders = load_table(spark, sf_dir, "orders")
+    # the state key folds to a bounded modulus so several orders'
+    # version chains INTERLEAVE on one key (richer transitions than
+    # one-chain-per-key: a key's open version is overwritten and
+    # closed by changes carrying different trans_ids) and so the
+    # replay's per-key pandas-group count stays bounded at every SF —
+    # applyInPandasWithState pays a Python call per key per trigger,
+    # an honest cost of the Python-state port that a replay harness
+    # bounds by key design (production sizes state partitions and
+    # key domains to its own volume; the operator itself is
+    # cardinality-agnostic)
     base = orders.select(
-        F.col("o_orderkey").alias("key"),
+        (F.col("o_orderkey") % 9973).alias("key"),
+        F.col("o_orderkey").alias("trans_id"),
         F.col("o_orderdate").cast("timestamp").alias("ts"),
         F.col("o_totalprice").cast("double").alias("value"))
     ins = (base.withColumn("m", F.lit("I"))
            .withColumn("row_seq", F.lit(0)))
-    upd = (base.filter(F.col("key") % 5 == 0)
+    upd = (base.filter(F.col("trans_id") % 5 == 0)
            .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 DAY"))
            .withColumn("value", F.col("value") + 1000.0)
            .withColumn("m", F.lit("U"))
            .withColumn("row_seq", F.lit(1)))
-    dele = (base.filter(F.col("key") % 10 == 0)
+    dele = (base.filter(F.col("trans_id") % 10 == 0)
             .withColumn("ts", F.col("ts") + F.expr("INTERVAL 2 DAY"))
             .withColumn("value", F.lit(None).cast("double"))
             .withColumn("m", F.lit("D"))
             .withColumn("row_seq", F.lit(2)))
-    changes = (ins.unionByName(upd).unionByName(dele)
-               .withColumn("trans_id", F.col("key")))
+    changes = ins.unionByName(upd).unionByName(dele)
 
     work = tempfile.mkdtemp(prefix="stream_scd2_replay_")
     cutoff = F.lit("1995-06-17").cast("timestamp")
