@@ -43,15 +43,18 @@ def loadavg_1min() -> float | None:
         return None
 
 
-def contention_flag(load_before: float | None, load_after: float | None,
+def contention_flag(load_before: float | None, load_peak: float | None,
                     cpus: int) -> bool:
     """True when the run's load samples indicate external load that
     would inflate wall-clock timings: ambient load before start, or
-    end-of-run load beyond what our own worker threads explain."""
+    any DURING/after sample beyond what our own worker threads
+    explain. ``load_peak`` is the max of per-query samples, not just
+    the final one — a co-tenant burst mid-bench decays out of a
+    single end-of-run 1-min average (r11 advisory)."""
     return ((load_before is not None
              and load_before > CONTENTION_BEFORE_FACTOR * cpus)
-            or (load_after is not None
-                and load_after > CONTENTION_AFTER_FACTOR * cpus))
+            or (load_peak is not None
+                and load_peak > CONTENTION_AFTER_FACTOR * cpus))
 
 
 HEADLINE = [
@@ -87,6 +90,10 @@ def main() -> None:
     import __spark_entry__ as entry_mod
 
     load_before = loadavg_1min()
+    # per-query samples: the contention flag keys on the MAX, so a
+    # mid-bench co-tenant burst can't decay out of the final 1-min
+    # average before the end-of-run sample (r11 advisory)
+    load_samples: list[float | None] = []
     spark = get_spark("bench", cpus=cpus)
     qs = entry_mod.queries()
 
@@ -149,6 +156,7 @@ def main() -> None:
             print(f"# {name}: {timings[name]}s", file=sys.stderr)
         except Exception as exc:
             _err(name, exc)
+        load_samples.append(loadavg_1min())
 
     # secondary group: the round-6/7/8 pipeline operators. Tracked
     # per round but kept OUT of the headline total, which stays the
@@ -197,6 +205,7 @@ def main() -> None:
                   file=sys.stderr)
         except Exception as exc:
             _err(name, exc)
+        load_samples.append(loadavg_1min())
 
     try:
         streaming_eps = _streaming_throughput(spark, sf_dir)
@@ -206,6 +215,9 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     load_after = loadavg_1min()
+    load_samples.append(load_after)
+    seen = [x for x in load_samples if x is not None]
+    load_max = max(seen) if seen else None
     result = {
         "metric": "headline_queries_total",
         "value": total,
@@ -215,8 +227,9 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "load_before": load_before,
         "load_after": load_after,
+        "load_max": load_max,
         "cpus": cpus,
-        "contended": contention_flag(load_before, load_after, cpus),
+        "contended": contention_flag(load_before, load_max, cpus),
         "streaming_orders_per_sec": streaming_eps,
         "streaming_metric": ("engine-accounted steady-state rate: "
                              "max-of-3 of sum(numInputRows)/"
@@ -255,6 +268,7 @@ def compact_line(result: dict) -> str:
         "sf": result["sf"],
         "load_before": result.get("load_before"),
         "load_after": result.get("load_after"),
+        "load_max": result.get("load_max"),
         "contended": result.get("contended"),
         "streaming_orders_per_sec": result["streaming_orders_per_sec"],
         "secondary_total": round(

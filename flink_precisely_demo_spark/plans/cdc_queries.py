@@ -195,11 +195,17 @@ def _cdc_history_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- opening), so the closed-version set is exactly: non-D changes
     -- that have a successor, valid_to = that successor's ts; the
     -- application order per key is (ts, trans_id, row_seq) — the
-    -- reference envelope's total-order rule — mirrored here
+    -- reference envelope's total-order rule — mirrored here with
+    -- the SAME row_seq encoding (I=0, U=1, D=2; raw `m` would sort
+    -- D first, the opposite order — harmless only while
+    -- (ts, trans_id) stays unique per key, r11 advisory)
     v AS (
       SELECT key, ts, m, value,
-             LEAD(ts) OVER (PARTITION BY key
-                            ORDER BY ts, trans_id, m) AS valid_to
+             LEAD(ts) OVER (
+               PARTITION BY key
+               ORDER BY ts, trans_id,
+                        CASE m WHEN 'I' THEN 0
+                               WHEN 'U' THEN 1 ELSE 2 END) AS valid_to
       FROM ch
     )
     SELECT key, value, ts AS valid_from, valid_to

@@ -71,9 +71,12 @@ def test_compact_line_is_last_and_detail_is_elsewhere():
 
 def test_contention_flag_thresholds():
     """The quarantine rule documented in BASELINE.md: ambient load
-    before the run beyond 0.25 x cpus, or end-of-run load beyond
-    1.25 x cpus (our own workers explain up to ~cpus), flags the
-    record; missing samples never flag."""
+    before the run beyond 0.25 x cpus, or any during/after sample
+    beyond 1.25 x cpus (our own workers explain up to ~cpus), flags
+    the record; missing samples never flag. The second argument is
+    the MAX over per-query samples (r11 advisory: a mid-bench
+    co-tenant burst must not decay out of a single end-of-run 1-min
+    average)."""
     from bench import contention_flag
 
     assert contention_flag(0.5, 20.0, 32) is False     # quiet host
@@ -81,3 +84,8 @@ def test_contention_flag_thresholds():
     assert contention_flag(0.5, 41.0, 32) is True      # co-tenant during
     assert contention_flag(8.0, 40.0, 32) is False     # exactly at bounds
     assert contention_flag(None, None, 32) is False    # no /proc/loadavg
+    # a burst that appears in ANY mid-run sample flags via the max,
+    # even when the final sample has decayed back under the bound
+    samples = [0.5, 52.0, 3.0]                         # burst mid-bench
+    peak = max(s for s in samples if s is not None)
+    assert contention_flag(0.5, peak, 32) is True
