@@ -70,38 +70,27 @@ def test_parity_queries_inside_driver_window():
         "cdc_envelope_decode", "projection_flatten",
         "parse_ts_roundtrip", "enrichment_latest_join",
         "tumbling_window_events", "window_analytics",
-        # r11 rotation: the ENTIRE r7-last-green cohort (17 entries,
-        # 4 rounds stale — the r10 verdict's mandated refresh;
-        # sliding_window_events first, displaced by the r10
-        # triangle re-seat)
-        "sliding_window_events", "top_k_per_group",
-        "similarity_bruteforce_topk", "similarity_ivf_cells",
-        "date_functions", "dedup_embedding_cosine",
-        "dedup_ngram_jaccard", "embedding_quantize_stats",
-        "multimodal_audio_decode", "cdc_history_scd2",
-        "streaming_dedup_replay", "curation_contamination",
-        "text_chunk_windows", "text_html_extract",
-        "text_pii_scrub", "text_tfidf_top_terms",
-        "url_canonicalize",
-        # seats HELD for a second green on r10's new-semantics
-        # surfaces
-        "streaming_enrichment_replay", "web_triangle_count",
-        # r10 hot-key caps' oracle mirror gets driver exposure
-        # (its only validation so far is the r10 sweep)
-        "attribution_multi_touch",
-        # new in r11, never validated: the oracle-checked streaming
-        # SCD2 replay
-        "streaming_scd2_replay",
-        # keepers from the r10 window (3-green block + function
-        # coverage)
-        "q4_order_priority", "q21_waiting_supplier",
-        "q22_global_sales_opportunity", "multimodal_video_decode",
-        "multimodal_image_decode", "text_language_id",
-        "text_quality_score", "curation_sample", "curation_split",
-        "cube_agg", "grouping_sets", "subquery_in_exists",
-        "unpivot_measures", "regex_extract_props",
-        "array_functions_embeddings", "histogram_buckets",
-        "percentile_exact"]:
+        # r12 rotation: the ENTIRE r8-last-green cohort (29 entries,
+        # 4 rounds stale — the r11 verdict's mandated refresh)
+        "ann_index_topk", "approx_sketches", "asof_join_prior_click",
+        "audio_stream_triage", "cdc_state_asof",
+        "corpus_health_report", "corpus_snapshot_diff",
+        "curation_mixture_sample", "curation_stratified",
+        "ddl_entry_pipeline", "dedup_clusters", "dedup_exact",
+        "dedup_semantic", "kmeans_ivf_index", "multimodal_manifest",
+        "q10_returned_items", "q13_customer_distribution",
+        "q14_promo_revenue", "q19_disjunctive_revenue",
+        "q3_shipping_priority", "q6_forecast_revenue",
+        "q7_volume_shipping", "q8_market_share", "range_join_events",
+        "sessionization", "text_filter_pipeline", "text_token_stats",
+        "warc_ingest_extract", "web_link_pagerank",
+        # the next-stalest cohort: only driver evidence is [r8, r9]
+        "event_funnel_steps", "robots_txt_gate", "skew_salted_agg",
+        "streaming_funnel_replay", "table_profile_orders",
+        "text_bm25_term_scores", "warc_to_corpus",
+        "zorder_layout_stats",
+        # seat HELD for a second green on r11's new-semantics surface
+        "streaming_scd2_replay"]:
         assert name in first50, f"{name} fell outside the driver window"
 
 
