@@ -239,9 +239,8 @@ def _streaming_scd2_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
     import tempfile
-    import uuid
 
-    from ..streaming.pipeline import drain_query
+    from ..streaming.pipeline import replay_to_parquet
     from ..streaming.replay_stage import stage_trigger_files
     from ..streaming.scd2 import scd2_stream
 
@@ -276,34 +275,35 @@ def _streaming_scd2_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes = ins.unionByName(upd).unionByName(dele)
 
     work = tempfile.mkdtemp(prefix="stream_scd2_replay_")
-    cutoff = F.lit("1995-06-17").cast("timestamp")
-    feed_dir = stage_trigger_files(
-        changes, work,
-        F.when(F.col("ts") < cutoff, 0).otherwise(1), "changes")
-
-    schema = ("key long, ts timestamp, value double, m string, "
-              "row_seq int, trans_id long")
-    feed = (spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1).parquet(feed_dir))
-
-    name = f"scd2_replay_{uuid.uuid4().hex[:8]}"
-    # replay micro-batches are small by construction: size the state
-    # store to them, not to core count (the attribution-replay house
-    # note — per-batch cost is state-store open/commit PER PARTITION);
-    # conf restored after, batch plans built later are unaffected
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    # the try starts immediately after mkdtemp so a STAGING failure
+    # (disk full, bad sf_dir) also reclaims the tree (r11 advisory)
     try:
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
-        q = (scd2_stream(feed)
-             .writeStream.outputMode("append")
-             .format("memory").queryName(name)
-             .option("checkpointLocation", os.path.join(work, "ckpt"))
-             .trigger(availableNow=True).start())
-        drain_query(q, 600, name)
+        cutoff = F.lit("1995-06-17").cast("timestamp")
+        feed_dir = stage_trigger_files(
+            changes, work,
+            F.when(F.col("ts") < cutoff, 0).otherwise(1), "changes")
+
+        schema = ("key long, ts timestamp, value double, m string, "
+                  "row_seq int, trans_id long")
+        feed = (spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1).parquet(feed_dir))
+
+        # replay micro-batches are small by construction: size the
+        # state store to them, not to core count (the attribution-
+        # replay house note — per-batch cost is state-store
+        # open/commit PER PARTITION); conf restored after, batch
+        # plans built later are unaffected
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            closed = replay_to_parquet(
+                scd2_stream(feed), spark, "scd2_replay",
+                checkpoint=os.path.join(work, "ckpt"))
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(work, ignore_errors=True)
-    return spark.table(name).select(
+    return closed.select(
         "key", "value",
         F.col("valid_from").cast("timestamp_ntz"),
         F.col("valid_to").cast("timestamp_ntz"))

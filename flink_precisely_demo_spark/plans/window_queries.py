@@ -223,7 +223,7 @@ def _streaming_funnel_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-file feed split by event_id (mtime-ordered, one file per
     trigger — each user's events arrive scattered across triggers in
     arbitrary event-time order), drains through `funnel_stream`
-    (availableNow, update-mode memory sink), and each user's LAST
+    (availableNow, update-mode parquet drain), and each user's LAST
     snapshot must hash-match the batch min-chain oracle. This is the
     external validation that the stateful recompute-under-
     out-of-order design converges to batch semantics on real data;
@@ -232,9 +232,8 @@ def _streaming_funnel_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
     import tempfile
-    import uuid
 
-    from ..streaming.pipeline import drain_query
+    from ..streaming.pipeline import replay_to_parquet
 
     from ..streaming.funnel import funnel_stream
 
@@ -257,17 +256,14 @@ def _streaming_funnel_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", 1).parquet(feed)
               .withWatermark("ts", "36500 days"))
-    name = f"funnel_replay_{uuid.uuid4().hex[:8]}"
-    q = (funnel_stream(stream).writeStream.outputMode("update")
-         .format("memory").queryName(name)
-         .option("checkpointLocation", os.path.join(work, "ckpt"))
-         .trigger(availableNow=True).start())
-    drain_query(q, 300, name)
-    shutil.rmtree(work, ignore_errors=True)  # memory sink holds the
-    # rows; the feed copy + checkpoint are dead weight once drained
+    snap = replay_to_parquet(
+        funnel_stream(stream), spark, "funnel_replay",
+        checkpoint=os.path.join(work, "ckpt"),
+        output_mode="update", timeout=300)
+    shutil.rmtree(work, ignore_errors=True)  # the parquet drain holds
+    # the rows outside work; feed copy + checkpoint are dead weight
 
     from pyspark.sql import Window
-    snap = spark.table(name)
     w = Window.partitionBy("user_id").orderBy(F.desc("n_seen"))
     return (snap.withColumn("rn", F.row_number().over(w))
                 .filter(F.col("rn") == 1)
@@ -311,7 +307,7 @@ def _streaming_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     user's events arrive scattered across triggers in arbitrary
     event-time order — every extend/bridge/merge path is exercised),
     drains through `sessionize_stream` (availableNow, update-mode
-    memory sink), and each user's LAST snapshot must hash-match the
+    parquet drain), and each user's LAST snapshot must hash-match the
     batch lag/cumsum session oracle. External validation that the
     interval-merge state design converges to batch semantics on any
     arrival order; the watermark is held below the feed's range so
@@ -319,9 +315,8 @@ def _streaming_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
     import tempfile
-    import uuid
 
-    from ..streaming.pipeline import drain_query
+    from ..streaming.pipeline import replay_to_parquet
 
     from ..streaming.sessionize import sessionize_stream
 
@@ -344,17 +339,14 @@ def _streaming_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", 1).parquet(feed)
               .withWatermark("ts", "36500 days"))
-    name = f"session_replay_{uuid.uuid4().hex[:8]}"
-    q = (sessionize_stream(stream).writeStream.outputMode("update")
-         .format("memory").queryName(name)
-         .option("checkpointLocation", os.path.join(work, "ckpt"))
-         .trigger(availableNow=True).start())
-    drain_query(q, 300, name)
-    shutil.rmtree(work, ignore_errors=True)  # memory sink holds the
-    # rows; the feed copy + checkpoint are dead weight once drained
+    snap = replay_to_parquet(
+        sessionize_stream(stream), spark, "session_replay",
+        checkpoint=os.path.join(work, "ckpt"),
+        output_mode="update", timeout=300)
+    shutil.rmtree(work, ignore_errors=True)  # the parquet drain holds
+    # the rows outside work; feed copy + checkpoint are dead weight
 
     from pyspark.sql import Window
-    snap = spark.table(name)
     w = Window.partitionBy("user_id")
     return (snap.withColumn("__last", F.max("n_seen").over(w))
                 .filter(F.col("n_seen") == F.col("__last"))
@@ -438,7 +430,7 @@ def _streaming_pattern_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     end-to-end through Structured Streaming: the events table becomes
     a 3-file feed split by event_id (each user's events arrive
     scattered across triggers in arbitrary event-time order), drains
-    through `pattern_stream` (availableNow, update-mode memory sink),
+    through `pattern_stream` (availableNow, update-mode parquet drain),
     and each user's LAST snapshot must hash-match the batch
     regex-over-encoded-history oracle — external validation that the
     buffered-suffix simulation converges to batch semantics on any
@@ -448,9 +440,8 @@ def _streaming_pattern_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
     import tempfile
-    import uuid
 
-    from ..streaming.pipeline import drain_query
+    from ..streaming.pipeline import replay_to_parquet
 
     from ..streaming.pattern import pattern_stream
 
@@ -473,17 +464,14 @@ def _streaming_pattern_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", 1).parquet(feed)
               .withWatermark("ts", "36500 days"))
-    name = f"pattern_replay_{uuid.uuid4().hex[:8]}"
-    q = (pattern_stream(stream).writeStream.outputMode("update")
-         .format("memory").queryName(name)
-         .option("checkpointLocation", os.path.join(work, "ckpt"))
-         .trigger(availableNow=True).start())
-    drain_query(q, 300, name)
-    shutil.rmtree(work, ignore_errors=True)  # memory sink holds the
-    # rows; the feed copy + checkpoint are dead weight once drained
+    snap = replay_to_parquet(
+        pattern_stream(stream), spark, "pattern_replay",
+        checkpoint=os.path.join(work, "ckpt"),
+        output_mode="update", timeout=300)
+    shutil.rmtree(work, ignore_errors=True)  # the parquet drain holds
+    # the rows outside work; feed copy + checkpoint are dead weight
 
     from pyspark.sql import Window
-    snap = spark.table(name)
     w = Window.partitionBy("user_id")
     return (snap.withColumn("__last", F.max("n_seen").over(w))
                 .filter(F.col("n_seen") == F.col("__last"))
@@ -543,9 +531,11 @@ def _streaming_attribution_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     import os
     import shutil
     import tempfile
-    import uuid
 
-    from ..streaming.pipeline import drain_query, stream_interval_join_outer
+    from ..streaming.pipeline import (
+        replay_to_parquet,
+        stream_interval_join_outer,
+    )
 
     ev = load_table(spark, sf_dir, "events")
     work = tempfile.mkdtemp(prefix="stream_attr_replay_")
@@ -598,7 +588,6 @@ def _streaming_attribution_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     purchases = (spark.readStream.schema(schema)
                  .option("maxFilesPerTrigger", 1).parquet(pdir)
                  .withWatermark("ts", "1 minutes"))
-    name = f"attr_replay_{uuid.uuid4().hex[:8]}"
     # stream-stream join state is partitioned by shuffle.partitions,
     # and the per-batch cost here is state-store open/commit PER
     # PARTITION, not rows (measured 14 s for 3 batches of ~20k rows
@@ -610,17 +599,15 @@ def _streaming_attribution_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "8")
-        q = (stream_interval_join_outer(clicks, purchases,
-                                        window="1 hour")
-             .writeStream.outputMode("append")
-             .format("memory").queryName(name)
-             .option("checkpointLocation", os.path.join(work, "ckpt"))
-             .trigger(availableNow=True).start())
-        drain_query(q, 600, name)
+        joined = replay_to_parquet(
+            stream_interval_join_outer(clicks, purchases,
+                                       window="1 hour"),
+            spark, "attr_replay",
+            checkpoint=os.path.join(work, "ckpt"))
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(work, ignore_errors=True)
-    return (spark.table(name)
+    return (joined
             .select("user_id",
                     F.col("click_ts").cast("timestamp_ntz"),
                     F.col("purchase_ts").cast("timestamp_ntz"),
@@ -701,9 +688,8 @@ def _streaming_enrichment_replay(spark: SparkSession,
     import os
     import shutil
     import tempfile
-    import uuid
 
-    from ..streaming.pipeline import drain_query
+    from ..streaming.pipeline import replay_to_parquet
     from ..streaming.replay_stage import stage_trigger_files
     from ..streaming.stateful_join import enrich_stream
 
@@ -731,23 +717,20 @@ def _streaming_enrichment_replay(spark: SparkSession,
     fact_s = (spark.readStream.schema(fact_schema)
               .option("maxFilesPerTrigger", 1).parquet(fdir))
 
-    name = f"enrich_replay_{uuid.uuid4().hex[:8]}"
     # state partitions sized to the replay's micro-batch volume, not
     # core count (the attribution-replay house note: per-batch cost is
     # state-store open/commit PER PARTITION); conf restored after
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "8")
-        q = (enrich_stream(fact_s, dim_s, key="k",
-                           order_col="o_orderkey",
-                           dim_order_col="c_custkey")
-             .writeStream.outputMode("append")
-             .format("memory").queryName(name)
-             .option("checkpointLocation", os.path.join(work, "ckpt"))
-             .trigger(availableNow=True).start())
-        drain_query(q, 600, name)
+        enriched = replay_to_parquet(
+            enrich_stream(fact_s, dim_s, key="k",
+                          order_col="o_orderkey",
+                          dim_order_col="c_custkey"),
+            spark, "enrich_replay",
+            checkpoint=os.path.join(work, "ckpt"))
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(work, ignore_errors=True)
-    return spark.table(name).select(
+    return enriched.select(
         "k", "o_orderkey", "price", "c_custkey", "c_nationkey", "acctbal")

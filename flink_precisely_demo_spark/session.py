@@ -47,14 +47,11 @@ def get_spark(app_name: str = "flink_precisely_demo_spark",
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
-        # streaming replays drain through a memory sink in the local
-        # harness (a real deployment writes a file/Kafka sink); at
-        # sf10 a replay's full output (~17M closed SCD2 versions)
-        # exceeds the 1g default result cap, so the TUNED session
-        # (sweeps, bench — never the external driver's plain session,
-        # which only runs sf0.01) raises it
-        .config("spark.driver.maxResultSize",
-                os.environ.get("SPARK_DRIVER_MAX_RESULT", "8g"))
+        # streaming replays drain through a parquet FILE sink
+        # (streaming/pipeline.replay_to_parquet) — output size never
+        # touches the driver, so the default 1g maxResultSize stands
+        # (the r11 8g raise is reverted; the tuned session no longer
+        # diverges from a plain driver session on result caps)
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.shuffle.spill.compress", "true")
     )

@@ -107,6 +107,64 @@ def run_to_memory(df: DataFrame, name: str, spark: SparkSession,
     return spark.sql(f"SELECT * FROM {name}")
 
 
+# Parquet drain output dirs, one live dir per call-site label: a
+# label's next drain reclaims its previous dir (bench runs each
+# replay twice), and whatever is live at interpreter exit is removed
+# by the atexit hook — the crawl-queries temp-reclaim pattern.
+_REPLAY_DRAIN_DIRS: dict[str, str] = {}
+
+
+def _cleanup_replay_drain_dirs() -> None:
+    import shutil
+
+    for d in _REPLAY_DRAIN_DIRS.values():
+        shutil.rmtree(d, ignore_errors=True)
+    _REPLAY_DRAIN_DIRS.clear()
+
+
+def replay_to_parquet(df: DataFrame, spark: SparkSession, label: str,
+                      checkpoint: str, output_mode: str = "append",
+                      timeout: int = 600) -> DataFrame:
+    """Drive a streaming DataFrame to completion through a parquet
+    FILE sink (foreachBatch append) and return the read-back result —
+    the scale-safe replay drain.
+
+    The memory sink this replaces collects the stream's FULL output
+    into driver heap: at sf10 the SCD2 replay emits ~18M closed
+    versions and the enrichment replay ~15M rows, which forced an 8g
+    ``spark.driver.maxResultSize`` raise in the tuned session (r11
+    advisory). foreachBatch writes each micro-batch executor-side
+    instead — output size never touches the driver, the default
+    result cap stands, and the memory-sink surface shrinks (Spark
+    4.1 has a known INTERNAL_ERROR class on self-joining a streaming
+    memory table). Works for append AND update mode: the parquet
+    multiset equals what the memory sink would have accumulated
+    across batches.
+
+    The read-back uses the stream's own schema, so a zero-row drain
+    returns an empty DataFrame instead of failing schema inference.
+    """
+    import atexit
+    import shutil
+    import tempfile
+
+    old = _REPLAY_DRAIN_DIRS.pop(label, None)
+    if old:
+        shutil.rmtree(old, ignore_errors=True)
+    if not _REPLAY_DRAIN_DIRS:
+        atexit.register(_cleanup_replay_drain_dirs)
+    out = tempfile.mkdtemp(prefix=f"replay_drain_{label}_")
+    _REPLAY_DRAIN_DIRS[label] = out
+
+    q = (df.writeStream.outputMode(output_mode)
+         .foreachBatch(
+             lambda batch, _id: batch.write.mode("append").parquet(out))
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True).start())
+    drain_query(q, timeout, label)
+    return spark.read.schema(df.schema).parquet(out)
+
+
 def drain_query(q, timeout: int, label: str = "streaming query") -> None:
     """awaitTermination with a LOUD timeout: a slow run must fail
     here, not surface later as a confusing partial-snapshot hash

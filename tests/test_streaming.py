@@ -1496,3 +1496,43 @@ def test_streaming_sessionize_idle_key_finalized_without_new_rows(
                   if p.get("stateOperators")]
     assert progresses, "no state metrics recorded"
     assert progresses[-1]["stateOperators"][0]["numRowsTotal"] == 2
+
+
+def test_replay_to_parquet_empty_drain_and_label_reclaim(spark, tmp_path):
+    """The scale-safe replay drain (r11 verdict item 3: replaces the
+    memory-sink collect that forced an 8g maxResultSize raise).
+    Pins two contracts: (a) a drain that emits ZERO rows returns an
+    empty DataFrame with the stream's declared schema (the read-back
+    must not fail schema inference on a fileless dir); (b) a label's
+    next drain reclaims its previous output dir, so a process that
+    drains the same replay repeatedly (bench min-of-2) holds at most
+    one live dir per label."""
+    import os
+
+    from flink_precisely_demo_spark.streaming.pipeline import (
+        _REPLAY_DRAIN_DIRS,
+        replay_to_parquet,
+    )
+
+    feed = str(tmp_path / "feed")
+    (spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+     .coalesce(1).write.parquet(feed))
+    stream = (spark.readStream.schema("k long, v string").parquet(feed))
+
+    # (a) a filter nothing survives -> zero-row drain, schema intact
+    empty = replay_to_parquet(
+        stream.filter(F.col("k") > 100), spark, "pytest_replay_drain",
+        checkpoint=str(tmp_path / "ckpt0"), timeout=120)
+    assert empty.count() == 0
+    assert empty.schema.simpleString() == "struct<k:bigint,v:string>"
+    first_dir = _REPLAY_DRAIN_DIRS["pytest_replay_drain"]
+    assert os.path.isdir(first_dir)
+
+    # (b) re-draining the same label reclaims the first dir
+    full = replay_to_parquet(
+        stream, spark, "pytest_replay_drain",
+        checkpoint=str(tmp_path / "ckpt1"), timeout=120)
+    assert sorted(r["v"] for r in full.collect()) == ["a", "b"]
+    second_dir = _REPLAY_DRAIN_DIRS["pytest_replay_drain"]
+    assert second_dir != first_dir
+    assert not os.path.exists(first_dir)
