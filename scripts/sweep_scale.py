@@ -17,12 +17,21 @@ derived sf_dir whose documents table is deterministically sliced
 construction, so the FULL hash compare applies, just on bounded
 input. The artifact says exactly which pairs got which check.
 
+RESUMABLE (r11 verdict item 1: two 2h-budget overruns voided a full
+sf10 pass each time): every completed entry is checkpointed to a
+JSONL progress file AS IT FINISHES; a rerun with --resume carries
+those results over and only runs what is missing (failed/errored
+entries always re-run — resume must not fossilize a red row). A
+budget overrun now costs the tail, not the whole pass.
+
 Usage: python scripts/sweep_scale.py [sf_dir] [max_rows]
+                                     [--progress PATH] [--resume]
 Prints one JSON line; full per-pair detail to stderr.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -32,9 +41,57 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
 
 
+def _bucket(status: str) -> str:
+    """Map a per-entry status string to its artifact bucket."""
+    if status.startswith("full-bounded-docs"):
+        return "bounded"
+    if status.startswith("full("):
+        return "full"
+    if status.startswith("digest("):
+        return "digest"
+    if status == "no-oracle":
+        return "rows_only"
+    if status.startswith("skipped-oracle-cost"):
+        return "skipped"
+    return "failed"
+
+
+def _load_progress(path: str | None, resume: bool) -> dict[str, dict]:
+    """Completed entries from a prior run. Failed/errored rows are
+    dropped so they re-run: resume continues a pass, it never
+    launders a red row into the merged artifact."""
+    carried: dict[str, dict] = {}
+    if not (resume and path and os.path.exists(path)):
+        return carried
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            row = json.loads(line)
+            if _bucket(row["status"]) != "failed":
+                carried[row["name"]] = {
+                    "status": row["status"], "sec": row["sec"]}
+    return carried
+
+
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf10"
-    max_rows = int(sys.argv[2]) if len(sys.argv) > 2 else 3_000_000
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sf_dir", nargs="?", default="/tmp/sf10")
+    ap.add_argument("max_rows", nargs="?", type=int, default=3_000_000)
+    ap.add_argument("--progress", default=None,
+                    help="per-entry checkpoint JSONL (appended as "
+                         "entries finish)")
+    ap.add_argument("--resume", action="store_true",
+                    help="carry over non-failed entries already in "
+                         "--progress instead of re-running them")
+    args = ap.parse_args()
+    sf_dir, max_rows = args.sf_dir, args.max_rows
+
+    carried = _load_progress(args.progress, args.resume)
+    if carried:
+        print(f"# resume: carrying {len(carried)} completed entries "
+              f"from {args.progress}", file=sys.stderr, flush=True)
 
     import __spark_entry__ as m
     from oracle_check import compare, digest_compare, duckdb_con
@@ -60,22 +117,38 @@ def main() -> None:
 
     skip = {s for s in os.environ.get("SWEEP_SKIP", "").split(",") if s}
     only = {s for s in os.environ.get("SWEEP_ONLY", "").split(",") if s}
-    full, digest, rows_only, failed, skipped, bounded = \
-        [], [], [], [], [], []
+    buckets: dict[str, list[str]] = {
+        "full": [], "digest": [], "bounded": [], "rows_only": [],
+        "skipped": [], "failed": []}
     detail: dict[str, dict] = {}
     t_start = time.time()
+
+    def record(name: str, status: str, sec: float,
+               from_cache: bool = False) -> None:
+        buckets[_bucket(status)].append(name)
+        detail[name] = {"status": status, "sec": sec}
+        tag = " (resumed)" if from_cache else ""
+        print(f"# {name}: {status} [{sec:.1f}s]{tag}",
+              file=sys.stderr, flush=True)
+        if args.progress and not from_cache:
+            with open(args.progress, "a") as f:
+                f.write(json.dumps(
+                    {"name": name, "status": status, "sec": sec}) + "\n")
+                f.flush()
+
     for name, fn in qs.items():
         if only and name not in only:
+            continue
+        if name in carried:
+            row = carried[name]
+            record(name, row["status"], row["sec"], from_cache=True)
             continue
         t0 = time.time()
         if name in skip:
             # oracle-side cost is pathological at this SF even on the
             # bounded slice; recorded explicitly, validated at the
             # previous scale point
-            skipped.append(name)
-            detail[name] = {"status": "skipped-oracle-cost", "sec": 0}
-            print(f"# {name}: skipped-oracle-cost", file=sys.stderr,
-                  flush=True)
+            record(name, "skipped-oracle-cost", 0)
             continue
         try:
             sql = oracles.get(name)
@@ -85,7 +158,6 @@ def main() -> None:
             n_spark = df.count()
             if sql is None:
                 status = "no-oracle"
-                rows_only.append(name)
             elif n_spark > max_rows:
                 # the digest row carries row_cnt, so one aggregate
                 # pass per engine covers count AND values — no
@@ -93,42 +165,35 @@ def main() -> None:
                 problems = digest_compare(df, q_con, sql)
                 if problems:
                     status = f"DIGEST-FAIL {problems[:3]}"
-                    failed.append(name)
                 else:
                     status = f"digest({n_spark})"
-                    digest.append(name)
             else:
                 problems = compare(df, q_con, sql)
                 if problems:
                     status = f"FAIL {problems[:2]}"
-                    failed.append(name)
+                elif name in doc_bounded:
+                    status = f"full-bounded-docs({n_spark})"
                 else:
                     status = f"full({n_spark})"
-                    (bounded if name in doc_bounded else full).append(name)
-                    if name in doc_bounded:
-                        status = f"full-bounded-docs({n_spark})"
         except Exception as exc:  # noqa: BLE001
             status = f"ERROR {type(exc).__name__}: {exc}"[:300]
-            failed.append(name)
-        print(f"# {name}: {status} [{time.time() - t0:.1f}s]",
-              file=sys.stderr, flush=True)
-        detail[name] = {"status": status,
-                        "sec": round(time.time() - t0, 1)}
+        record(name, status, round(time.time() - t0, 1))
 
     print(json.dumps({
         "sf_dir": sf_dir,
         "max_rows_for_full_compare": max_rows,
-        "n_full_hash_match": len(full),
-        "n_digest_match": len(digest),
-        "n_full_bounded_docs": len(bounded),
-        "n_rows_only": len(rows_only),
-        "n_failed": len(failed),
-        "n_skipped_oracle_cost": len(skipped),
-        "failed": failed,
-        "digest_match": digest,
-        "full_bounded_docs": bounded,
-        "rows_only": rows_only,
-        "skipped_oracle_cost": skipped,
+        "n_full_hash_match": len(buckets["full"]),
+        "n_digest_match": len(buckets["digest"]),
+        "n_full_bounded_docs": len(buckets["bounded"]),
+        "n_rows_only": len(buckets["rows_only"]),
+        "n_failed": len(buckets["failed"]),
+        "n_skipped_oracle_cost": len(buckets["skipped"]),
+        "n_resumed": len(carried),
+        "failed": buckets["failed"],
+        "digest_match": buckets["digest"],
+        "full_bounded_docs": buckets["bounded"],
+        "rows_only": buckets["rows_only"],
+        "skipped_oracle_cost": buckets["skipped"],
         "wall_sec": round(time.time() - t_start, 1),
         "detail": detail,
     }))
