@@ -452,26 +452,48 @@ def test_hint_broadcast_if_small_both_regimes(spark):
 
 def test_no_unconditional_broadcast_on_sf_growing_sides():
     """SITE-level guard for the r9 advisory (tightened per the r10
-    verdict's advisory 1 — the old file-path allowlist let a NEW
-    unconditional ``F.broadcast`` hide inside an already-listed
-    file): every ``F.broadcast()`` call site in the package must feed
-    from a fixed-cardinality frame — SF-growing sides (part,
-    supplier, customer, vocabularies, rule tables) must route through
+    verdict's advisory 1, re-keyed per the r11 verdict's item 7):
+    every ``F.broadcast()`` call site in the package must feed from a
+    fixed-cardinality frame — SF-growing sides (part, supplier,
+    customer, vocabularies, rule tables) must route through
     hint_broadcast_if_small. Call sites are extracted from the AST
-    (so docstrings/comments don't count and line shifts don't break
-    the pin) and keyed by (file, root identifier of the fed
-    expression, count): adding a site, removing one, or swapping the
-    frame an existing site feeds from all fail until re-audited."""
+    and keyed by (file, FRAME fingerprint, count), where the
+    fingerprint hashes the fed variable's DEFINING expression (its
+    nearest-preceding assignment's RHS), not the variable name: a
+    rename (nat -> n) keeps the pin, while re-pointing the variable
+    at a different table — the thing that actually needs re-audit —
+    changes it. Inline expressions hash themselves; parameters pin as
+    param:<name>. Adding a site, removing one, or changing the frame
+    an existing site feeds all fail until re-audited."""
     import ast
     import collections
     import glob
+    import hashlib
 
     def root_ident(node):
         while isinstance(node, (ast.Attribute, ast.Call, ast.Subscript)):
             node = node.func if isinstance(node, ast.Call) else node.value
         return node.id if isinstance(node, ast.Name) else "<expr>"
 
+    def frame_fingerprint(tree, arg):
+        if isinstance(arg, ast.Name):
+            best = None
+            for node in ast.walk(tree):
+                if (isinstance(node, ast.Assign)
+                        and node.lineno < arg.lineno):
+                    for t in node.targets:
+                        if isinstance(t, ast.Name) and t.id == arg.id:
+                            if best is None or node.lineno > best.lineno:
+                                best = node
+            if best is None:
+                return "param:" + arg.id
+            dump = ast.dump(best.value)
+        else:
+            dump = ast.dump(arg)
+        return hashlib.md5(dump.encode()).hexdigest()[:8]
+
     inventory = collections.Counter()
+    fed_names: dict[tuple, set] = {}
     for path in sorted(glob.glob(
             "/root/repo/flink_precisely_demo_spark/**/*.py",
             recursive=True)):
@@ -484,59 +506,75 @@ def test_no_unconditional_broadcast_on_sf_growing_sides():
                     and node.func.attr == "broadcast"
                     and isinstance(node.func.value, ast.Name)
                     and node.func.value.id == "F"):
-                inventory[(rel, root_ident(node.args[0]))] += 1
+                key = (rel, frame_fingerprint(tree, node.args[0]))
+                inventory[key] += 1
+                fed_names.setdefault(key, set()).add(
+                    root_ident(node.args[0]))
 
     p = "flink_precisely_demo_spark/"
+    # each entry audited r10, site-granularity r11, frame-fingerprint
+    # r12; trailing comment = fed variable at audit time + why the
+    # frame is fixed-cardinality. Regenerate a drifted fingerprint by
+    # re-running the extraction above and re-auditing the new frame.
     audited_fixed_cardinality = {
-        # each entry audited r10 (re-audited at site granularity r11):
-        # nation/region chains, 1-row aggregates, bounded seed/probe
-        # sets, codebooks, bit-position sets, salt ranges
-        (p + "operators/bloom.py", "passing"): 1,   # bit-position set
-        (p + "operators/bloom.py", "positions"): 1,
-        (p + "operators/bpe.py", "best"): 1,        # 1-row argmax merge
-        (p + "operators/broadcast.py", "df"): 1,    # the hint mechanism
-        (p + "operators/curation.py", "thr"): 1,    # 1-row threshold
-        (p + "operators/curation.py", "tot"): 1,    # 1-row count
-        (p + "operators/enrichment_join.py", "d"): 1,   # latest-dim snap
-        (p + "operators/skew.py", "fact"): 1,       # salt range
-        (p + "plans/ann_queries.py", "cb1"): 1,     # PQ codebooks (k<=256)
-        (p + "plans/ann_queries.py", "cb2"): 1,
-        (p + "plans/ann_queries.py", "q"): 2,       # bounded query seeds
-        (p + "plans/ann_queries.py", "qcb1"): 1,
-        (p + "plans/ann_queries.py", "qcb2"): 1,
-        (p + "plans/ann_queries.py", "side"): 1,    # ground-truth top-k
-        (p + "plans/curation_queries.py", "cnt"): 5,  # 1-row counts
-        (p + "plans/flagship.py", "nation"): 1,     # 25 rows
-        (p + "plans/flagship.py", "region"): 1,     # 5 rows
-        (p + "plans/graph_queries.py", "hosts"): 1,     # 1-row agg
-        (p + "plans/graph_queries.py", "rank_side"): 1,  # probed upstream
-        (p + "plans/layout_queries.py", "n"): 1,    # nation
-        (p + "plans/olap_queries.py", "mx"): 1,     # 1-row max
-        (p + "plans/olap_queries.py", "n"): 3,      # nation
-        (p + "plans/olap_queries.py", "n1"): 2,     # nation pair (q7)
-        (p + "plans/olap_queries.py", "n2"): 2,
-        (p + "plans/olap_queries.py", "nat"): 4,    # nation (+1-row join)
-        (p + "plans/olap_queries.py", "nb"): 1,     # nation
-        (p + "plans/olap_queries.py", "nk"): 1,     # single nation key
-        (p + "plans/olap_queries.py", "r"): 2,      # region
-        (p + "plans/olap_queries.py", "reg"): 2,    # region
-        (p + "plans/olap_queries.py", "th"): 1,     # 1-row threshold
-        (p + "plans/olap_queries.py", "top"): 1,    # 1-row top revenue
-        (p + "plans/olap_queries.py", "total"): 1,  # 1-row total
-        (p + "plans/queries.py", "n"): 1,           # nation
-        (p + "plans/queries.py", "r"): 1,           # region
-        (p + "plans/search_queries.py", "corpus"): 1,  # 1-row stats
-        (p + "plans/search_queries.py", "df_"): 1,  # pre-filtered to the
-                                                    # fixed QUERY_TERMS set
-        (p + "plans/similarity_queries.py", "seeds"): 1,  # bounded seeds
-        (p + "plans/similarity_queries.py", "top"): 1,    # bounded top-k
-        (p + "plans/sketch_queries.py", "total"): 1,      # 1-row count
-        (p + "plans/text_queries.py", "vocab"): 1,  # 1-row count_distinct
-        (p + "streaming/pipeline.py", "states"): 1,  # nation-sized lookup
+        (p + "operators/bloom.py", "e2d33427"): 1,   # passing: bit-position set
+        (p + "operators/bloom.py", "param:positions"): 1,  # caller-bounded
+        (p + "operators/bpe.py", "b5d70c67"): 1,     # best: 1-row argmax merge
+        (p + "operators/broadcast.py", "param:df"): 1,  # the hint mechanism
+        (p + "operators/curation.py", "36495e76"): 1,   # thr: 1-row threshold
+        (p + "operators/curation.py", "b8cef101"): 1,   # tot: 1-row count
+        (p + "operators/enrichment_join.py", "fa3afa78"): 1,  # d: latest-dim snap
+        (p + "operators/skew.py", "984814e0"): 1,    # fact: salt range
+        (p + "plans/ann_queries.py", "668a2dc1"): 1,  # cb1: PQ codebook (k<=256)
+        (p + "plans/ann_queries.py", "8ce08c39"): 1,  # cb2: PQ codebook
+        (p + "plans/ann_queries.py", "9af45f1c"): 1,  # qcb1: PQ codebook
+        (p + "plans/ann_queries.py", "a4575904"): 1,  # q: bounded query seeds
+        (p + "plans/ann_queries.py", "af714a0e"): 1,  # qcb2: PQ codebook
+        (p + "plans/ann_queries.py", "ee5a0975"): 1,  # q: bounded query seeds
+        (p + "plans/ann_queries.py", "param:side"): 1,  # ground-truth top-k
+        (p + "plans/curation_queries.py", "461f9e58"): 1,  # cnt: 1-row count
+        (p + "plans/curation_queries.py", "51ecaeed"): 1,  # cnt: 1-row count
+        (p + "plans/curation_queries.py", "7bc0465f"): 1,  # cnt: 1-row count
+        (p + "plans/curation_queries.py", "b6ef2f0f"): 1,  # cnt: 1-row count
+        (p + "plans/curation_queries.py", "eeeea29e"): 1,  # cnt: 1-row count
+        (p + "plans/flagship.py", "2cbe0f31"): 1,    # nation: 25 rows
+        (p + "plans/flagship.py", "ab8c3d42"): 1,    # region: 5 rows
+        (p + "plans/graph_queries.py", "69482522"): 1,  # rank_side: probed upstream
+        (p + "plans/graph_queries.py", "8b749e44"): 1,  # hosts: 1-row agg
+        (p + "plans/layout_queries.py", "d5a12556"): 1,  # n: nation
+        (p + "plans/olap_queries.py", "00cf2d34"): 1,   # th: 1-row threshold
+        (p + "plans/olap_queries.py", "03ae2286"): 1,   # reg: region
+        (p + "plans/olap_queries.py", "118da461"): 1,   # n1: nation (q7)
+        (p + "plans/olap_queries.py", "29504256"): 1,   # r: region
+        (p + "plans/olap_queries.py", "2cca830b"): 2,   # r/reg: region
+        (p + "plans/olap_queries.py", "2fc98db7"): 1,   # top: 1-row top revenue
+        (p + "plans/olap_queries.py", "38292c82"): 1,   # nat: nation
+        (p + "plans/olap_queries.py", "3c97921d"): 1,   # total: 1-row total
+        (p + "plans/olap_queries.py", "4e418d87"): 1,   # mx: 1-row max
+        (p + "plans/olap_queries.py", "6e36cc97"): 1,   # n: nation
+        (p + "plans/olap_queries.py", "7494da06"): 1,   # nb: nation
+        (p + "plans/olap_queries.py", "91d6edbe"): 1,   # nat: nation (+1-row join)
+        (p + "plans/olap_queries.py", "a5cca6f0"): 1,   # n: nation
+        (p + "plans/olap_queries.py", "afa88926"): 1,   # nat: nation
+        (p + "plans/olap_queries.py", "e1561701"): 1,   # nk: single nation key
+        (p + "plans/olap_queries.py", "f2b212d8"): 1,   # n2: nation (q7)
+        (p + "plans/olap_queries.py", "fa1a1840"): 2,   # n1/n2: nation pair (q8)
+        (p + "plans/olap_queries.py", "fa1af868"): 2,   # n/nat: nation
+        (p + "plans/queries.py", "00e44844"): 1,     # r: region
+        (p + "plans/queries.py", "fa1af868"): 1,     # n: nation
+        (p + "plans/search_queries.py", "2e8bc835"): 1,  # corpus: 1-row stats
+        (p + "plans/search_queries.py", "da770cac"): 1,  # df_: fixed QUERY_TERMS
+        (p + "plans/similarity_queries.py", "027bee3f"): 1,  # top: bounded top-k
+        (p + "plans/similarity_queries.py", "7d107947"): 1,  # seeds: bounded
+        (p + "plans/sketch_queries.py", "332ac1bd"): 1,  # total: 1-row count
+        (p + "plans/text_queries.py", "0123f1ce"): 1,  # vocab: 1-row distinct
+        (p + "streaming/pipeline.py", "d28e25c2"): 1,  # states: nation-sized
     }
     assert dict(inventory) == audited_fixed_cardinality, (
-        "F.broadcast call-site inventory drifted — new/removed/"
-        "re-fed sites need a growing-side audit. diff: "
+        "F.broadcast call-site inventory drifted — new/removed sites "
+        "or a CHANGED FRAME behind an existing site need a "
+        "growing-side audit. fed names per key: "
+        f"{ {k: sorted(v) for k, v in fed_names.items()} } diff: "
         f"added={sorted(set(inventory) - set(audited_fixed_cardinality))} "
         f"removed={sorted(set(audited_fixed_cardinality) - set(inventory))} "
         f"count-changed={sorted(k for k in inventory if k in audited_fixed_cardinality and inventory[k] != audited_fixed_cardinality[k])}")
