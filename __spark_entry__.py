@@ -174,10 +174,12 @@ _DEFERRED = [
 # — the list cannot be used to hide once-red or once-green entries).
 # All pairs still run in the local pytest oracle sweep regardless.
 #
-# r11: streaming_scd2_replay was registered BEFORE this round's
-# rotation was finalized, so it takes a window seat directly; no
-# mid-round additions yet.
+# r12: csv_ingest_policy (the delimited-source policy roundtrip)
+# was added after the r12 rotation was finalized; it parks here,
+# runs in the local pytest sweep + SWEEP_r12 scale points, and takes
+# a window seat at the r13 rotation.
 _PENDING: list[str] = [
+    "csv_ingest_policy",
 ]
 
 

@@ -512,3 +512,141 @@ def _crawl_to_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (packed.groupBy("lang", "chunk_id")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_tokens").cast("bigint").alias("chunk_tokens")))
+
+
+# Staged delimited export of the orders table, one per (process,
+# sf_dir) — same immutable-input caching rationale as
+# `_roundtrip_corpus_dir` above (the export derives only from the
+# parquet at sf_dir; reclaimed at interpreter exit).
+_DELIMITED_DIRS: dict[str, str] = {}
+
+
+def _cleanup_delimited_dirs() -> None:
+    import os
+    import shutil
+
+    for d in _DELIMITED_DIRS.values():
+        shutil.rmtree(os.path.dirname(d), ignore_errors=True)
+    _DELIMITED_DIRS.clear()
+
+
+_ORDERS_CSV_DDL = ("o_orderkey long, o_custkey long, "
+                   "o_orderstatus string, o_totalprice double, "
+                   "o_orderdate timestamp, o_orderpriority string")
+
+
+def _delimited_orders_dir(spark: SparkSession, sf_dir: str) -> str:
+    import atexit
+    import os
+    import tempfile
+
+    from ..sources.delimited import write_delimited
+
+    key = os.path.realpath(sf_dir)
+    cached = _DELIMITED_DIRS.get(key)
+    if cached and os.path.isdir(cached):
+        return cached
+    work = tempfile.mkdtemp(prefix="csv_ingest_")
+    if not _DELIMITED_DIRS:
+        atexit.register(_cleanup_delimited_dirs)
+    out = os.path.join(work, "orders_feed")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    # pipe-separated, the classic TPC-H tbl feed shape; no free-text
+    # columns, so no quoting fires and the bytes are deterministic
+    write_delimited(orders, out, sep="|")
+    with open(os.path.join(out, "zz_corrupt.csv"), "w") as f:
+        # wrong field count (2 of 6)
+        f.write("bad|row\n")
+        # unparseable double in o_totalprice
+        f.write("9000000001|1|O|not-a-number|"
+                "1995-01-01T00:00:00.000Z|1-URGENT\n")
+        # unparseable timestamp AND too many fields
+        f.write("9000000002|2|F|123.45|not-a-time|2-HIGH|x|y\n")
+    _DELIMITED_DIRS[key] = out
+    return out
+
+
+@query(
+    "csv_ingest_policy",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+               AS total_price,
+           MIN(o_orderkey) AS min_orderkey,
+           MAX(o_custkey) AS max_custkey,
+           MAX(ascii(o_orderstatus)) AS max_status_ascii,
+           MAX(o_orderdate) AS last_order_ts,
+           CAST(0 AS BIGINT) AS n_corrupt
+    FROM orders
+    GROUP BY o_orderpriority
+    UNION ALL
+    SELECT NULL AS o_orderpriority,
+           CAST(3 AS BIGINT) AS n_orders,
+           CAST(NULL AS DOUBLE) AS total_price,
+           CAST(NULL AS BIGINT) AS min_orderkey,
+           CAST(NULL AS BIGINT) AS max_custkey,
+           CAST(NULL AS INTEGER) AS max_status_ascii,
+           CAST(NULL AS TIMESTAMP) AS last_order_ts,
+           CAST(3 AS BIGINT) AS n_corrupt
+    """,
+)
+def _csv_ingest_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The delimited source/sink contract (sources/delimited.py)
+    proven as a roundtrip with a malformed-record policy — the CSV
+    twin of `jsonl_corpus_roundtrip`, over a pipe-separated orders
+    feed (the TPC-H tbl shape) with three injected poison lines
+    (wrong field count, bad double, bad timestamp + extra fields).
+
+    Valid rows aggregate per o_orderpriority exactly as the parquet
+    originals — the hash match proves the writer/parser pair is
+    lossless for long/double/timestamp/string columns (double via
+    Double.toString roundtrip, summed under exact decimal
+    accumulation on both engines). The three poison lines surface as
+    the NULL-priority quarantine row with their raw text captured in
+    ``_corrupt`` — per-row poison, never a job abort.
+
+    The rollup is a SINGLE groupBy pass: corrupt rows are folded in
+    by nulling their group key rather than a separate
+    filter-on-_corrupt branch, which (a) avoids the
+    QUERY_ONLY_CORRUPT_RECORD_COLUMN restriction on corrupt-only
+    projections and (b) keeps it one scan + one shuffle. The
+    aggregate deliberately touches EVERY feed column: the univocity
+    parser validates only projected fields (parser column pruning —
+    sources/delimited.py caveats; empirically, a 3-column rollup
+    here let the bad-timestamp poison line through as valid), so a
+    complete ingest audit must read the full row width. That is the
+    honest price of malformation detection at 100 TB and it is
+    scan-stage work, not shuffle width — only the per-group partials
+    move.
+
+    Scale: scan-stage parse (line-splittable, multiLine=false), one
+    groupBy(priority) shuffle with map-side partials over ~5 groups."""
+    from ..operators.windowed_agg import sum_exact
+    from ..sources.delimited import CORRUPT_COL, read_delimited
+
+    out = _delimited_orders_dir(spark, sf_dir)
+    back = read_delimited(spark, out, _ORDERS_CSV_DDL, sep="|")
+    valid = F.col(CORRUPT_COL).isNull()
+
+    def v(col: str):
+        return F.when(valid, F.col(col))
+
+    return (back
+            .groupBy(v("o_orderpriority").alias("o_orderpriority"))
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 sum_exact(v("o_totalprice")).alias("total_price"),
+                 F.min(v("o_orderkey")).alias("min_orderkey"),
+                 F.max(v("o_custkey")).alias("max_custkey"),
+                 # ascii, not the raw string: a string MIN/MAX buffer
+                 # is immutable and demotes the whole aggregate to
+                 # SortAggregate (per-partition sort of every feed
+                 # row); the int form keeps HashAggregate while still
+                 # forcing the parser to validate o_orderstatus
+                 F.max(F.ascii(v("o_orderstatus")))
+                  .alias("max_status_ascii"),
+                 F.max(v("o_orderdate")).alias("last_order_ts"),
+                 F.sum(F.when(valid, F.lit(0)).otherwise(1))
+                  .cast("long").alias("n_corrupt")))
