@@ -1,4 +1,5 @@
-"""Materialized IVF ANN index: build once, query many times.
+"""Materialized IVF ANN index: build once, query many times,
+maintain incrementally.
 
 The inline ``ivf_topk`` (operators/similarity.py) re-assigns the
 corpus to cells on every call — right for ad-hoc queries, wasteful
@@ -17,6 +18,21 @@ for a served system. This module materializes the assignment:
   cluster reads ~nprobe/k_cells of the corpus bytes. Candidate
   scoring reuses the local-top-k kernel shape from similarity.py:
   per-partition batch matmul + local top-k, one tiny global window.
+- ``upsert_ann_index`` / ``compact_ann_index``: LSM-style
+  maintenance. A served corpus mutates (new docs, re-embeddings,
+  takedowns) and a 100 TB index cannot be rebuilt per change, so
+  each upsert appends a small **delta generation** — the new vectors
+  assigned to cells under the EXISTING centroids (no retrain; the
+  cell geometry is the serving contract) plus a tombstone set that
+  shadows every older version of the touched ids wherever they live
+  (an id's replacement vector may land in a DIFFERENT cell, so
+  shadowing must be by id+generation, not by cell). Readers
+  reconcile with one rule: a row from generation ``g`` is live iff
+  no tombstone with generation ``> g`` names its id. Reconciliation
+  cost at query time is the probed delta bytes plus one
+  broadcast-sized anti-join against the tombstone set; compaction
+  folds all generations back into a fresh base (same atomic
+  double-rename publish as the build) and resets that cost to zero.
 
 Recall/cost knob: nprobe=1 is fastest; nprobe=k_cells degenerates to
 exact brute force over a partitioned scan (tested equivalence).
@@ -41,9 +57,33 @@ from .similarity import (
 )
 
 
+def _assign_to_cells(df: DataFrame, cent_mat: np.ndarray,
+                     cell_ids: np.ndarray, id_col: str,
+                     vec_col: str) -> DataFrame:
+    """Map-side nearest-centroid assignment — the shared kernel of
+    the initial build and every later append (one rule, no drift
+    between build-time and upsert-time assignment)."""
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            batch = np.stack(pdf[vec_col].map(
+                lambda v: np.asarray(v, dtype=np.float64)).to_numpy())
+            out = pdf[[id_col, vec_col]].copy()
+            out["cell_id"] = _nearest_cell(batch, cent_mat, cell_ids)
+            yield out
+
+    return df.select(id_col, vec_col).mapInPandas(
+        kernel,
+        schema=f"{id_col} {id_type}, {vec_col} array<float>, cell_id long")
+
+
 def build_ann_index(corpus: DataFrame, index_path: str, k_cells: int = 8,
                     max_iter: int = 3, id_col: str = "vec_id",
-                    vec_col: str = "embedding") -> None:
+                    vec_col: str = "embedding",
+                    train_df: DataFrame | None = None) -> None:
     """Train centroids and materialize the cell-partitioned corpus at
     ``index_path`` (subdirs ``vectors/cell_id=N/`` and ``centroids``).
 
@@ -61,12 +101,41 @@ def build_ann_index(corpus: DataFrame, index_path: str, k_cells: int = 8,
     is a versioned prefix plus a pointer flip; same invariant,
     different rename."""
     import os
-    import shutil
-    import uuid
 
     spark = corpus.sparkSession
-    # reap stale build/old dirs whose owning process is gone; live
-    # pids are left alone so concurrent builds can't destroy each other
+    _reap_stale_dirs(index_path)
+    nonce = _nonce()
+    build_path = f"{index_path}.build-{nonce}"
+    centroids = kmeans_fit(train_df if train_df is not None else corpus,
+                           k_cells, max_iter, id_col, vec_col)
+    cell_ids, cent_mat = _centroid_arrays(centroids)
+    assigned = _assign_to_cells(corpus, cent_mat, cell_ids,
+                                id_col, vec_col)
+    assigned.write.mode("overwrite").partitionBy("cell_id") \
+        .parquet(f"{build_path}/vectors")
+    spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in centroids],
+        "cell_id long, c array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{build_path}/centroids")
+    with open(os.path.join(build_path, "_INDEX_OK"), "w") as f:
+        f.write("ok\n")
+    _publish_index(build_path, index_path, nonce)
+
+
+def _nonce() -> str:
+    import os
+    import uuid
+
+    return f"{os.getpid()}-{uuid.uuid4().hex[:8]}"
+
+
+def _reap_stale_dirs(index_path: str) -> None:
+    """Remove build/old staging dirs whose owning process is gone;
+    live pids are left alone so concurrent builds can't destroy each
+    other."""
+    import os
+    import shutil
+
     parent, base = os.path.split(os.path.abspath(index_path))
     for name in os.listdir(parent) if os.path.isdir(parent) else []:
         for tag in (".build-", ".old-"):
@@ -79,44 +148,191 @@ def build_ann_index(corpus: DataFrame, index_path: str, k_cells: int = 8,
                                   ignore_errors=True)
                 except PermissionError:
                     pass                    # pid alive, not ours
-    nonce = f"{os.getpid()}-{uuid.uuid4().hex[:8]}"
-    build_path = f"{index_path}.build-{nonce}"
-    final_path, index_path = index_path, build_path
-    centroids = kmeans_fit(corpus, k_cells, max_iter, id_col, vec_col)
-    cell_ids, cent_mat = _centroid_arrays(centroids)
-    id_type = corpus.schema[id_col].dataType.simpleString()
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            batch = np.stack(pdf[vec_col].map(
-                lambda v: np.asarray(v, dtype=np.float64)).to_numpy())
-            out = pdf[[id_col, vec_col]].copy()
-            out["cell_id"] = _nearest_cell(batch, cent_mat, cell_ids)
-            yield out
 
-    assigned = corpus.select(id_col, vec_col).mapInPandas(
-        kernel, schema=f"{id_col} {id_type}, {vec_col} array<float>, cell_id long")
-    assigned.write.mode("overwrite").partitionBy("cell_id") \
-        .parquet(f"{index_path}/vectors")
-    spark.createDataFrame(
-        [(int(c), [float(x) for x in v]) for c, v in centroids],
-        "cell_id long, c array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/centroids")
-    with open(os.path.join(index_path, "_INDEX_OK"), "w") as f:
-        f.write("ok\n")
-    # publish: swing the old index aside (rename, not rmtree — the
-    # no-index window is one rename pair, not a recursive delete),
-    # then the new one into place; reclaim the old dir afterwards
+def _publish_index(build_path: str, final_path: str, nonce: str) -> None:
+    """Atomic publish: swing the old index aside (rename, not rmtree
+    — the no-index window is one rename pair, not a recursive
+    delete), then the new one into place; reclaim the old dir
+    afterwards."""
+    import os
+    import shutil
+
     old_path = f"{final_path}.old-{nonce}"
     try:
         os.rename(final_path, old_path)
     except FileNotFoundError:
         old_path = None                     # first build: nothing to swap
-    os.rename(index_path, final_path)
+    os.rename(build_path, final_path)
     if old_path is not None:
         shutil.rmtree(old_path, ignore_errors=True)
+
+
+_DELTA_RE = r"delta-(\d{6})-"
+
+
+def _delta_dirs(index_path: str) -> list[tuple[int, str]]:
+    """Published delta generations, ascending by sequence number.
+    Only marker-bearing dirs count — a crashed upsert leaves an
+    unmarked staging dir that readers never see."""
+    import os
+    import re
+
+    root = os.path.join(index_path, "deltas")
+    out = []
+    for name in sorted(os.listdir(root)) if os.path.isdir(root) else []:
+        m = re.match(_DELTA_RE, name)
+        d = os.path.join(root, name)
+        if m and os.path.isfile(os.path.join(d, "_DELTA_OK")):
+            out.append((int(m.group(1)), d))
+    out.sort()
+    return out
+
+
+def upsert_ann_index(spark: SparkSession, index_path: str,
+                     updates: DataFrame | None = None,
+                     delete_ids=None, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> int:
+    """Append one delta generation: ``updates`` rows (re)define their
+    ids' vectors, ``delete_ids`` (an iterable or a one-column
+    DataFrame) remove theirs. Returns the generation number.
+
+    The update vectors are assigned to cells under the index's
+    EXISTING centroids (``_assign_to_cells`` — the same kernel the
+    build used, so there is exactly one assignment rule) and written
+    cell-partitioned, so probe-time pruning applies to deltas exactly
+    as to the base. Every touched id (updated or deleted) gets a
+    tombstone stamped with this generation; readers drop any
+    older-generation row the tombstone names. The delta stages under
+    an unmarked dir and publishes by rename after ``_DELTA_OK`` is
+    written — a crashed upsert is invisible, never half-read.
+
+    Scale: the work is proportional to the DELTA, not the index —
+    one assignment scan over ``updates`` and a partitioned write.
+    Tombstones accumulate until :func:`compact_ann_index`; they are
+    delta-metadata-sized (ids only), which is what keeps the read
+    path's anti-join broadcastable. Single-writer per index (like
+    the build); concurrent upserters need external coordination.
+
+    No reference counterpart (the reference has no vector serving at
+    all); the delta/tombstone/compact shape is the standard LSM
+    contract (e.g. Lucene segment deletes, Delta Lake deletion
+    vectors) re-expressed over plain partitioned parquet."""
+    import os
+
+    if updates is None and delete_ids is None:
+        raise ValueError("upsert_ann_index: nothing to apply "
+                         "(updates and delete_ids both None)")
+    if not index_ok(index_path):
+        raise FileNotFoundError(f"no published index at {index_path}")
+    deltas = _delta_dirs(index_path)
+    seq = (deltas[-1][0] + 1) if deltas else 1
+    root = os.path.join(index_path, "deltas")
+    os.makedirs(root, exist_ok=True)
+    nonce = _nonce()
+    stage = os.path.join(root, f".stage-{nonce}")
+    final = os.path.join(root, f"delta-{seq:06d}-{nonce}")
+
+    tomb_frames = []
+    if updates is not None:
+        cell_ids, cent_mat = load_centroids(spark, index_path)
+        assigned = _assign_to_cells(updates, cent_mat, cell_ids,
+                                    id_col, vec_col)
+        assigned.write.mode("overwrite").partitionBy("cell_id") \
+            .parquet(f"{stage}/vectors")
+        tomb_frames.append(updates.select(id_col).distinct())
+    if delete_ids is not None:
+        if isinstance(delete_ids, DataFrame):
+            dels = delete_ids.toDF(id_col).distinct()
+        else:
+            dels = spark.createDataFrame(
+                [(int(i),) for i in delete_ids], f"{id_col} long")
+        tomb_frames.append(dels)
+    tomb = tomb_frames[0]
+    for extra in tomb_frames[1:]:
+        tomb = tomb.unionByName(extra)
+    tomb.distinct().coalesce(1).write.mode("overwrite") \
+        .parquet(f"{stage}/tombstones")
+    with open(os.path.join(stage, "_DELTA_OK"), "w") as f:
+        f.write("ok\n")
+    os.rename(stage, final)
+    return seq
+
+
+def _live_vectors(spark: SparkSession, index_path: str, id_col: str,
+                  vec_col: str, cells: list[int] | None = None
+                  ) -> DataFrame:
+    """The reconciled (id, vec, cell_id) view of base + deltas,
+    optionally restricted to ``cells`` (partition-pruned on every
+    generation). With no deltas this is exactly the plain base scan
+    — zero reconciliation overhead on a freshly built or freshly
+    compacted index."""
+    import os
+    from functools import reduce
+
+    from .broadcast import hint_broadcast_if_small
+
+    def scan(path: str) -> DataFrame:
+        df = spark.read.parquet(path)
+        if cells is not None:
+            df = df.filter(F.col("cell_id").isin(cells))
+        return df.select(id_col, vec_col, F.col("cell_id").cast("long"))
+
+    base = scan(f"{index_path}/vectors")
+    deltas = _delta_dirs(index_path)
+    if not deltas:
+        return base
+    frames = [base.withColumn("_gen", F.lit(0))]
+    tombs = []
+    for seq, d in deltas:
+        vdir = os.path.join(d, "vectors")
+        if os.path.isdir(vdir):           # pure-delete deltas have none
+            frames.append(scan(vdir).withColumn("_gen", F.lit(seq)))
+        tombs.append(spark.read.parquet(os.path.join(d, "tombstones"))
+                     .select(F.col(id_col).alias("_t_id"),
+                             F.lit(seq).alias("_t_gen")))
+    allv = reduce(lambda a, b: a.unionByName(b), frames)
+    tomb = hint_broadcast_if_small(
+        reduce(lambda a, b: a.unionByName(b), tombs))
+    # live iff no LATER generation tombstoned this id: an equi-join
+    # on id plus the gen inequality => BroadcastHashJoin LeftAnti
+    # when the tombstone set is small (the common case), map-side
+    live = allv.join(
+        tomb, (allv[id_col] == tomb["_t_id"]) &
+              (tomb["_t_gen"] > allv["_gen"]), "left_anti")
+    return live.drop("_gen")
+
+
+def compact_ann_index(spark: SparkSession, index_path: str,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> int:
+    """Fold every delta generation into a fresh base and publish it
+    with the same atomic double-rename as the build (centroids are
+    carried over unchanged — compaction never moves a vector between
+    cells). Returns the number of generations folded (0 = no-op).
+
+    After compaction the read path is back to the zero-overhead
+    plain scan, so the serving cost model is: reads pay
+    O(accumulated delta) until the next compaction resets it — the
+    operator a 100 TB index runs on a schedule, sized so the
+    tombstone set stays broadcastable. Single-compactor per index."""
+    import os
+
+    deltas = _delta_dirs(index_path)
+    if not deltas:
+        return 0
+    _reap_stale_dirs(index_path)
+    nonce = _nonce()
+    build_path = f"{index_path}.build-{nonce}"
+    live = _live_vectors(spark, index_path, id_col, vec_col)
+    live.write.mode("overwrite").partitionBy("cell_id") \
+        .parquet(f"{build_path}/vectors")
+    spark.read.parquet(f"{index_path}/centroids").coalesce(1) \
+        .write.mode("overwrite").parquet(f"{build_path}/centroids")
+    with open(os.path.join(build_path, "_INDEX_OK"), "w") as f:
+        f.write("ok\n")
+    _publish_index(build_path, index_path, nonce)
+    return len(deltas)
 
 
 def index_ok(index_path: str) -> bool:
@@ -158,11 +374,11 @@ def query_ann(spark: SparkSession, index_path: str, queries: DataFrame,
     probe_mask = {qid: set(int(c) for c in p)
                   for qid, p in zip(query_ids, probes)}
 
-    vectors = (spark.read.parquet(f"{index_path}/vectors")
-               # partition-column filter => directory pruning: only the
-               # probed cells' files are ever listed/read
-               .filter(F.col("cell_id").isin(needed))
-               .select(id_col, vec_col, F.col("cell_id").cast("long")))
+    # partition-column filter => directory pruning on base AND every
+    # delta generation: only the probed cells' files are ever
+    # listed/read; tombstone reconciliation is a broadcast anti-join
+    # (and with no deltas, exactly the old plain pruned scan)
+    vectors = _live_vectors(spark, index_path, id_col, vec_col, needed)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

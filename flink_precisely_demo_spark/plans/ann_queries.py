@@ -48,16 +48,22 @@ def ann_index_path(spark: SparkSession, sf_dir: str) -> str:
     return _INDEX_CACHE[sf_dir]
 
 
-# the IVF probe/scan CTEs, shared by the top-k oracle and the
-# recall-evaluation oracle (one definition, no drift)
-_IVF_CTES = f"""
+# the IVF probe/scan CTEs, shared by the top-k oracle, the
+# recall-evaluation oracle, and the upsert oracle (one definition,
+# no drift); ``corpus`` is the table the index holds — ``e`` for the
+# as-built index, a mutated `live` CTE for the post-upsert index
+# (centroids always train on ``e``: upserts never retrain)
+
+
+def _ivf_ctes(corpus: str = "e") -> str:
+    return f"""
     assigned AS (
       SELECT vec_id, embedding, cell_id FROM (
         SELECT e.vec_id, e.embedding, c.cell_id,
                row_number() OVER (PARTITION BY e.vec_id
                                   ORDER BY round({_cos('e.embedding', 'c.c')}, 6) DESC,
                                            c.cell_id ASC) AS r
-        FROM e CROSS JOIN c{_ITERS} c
+        FROM {corpus} e CROSS JOIN c{_ITERS} c
       ) WHERE r = 1
     ),
     qprobe AS (
@@ -66,7 +72,7 @@ _IVF_CTES = f"""
                row_number() OVER (PARTITION BY e.vec_id
                                   ORDER BY round({_cos('e.embedding', 'c.c')}, 6) DESC,
                                            c.cell_id ASC) AS r
-        FROM e CROSS JOIN c{_ITERS} c
+        FROM {corpus} e CROSS JOIN c{_ITERS} c
         WHERE e.vec_id < {_N_QUERIES}
       ) WHERE r <= {_NPROBE}
     ),
@@ -76,6 +82,9 @@ _IVF_CTES = f"""
       FROM assigned a JOIN qprobe q ON a.cell_id = q.cell_id
       WHERE a.vec_id <> q.query_id
     )"""
+
+
+_IVF_CTES = _ivf_ctes()
 
 
 @query(
@@ -92,6 +101,96 @@ _IVF_CTES = f"""
 )
 def _ann_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = ann_index_path(spark, sf_dir)
+    queries_df = load_table(spark, sf_dir, "embeddings") \
+        .filter(F.col("vec_id") < _N_QUERIES)
+    return query_ann(spark, path, queries_df, k=_TOPK, nprobe=_NPROBE) \
+        .withColumnRenamed("rank", "rnk")
+
+
+_UPSERT_CACHE: dict[str, str] = {}
+
+# the two delta generations the upsert pair applies (also encoded in
+# the oracle's `live` CTE below — keep in sync):
+#   gen1: upsert ids 100-149 -> reversed vectors; delete 150-154
+#   gen2: upsert ids 140-151 -> ORIGINAL vectors (shadows gen1's
+#         reversal of 140-149 and resurrects the deleted 150-151);
+#         delete 480-489
+# net live state: 100-139 reversed, 152-154 + 480-489 gone, rest as-is
+
+
+def _upsert_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Clone the shared as-built index and apply the two fixed delta
+    generations (once per process+dataset; the post-upsert state is
+    deterministic, so a marker-bearing dir with exactly 2 published
+    deltas is reusable across processes)."""
+    import shutil
+
+    from ..operators.ann_index import (_delta_dirs, index_ok,
+                                       upsert_ann_index)
+
+    cached = _UPSERT_CACHE.get(sf_dir)
+    if cached is None:
+        slug = re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir.strip("/"))
+        path = os.path.join(tempfile.gettempdir(), f"ann_upsert_{slug}")
+        if not (index_ok(path) and len(_delta_dirs(path)) == 2):
+            shutil.rmtree(path, ignore_errors=True)
+            shutil.copytree(ann_index_path(spark, sf_dir), path)
+            emb = load_table(spark, sf_dir, "embeddings")
+            g1 = emb.filter(F.col("vec_id").between(100, 149)).select(
+                "vec_id", F.reverse("embedding").alias("embedding"))
+            upsert_ann_index(spark, path, g1, delete_ids=range(150, 155))
+            g2 = emb.filter(F.col("vec_id").between(140, 151)) \
+                    .select("vec_id", "embedding")
+            upsert_ann_index(spark, path, g2, delete_ids=range(480, 490))
+        _UPSERT_CACHE[sf_dir] = path
+    return _UPSERT_CACHE[sf_dir]
+
+
+@query(
+    "ann_index_upsert_topk",
+    oracle=f"""
+    WITH {kmeans_ctes(_K, _ITERS)},
+    live AS (
+      SELECT vec_id,
+             CASE WHEN vec_id BETWEEN 100 AND 139
+                  THEN list_reverse(embedding)
+                  ELSE embedding END AS embedding
+      FROM e
+      WHERE vec_id NOT BETWEEN 152 AND 154
+        AND vec_id NOT BETWEEN 480 AND 489
+    ),{_ivf_ctes('live')}
+    SELECT query_id, neighbor_id, sim, rnk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id ASC) AS rnk
+      FROM sims
+    ) WHERE rnk <= {_TOPK}
+    """,
+)
+def _ann_index_upsert_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The served index's incremental-maintenance path
+    (operators/ann_index.upsert_ann_index) proven end-to-end: clone
+    the as-built index, apply two LSM delta generations (an upsert
+    wave that re-embeds ids 100-149 as their reversed vectors +
+    deletes 150-154, then a second wave that rolls 140-151 BACK to
+    the originals — shadowing gen1 and resurrecting two deleted ids
+    — and takes down 480-489), then run the same nprobe=2 top-3
+    query as ``ann_index_topk`` against the UNCOMPACTED index, so
+    the driver check covers the reconciling read path: base + both
+    delta scans (all partition-pruned to the probed cells) and the
+    broadcast tombstone anti-join. The oracle replays k-means
+    training on the ORIGINAL corpus (upserts never retrain — the
+    cell geometry is the serving contract) and the probe/scan
+    arithmetic over the net `live` state.
+
+    Compaction equivalence (compact-then-query == delta-query) and
+    crash-atomicity of the delta publish are pinned by
+    tests/test_ann_maintenance.py.
+
+    Scale: each upsert costs one assignment scan over the DELTA plus
+    a cell-partitioned write; reads pay the probed delta bytes and
+    one broadcast anti-join until compaction resets the base."""
+    path = _upsert_index_path(spark, sf_dir)
     queries_df = load_table(spark, sf_dir, "embeddings") \
         .filter(F.col("vec_id") < _N_QUERIES)
     return query_ann(spark, path, queries_df, k=_TOPK, nprobe=_NPROBE) \

@@ -1,0 +1,174 @@
+"""Incremental maintenance of the served IVF index: upsert deltas,
+tombstone shadowing across generations, crash-atomicity of the delta
+publish, and compaction folding back to a zero-overhead base."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from flink_precisely_demo_spark.operators.ann_index import (
+    _delta_dirs,
+    build_ann_index,
+    compact_ann_index,
+    query_ann,
+    upsert_ann_index,
+)
+from flink_precisely_demo_spark.sources.parquet import load_table
+
+SF = "/root/testdata/sf0.001"
+K_CELLS = 4
+
+
+def _fresh_index(spark, tmp_path, name="idx"):
+    path = str(tmp_path / name)
+    emb = load_table(spark, SF, "embeddings")
+    build_ann_index(emb, path, k_cells=K_CELLS, max_iter=2)
+    return path
+
+
+def _expected_topk(live: dict[int, np.ndarray], query_ids, k):
+    """Exact brute-force ground truth over a python-side live corpus
+    (500 rows at sf0.001 — small enough to verify locally)."""
+    ids = np.array(sorted(live))
+    mat = np.stack([live[i] for i in ids])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    out = {}
+    for q in query_ids:
+        sims = mat @ (live[q] / np.linalg.norm(live[q]))
+        mask = ids != q
+        order = np.lexsort((ids[mask], -np.round(sims[mask], 12)))
+        out[q] = [int(ids[mask][j]) for j in order[:k]]
+    return out
+
+
+def _corpus(spark):
+    rows = load_table(spark, SF, "embeddings").collect()
+    return {int(r["vec_id"]): np.asarray(r["embedding"], dtype=np.float64)
+            for r in rows}
+
+
+def _result_map(df):
+    out = {}
+    for r in sorted(df.collect(), key=lambda r: (r["query_id"], r["rank"])):
+        out.setdefault(int(r["query_id"]), []).append(int(r["neighbor_id"]))
+    return out
+
+
+def test_upsert_replaces_and_deletes(spark, tmp_path):
+    """Post-upsert query results equal exact search over the mutated
+    corpus at nprobe=K (no recall slack — semantics, not recall)."""
+    path = _fresh_index(spark, tmp_path)
+    emb = load_table(spark, SF, "embeddings")
+    updates = (emb.filter(F.col("vec_id").between(100, 119))
+               .select("vec_id", F.reverse("embedding").alias("embedding")))
+    gen = upsert_ann_index(spark, path, updates, delete_ids=range(120, 125))
+    assert gen == 1
+
+    live = _corpus(spark)
+    for i in range(100, 120):
+        live[i] = live[i][::-1].copy()
+    for i in range(120, 125):
+        del live[i]
+
+    queries = emb.filter(F.col("vec_id") < 4)
+    got = _result_map(query_ann(spark, path, queries, k=3, nprobe=K_CELLS))
+    assert got == _expected_topk(live, range(4), 3)
+    # deleted ids never appear even when directly probed for
+    all_ids = {int(r["neighbor_id"]) for r in
+               query_ann(spark, path, emb.filter(F.col("vec_id") < 8),
+                         k=10, nprobe=K_CELLS).collect()}
+    assert not all_ids & set(range(120, 125))
+
+
+def test_later_generation_shadows_earlier(spark, tmp_path):
+    """gen2 re-upserting an id overrides gen1's version; gen2
+    re-inserting a gen1-deleted id resurrects it."""
+    path = _fresh_index(spark, tmp_path)
+    emb = load_table(spark, SF, "embeddings")
+    g1 = (emb.filter(F.col("vec_id").between(100, 109))
+          .select("vec_id", F.reverse("embedding").alias("embedding")))
+    upsert_ann_index(spark, path, g1, delete_ids=[110, 111])
+    # gen2: ids 105-109 back to ORIGINAL vectors, 110 re-inserted
+    g2 = emb.filter(F.col("vec_id").between(105, 110)) \
+            .select("vec_id", "embedding")
+    gen = upsert_ann_index(spark, path, g2)
+    assert gen == 2
+
+    live = _corpus(spark)
+    for i in range(100, 105):
+        live[i] = live[i][::-1].copy()      # gen1 survives
+    del live[111]                           # only 111 stays deleted
+
+    queries = emb.filter(F.col("vec_id") < 4)
+    got = _result_map(query_ann(spark, path, queries, k=3, nprobe=K_CELLS))
+    assert got == _expected_topk(live, range(4), 3)
+
+
+def test_compact_preserves_results_and_drops_deltas(spark, tmp_path):
+    path = _fresh_index(spark, tmp_path)
+    emb = load_table(spark, SF, "embeddings")
+    updates = (emb.filter(F.col("vec_id").between(100, 119))
+               .select("vec_id", F.reverse("embedding").alias("embedding")))
+    upsert_ann_index(spark, path, updates, delete_ids=range(120, 125))
+    queries = emb.filter(F.col("vec_id") < 8)
+    before = _result_map(query_ann(spark, path, queries, k=3,
+                                   nprobe=K_CELLS))
+    folded = compact_ann_index(spark, path)
+    assert folded == 1
+    assert _delta_dirs(path) == []
+    after = _result_map(query_ann(spark, path, queries, k=3,
+                                  nprobe=K_CELLS))
+    assert after == before
+    # compacted base holds exactly the live rows, still cell-partitioned
+    vecs = spark.read.parquet(f"{path}/vectors")
+    assert vecs.count() == 500 - 5
+    assert vecs.filter(F.col("vec_id").between(120, 124)).count() == 0
+    assert compact_ann_index(spark, path) == 0   # no-op on clean base
+
+
+def test_unmarked_delta_is_invisible(spark, tmp_path):
+    """A crashed upsert (staging dir without _DELTA_OK) must never be
+    read, and the next upsert claims the next sequence anyway."""
+    path = _fresh_index(spark, tmp_path)
+    emb = load_table(spark, SF, "embeddings")
+    upsert_ann_index(spark, path, emb.filter(F.col("vec_id") == 100)
+                     .select("vec_id",
+                             F.reverse("embedding").alias("embedding")))
+    # simulate a crash: a published-looking dir missing the marker
+    fake = os.path.join(path, "deltas", "delta-000002-dead-beef")
+    os.makedirs(os.path.join(fake, "tombstones"))
+    assert [s for s, _ in _delta_dirs(path)] == [1]
+    gen = upsert_ann_index(spark, path, delete_ids=[101])
+    assert gen == 2   # sequence from PUBLISHED deltas only
+
+
+def test_pure_delete_delta(spark, tmp_path):
+    path = _fresh_index(spark, tmp_path)
+    emb = load_table(spark, SF, "embeddings")
+    upsert_ann_index(spark, path, delete_ids=[0])
+    got = query_ann(spark, path, emb.filter(F.col("vec_id") < 4),
+                    k=3, nprobe=K_CELLS)
+    assert 0 not in {int(r["neighbor_id"]) for r in got.collect()}
+    with pytest.raises(ValueError):
+        upsert_ann_index(spark, path)
+
+
+def test_probe_pruning_survives_deltas(spark, tmp_path):
+    """With deltas present the probed-cells filter must still reach
+    BOTH scans as a partition filter — maintenance must not cost the
+    index its 100 TB pruning property."""
+    path = _fresh_index(spark, tmp_path)
+    emb = load_table(spark, SF, "embeddings")
+    upsert_ann_index(spark, path, emb.filter(F.col("vec_id").between(100, 109))
+                     .select("vec_id",
+                             F.reverse("embedding").alias("embedding")))
+    df = query_ann(spark, path, emb.filter(F.col("vec_id") < 2),
+                   k=3, nprobe=1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    segs = [s for s in plan.split("PartitionFilters: [")[1:]]
+    named = [s for s in segs if "cell_id" in s.split("]")[0]]
+    assert len(named) >= 2, plan   # base scan AND delta scan pruned
