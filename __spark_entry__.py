@@ -174,14 +174,17 @@ _DEFERRED = [
 # — the list cannot be used to hide once-red or once-green entries).
 # All pairs still run in the local pytest oracle sweep regardless.
 #
-# r12: csv_ingest_policy (the delimited-source policy roundtrip) and
+# r12: csv_ingest_policy (the delimited-source policy roundtrip),
 # ann_index_upsert_topk (the served index's LSM upsert/tombstone
-# read path) were added after the r12 rotation was finalized; they
-# park here, run in the local pytest sweep + SWEEP_r12 scale points,
-# and take window seats at the r13 rotation.
+# reconciling read), and streaming_ann_upsert_replay (the same waves
+# through the foreachBatch sink + scheduled compaction) were added
+# after the r12 rotation was finalized; they park here, run in the
+# local pytest sweep + SWEEP_r12 scale points, and take window seats
+# at the r13 rotation.
 _PENDING: list[str] = [
     "csv_ingest_policy",
     "ann_index_upsert_topk",
+    "streaming_ann_upsert_replay",
 ]
 
 

@@ -189,10 +189,29 @@ def _delta_dirs(index_path: str) -> list[tuple[int, str]]:
     return out
 
 
+def delta_tags(index_path: str) -> set[str]:
+    """Writer tags of the published delta generations (see the
+    ``tag`` param of :func:`upsert_ann_index`). A tag is atomic with
+    its delta — published together by the same rename — which is
+    what lets a micro-batch sink make delta appends idempotent
+    (streaming/ann_upsert.py): appends, unlike versioned rewrites,
+    are not naturally retry-safe."""
+    import os
+
+    out = set()
+    for _, d in _delta_dirs(index_path):
+        tag_file = os.path.join(d, "_TAG")
+        if os.path.isfile(tag_file):
+            with open(tag_file) as f:
+                out.add(f.read().strip())
+    return out
+
+
 def upsert_ann_index(spark: SparkSession, index_path: str,
                      updates: DataFrame | None = None,
                      delete_ids=None, id_col: str = "vec_id",
-                     vec_col: str = "embedding") -> int:
+                     vec_col: str = "embedding",
+                     tag: str | None = None) -> int:
     """Append one delta generation: ``updates`` rows (re)define their
     ids' vectors, ``delete_ids`` (an iterable or a one-column
     DataFrame) remove theirs. Returns the generation number.
@@ -253,6 +272,9 @@ def upsert_ann_index(spark: SparkSession, index_path: str,
         tomb = tomb.unionByName(extra)
     tomb.distinct().coalesce(1).write.mode("overwrite") \
         .parquet(f"{stage}/tombstones")
+    if tag is not None:
+        with open(os.path.join(stage, "_TAG"), "w") as f:
+            f.write(tag + "\n")
     with open(os.path.join(stage, "_DELTA_OK"), "w") as f:
         f.write("ok\n")
     os.rename(stage, final)

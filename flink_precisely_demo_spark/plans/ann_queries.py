@@ -146,9 +146,12 @@ def _upsert_index_path(spark: SparkSession, sf_dir: str) -> str:
     return _UPSERT_CACHE[sf_dir]
 
 
-@query(
-    "ann_index_upsert_topk",
-    oracle=f"""
+# shared by the batch-API pair and the streaming-replay pair: both
+# apply the SAME two delta waves, so the net live state — and hence
+# the oracle — is identical; what differs is the machinery under
+# test (direct upsert calls + uncompacted reconciling read vs a
+# foreachBatch micro-batch sink + post-compaction read)
+_UPSERT_ORACLE = f"""
     WITH {kmeans_ctes(_K, _ITERS)},
     live AS (
       SELECT vec_id,
@@ -165,8 +168,10 @@ def _upsert_index_path(spark: SparkSession, sf_dir: str) -> str:
                                    ORDER BY sim DESC, neighbor_id ASC) AS rnk
       FROM sims
     ) WHERE rnk <= {_TOPK}
-    """,
-)
+    """
+
+
+@query("ann_index_upsert_topk", oracle=_UPSERT_ORACLE)
 def _ann_index_upsert_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The served index's incremental-maintenance path
     (operators/ann_index.upsert_ann_index) proven end-to-end: clone
@@ -191,6 +196,98 @@ def _ann_index_upsert_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     a cell-partitioned write; reads pay the probed delta bytes and
     one broadcast anti-join until compaction resets the base."""
     path = _upsert_index_path(spark, sf_dir)
+    queries_df = load_table(spark, sf_dir, "embeddings") \
+        .filter(F.col("vec_id") < _N_QUERIES)
+    return query_ann(spark, path, queries_df, k=_TOPK, nprobe=_NPROBE) \
+        .withColumnRenamed("rank", "rnk")
+
+
+_STREAM_UPSERT_CACHE: dict[str, str] = {}
+
+
+def _mutation_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two delta waves as a (vec_id, embedding, op, b) mutation
+    stream — same net state as _upsert_index_path (see the wave
+    comment there); ``b`` is the trigger-file assignment."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def wave(lo, hi, op, b, rev):
+        vec = F.reverse("embedding") if rev else F.col("embedding")
+        return (emb.filter(F.col("vec_id").between(lo, hi))
+                .select("vec_id", vec.alias("embedding"),
+                        F.lit(op).alias("op"), F.lit(b).alias("b")))
+
+    return (wave(100, 149, "U", 0, rev=True)
+            .unionByName(wave(150, 154, "D", 0, rev=False))
+            .unionByName(wave(140, 151, "U", 1, rev=False))
+            .unionByName(wave(480, 489, "D", 1, rev=False)))
+
+
+def _stream_upsert_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Clone the as-built index and drain the 2-trigger mutation
+    stream into it through the foreachBatch sink with
+    ``compact_every=2`` — so the final state is a COMPACTED base
+    (0 deltas) whose applied-batch manifest records both triggers;
+    that end state is deterministic, making the dir reusable across
+    processes (mirrors _upsert_index_path's reuse rule)."""
+    import shutil
+    import tempfile as tf
+
+    from ..operators.ann_index import _delta_dirs, index_ok
+    from ..streaming.ann_upsert import _applied_tags, run_ann_upsert
+    from ..streaming.replay_stage import stage_trigger_files
+
+    cached = _STREAM_UPSERT_CACHE.get(sf_dir)
+    if cached is None:
+        slug = re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir.strip("/"))
+        path = os.path.join(tempfile.gettempdir(), f"ann_supsert_{slug}")
+        if not (index_ok(path) and not _delta_dirs(path)
+                and _applied_tags(path) >= {"b0", "b1"}):
+            shutil.rmtree(path, ignore_errors=True)
+            try:
+                os.remove(path + ".applied.json")
+            except FileNotFoundError:
+                pass
+            shutil.copytree(ann_index_path(spark, sf_dir), path)
+            work = tf.mkdtemp(prefix="ann_upsert_replay_")
+            try:
+                feed_dir = stage_trigger_files(
+                    _mutation_feed(spark, sf_dir), work, F.col("b"),
+                    "mutations")
+                schema = ("vec_id long, embedding array<float>, "
+                          "op string, b int")
+                feed = (spark.readStream.schema(schema)
+                        .option("maxFilesPerTrigger", 1)
+                        .parquet(feed_dir))
+                run_ann_upsert(feed, path,
+                               checkpoint=os.path.join(work, "ckpt"),
+                               compact_every=2)
+            finally:
+                shutil.rmtree(work, ignore_errors=True)
+        _STREAM_UPSERT_CACHE[sf_dir] = path
+    return _STREAM_UPSERT_CACHE[sf_dir]
+
+
+@query("streaming_ann_upsert_replay", oracle=_UPSERT_ORACLE)
+def _streaming_ann_upsert_replay(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the served index
+    (streaming/ann_upsert.py) proven end-to-end: the two delta waves
+    arrive as a 2-trigger mutation stream (maxFilesPerTrigger=1 over
+    mtime-pinned files — streaming/replay_stage.py), each micro-batch
+    becomes one tagged delta generation through the foreachBatch
+    sink, and ``compact_every=2`` triggers the scheduled compaction,
+    so THIS pair queries the POST-COMPACTION base while its batch-API
+    twin ``ann_index_upsert_topk`` queries the uncompacted
+    reconciling path — together the driver checks both ends of the
+    LSM read lifecycle against the same oracle. Retry idempotence,
+    the checkpoint/store binding guard, and tag survival across
+    compaction are pinned by tests/test_ann_maintenance.py.
+
+    Scale: per trigger the sink's work is delta-sized; compaction is
+    one reconciled scan + cell-partitioned rewrite, amortized across
+    ``compact_every`` triggers."""
+    path = _stream_upsert_index_path(spark, sf_dir)
     queries_df = load_table(spark, sf_dir, "embeddings") \
         .filter(F.col("vec_id") < _N_QUERIES)
     return query_ann(spark, path, queries_df, k=_TOPK, nprobe=_NPROBE) \

@@ -157,6 +157,95 @@ def test_pure_delete_delta(spark, tmp_path):
         upsert_ann_index(spark, path)
 
 
+def test_streaming_sink_applies_batches(spark, tmp_path):
+    """Draining the mutation stream through the foreachBatch sink
+    yields the same query results as the direct batch-API upserts."""
+    from flink_precisely_demo_spark.streaming.ann_upsert import (
+        run_ann_upsert)
+
+    emb = load_table(spark, SF, "embeddings")
+    direct = _fresh_index(spark, tmp_path, "direct")
+    upsert_ann_index(spark, direct,
+                     emb.filter(F.col("vec_id").between(100, 119)).select(
+                         "vec_id", F.reverse("embedding").alias("embedding")),
+                     delete_ids=[120, 121])
+
+    streamed = _fresh_index(spark, tmp_path, "streamed")
+    feed_src = (emb.filter(F.col("vec_id").between(100, 119)).select(
+                    "vec_id", F.reverse("embedding").alias("embedding"),
+                    F.lit("U").alias("op"))
+                .unionByName(
+                    emb.filter(F.col("vec_id").between(120, 121)).select(
+                        "vec_id", "embedding", F.lit("D").alias("op"))))
+    feed_dir = str(tmp_path / "feed")
+    feed_src.coalesce(1).write.parquet(feed_dir)
+    feed = (spark.readStream
+            .schema("vec_id long, embedding array<float>, op string")
+            .parquet(feed_dir))
+    run_ann_upsert(feed, streamed, checkpoint=str(tmp_path / "ckpt"))
+
+    queries = emb.filter(F.col("vec_id") < 8)
+    assert (_result_map(query_ann(spark, streamed, queries, k=3,
+                                  nprobe=K_CELLS))
+            == _result_map(query_ann(spark, direct, queries, k=3,
+                                     nprobe=K_CELLS)))
+
+
+def test_streaming_sink_retry_is_idempotent(spark, tmp_path):
+    from flink_precisely_demo_spark.streaming.ann_upsert import (
+        ann_upsert_sink)
+
+    path = _fresh_index(spark, tmp_path)
+    emb = load_table(spark, SF, "embeddings")
+    batch = emb.filter(F.col("vec_id") == 100).select(
+        "vec_id", F.reverse("embedding").alias("embedding"),
+        F.lit("U").alias("op"))
+    sink = ann_upsert_sink(path)
+    sink(batch, 0)
+    sink(batch, 0)                    # foreachBatch retry: must no-op
+    assert [s for s, _ in _delta_dirs(path)] == [1]
+
+
+def test_streaming_sink_rejects_foreign_checkpoint(spark, tmp_path):
+    from flink_precisely_demo_spark.streaming.ann_upsert import (
+        ann_upsert_sink)
+
+    path = _fresh_index(spark, tmp_path)
+    emb = load_table(spark, SF, "embeddings")
+    batch = emb.filter(F.col("vec_id") == 100).select(
+        "vec_id", "embedding", F.lit("U").alias("op"))
+    sink = ann_upsert_sink(path)
+    sink(batch, 3)
+    with pytest.raises(RuntimeError, match="checkpoint"):
+        sink(batch, 1)                # fresh checkpoint, old store
+
+
+def test_streaming_sink_tags_survive_compaction(spark, tmp_path):
+    """compact_every folds the deltas (and their in-dir tags) away;
+    the sibling manifest must keep the applied set so a late retry
+    of an already-compacted batch still no-ops."""
+    from flink_precisely_demo_spark.streaming.ann_upsert import (
+        _applied_tags, ann_upsert_sink)
+
+    path = _fresh_index(spark, tmp_path)
+    emb = load_table(spark, SF, "embeddings")
+    sink = ann_upsert_sink(path, compact_every=2)
+    b0 = emb.filter(F.col("vec_id") == 100).select(
+        "vec_id", F.reverse("embedding").alias("embedding"),
+        F.lit("U").alias("op"))
+    b1 = emb.filter(F.col("vec_id") == 101).select(
+        "vec_id", "embedding", F.lit("D").alias("op"))
+    sink(b0, 0)
+    sink(b1, 1)                       # second delta -> compaction fires
+    assert _delta_dirs(path) == []
+    assert _applied_tags(path) >= {"b0", "b1"}
+    sink(b1, 1)                       # retry after compaction: no-op
+    assert _delta_dirs(path) == []
+    got = query_ann(spark, path, emb.filter(F.col("vec_id") < 4),
+                    k=3, nprobe=K_CELLS)
+    assert 101 not in {int(r["neighbor_id"]) for r in got.collect()}
+
+
 def test_probe_pruning_survives_deltas(spark, tmp_path):
     """With deltas present the probed-cells filter must still reach
     BOTH scans as a partition filter — maintenance must not cost the
