@@ -157,6 +157,28 @@ def test_pure_delete_delta(spark, tmp_path):
         upsert_ann_index(spark, path)
 
 
+def test_reconcile_join_is_broadcast_anti(spark, tmp_path):
+    """The tombstone reconciliation must plan as a broadcast hash
+    anti-join (tombstones are delta-metadata-sized by design) —
+    a SortMergeJoin here would shuffle the probed corpus bytes on
+    vec_id at every query, and a nested-loop join would be quadratic;
+    either one silently forfeits the operator's 100 TB read cost."""
+    from flink_precisely_demo_spark.operators.ann_index import (
+        _live_vectors)
+
+    path = _fresh_index(spark, tmp_path)
+    emb = load_table(spark, SF, "embeddings")
+    upsert_ann_index(spark, path, emb.filter(F.col("vec_id") < 10)
+                     .select("vec_id",
+                             F.reverse("embedding").alias("embedding")),
+                     delete_ids=[20])
+    df = _live_vectors(spark, path, "vec_id", "embedding", [0, 1])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_streaming_sink_applies_batches(spark, tmp_path):
     """Draining the mutation stream through the foreachBatch sink
     yields the same query results as the direct batch-API upserts."""
