@@ -176,15 +176,17 @@ _DEFERRED = [
 #
 # r12: csv_ingest_policy (the delimited-source policy roundtrip),
 # ann_index_upsert_topk (the served index's LSM upsert/tombstone
-# reconciling read), and streaming_ann_upsert_replay (the same waves
-# through the foreachBatch sink + scheduled compaction) were added
-# after the r12 rotation was finalized; they park here, run in the
-# local pytest sweep + SWEEP_r12 scale points, and take window seats
-# at the r13 rotation.
+# reconciling read), streaming_ann_upsert_replay (the same waves
+# through the foreachBatch sink + scheduled compaction), and
+# ann_index_health (per-cell live/delta/dead observability of the
+# maintained index) were added after the r12 rotation was finalized;
+# they park here, run in the local pytest sweep + SWEEP_r12 scale
+# points, and take window seats at the r13 rotation.
 _PENDING: list[str] = [
     "csv_ingest_policy",
     "ann_index_upsert_topk",
     "streaming_ann_upsert_replay",
+    "ann_index_health",
 ]
 
 

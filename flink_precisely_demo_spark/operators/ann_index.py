@@ -325,6 +325,54 @@ def _live_vectors(spark: SparkSession, index_path: str, id_col: str,
     return live.drop("_gen")
 
 
+def index_stats(spark: SparkSession, index_path: str,
+                id_col: str = "vec_id", vec_col: str = "embedding"
+                ) -> DataFrame:
+    """Per-cell health of the served index: (cell_id, n_base,
+    n_delta, n_live, n_dead) — the numbers an operator alerts on.
+
+    - ``n_base`` / ``n_delta``: raw rows physically in the base and
+      in the accumulated delta generations (the index's storage
+      footprint per cell).
+    - ``n_live``: rows a reconciling scan actually serves.
+    - ``n_dead`` = base + delta − live: shadowed/tombstoned rows a
+      query still pays to scan-and-discard — the compaction debt.
+      When n_dead/n_live crosses a threshold (or cells skew), run
+      :func:`compact_ann_index` / rebuild.
+
+    Every input is a map-side count with partial aggregation; the
+    joins are over ≤ k_cells rows. Cost: one metadata-light pass
+    over the index, no corpus shuffle."""
+    import os
+    from functools import reduce
+
+    def counted(df: DataFrame, out: str) -> DataFrame:
+        return (df.groupBy(F.col("cell_id").cast("long").alias("cell_id"))
+                .agg(F.count(F.lit(1)).alias(out)))
+
+    base = counted(spark.read.parquet(f"{index_path}/vectors"), "n_base")
+    dframes = [spark.read.parquet(os.path.join(d, "vectors"))
+               for _, d in _delta_dirs(index_path)
+               if os.path.isdir(os.path.join(d, "vectors"))]
+    live = counted(_live_vectors(spark, index_path, id_col, vec_col),
+                   "n_live")
+    cells, _ = load_centroids(spark, index_path)
+    spine = spark.createDataFrame([(int(c),) for c in cells],
+                                  "cell_id long")
+    stats = spine.join(base, "cell_id", "left").join(live, "cell_id", "left")
+    if dframes:
+        delta = counted(reduce(lambda a, b: a.unionByName(b), dframes),
+                        "n_delta")
+        stats = stats.join(delta, "cell_id", "left")
+    else:
+        stats = stats.withColumn("n_delta", F.lit(None).cast("long"))
+    z = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("long")  # noqa: E731
+    return stats.select(
+        "cell_id", z("n_base").alias("n_base"),
+        z("n_delta").alias("n_delta"), z("n_live").alias("n_live"),
+        (z("n_base") + z("n_delta") - z("n_live")).alias("n_dead"))
+
+
 def compact_ann_index(spark: SparkSession, index_path: str,
                       id_col: str = "vec_id",
                       vec_col: str = "embedding") -> int:

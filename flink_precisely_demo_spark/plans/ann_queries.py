@@ -202,6 +202,83 @@ def _ann_index_upsert_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("rank", "rnk")
 
 
+@query(
+    "ann_index_health",
+    oracle=f"""
+    WITH {kmeans_ctes(_K, _ITERS)},
+    live AS (
+      SELECT vec_id,
+             CASE WHEN vec_id BETWEEN 100 AND 139
+                  THEN list_reverse(embedding)
+                  ELSE embedding END AS embedding
+      FROM e
+      WHERE vec_id NOT BETWEEN 152 AND 154
+        AND vec_id NOT BETWEEN 480 AND 489
+    ),
+    dl AS (
+      SELECT 1 AS g, vec_id, list_reverse(embedding) AS embedding
+      FROM e WHERE vec_id BETWEEN 100 AND 149
+      UNION ALL
+      SELECT 2 AS g, vec_id, embedding
+      FROM e WHERE vec_id BETWEEN 140 AND 151
+    ),
+    ab AS (
+      SELECT cell_id, COUNT(*) AS n_base FROM (
+        SELECT e.vec_id, c.cell_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY round({_cos('e.embedding', 'c.c')}, 6) DESC,
+                                           c.cell_id ASC) AS r
+        FROM e CROSS JOIN c{_ITERS} c
+      ) WHERE r = 1 GROUP BY cell_id),
+    ad AS (
+      SELECT cell_id, COUNT(*) AS n_delta FROM (
+        SELECT d.vec_id, d.g, c.cell_id,
+               row_number() OVER (PARTITION BY d.vec_id, d.g
+                                  ORDER BY round({_cos('d.embedding', 'c.c')}, 6) DESC,
+                                           c.cell_id ASC) AS r
+        FROM dl d CROSS JOIN c{_ITERS} c
+      ) WHERE r = 1 GROUP BY cell_id),
+    al AS (
+      SELECT cell_id, COUNT(*) AS n_live FROM (
+        SELECT e.vec_id, c.cell_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY round({_cos('e.embedding', 'c.c')}, 6) DESC,
+                                           c.cell_id ASC) AS r
+        FROM live e CROSS JOIN c{_ITERS} c
+      ) WHERE r = 1 GROUP BY cell_id)
+    SELECT CAST(c.cell_id AS BIGINT) AS cell_id,
+           CAST(COALESCE(n_base, 0) AS BIGINT) AS n_base,
+           CAST(COALESCE(n_delta, 0) AS BIGINT) AS n_delta,
+           CAST(COALESCE(n_live, 0) AS BIGINT) AS n_live,
+           CAST(COALESCE(n_base, 0) + COALESCE(n_delta, 0)
+                - COALESCE(n_live, 0) AS BIGINT) AS n_dead
+    FROM (SELECT DISTINCT cell_id FROM c{_ITERS}) c
+    LEFT JOIN ab USING (cell_id)
+    LEFT JOIN ad USING (cell_id)
+    LEFT JOIN al USING (cell_id)
+    """,
+)
+def _ann_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observability for the maintained index
+    (operators/ann_index.index_stats): per cell, the physical base
+    and delta row counts, the rows a reconciling scan actually
+    serves, and the dead (shadowed/tombstoned) rows — the compaction
+    debt and skew numbers a 100 TB serving fleet alerts on. Runs
+    against the post-upsert (UNCOMPACTED) index, so the dead count is
+    non-trivial: gen2 shadows part of gen1, two deleted ranges
+    tombstone base rows, and every replaced id leaves its old vector
+    dead in its old cell. The oracle recomputes each population's
+    cell assignment from the k-means CTEs (delta rows keyed by
+    (vec_id, generation) — the same id can carry DIFFERENT vectors
+    in different generations and each physical row must count).
+
+    Scale: map-side counts with partial agg; joins over k_cells
+    rows. One metadata-light pass, no corpus shuffle."""
+    from ..operators.ann_index import index_stats
+
+    return index_stats(spark, _upsert_index_path(spark, sf_dir))
+
+
 _STREAM_UPSERT_CACHE: dict[str, str] = {}
 
 

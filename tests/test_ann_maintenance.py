@@ -179,6 +179,32 @@ def test_reconcile_join_is_broadcast_anti(spark, tmp_path):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_index_stats_invariants(spark, tmp_path):
+    """n_base totals the corpus, n_delta totals the physical delta
+    rows, n_live totals the reconciled corpus, dead = base+delta-live
+    — and a compaction resets dead/delta to zero with live intact."""
+    from flink_precisely_demo_spark.operators.ann_index import index_stats
+
+    path = _fresh_index(spark, tmp_path)
+    emb = load_table(spark, SF, "embeddings")
+    upsert_ann_index(spark, path, emb.filter(F.col("vec_id") < 30)
+                     .select("vec_id",
+                             F.reverse("embedding").alias("embedding")),
+                     delete_ids=range(30, 40))
+    upsert_ann_index(spark, path, emb.filter(F.col("vec_id") < 10)
+                     .select("vec_id", "embedding"))
+    s = index_stats(spark, path).toPandas()
+    assert int(s.n_base.sum()) == 500
+    assert int(s.n_delta.sum()) == 40          # 30 gen1 + 10 gen2 rows
+    assert int(s.n_live.sum()) == 490          # 10 ids tombstoned
+    assert (s.n_dead == s.n_base + s.n_delta - s.n_live).all()
+    assert int(s.n_dead.sum()) == 50           # 40 shadowed + 10 deleted
+    compact_ann_index(spark, path)
+    s2 = index_stats(spark, path).toPandas()
+    assert int(s2.n_live.sum()) == 490
+    assert int(s2.n_delta.sum()) == 0 and int(s2.n_dead.sum()) == 0
+
+
 def test_streaming_sink_applies_batches(spark, tmp_path):
     """Draining the mutation stream through the foreachBatch sink
     yields the same query results as the direct batch-API upserts."""
