@@ -190,7 +190,10 @@ def main() -> None:
                  "bpe_vocab_merges", "bpe_encode_corpus",
                  "ann_recall_eval",
                  # r11 addition: the streaming SCD2 replay
-                 "streaming_scd2_replay"]
+                 "streaming_scd2_replay",
+                 # r12 additions: delimited ingest + ANN maintenance
+                 "csv_ingest_policy", "ann_index_upsert_topk",
+                 "ann_index_health", "streaming_ann_upsert_replay"]
     secondary: dict[str, float] = {}
     for name in SECONDARY:
         try:
