@@ -254,12 +254,19 @@ def upsert_ann_index(spark: SparkSession, index_path: str,
 
     tomb_frames = []
     if updates is not None:
+        tomb_frames.append(updates.select(id_col).distinct())
+        # an EMPTY updates frame must not write vectors/: a
+        # partitioned write with zero rows leaves a file-less dir
+        # that spark.read.parquet cannot infer a schema from,
+        # poisoning every later read of the index
+        if updates.isEmpty():
+            updates = None
+    if updates is not None:
         cell_ids, cent_mat = load_centroids(spark, index_path)
         assigned = _assign_to_cells(updates, cent_mat, cell_ids,
                                     id_col, vec_col)
         assigned.write.mode("overwrite").partitionBy("cell_id") \
             .parquet(f"{stage}/vectors")
-        tomb_frames.append(updates.select(id_col).distinct())
     if delete_ids is not None:
         if isinstance(delete_ids, DataFrame):
             dels = delete_ids.toDF(id_col).distinct()
@@ -395,8 +402,16 @@ def compact_ann_index(spark: SparkSession, index_path: str,
     nonce = _nonce()
     build_path = f"{index_path}.build-{nonce}"
     live = _live_vectors(spark, index_path, id_col, vec_col)
-    live.write.mode("overwrite").partitionBy("cell_id") \
-        .parquet(f"{build_path}/vectors")
+    if live.isEmpty():
+        # fully-deleted corpus: a partitioned write of zero rows
+        # leaves a file-less dir that later reads cannot infer a
+        # schema from; an unpartitioned empty write keeps one
+        # schema-bearing file (nothing to prune in an empty index)
+        live.coalesce(1).write.mode("overwrite") \
+            .parquet(f"{build_path}/vectors")
+    else:
+        live.write.mode("overwrite").partitionBy("cell_id") \
+            .parquet(f"{build_path}/vectors")
     spark.read.parquet(f"{index_path}/centroids").coalesce(1) \
         .write.mode("overwrite").parquet(f"{build_path}/centroids")
     with open(os.path.join(build_path, "_INDEX_OK"), "w") as f:

@@ -179,6 +179,33 @@ def test_reconcile_join_is_broadcast_anti(spark, tmp_path):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_empty_updates_do_not_poison_reads(spark, tmp_path):
+    """A zero-row updates frame must not leave a file-less vectors
+    dir (unreadable by spark.read.parquet) inside its delta."""
+    path = _fresh_index(spark, tmp_path)
+    emb = load_table(spark, SF, "embeddings")
+    gen = upsert_ann_index(spark, path,
+                           emb.filter(F.col("vec_id") < 0)
+                           .select("vec_id", "embedding"),
+                           delete_ids=[5])
+    assert gen == 1
+    queries = emb.filter(F.col("vec_id") < 4)
+    got = query_ann(spark, path, queries, k=3, nprobe=K_CELLS)
+    assert 5 not in {int(r["neighbor_id"]) for r in got.collect()}
+
+
+def test_compact_of_fully_deleted_corpus(spark, tmp_path):
+    """Deleting everything then compacting must leave a readable
+    (empty) index, not a schema-less dir."""
+    path = _fresh_index(spark, tmp_path)
+    emb = load_table(spark, SF, "embeddings")
+    upsert_ann_index(spark, path, delete_ids=emb.select("vec_id"))
+    assert compact_ann_index(spark, path) == 1
+    queries = emb.filter(F.col("vec_id") < 2)
+    assert query_ann(spark, path, queries, k=3,
+                     nprobe=K_CELLS).count() == 0
+
+
 def test_index_stats_invariants(spark, tmp_path):
     """n_base totals the corpus, n_delta totals the physical delta
     rows, n_live totals the reconciled corpus, dead = base+delta-live
