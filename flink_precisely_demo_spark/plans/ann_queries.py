@@ -331,8 +331,13 @@ def _stream_upsert_index_path(spark: SparkSession, sf_dir: str) -> str:
                 feed_dir = stage_trigger_files(
                     _mutation_feed(spark, sf_dir), work, F.col("b"),
                     "mutations")
-                schema = ("vec_id long, embedding array<float>, "
-                          "op string, b int")
+                # schema from the staged files, not a literal: the
+                # embeddings table's element type differs across
+                # generated scale dirs (float at the bench SFs,
+                # double at sf1/sf10), and a float schema over
+                # double-physical parquet fails the vectorized
+                # reader (caught by the r12 sf10 sweep)
+                schema = spark.read.parquet(feed_dir).schema
                 feed = (spark.readStream.schema(schema)
                         .option("maxFilesPerTrigger", 1)
                         .parquet(feed_dir))
