@@ -212,8 +212,67 @@ def check_dedup(spark, n_triggers: int = 50,
     return stats, violations
 
 
+def check_ann_upsert(spark, n_triggers: int = 50,
+                     batch_size: int = 80) -> tuple[dict, list]:
+    """The streaming ANN sink under stream age: every batch
+    re-upserts the same id range (pure shadowing — the worst case
+    for delta/tombstone growth) plus repeat deletes; scheduled
+    compaction must keep the generation count bounded and the
+    per-batch cost flat, or reads degrade with age as dead rows and
+    tombstones pile up."""
+    from pyspark.sql import functions as F
+
+    from flink_precisely_demo_spark.operators.ann_index import (
+        _delta_dirs, build_ann_index, index_stats)
+    from flink_precisely_demo_spark.streaming.ann_upsert import (
+        ann_upsert_sink)
+
+    compact_every = 8
+    emb = (spark.read.parquet(
+               "/root/testdata/sf0.001/embeddings.parquet")
+           .select("vec_id", "embedding"))
+    work = tempfile.mkdtemp(prefix="longevity_ann_")
+    idx = f"{work}/idx"
+    build_ann_index(emb, idx, k_cells=4, max_iter=2)
+    ups = (emb.filter(F.col("vec_id") < batch_size)
+           .select("vec_id", F.reverse("embedding").alias("embedding"),
+                   F.lit("U").alias("op"))
+           .unionByName(
+               emb.filter(F.col("vec_id").between(480, 489))
+               .select("vec_id", "embedding", F.lit("D").alias("op")))
+           .localCheckpoint())
+    sink = ann_upsert_sink(idx, compact_every=compact_every)
+    times: list = []
+    violations: list = []
+    try:
+        for i in range(n_triggers):
+            t0 = time.monotonic()
+            sink(ups, i)
+            times.append(round((time.monotonic() - t0) * 1000, 1))
+            n_deltas = len(_delta_dirs(idx))
+            if n_deltas >= compact_every:
+                violations.append(
+                    f"trigger {i}: {n_deltas} deltas survive "
+                    f"compact_every={compact_every}")
+        s = index_stats(spark, idx).toPandas()
+        if int(s.n_live.sum()) != 490:
+            violations.append(f"live rows {int(s.n_live.sum())} != 490")
+        # dead rows bounded by the uncompacted window, not stream age
+        bound = (compact_every - 1) * (batch_size + 10)
+        if int(s.n_dead.sum()) > bound:
+            violations.append(
+                f"dead rows {int(s.n_dead.sum())} exceed the "
+                f"one-compaction-window bound {bound}")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    stats = {"check": "ann_upsert", "n_triggers": n_triggers,
+             "batch_size": batch_size}
+    stats.update(_flatness(times, "batch_ms", violations))
+    return stats, violations
+
+
 CHECKS = {"sessionize": check_sessionize, "pattern": check_pattern,
-          "dedup": check_dedup}
+          "dedup": check_dedup, "ann_upsert": check_ann_upsert}
 
 
 def main() -> None:
