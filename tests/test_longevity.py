@@ -25,4 +25,16 @@ from longevity_check import CHECKS  # noqa: E402
 def test_longevity_bounded_state_flat_cost(name, spark):
     stats, violations = CHECKS[name](spark, 50, 30)
     assert stats["n_triggers"] >= 50 - 1  # availableNow may merge one
+    if violations and all("batch_ms" in v for v in violations):
+        # wall-time-only violation: a REAL retention/compaction bug
+        # grows systematically and reproduces on a rerun, while an
+        # ambient co-tenant burst (this host's documented failure
+        # mode — see the bench contention sentinel) does not. One
+        # retry separates the two; structural violations (state
+        # bounds, dead rows, key counts) fail immediately above.
+        stats2, violations2 = CHECKS[name](spark, 50, 30)
+        assert not violations2, (
+            f"{name}: flat-cost violation REPRODUCED on retry: "
+            f"{violations2} ({stats2}; first run {violations} {stats})")
+        return
     assert not violations, f"{name}: {violations} ({stats})"

@@ -125,15 +125,27 @@ def test_deferred_entries_have_driver_green_history():
                         and row.get("hash_match")):
                     greens[name] = greens.get(name, 0) + 1
 
-    sweeps = glob.glob(os.path.join(root, "SWEEP_r*.json"))
+    # only FULL-ROUND sweep artifacts qualify (they carry
+    # scale_points + entries); supplemental/partial artifacts that
+    # happen to share the SWEEP_r prefix must not shadow the round
+    # artifact as "latest" with an empty entry map
+    def _round_doc(p: str):
+        try:
+            with open(p) as f:
+                d = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return None
+        return d if ("scale_points" in d and "entries" in d) else None
+
+    sweeps = [p for p in glob.glob(os.path.join(root, "SWEEP_r*.json"))
+              if _round_doc(p) is not None]
     latest_sweep = max(
         sweeps,
         key=lambda p: int(re.search(r"SWEEP_r(\d+)", p).group(1)),
         default=None)
     sweep_green: set[str] = set()
     if latest_sweep:
-        with open(latest_sweep) as f:
-            doc = json.load(f)
+        doc = _round_doc(latest_sweep)
         points = doc.get("scale_points", [])
         for name, by_sf in doc.get("entries", {}).items():
             ok = [sf for sf in points
