@@ -177,16 +177,19 @@ _DEFERRED = [
 # r12: csv_ingest_policy (the delimited-source policy roundtrip),
 # ann_index_upsert_topk (the served index's LSM upsert/tombstone
 # reconciling read), streaming_ann_upsert_replay (the same waves
-# through the foreachBatch sink + scheduled compaction), and
+# through the foreachBatch sink + scheduled compaction),
 # ann_index_health (per-cell live/delta/dead observability of the
-# maintained index) were added after the r12 rotation was finalized;
-# they park here, run in the local pytest sweep + SWEEP_r12 scale
-# points, and take window seats at the r13 rotation.
+# maintained index), and bucketed_colocated_join (persistent
+# bucketed twins joining with zero join-side exchanges) were added
+# after the r12 rotation was finalized; they park here, run in the
+# local pytest sweep + SWEEP_r12 scale points (or the r12
+# supplemental), and take window seats at the r13 rotation.
 _PENDING: list[str] = [
     "csv_ingest_policy",
     "ann_index_upsert_topk",
     "streaming_ann_upsert_replay",
     "ann_index_health",
+    "bucketed_colocated_join",
 ]
 
 

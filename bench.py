@@ -192,8 +192,10 @@ def main() -> None:
                  # r11 addition: the streaming SCD2 replay
                  "streaming_scd2_replay",
                  # r12 additions: delimited ingest + ANN maintenance
+                 # + bucketed co-location
                  "csv_ingest_policy", "ann_index_upsert_topk",
-                 "ann_index_health", "streaming_ann_upsert_replay"]
+                 "ann_index_health", "streaming_ann_upsert_replay",
+                 "bucketed_colocated_join"]
     secondary: dict[str, float] = {}
     for name in SECONDARY:
         try:
