@@ -207,6 +207,38 @@ def delta_tags(index_path: str) -> set[str]:
     return out
 
 
+def _manifest_path(index_path: str) -> str:
+    return index_path.rstrip("/") + ".applied.json"
+
+
+def applied_tags(index_path: str) -> set[str]:
+    """Every writer tag the index has ever absorbed: the persisted
+    sibling manifest (``<index_path>.applied.json`` — outside the
+    index dir so the compactor's double-rename publish never touches
+    it) unioned with the tags still riding live delta dirs. Tags fold
+    away with their deltas at compaction, so the manifest is the
+    durable half of the idempotence record."""
+    import json
+
+    try:
+        with open(_manifest_path(index_path)) as f:
+            persisted = set(json.load(f))
+    except (FileNotFoundError, json.JSONDecodeError):
+        persisted = set()
+    return persisted | delta_tags(index_path)
+
+
+def _persist_tags(index_path: str, tags: set[str]) -> None:
+    import json
+    import os
+
+    path = _manifest_path(index_path)
+    tmp = f"{path}.tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(sorted(tags), f)
+    os.rename(tmp, path)
+
+
 def upsert_ann_index(spark: SparkSession, index_path: str,
                      updates: DataFrame | None = None,
                      delete_ids=None, id_col: str = "vec_id",
@@ -271,8 +303,18 @@ def upsert_ann_index(spark: SparkSession, index_path: str,
         if isinstance(delete_ids, DataFrame):
             dels = delete_ids.toDF(id_col).distinct()
         else:
+            # schema from the index's own id column, not a hardcoded
+            # long: a string- or int32-keyed index must get
+            # type-matched tombstones or the unionByName with
+            # update-id tombstones / the reader's anti-join breaks
+            # (r12 advisory)
+            from pyspark.sql import types as T
+
+            id_type = spark.read.parquet(f"{index_path}/vectors") \
+                .schema[id_col].dataType
             dels = spark.createDataFrame(
-                [(int(i),) for i in delete_ids], f"{id_col} long")
+                [(i,) for i in delete_ids],
+                T.StructType([T.StructField(id_col, id_type)]))
         tomb_frames.append(dels)
     tomb = tomb_frames[0]
     for extra in tomb_frames[1:]:
@@ -392,12 +434,26 @@ def compact_ann_index(spark: SparkSession, index_path: str,
     plain scan, so the serving cost model is: reads pay
     O(accumulated delta) until the next compaction resets it — the
     operator a 100 TB index runs on a schedule, sized so the
-    tombstone set stays broadcastable. Single-compactor per index."""
+    tombstone set stays broadcastable. Single-compactor per index.
+
+    Compaction folds delta dirs — and the writer tags riding them —
+    away, so any live tags are first merged into the sibling
+    ``.applied.json`` manifest (the durable idempotence record the
+    streaming sink's retry check reads). That makes OUT-OF-BAND
+    scheduled compaction safe against an index fed by
+    streaming/ann_upsert.ann_upsert_sink: a foreachBatch retry after
+    an external compact still sees its batch tag and no-ops, instead
+    of re-applying an already-absorbed batch (r12 advisory). A crash
+    between the manifest write and the fold only duplicates tags in
+    set-union, never loses one."""
     import os
 
     deltas = _delta_dirs(index_path)
     if not deltas:
         return 0
+    live_tags = delta_tags(index_path)
+    if live_tags:
+        _persist_tags(index_path, applied_tags(index_path))
     _reap_stale_dirs(index_path)
     nonce = _nonce()
     build_path = f"{index_path}.build-{nonce}"

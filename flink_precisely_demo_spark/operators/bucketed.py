@@ -13,6 +13,23 @@ across the table's whole query life; this is the single biggest
 repeated-join lever at 100 TB (Hive/Trino bucketing and Iceberg's
 bucket partition transform make the same trade).
 
+The amortization claim requires the layout to OUTLIVE the session:
+bucketing metadata lives in the catalog, the bytes live in the files,
+and a fresh session must be able to re-attach the metadata to the
+EXISTING files without rewriting a single byte. That re-attachment is
+``CREATE TABLE … USING parquet CLUSTERED BY … LOCATION`` over the
+written dir — Spark maps each file back to its bucket from the
+file-name bucket suffix, so the registration is metadata-only (the
+r12 verdict item: on 100 TB, a per-session rewrite would void the
+whole amortize-once argument). A ``_BUCKET_SPEC.json`` sidecar inside
+the dir (underscore-prefixed — invisible to the parquet reader, like
+``_SUCCESS``) records the layout contract: it is written only after a
+complete layout write, so its presence is the marker that the files
+are whole AND carries the (n_buckets, key, sort, schema, fingerprint)
+needed to validate any later fast path — a stale catalog entry over
+reclaimed files, or a caller reusing the name for different data,
+re-lays instead of silently serving wrong bytes (r12 advisory).
+
 The writer repartitions into one task per bucket first so each bucket
 lands in exactly ONE file — with >1 file per bucket Spark must
 re-sort the merged bucket at read time; with one pre-sorted file the
@@ -25,25 +42,88 @@ the mechanism is Spark's own bucketed-table contract
 
 from __future__ import annotations
 
+import glob
+import json
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+_SPEC_FILE = "_BUCKET_SPEC.json"
+
+
+def _spec_path(path: str) -> str:
+    return os.path.join(path, _SPEC_FILE)
+
+
+def _read_spec(path: str) -> dict | None:
+    try:
+        with open(_spec_path(path)) as f:
+            return json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        return None
+
+
+def _layout_valid(path: str, n_buckets: int, key: str, sort: bool,
+                  fingerprint: str | None) -> dict | None:
+    """The written layout at ``path``, if it is complete AND matches
+    the requested contract; None demands a (re)write. Completeness =
+    the sidecar exists (written last) and at least one bucket file is
+    still on disk (a reclaimed tempdir leaves the catalog pointing at
+    nothing)."""
+    spec = _read_spec(path)
+    if spec is None:
+        return None
+    if (spec.get("n_buckets") != n_buckets or spec.get("key") != key
+            or spec.get("sort") != sort
+            or spec.get("fingerprint") != fingerprint):
+        return None
+    if not glob.glob(os.path.join(path, "part-*.parquet")):
+        return None
+    return spec
+
+
+def _register_over_existing(spark: SparkSession, name: str, path: str,
+                            spec: dict) -> None:
+    """Metadata-only re-registration: attach a fresh catalog's entry
+    to the EXISTING bucketed files. Zero data movement — Spark
+    recovers each file's bucket id from the writer's file-name
+    suffix, and the SORTED BY clause re-asserts the per-bucket order
+    the one-file-per-bucket write made trustworthy."""
+    sorted_by = f"SORTED BY (`{spec['key']}`) " if spec["sort"] else ""
+    spark.sql(
+        f"CREATE TABLE `{name}` ({spec['schema']}) USING parquet "
+        f"CLUSTERED BY (`{spec['key']}`) {sorted_by}"
+        f"INTO {spec['n_buckets']} BUCKETS "
+        f"LOCATION '{path}'")
+
 
 def ensure_bucketed_table(df: DataFrame, name: str, path: str,
-                          n_buckets: int, key: str,
-                          sort: bool = True) -> str:
+                          n_buckets: int, key: str, sort: bool = True,
+                          fingerprint: str | None = None) -> str:
     """Materialize ``df`` as an external bucketed (and per-bucket
-    sorted) parquet table at ``path`` unless this session's catalog
-    already knows it; returns the table name to ``spark.table()``.
+    sorted) parquet table at ``path`` — or, when a prior write
+    already laid the matching layout down, re-use it WITHOUT
+    rewriting: same-session calls hit the validated catalog entry,
+    and a fresh session re-registers metadata over the existing
+    files. Returns the table name to ``spark.table()``.
 
-    The catalog entry is per-session (bucketing metadata lives in the
-    catalog, not the files), so a fresh session re-registers by
-    rewriting — callers scope ``name``/``path`` per process to keep
-    concurrent processes off each other's files. The write costs one
-    key shuffle (``repartition(n_buckets, key)`` — the same shuffle a
-    single un-bucketed join would pay, here paid once)."""
+    ``fingerprint`` scopes the layout's identity beyond the physical
+    spec (pass the source dataset id): a caller reusing ``name`` /
+    ``path`` for different data re-lays instead of being served the
+    old bytes. The write costs one key shuffle
+    (``repartition(n_buckets, key)`` — the same shuffle a single
+    un-bucketed join would pay, here paid once)."""
     spark = df.sparkSession
+    spec = _layout_valid(path, n_buckets, key, sort, fingerprint)
     if spark.catalog.tableExists(name):
+        if spec is not None:
+            return name
+        # stale entry: files gone, or the contract changed under the
+        # name — never silently serve it
+        spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+    elif spec is not None:
+        _register_over_existing(spark, name, path, spec)
         return name
     writer = (df.repartition(n_buckets, F.col(key))
               .write.mode("overwrite").format("parquet")
@@ -51,6 +131,10 @@ def ensure_bucketed_table(df: DataFrame, name: str, path: str,
     if sort:
         writer = writer.sortBy(key)
     writer.option("path", path).saveAsTable(name)
+    with open(_spec_path(path), "w") as f:   # last: marks completeness
+        json.dump({"n_buckets": n_buckets, "key": key, "sort": sort,
+                   "fingerprint": fingerprint,
+                   "schema": df.schema.toDDL()}, f)
     return name
 
 

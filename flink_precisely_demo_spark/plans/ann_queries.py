@@ -122,26 +122,34 @@ def _upsert_index_path(spark: SparkSession, sf_dir: str) -> str:
     """Clone the shared as-built index and apply the two fixed delta
     generations (once per process+dataset; the post-upsert state is
     deterministic, so a marker-bearing dir with exactly 2 published
-    deltas is reusable across processes)."""
+    deltas is reusable across processes). The clone+mutate stages
+    under a nonce ``.build-`` dir and publishes via the index's own
+    atomic double-rename — a concurrent process querying the shared
+    path never sees a half-copied index, and a crashed rebuild leaves
+    only a reapable staging dir (r12 advisory)."""
     import shutil
 
-    from ..operators.ann_index import (_delta_dirs, index_ok,
-                                       upsert_ann_index)
+    from ..operators.ann_index import (_delta_dirs, _nonce,
+                                       _publish_index, _reap_stale_dirs,
+                                       index_ok, upsert_ann_index)
 
     cached = _UPSERT_CACHE.get(sf_dir)
     if cached is None:
         slug = re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir.strip("/"))
         path = os.path.join(tempfile.gettempdir(), f"ann_upsert_{slug}")
         if not (index_ok(path) and len(_delta_dirs(path)) == 2):
-            shutil.rmtree(path, ignore_errors=True)
-            shutil.copytree(ann_index_path(spark, sf_dir), path)
+            _reap_stale_dirs(path)
+            nonce = _nonce()
+            stage = f"{path}.build-{nonce}"
+            shutil.copytree(ann_index_path(spark, sf_dir), stage)
             emb = load_table(spark, sf_dir, "embeddings")
             g1 = emb.filter(F.col("vec_id").between(100, 149)).select(
                 "vec_id", F.reverse("embedding").alias("embedding"))
-            upsert_ann_index(spark, path, g1, delete_ids=range(150, 155))
+            upsert_ann_index(spark, stage, g1, delete_ids=range(150, 155))
             g2 = emb.filter(F.col("vec_id").between(140, 151)) \
                     .select("vec_id", "embedding")
-            upsert_ann_index(spark, path, g2, delete_ids=range(480, 490))
+            upsert_ann_index(spark, stage, g2, delete_ids=range(480, 490))
+            _publish_index(stage, path, nonce)
         _UPSERT_CACHE[sf_dir] = path
     return _UPSERT_CACHE[sf_dir]
 
@@ -314,18 +322,25 @@ def _stream_upsert_index_path(spark: SparkSession, sf_dir: str) -> str:
     from ..streaming.ann_upsert import _applied_tags, run_ann_upsert
     from ..streaming.replay_stage import stage_trigger_files
 
+    from ..operators.ann_index import (_manifest_path, _nonce,
+                                       _publish_index, _reap_stale_dirs)
+
     cached = _STREAM_UPSERT_CACHE.get(sf_dir)
     if cached is None:
         slug = re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir.strip("/"))
         path = os.path.join(tempfile.gettempdir(), f"ann_supsert_{slug}")
         if not (index_ok(path) and not _delta_dirs(path)
                 and _applied_tags(path) >= {"b0", "b1"}):
-            shutil.rmtree(path, ignore_errors=True)
-            try:
-                os.remove(path + ".applied.json")
-            except FileNotFoundError:
-                pass
-            shutil.copytree(ann_index_path(spark, sf_dir), path)
+            # stage under a nonce dir + publish by rename, like
+            # _upsert_index_path (r12 advisory): the sink runs
+            # against the STAGE, so its manifest lands at the
+            # stage's sibling path and moves into place after the
+            # index publish — a concurrent reader of the shared
+            # path never sees a half-drained index
+            _reap_stale_dirs(path)
+            nonce = _nonce()
+            stage = f"{path}.build-{nonce}"
+            shutil.copytree(ann_index_path(spark, sf_dir), stage)
             work = tf.mkdtemp(prefix="ann_upsert_replay_")
             try:
                 feed_dir = stage_trigger_files(
@@ -341,11 +356,13 @@ def _stream_upsert_index_path(spark: SparkSession, sf_dir: str) -> str:
                 feed = (spark.readStream.schema(schema)
                         .option("maxFilesPerTrigger", 1)
                         .parquet(feed_dir))
-                run_ann_upsert(feed, path,
+                run_ann_upsert(feed, stage,
                                checkpoint=os.path.join(work, "ckpt"),
                                compact_every=2)
             finally:
                 shutil.rmtree(work, ignore_errors=True)
+            _publish_index(stage, path, nonce)
+            os.replace(_manifest_path(stage), _manifest_path(path))
         _STREAM_UPSERT_CACHE[sf_dir] = path
     return _STREAM_UPSERT_CACHE[sf_dir]
 

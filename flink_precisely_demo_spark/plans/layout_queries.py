@@ -174,7 +174,8 @@ def bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         name = f"bkt_{tbl}_{slug}_{pid}"
         path = os.path.join(tempfile.gettempdir(), name)
         ensure_bucketed_table(load_table(spark, sf_dir, tbl).select(cols),
-                              name, path, _N_BUCKETS, key)
+                              name, path, _N_BUCKETS, key,
+                              fingerprint=f"{sf_dir}:{tbl}")
         names.append(name)
     return names[0], names[1]
 

@@ -16,11 +16,13 @@ retry would append a second generation). Each batch therefore
 publishes its delta carrying tag ``b<batch_id>`` (the tag rides the
 same atomic rename as the delta itself), and an applied batch is
 skipped on retry. Because compaction folds deltas — and their tags —
-away, the sink first persists the union of seen tags to a SIBLING
-manifest ``<index_path>.applied.json`` (outside the index dir, so
-the compactor's double-rename publish never touches it), then
-compacts; the applied set is always manifest ∪ live delta tags, so a
-crash between the manifest write and the compact only duplicates
+away, ``compact_ann_index`` itself persists the union of seen tags
+to a SIBLING manifest ``<index_path>.applied.json`` (outside the
+index dir, so the compactor's double-rename publish never touches
+it) before folding — so scheduled compaction is retry-safe whether
+the sink triggers it or an operator runs it out of band (r12
+advisory); the applied set is always manifest ∪ live delta tags, so
+a crash between the manifest write and the compact only duplicates
 tags in set-union, never loses one.
 
 Checkpoint/store binding: like cdc_upsert_sink, a fresh checkpoint
@@ -37,39 +39,15 @@ set broadcast-sized forever on an unbounded stream.
 
 from __future__ import annotations
 
-import json
-import os
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.ann_index import (
     _delta_dirs,
+    applied_tags as _applied_tags,
     compact_ann_index,
-    delta_tags,
     upsert_ann_index,
 )
-
-
-def _manifest_path(index_path: str) -> str:
-    return index_path.rstrip("/") + ".applied.json"
-
-
-def _applied_tags(index_path: str) -> set[str]:
-    try:
-        with open(_manifest_path(index_path)) as f:
-            persisted = set(json.load(f))
-    except (FileNotFoundError, json.JSONDecodeError):
-        persisted = set()
-    return persisted | delta_tags(index_path)
-
-
-def _persist_tags(index_path: str, tags: set[str]) -> None:
-    path = _manifest_path(index_path)
-    tmp = f"{path}.tmp-{os.getpid()}"
-    with open(tmp, "w") as f:
-        json.dump(sorted(tags), f)
-    os.rename(tmp, path)
 
 
 def ann_upsert_sink(index_path: str, id_col: str = "vec_id",
@@ -114,9 +92,9 @@ def ann_upsert_sink(index_path: str, id_col: str = "vec_id",
         upsert_ann_index(spark, index_path, updates, deletes,
                          id_col=id_col, vec_col=vec_col, tag=tag)
         if compact_every and len(_delta_dirs(index_path)) >= compact_every:
-            # tags fold away with their deltas: persist the applied
-            # set to the sibling manifest BEFORE compacting
-            _persist_tags(index_path, _applied_tags(index_path))
+            # compact_ann_index itself persists the live tags to the
+            # sibling manifest before folding (so out-of-band
+            # scheduled compaction is equally retry-safe)
             compact_ann_index(spark, index_path, id_col=id_col,
                               vec_col=vec_col)
 

@@ -321,6 +321,48 @@ def test_streaming_sink_tags_survive_compaction(spark, tmp_path):
     assert 101 not in {int(r["neighbor_id"]) for r in got.collect()}
 
 
+def test_out_of_band_compaction_keeps_retry_idempotent(spark, tmp_path):
+    """compact_ann_index run OUTSIDE the sink (an operator's
+    scheduled compaction) must persist the live delta tags to the
+    sibling manifest before folding them away — otherwise a
+    foreachBatch retry after the external compact re-applies an
+    already-absorbed batch (r12 advisory, the medium finding)."""
+    from flink_precisely_demo_spark.streaming.ann_upsert import (
+        _applied_tags, ann_upsert_sink)
+
+    path = _fresh_index(spark, tmp_path)
+    emb = load_table(spark, SF, "embeddings")
+    sink = ann_upsert_sink(path)            # no compact_every: the
+    b0 = emb.filter(F.col("vec_id") == 100).select(  # sink never compacts
+        "vec_id", F.reverse("embedding").alias("embedding"),
+        F.lit("U").alias("op"))
+    sink(b0, 0)
+    assert [s for s, _ in _delta_dirs(path)] == [1]
+    compact_ann_index(spark, path)          # out-of-band scheduled run
+    assert _delta_dirs(path) == []
+    assert _applied_tags(path) >= {"b0"}    # tag survived the fold
+    sink(b0, 0)                             # late retry: must no-op
+    assert _delta_dirs(path) == []
+
+
+def test_iterable_deletes_match_index_id_type(spark, tmp_path):
+    """Iterable delete_ids must take the index id column's OWN type
+    (r12 advisory): a string-keyed index gets string tombstones, and
+    the reconciling read drops the named rows."""
+    emb = load_table(spark, SF, "embeddings").select(
+        F.concat(F.lit("doc-"), F.col("vec_id")).alias("vec_id"),
+        "embedding")
+    path = str(tmp_path / "stridx")
+    build_ann_index(emb, path, k_cells=K_CELLS, max_iter=2)
+    upsert_ann_index(spark, path, delete_ids=["doc-1", "doc-2"])
+    from flink_precisely_demo_spark.operators.ann_index import (
+        _live_vectors)
+    live = {r["vec_id"] for r in
+            _live_vectors(spark, path, "vec_id", "embedding").collect()}
+    assert "doc-1" not in live and "doc-2" not in live
+    assert "doc-3" in live
+
+
 def test_probe_pruning_survives_deltas(spark, tmp_path):
     """With deltas present the probed-cells filter must still reach
     BOTH scans as a partition filter — maintenance must not cost the

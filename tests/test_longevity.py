@@ -23,6 +23,8 @@ from longevity_check import CHECKS  # noqa: E402
 @pytest.mark.longevity
 @pytest.mark.parametrize("name", sorted(CHECKS))
 def test_longevity_bounded_state_flat_cost(name, spark):
+    from longevity_check import FLAT_FACTOR
+
     stats, violations = CHECKS[name](spark, 50, 30)
     assert stats["n_triggers"] >= 50 - 1  # availableNow may merge one
     if violations and all("batch_ms" in v for v in violations):
@@ -32,9 +34,21 @@ def test_longevity_bounded_state_flat_cost(name, spark):
         # mode — see the bench contention sentinel) does not. One
         # retry separates the two; structural violations (state
         # bounds, dead rows, key counts) fail immediately above.
+        # The rerun must clear the flatness gate WITH MARGIN (ratio
+        # <= 80% of the threshold), not merely land under it — a
+        # genuine slow cost-growth regression that intermittently
+        # crosses the line would otherwise pass whenever one rerun
+        # caught lighter co-tenant load (r12 advisory).
         stats2, violations2 = CHECKS[name](spark, 50, 30)
         assert not violations2, (
             f"{name}: flat-cost violation REPRODUCED on retry: "
             f"{violations2} ({stats2}; first run {violations} {stats})")
+        ratio2 = (stats2["batch_ms_p50_second_half"]
+                  / max(stats2["batch_ms_p50_first_half"], 1e-9))
+        assert ratio2 <= 0.8 * FLAT_FACTOR, (
+            f"{name}: rerun ratio {ratio2:.3f} is under the "
+            f"{FLAT_FACTOR} gate but without margin — both runs "
+            f"trend up, treating as a real cost-growth regression "
+            f"(first {violations} {stats}; rerun {stats2})")
         return
     assert not violations, f"{name}: {violations} ({stats})"
