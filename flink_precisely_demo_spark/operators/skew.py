@@ -54,6 +54,38 @@ def salted_grouped_agg(df: DataFrame, key: str, aggs: list[Column],
     return phase1.groupBy(key).agg(*reaggs)
 
 
+def salted_shuffle_join(fact: DataFrame, other: DataFrame, key: str,
+                        salt_on: list[str], n_salts: int = 16) -> DataFrame:
+    """Salted SHUFFLE equi-join for a skewed fact against a
+    one-row-per-key side too big to broadcast — the explicit fallback
+    for the joins AQE's runtime skew split cannot rescue (AQE only
+    splits SortMergeJoin/ShuffledHashJoin partitions it can observe:
+    a join feeding an operator that REQUIRES the key partitioning, a
+    stream-side join, or an engine with AQE off).
+
+    The fact side gains a deterministic salt — ``xxhash64(salt_on) %
+    n_salts``, so a hot KEY's rows spread by the entropy of
+    ``salt_on`` (pass unique-ish columns; a retried task re-derives
+    the same salt, unlike ``rand()``) — and the other side is
+    replicated ``n_salts`` times via a broadcast cross join with the
+    salt spine. The join then shuffles on (key, salt): the hot key's
+    rows land on ``n_salts`` reducers instead of one.
+
+    Correctness requires ``other`` to be unique per ``key`` (each
+    replica is identical, so every fact row still matches exactly its
+    key's row — result-invariance vs the plain join is oracle-checked
+    by the ``skew_salted_join`` pair). Cost: the other side's shuffle
+    volume multiplies by ``n_salts`` — the standard salting trade;
+    size ``n_salts`` to the hot key's reducer overload, not higher."""
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_on]),
+                  F.lit(n_salts)).cast("int")
+    fact_s = fact.withColumn("__salt", salt)
+    spine = (fact.sparkSession.range(n_salts)
+             .select(F.col("id").cast("int").alias("__salt")))
+    other_s = other.crossJoin(F.broadcast(spine))
+    return fact_s.join(other_s, [key, "__salt"]).drop("__salt")
+
+
 def salted_broadcast_left(fact: DataFrame, dim: DataFrame, key: str,
                           n_salts: int = 8) -> DataFrame:
     """Equi-join with the fact side salted and the (small) dim side

@@ -215,6 +215,82 @@ def _skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "min_value", "max_value")
 
 
+@query(
+    "skew_salted_join",
+    oracle="""
+    WITH r AS (
+      SELECT CASE WHEN o_orderkey % 3 = 0 THEN 0
+                  ELSE o_orderkey END AS k,
+             CAST(COUNT(*) AS BIGINT) AS n_ord,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+               AS bucket_due
+      FROM orders GROUP BY 1
+    ),
+    l AS (
+      SELECT CASE WHEN l_orderkey % 3 = 0 THEN 0
+                  ELSE l_orderkey END AS k,
+             l_returnflag, l_quantity
+      FROM lineitem
+    )
+    SELECT l.k = 0 AS is_hot_key, l.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l.l_quantity * r.n_ord AS DECIMAL(28,6)))
+                AS DOUBLE) AS qty_x_orders,
+           CAST(SUM(CAST(r.bucket_due AS DECIMAL(28,6))) AS DOUBLE)
+             AS sum_bucket_due
+    FROM l JOIN r ON l.k = r.k
+    GROUP BY 1, 2
+    """,
+)
+def _skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact-to-fact JOIN under the oracle gate
+    (operators/skew.salted_shuffle_join) — the join-side twin of
+    ``skew_salted_agg``. A planted hot key (every third orderkey
+    folded to 0) concentrates ~1/3 of lineitem on ONE join key; the
+    right side — per-key order rollups, one row per key, fact-derived
+    so it grows with SF and cannot broadcast at scale — is replicated
+    across 16 salts while the fact side salts deterministically on
+    (l_orderkey, l_linenumber), so the hot key's rows land on 16
+    reducers instead of one. The oracle computes the PLAIN unsalted
+    join: the hash match proves salting is result-invariant (every
+    replica of a key's row is identical, and the downstream sums stay
+    DECIMAL-exact through both routes).
+
+    This is the explicit fallback for skew joins AQE cannot split
+    (required output partitioning, stream-side state, AQE off); when
+    AQE *can* act, its runtime skew split handles the same plant —
+    pinned with the executed-plan assertion in
+    tests/test_skew_join.py.
+
+    Scale: fact shuffles once on (k, salt) — same bytes as the plain
+    join's key shuffle; the per-key rollup side pays 16x its own
+    (much smaller) volume, the standard salting trade. Rollup build
+    is safe despite the skewed key: partial aggregation means the
+    hot key moves one row per map task, not its raw rows."""
+    from ..operators.skew import salted_shuffle_join
+    from ..operators.windowed_agg import sum_exact
+
+    fold = lambda c: (F.when(F.col(c) % 3 == 0, F.lit(0))  # noqa: E731
+                      .otherwise(F.col(c)).cast("long"))
+    line = load_table(spark, sf_dir, "lineitem").select(
+        fold("l_orderkey").alias("k"),
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+    right = (load_table(spark, sf_dir, "orders")
+             .select(fold("o_orderkey").alias("k"), "o_totalprice")
+             .groupBy("k")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_ord"),
+                  sum_exact("o_totalprice").alias("bucket_due")))
+    joined = salted_shuffle_join(line, right, "k",
+                                 salt_on=["l_orderkey", "l_linenumber"],
+                                 n_salts=16)
+    return (joined.groupBy((F.col("k") == 0).alias("is_hot_key"),
+                           "l_returnflag")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                 sum_exact(F.col("l_quantity") * F.col("n_ord"))
+                 .alias("qty_x_orders"),
+                 sum_exact("bucket_due").alias("sum_bucket_due")))
+
+
 @query("streaming_funnel_replay", oracle=_FUNNEL_ORACLE)
 def _streaming_funnel_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STREAMING funnel (streaming/funnel.py,
