@@ -549,6 +549,106 @@ def _ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_recall_maintained",
+    oracle=f"""
+    WITH {kmeans_ctes(_K, _ITERS)},
+    live AS (
+      SELECT vec_id,
+             CASE WHEN vec_id BETWEEN 100 AND 139
+                  THEN list_reverse(embedding)
+                  ELSE embedding END AS embedding
+      FROM e
+      WHERE vec_id NOT BETWEEN 152 AND 154
+        AND vec_id NOT BETWEEN 480 AND 489
+    ),{_ivf_ctes('live')},
+    ivf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY sim DESC, neighbor_id ASC) AS rnk
+        FROM sims
+      ) WHERE rnk <= {_TOPK}
+    ),
+    gt_sims AS (
+      SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+             round({_cos('q.embedding', 'n.embedding')}, 6) AS sim
+      FROM live n
+      CROSS JOIN (SELECT * FROM live WHERE vec_id < {_N_QUERIES}) q
+      WHERE n.vec_id <> q.vec_id
+    ),
+    gt AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY sim DESC, neighbor_id ASC) AS rnk
+        FROM gt_sims
+      ) WHERE rnk <= {_TOPK}
+    )
+    SELECT g.query_id,
+           CAST(COUNT(i.neighbor_id) AS BIGINT) AS n_hits_delta,
+           CAST(COUNT(i.neighbor_id) AS BIGINT) AS n_hits_compacted,
+           CAST(COUNT(i.neighbor_id) AS DOUBLE) / {_TOPK}
+             AS recall_delta,
+           CAST(COUNT(i.neighbor_id) AS DOUBLE) / {_TOPK}
+             AS recall_compacted
+    FROM gt g
+    LEFT JOIN ivf i ON i.query_id = g.query_id
+                   AND i.neighbor_id = g.neighbor_id
+    GROUP BY g.query_id
+    """,
+)
+def _ann_recall_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{_TOPK} of the MAINTAINED index — the measured
+    consequence of the serving contract "upserts never retrain; cell
+    geometry is frozen" (r12 verdict item 4). Ground truth is brute
+    force over the NET post-upsert live corpus (100-139 re-embedded
+    reversed, 152-154 and 480-489 taken down); the probed answers
+    come from BOTH ends of the LSM read lifecycle: the uncompacted
+    reconciling index (base + 2 delta generations + tombstone
+    anti-join, ``_upsert_index_path``) and the post-compaction base
+    the streaming sink produced (``_stream_upsert_index_path``).
+    The oracle predicts ONE ivf answer set for both — so a driver
+    hash match simultaneously (a) measures recall of probing
+    re-assigned deltas under frozen pre-mutation centroids and
+    (b) proves compact-then-query == delta-query on the exact rows
+    the queries actually see.
+
+    Scale: ground truth is one map-side brute-force pass over the
+    probe set (production samples probes exactly like this); each
+    index read is partition-pruned to the probed cells."""
+    from ..operators.similarity import brute_force_topk
+
+    up = _upsert_index_path(spark, sf_dir)
+    cp = _stream_upsert_index_path(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    live = (emb.filter(~F.col("vec_id").between(152, 154)
+                       & ~F.col("vec_id").between(480, 489))
+            .select("vec_id",
+                    F.when(F.col("vec_id").between(100, 139),
+                           F.reverse("embedding"))
+                    .otherwise(F.col("embedding")).alias("embedding")))
+    queries_df = live.filter(F.col("vec_id") < _N_QUERIES)
+    gt = (brute_force_topk(live, queries_df, k=_TOPK)
+          .select("query_id", "neighbor_id"))
+    ivf_u = (query_ann(spark, up, queries_df, k=_TOPK, nprobe=_NPROBE)
+             .select(F.col("query_id").alias("__uq"),
+                     F.col("neighbor_id").alias("__un")))
+    ivf_c = (query_ann(spark, cp, queries_df, k=_TOPK, nprobe=_NPROBE)
+             .select(F.col("query_id").alias("__cq"),
+                     F.col("neighbor_id").alias("__cn")))
+    return (gt
+            .join(ivf_u, (gt["query_id"] == ivf_u["__uq"])
+                  & (gt["neighbor_id"] == ivf_u["__un"]), "left")
+            .join(ivf_c, (gt["query_id"] == ivf_c["__cq"])
+                  & (gt["neighbor_id"] == ivf_c["__cn"]), "left")
+            .groupBy("query_id")
+            .agg(F.count("__un").cast("long").alias("n_hits_delta"),
+                 F.count("__cn").cast("long").alias("n_hits_compacted"),
+                 (F.count("__un").cast("double") / _TOPK)
+                 .alias("recall_delta"),
+                 (F.count("__cn").cast("double") / _TOPK)
+                 .alias("recall_compacted")))
+
+
+@query(
     "ann_recall_eval",
     oracle=f"""
     WITH {kmeans_ctes(_K, _ITERS)},{_IVF_CTES},
