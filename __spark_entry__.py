@@ -58,111 +58,122 @@ def entry(spark: SparkSession) -> DataFrame:
 # regardless of position. Per-round rotation history lives in
 # COVERAGE.md ("Window rotation log").
 #
-# r12 window (50 seats): the 12-entry parity/TPC-H floor; the ENTIRE
-# r8-last-green cohort (29 entries, 4 rounds stale — the r11
-# verdict's mandated refresh: ann_index_topk, approx_sketches,
-# asof_join_prior_click, audio_stream_triage, cdc_state_asof,
-# corpus_health_report, corpus_snapshot_diff, curation_mixture_sample,
-# curation_stratified, ddl_entry_pipeline, dedup_clusters, dedup_exact,
-# dedup_semantic, kmeans_ivf_index, multimodal_manifest,
-# q3/q6/q7/q8/q10/q13/q14/q19, range_join_events, sessionization,
-# text_filter_pipeline, text_token_stats, warc_ingest_extract,
-# web_link_pagerank); the next-stalest cohort whose ONLY driver
-# evidence is [r8, r9] (8 entries: event_funnel_steps, robots_txt_gate,
-# skew_salted_agg, streaming_funnel_replay, table_profile_orders,
-# text_bm25_term_scores, warc_to_corpus, zorder_layout_stats); and a
-# seat HELD for streaming_scd2_replay's second green (new in r11,
-# 1 driver green). Seats paid by the r11-greened cohort plus the
-# multi-green keepers, every one eligible under the mechanical rule
-# below. Annotations are machine-generated from CORRECTNESS_r*.json
-# and list EVERY green round (the r11 lists omitted rounds, which
-# made the rotation comment's green-count claim look wrong — r11
-# advisory; regenerate with scripts/green_history.py).
+# r13 window (50 seats), per the r12 verdict's mandate: the 12-entry
+# parity/TPC-H floor; the FIVE r12 _PENDING pairs taking their first
+# driver seats (csv_ingest_policy, ann_index_upsert_topk,
+# streaming_ann_upsert_replay, ann_index_health,
+# bucketed_colocated_join — the ANN LSM maintenance family + the
+# delimited source + the bucketed layout); the ENTIRE 28-entry
+# r9-last-green cohort (4 rounds stale: ann_ivf_pq_topk,
+# ann_recall_eval, bloom_semijoin_prune, both BPE pairs,
+# corpus_datasheet, crawl_to_training_shards, dedup_passage_exact,
+# deletion_propagation_audit, embedding_hard_negatives,
+# embedding_pq_codebook, event_pattern_match, jsonl_corpus_roundtrip,
+# multimodal_format_audit, q2/q9/q11/q12/q15/q16/q17/q20,
+# sketch_heavy_hitters, streaming_attribution_replay,
+# streaming_pattern_replay, streaming_session_replay,
+# text_bigram_typicality, text_winnow_fingerprints); this round's
+# THREE new pairs (ann_recall_maintained, streaming_flagship_replay,
+# skew_salted_join — verdict items 4/5/6, never driver-validated);
+# and 2 stalest-first fill seats from the r10 cohort (anti_semi_join,
+# distinct_agg — fewest greens, alphabetical tiebreak). Seats paid by
+# the r8+r12- and r11-green cohorts, every one eligible under the
+# mechanical rule (zero single-green deferrals this round).
+# Annotations are machine-generated from CORRECTNESS_r*.json via
+# scripts/green_history.py and list EVERY green round.
 _DEFERRED = [
-    "ann_ivf_pq_topk",                   # r9
-    "ann_recall_eval",                   # r9
-    "anti_semi_join",                    # r1 r2 r6 r10
-    "array_functions_embeddings",        # r1 r2 r6 r10 r11
-    "attribution_multi_touch",           # r9 r11
-    "bloom_semijoin_prune",              # r9
-    "bpe_encode_corpus",                 # r9
-    "bpe_vocab_merges",                  # r9
-    "cdc_apply_snapshot",                # r1 r2 r3 r4 r5 r6 r10
-    "cdc_history_scd2",                  # r6 r7 r11
-    "corpus_datasheet",                  # r9
-    "crawl_to_training_shards",          # r9
-    "cube_agg",                          # r1 r2 r6 r10 r11
-    "curation_contamination",            # r2 r3 r4 r7 r11
-    "curation_pack_chunks",              # r2 r3 r4 r5 r6 r10
-    "curation_pipeline_e2e",             # r2 r3 r4 r5 r6 r7 r10
-    "curation_sample",                   # r2 r3 r7 r10 r11
-    "curation_split",                    # r2 r3 r7 r10 r11
-    "date_functions",                    # r1 r3 r4 r7 r11
-    "dedup_embedding_cosine",            # r1 r3 r4 r7 r11
-    "dedup_minhash_lsh",                 # r1 r2 r3 r4 r5 r6 r7 r10
-    "dedup_ngram_jaccard",               # r1 r2 r3 r7 r11
-    "dedup_passage_exact",               # r9
-    "dedup_pipeline_e2e",                # r3 r4 r5 r6 r10
-    "dedup_simhash",                     # r1 r2 r3 r7 r10
-    "dedup_simhash_pairs",               # r1 r2 r3 r7 r10
-    "deletion_propagation_audit",        # r9
-    "distinct_agg",                      # r1 r2 r6 r10
-    "embedding_hard_negatives",          # r9
-    "embedding_pq_codebook",             # r9
-    "embedding_quantize_stats",          # r2 r3 r4 r7 r11
-    "event_pattern_match",               # r9
-    "full_outer_join_nulls",             # r1 r2 r6 r10
-    "grouping_sets",                     # r1 r2 r6 r10 r11
-    "histogram_buckets",                 # r1 r2 r6 r10 r11
-    "intersect_keys",                    # r1 r2 r6 r10
-    "jsonl_corpus_roundtrip",            # r9
-    "multimodal_audio_decode",           # r5 r6 r7 r11
-    "multimodal_format_audit",           # r7 r8 r9
-    "multimodal_image_decode",           # r5 r6 r7 r10 r11
-    "multimodal_video_decode",           # r5 r6 r10 r11
-    "percentile_exact",                  # r1 r2 r6 r10 r11
-    "pivot_events",                      # r1 r2 r6 r10
-    "q11_important_stock",               # r9
-    "q12_shipping_priority_class",       # r9
-    "q15_top_supplier",                  # r4 r5 r9
-    "q16_supplier_part_types",           # r9
-    "q17_small_quantity_revenue",        # r4 r5 r9
-    "q1_pricing_summary",                # r1 r2 r3 r4 r5 r6 r7 r10
-    "q20_potential_promotion",           # r9
-    "q21_waiting_supplier",              # r5 r6 r10 r11
-    "q22_global_sales_opportunity",      # r5 r6 r10 r11
-    "q2_min_cost_supplier",              # r9
-    "q4_order_priority",                 # r5 r6 r10 r11
-    "q9_product_type_profit",            # r9
-    "regex_extract_props",               # r1 r2 r6 r10 r11
-    "rollup_agg",                        # r1 r2 r6 r10
-    "session_window_events",             # r1 r3 r4 r7 r10
-    "set_ops",                           # r1 r2 r6 r10
-    "similarity_bruteforce_topk",        # r1 r2 r3 r7 r11
-    "similarity_ivf_cells",              # r1 r2 r3 r7 r11
-    "similarity_ivf_topk",               # r1 r2 r3 r4 r5 r6 r7 r10
-    "sketch_heavy_hitters",              # r9
-    "sliding_window_events",             # r1 r3 r4 r7 r11
-    "streaming_attribution_replay",      # r9
-    "streaming_dedup_replay",            # r6 r7 r11
-    "streaming_enrichment_replay",       # r10 r11
-    "streaming_pattern_replay",          # r9
-    "streaming_session_replay",          # r9
-    "string_math_funcs",                 # r1 r2 r6 r10
-    "subquery_in_exists",                # r1 r2 r6 r10 r11
-    "text_bigram_typicality",            # r9
-    "text_chunk_windows",                # r6 r7 r11
-    "text_html_extract",                 # r6 r7 r11
-    "text_language_id",                  # r1 r3 r7 r10 r11
-    "text_pii_scrub",                    # r6 r7 r11
-    "text_quality_score",                # r1 r3 r7 r10 r11
-    "text_repetition_quality",           # r3 r4 r5 r6 r7 r10
-    "text_tfidf_top_terms",              # r6 r7 r11
-    "text_winnow_fingerprints",          # r9
-    "top_k_per_group",                   # r1 r2 r3 r7 r11
-    "unpivot_measures",                  # r1 r2 r6 r10 r11
-    "url_canonicalize",                  # r6 r7 r11
-    "web_triangle_count",                # r9 r10 r11
+    "ann_index_topk",                     # r2 r3 r4 r5 r8 r12
+    "approx_sketches",                    # r3 r4 r5 r8 r12
+    "array_functions_embeddings",         # r1 r2 r6 r10 r11
+    "asof_join_prior_click",              # r1 r2 r3 r4 r5 r8 r12
+    "attribution_multi_touch",            # r9 r11
+    "audio_stream_triage",                # r7 r8 r12
+    "cdc_apply_snapshot",                 # r1 r2 r3 r4 r5 r6 r10
+    "cdc_history_scd2",                   # r6 r7 r11
+    "cdc_state_asof",                     # r2 r3 r4 r5 r8 r12
+    "corpus_health_report",               # r7 r8 r12
+    "corpus_snapshot_diff",               # r7 r8 r12
+    "cube_agg",                           # r1 r2 r6 r10 r11
+    "curation_contamination",             # r2 r3 r4 r7 r11
+    "curation_mixture_sample",            # r7 r8 r12
+    "curation_pack_chunks",               # r2 r3 r4 r5 r6 r10
+    "curation_pipeline_e2e",              # r2 r3 r4 r5 r6 r7 r10
+    "curation_sample",                    # r2 r3 r7 r10 r11
+    "curation_split",                     # r2 r3 r7 r10 r11
+    "curation_stratified",                # r3 r4 r5 r8 r12
+    "date_functions",                     # r1 r3 r4 r7 r11
+    "ddl_entry_pipeline",                 # r2 r3 r4 r5 r8 r12
+    "dedup_clusters",                     # r3 r4 r5 r8 r12
+    "dedup_embedding_cosine",             # r1 r3 r4 r7 r11
+    "dedup_exact",                        # r1 r2 r3 r4 r5 r8 r12
+    "dedup_minhash_lsh",                  # r1 r2 r3 r4 r5 r6 r7 r10
+    "dedup_ngram_jaccard",                # r1 r2 r3 r7 r11
+    "dedup_pipeline_e2e",                 # r3 r4 r5 r6 r10
+    "dedup_semantic",                     # r7 r8 r12
+    "dedup_simhash",                      # r1 r2 r3 r7 r10
+    "dedup_simhash_pairs",                # r1 r2 r3 r7 r10
+    "embedding_quantize_stats",           # r2 r3 r4 r7 r11
+    "event_funnel_steps",                 # r8 r9 r12
+    "full_outer_join_nulls",              # r1 r2 r6 r10
+    "grouping_sets",                      # r1 r2 r6 r10 r11
+    "histogram_buckets",                  # r1 r2 r6 r10 r11
+    "intersect_keys",                     # r1 r2 r6 r10
+    "kmeans_ivf_index",                   # r2 r3 r4 r5 r8 r12
+    "multimodal_audio_decode",            # r5 r6 r7 r11
+    "multimodal_image_decode",            # r5 r6 r7 r10 r11
+    "multimodal_manifest",                # r2 r3 r4 r5 r8 r12
+    "multimodal_video_decode",            # r5 r6 r10 r11
+    "percentile_exact",                   # r1 r2 r6 r10 r11
+    "pivot_events",                       # r1 r2 r6 r10
+    "q10_returned_items",                 # r4 r5 r8 r12
+    "q13_customer_distribution",          # r4 r5 r8 r12
+    "q14_promo_revenue",                  # r4 r5 r8 r12
+    "q19_disjunctive_revenue",            # r4 r5 r8 r12
+    "q1_pricing_summary",                 # r1 r2 r3 r4 r5 r6 r7 r10
+    "q21_waiting_supplier",               # r5 r6 r10 r11
+    "q22_global_sales_opportunity",       # r5 r6 r10 r11
+    "q3_shipping_priority",               # r1 r3 r4 r5 r8 r12
+    "q4_order_priority",                  # r5 r6 r10 r11
+    "q6_forecast_revenue",                # r4 r5 r8 r12
+    "q7_volume_shipping",                 # r4 r5 r8 r12
+    "q8_market_share",                    # r4 r5 r8 r12
+    "range_join_events",                  # r1 r2 r3 r4 r5 r8 r12
+    "regex_extract_props",                # r1 r2 r6 r10 r11
+    "robots_txt_gate",                    # r8 r9 r12
+    "rollup_agg",                         # r1 r2 r6 r10
+    "session_window_events",              # r1 r3 r4 r7 r10
+    "sessionization",                     # r2 r3 r4 r5 r8 r12
+    "set_ops",                            # r1 r2 r6 r10
+    "similarity_bruteforce_topk",         # r1 r2 r3 r7 r11
+    "similarity_ivf_cells",               # r1 r2 r3 r7 r11
+    "similarity_ivf_topk",                # r1 r2 r3 r4 r5 r6 r7 r10
+    "skew_salted_agg",                    # r8 r9 r12
+    "sliding_window_events",              # r1 r3 r4 r7 r11
+    "streaming_dedup_replay",             # r6 r7 r11
+    "streaming_enrichment_replay",        # r10 r11
+    "streaming_funnel_replay",            # r8 r9 r12
+    "streaming_scd2_replay",              # r11 r12
+    "string_math_funcs",                  # r1 r2 r6 r10
+    "subquery_in_exists",                 # r1 r2 r6 r10 r11
+    "table_profile_orders",               # r8 r9 r12
+    "text_bm25_term_scores",              # r8 r9 r12
+    "text_chunk_windows",                 # r6 r7 r11
+    "text_filter_pipeline",               # r1 r3 r4 r5 r8 r12
+    "text_html_extract",                  # r6 r7 r11
+    "text_language_id",                   # r1 r3 r7 r10 r11
+    "text_pii_scrub",                     # r6 r7 r11
+    "text_quality_score",                 # r1 r3 r7 r10 r11
+    "text_repetition_quality",            # r3 r4 r5 r6 r7 r10
+    "text_tfidf_top_terms",               # r6 r7 r11
+    "text_token_stats",                   # r1 r3 r4 r5 r8 r12
+    "top_k_per_group",                    # r1 r2 r3 r7 r11
+    "unpivot_measures",                   # r1 r2 r6 r10 r11
+    "url_canonicalize",                   # r6 r7 r11
+    "warc_ingest_extract",                # r7 r8 r12
+    "warc_to_corpus",                     # r8 r9 r12
+    "web_link_pagerank",                  # r7 r8 r12
+    "web_triangle_count",                 # r9 r10 r11
+    "zorder_layout_stats",                # r8 r9 r12
 ]
 
 
@@ -174,23 +185,10 @@ _DEFERRED = [
 # — the list cannot be used to hide once-red or once-green entries).
 # All pairs still run in the local pytest oracle sweep regardless.
 #
-# r12: csv_ingest_policy (the delimited-source policy roundtrip),
-# ann_index_upsert_topk (the served index's LSM upsert/tombstone
-# reconciling read), streaming_ann_upsert_replay (the same waves
-# through the foreachBatch sink + scheduled compaction),
-# ann_index_health (per-cell live/delta/dead observability of the
-# maintained index), and bucketed_colocated_join (persistent
-# bucketed twins joining with zero join-side exchanges) were added
-# after the r12 rotation was finalized; they park here, run in the
-# local pytest sweep + SWEEP_r12 scale points (or the r12
-# supplemental), and take window seats at the r13 rotation.
-_PENDING: list[str] = [
-    "csv_ingest_policy",
-    "ann_index_upsert_topk",
-    "streaming_ann_upsert_replay",
-    "ann_index_health",
-    "bucketed_colocated_join",
-]
+# r13: empty — all five r12 parkers took window seats at this
+# rotation, and this round's three new pairs were registered BEFORE
+# the window was finalized, so they sit in the head directly.
+_PENDING: list[str] = []
 
 
 def _ordered(mapping: dict) -> dict:

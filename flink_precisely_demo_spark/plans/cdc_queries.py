@@ -307,3 +307,128 @@ def _streaming_scd2_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "key", "value",
         F.col("valid_from").cast("timestamp_ntz"),
         F.col("valid_to").cast("timestamp_ntz"))
+
+
+@query(
+    "streaming_flagship_replay",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             o_orderdate + to_seconds(CAST(o_orderkey % 599 + 1
+                                           AS BIGINT)) AS ts,
+             (o_orderkey % 7 = 0) AS straggler
+      FROM orders
+    ),
+    wm AS (
+      SELECT (SELECT max(ts) FROM o
+              WHERE NOT straggler
+                AND ts < TIMESTAMP '1995-06-17 00:00:00')
+               - INTERVAL 10 MINUTE AS wm_lag,
+             (SELECT max(ts) FROM o) - INTERVAL 10 MINUTE AS wm_final
+    ),
+    surv AS (
+      SELECT o.* FROM o, wm
+      WHERE (NOT straggler
+             OR make_timestamp((epoch_us(ts) // 600000000 + 1)
+                               * 600000000) > wm_lag)
+        AND make_timestamp((epoch_us(ts) // 600000000 + 1)
+                           * 600000000) <= wm_final
+    )
+    SELECT make_timestamp((epoch_us(s.ts) // 600000000) * 600000000)
+             AS OrderPeriod,
+           CAST(SUM(CAST(s.o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+             AS TotalDue,
+           r.r_name AS Country,
+           n.n_name AS State
+    FROM surv s
+    JOIN customer c ON s.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 3, 4
+    """,
+)
+def _streaming_flagship_replay(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """The STREAMING flagship — the reference's full §2.1 composition
+    (StreamingJob.java:66-135: file-source CDC JSON envelopes ->
+    schema decode -> parse_ts event time -> stream-static enrichment
+    -> 10-min watermark -> 10-min tumbling SUM, streaming/
+    pipeline.streaming_flagship) — driven end-to-end through
+    Structured Streaming and ORACLE-CHECKED, including the
+    late-data DROP (L1) that batch twins cannot exercise.
+
+    Feed: every order becomes one JSON envelope whose op timestamp is
+    o_orderdate jittered by (o_orderkey % 599 + 1) seconds — so no
+    watermark ever lands exactly on a 10-minute window boundary and
+    strict-vs-inclusive comparisons cannot diverge — split into
+    3 mtime-ordered trigger files: pre-cutoff rows, post-cutoff
+    rows, and a STRAGGLER wave (orderkey % 7 == 0) arriving last and
+    maximally out of order.
+
+    The oracle replays Spark's watermark semantics, pinned
+    empirically (three probe runs, this round):
+    - the late-row filter at batch k uses the LAGGED watermark
+      (max event time through batch k-2, minus delay): batches 0-1
+      are never filtered; straggler rows are dropped iff their
+      WINDOW END <= wm_lag = max(batch-0 ts) - 10 min (window-end
+      comparison, not row-ts — a row in a still-open window is
+      aggregated even when its ts is behind the watermark);
+    - eviction/emission uses the CURRENT watermark, and availableNow
+      runs a final flush batch after the last data trigger, so the
+      emitted set is exactly the windows with
+      end <= wm_final = max(all ts) - 10 min.
+
+    Scale: the replay IS the production topology — dims broadcast
+    (stream side never shuffles for the joins), the one stateful
+    shuffle is the windowed aggregation keyed (window, country,
+    state), and state is bounded by the watermark: closed windows
+    leave the store at eviction, the L1 contract that makes the
+    pipeline run forever on an unbounded topic."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.cdc_json import synthesize_orders_envelope
+    from ..streaming.pipeline import replay_to_parquet, streaming_flagship
+    from ..streaming.replay_stage import stage_trigger_text_files
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+
+    ts = F.expr("timestampadd(SECOND, "
+                "CAST(o_orderkey % 599 + 1 AS INT), o_orderdate)")
+    cutoff = F.lit("1995-06-17 00:00:00").cast("timestamp_ntz")
+    batch = (F.when(F.col("o_orderkey") % 7 == 0, F.lit(2))
+             .when(ts < cutoff, F.lit(0)).otherwise(F.lit(1)))
+    env = synthesize_orders_envelope(orders, ts_col=ts,
+                                     extra_cols=[batch.alias("b")])
+
+    # customer plays address, nation⋈region plays states
+    # (FIXTURES.md §B role mapping, as in the batch flagship); keys
+    # fold through the envelope's INT domain on BOTH sides
+    from ..sources.cdc_json import fold_key
+    address_dim = customer.select(
+        fold_key(F.col("c_custkey")).alias("AddressID"),
+        F.col("c_nationkey").alias("StateProvinceID"))
+    states_dim = (nation.join(F.broadcast(region),
+                              nation["n_regionkey"] == region["r_regionkey"])
+                  .select(F.col("n_nationkey").alias("StateProvinceID"),
+                          F.col("r_name").alias("CountryRegionCode"),
+                          F.col("n_name").alias("Name")))
+
+    work = tempfile.mkdtemp(prefix="stream_flagship_replay_")
+    try:
+        feed_dir = stage_trigger_text_files(env, work, F.col("b"),
+                                            "envelopes", n_batches=3)
+        out = streaming_flagship(spark, feed_dir, address_dim,
+                                 states_dim, max_files_per_trigger=1)
+        res = replay_to_parquet(
+            out, spark, "flagship_replay",
+            checkpoint=os.path.join(work, "ckpt"))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return res.select(
+        F.col("OrderPeriod").cast("timestamp_ntz").alias("OrderPeriod"),
+        "TotalDue", "Country", "State")

@@ -92,7 +92,8 @@ def fold_key(col):
     return F.pmod(col, F.lit(KEY_DOMAIN)).cast("int")
 
 
-def synthesize_orders_envelope(orders: DataFrame) -> DataFrame:
+def synthesize_orders_envelope(orders: DataFrame, ts_col=None,
+                               extra_cols=None) -> DataFrame:
     """Build cdc-orders JSON lines from the driver's orders table.
 
     Deterministic: every envelope field derives from order columns.
@@ -100,9 +101,16 @@ def synthesize_orders_envelope(orders: DataFrame) -> DataFrame:
     the payload would alter values; instead we reuse o_totalprice
     directly — JSON double round-trips are exact with shortest-repr
     encoders on both sides).
+
+    ``ts_col`` overrides the envelope timestamps (default
+    ``o_orderdate``) — the streaming replay jitters sub-day seconds
+    in so watermarks never align exactly to a window boundary.
+    ``extra_cols`` are appended alongside ``value`` (e.g. a trigger
+    assignment for replay staging).
     """
     orders = widen_feed(orders)
-    ts_str = format_ts(F.col("o_orderdate"), 6)
+    ts_str = format_ts(ts_col if ts_col is not None
+                       else F.col("o_orderdate"), 6)
     payload = F.struct(
         fold_key(F.col("o_orderkey")).alias("SalesOrderId"),
         ts_str.alias("OrderDate"),
@@ -133,4 +141,5 @@ def synthesize_orders_envelope(orders: DataFrame) -> DataFrame:
         F.col("o_orderkey").cast("string").alias("sv_journal_seqno"),
         payload.alias("after_image"),
     )
-    return orders.select(F.to_json(envelope).alias("value"))
+    return orders.select(F.to_json(envelope).alias("value"),
+                         *(extra_cols or []))

@@ -49,3 +49,31 @@ def stage_trigger_files(df: DataFrame, work: str, batch_col: Column,
             os.rename(os.path.join(dst + ".tmp", src), dst)
         os.utime(dst, (1_000_000_000 + 10 * kk,) * 2)
     return d
+
+
+def stage_trigger_text_files(df: DataFrame, work: str, batch_col: Column,
+                             name: str, n_batches: int = 2) -> str:
+    """Text-source twin of :func:`stage_trigger_files` for JSON-lines
+    feeds: ``df`` must carry a string ``value`` column; each batch
+    value of ``batch_col`` (0..n-1) becomes ONE mtime-pinned text
+    file for ``readStream.format('text')`` + ``maxFilesPerTrigger=1``."""
+    staged = os.path.join(work, name + "_staged")
+    d = os.path.join(work, name)
+    os.makedirs(d)
+    (df.withColumn("half", batch_col)
+       .select("value", "half")
+       .repartition("half")
+       .write.partitionBy("half").text(staged))
+    for kk in range(n_batches):
+        part = os.path.join(staged, f"half={kk}")
+        srcs = ([f for f in os.listdir(part) if f.startswith("part-")]
+                if os.path.isdir(part) else [])
+        dst = os.path.join(d, f"b{kk}.jsonl")
+        if srcs:
+            assert len(srcs) == 1, srcs
+            os.rename(os.path.join(part, srcs[0]), dst)
+        else:
+            with open(dst, "w"):
+                pass                      # empty trigger file
+        os.utime(dst, (1_000_000_000 + 10 * kk,) * 2)
+    return d

@@ -70,27 +70,30 @@ def test_parity_queries_inside_driver_window():
         "cdc_envelope_decode", "projection_flatten",
         "parse_ts_roundtrip", "enrichment_latest_join",
         "tumbling_window_events", "window_analytics",
-        # r12 rotation: the ENTIRE r8-last-green cohort (29 entries,
-        # 4 rounds stale — the r11 verdict's mandated refresh)
-        "ann_index_topk", "approx_sketches", "asof_join_prior_click",
-        "audio_stream_triage", "cdc_state_asof",
-        "corpus_health_report", "corpus_snapshot_diff",
-        "curation_mixture_sample", "curation_stratified",
-        "ddl_entry_pipeline", "dedup_clusters", "dedup_exact",
-        "dedup_semantic", "kmeans_ivf_index", "multimodal_manifest",
-        "q10_returned_items", "q13_customer_distribution",
-        "q14_promo_revenue", "q19_disjunctive_revenue",
-        "q3_shipping_priority", "q6_forecast_revenue",
-        "q7_volume_shipping", "q8_market_share", "range_join_events",
-        "sessionization", "text_filter_pipeline", "text_token_stats",
-        "warc_ingest_extract", "web_link_pagerank",
-        # the next-stalest cohort: only driver evidence is [r8, r9]
-        "event_funnel_steps", "robots_txt_gate", "skew_salted_agg",
-        "streaming_funnel_replay", "table_profile_orders",
-        "text_bm25_term_scores", "warc_to_corpus",
-        "zorder_layout_stats",
-        # seat HELD for a second green on r11's new-semantics surface
-        "streaming_scd2_replay"]:
+        # r13 rotation: the five r12 _PENDING pairs' first seats
+        "csv_ingest_policy", "ann_index_upsert_topk",
+        "streaming_ann_upsert_replay", "ann_index_health",
+        "bucketed_colocated_join",
+        # the ENTIRE r9-last-green cohort (28 entries, 4 rounds
+        # stale — the r12 verdict's mandated refresh)
+        "ann_ivf_pq_topk", "ann_recall_eval", "bloom_semijoin_prune",
+        "bpe_encode_corpus", "bpe_vocab_merges", "corpus_datasheet",
+        "crawl_to_training_shards", "dedup_passage_exact",
+        "deletion_propagation_audit", "embedding_hard_negatives",
+        "embedding_pq_codebook", "event_pattern_match",
+        "jsonl_corpus_roundtrip", "multimodal_format_audit",
+        "q11_important_stock", "q12_shipping_priority_class",
+        "q15_top_supplier", "q16_supplier_part_types",
+        "q17_small_quantity_revenue", "q20_potential_promotion",
+        "q2_min_cost_supplier", "q9_product_type_profit",
+        "sketch_heavy_hitters", "streaming_attribution_replay",
+        "streaming_pattern_replay", "streaming_session_replay",
+        "text_bigram_typicality", "text_winnow_fingerprints",
+        # this round's new pairs (r12 verdict items 4/5/6)
+        "ann_recall_maintained", "streaming_flagship_replay",
+        "skew_salted_join",
+        # stalest-first fill from the r10 cohort
+        "anti_semi_join", "distinct_agg"]:
         assert name in first50, f"{name} fell outside the driver window"
 
 
