@@ -195,7 +195,11 @@ def main() -> None:
                  # + bucketed co-location
                  "csv_ingest_policy", "ann_index_upsert_topk",
                  "ann_index_health", "streaming_ann_upsert_replay",
-                 "bucketed_colocated_join"]
+                 "bucketed_colocated_join",
+                 # r13 additions: streaming flagship replay, salted
+                 # skew join, maintained-index recall gate
+                 "streaming_flagship_replay", "skew_salted_join",
+                 "ann_recall_maintained"]
     secondary: dict[str, float] = {}
     for name in SECONDARY:
         try:

@@ -524,7 +524,10 @@ def test_no_unconditional_broadcast_on_sf_growing_sides():
         (p + "operators/curation.py", "36495e76"): 1,   # thr: 1-row threshold
         (p + "operators/curation.py", "b8cef101"): 1,   # tot: 1-row count
         (p + "operators/enrichment_join.py", "fa3afa78"): 1,  # d: latest-dim snap
-        (p + "operators/skew.py", "984814e0"): 1,    # fact: salt range
+        (p + "operators/skew.py", "984814e0"): 2,    # fact/spine: salt ranges
+                                                     # (n_salts rows each:
+                                                     # salted_broadcast_left +
+                                                     # salted_shuffle_join, r13)
         (p + "plans/ann_queries.py", "668a2dc1"): 1,  # cb1: PQ codebook (k<=256)
         (p + "plans/ann_queries.py", "8ce08c39"): 1,  # cb2: PQ codebook
         (p + "plans/ann_queries.py", "9af45f1c"): 1,  # qcb1: PQ codebook
@@ -537,6 +540,9 @@ def test_no_unconditional_broadcast_on_sf_growing_sides():
         (p + "plans/curation_queries.py", "7bc0465f"): 1,  # cnt: 1-row count
         (p + "plans/curation_queries.py", "b6ef2f0f"): 1,  # cnt: 1-row count
         (p + "plans/curation_queries.py", "eeeea29e"): 1,  # cnt: 1-row count
+        (p + "plans/cdc_queries.py", "ab8c3d42"): 1,  # region: 5 rows
+                                                      # (flagship replay dims,
+                                                      # r13)
         (p + "plans/flagship.py", "2cbe0f31"): 1,    # nation: 25 rows
         (p + "plans/flagship.py", "ab8c3d42"): 1,    # region: 5 rows
         (p + "plans/graph_queries.py", "69482522"): 1,  # rank_side: probed upstream
