@@ -185,10 +185,16 @@ _DEFERRED = [
 # — the list cannot be used to hide once-red or once-green entries).
 # All pairs still run in the local pytest oracle sweep regardless.
 #
-# r13: empty — all five r12 parkers took window seats at this
-# rotation, and this round's three new pairs were registered BEFORE
-# the window was finalized, so they sit in the head directly.
-_PENDING: list[str] = []
+# r13: the three pairs built before the rotation
+# (ann_recall_maintained, streaming_flagship_replay,
+# skew_salted_join) seated directly in the head; skew_hotcold_join —
+# the hot/cold split join completing the skew family — registered
+# AFTER the window was finalized (SWEEP_r13 already running against
+# the 142-pair registration) and parks here for its r14 seat, with
+# local sf0.01 + sf1 + sf10 evidence in the r13 supplemental sweep.
+_PENDING: list[str] = [
+    "skew_hotcold_join",
+]
 
 
 def _ordered(mapping: dict) -> dict:

@@ -86,6 +86,42 @@ def salted_shuffle_join(fact: DataFrame, other: DataFrame, key: str,
     return fact_s.join(other_s, [key, "__salt"]).drop("__salt")
 
 
+def hot_cold_split_join(fact: DataFrame, other: DataFrame, key: str,
+                        min_fraction: float = 0.01) -> DataFrame:
+    """Hot/cold split equi-join — the third skew lever, for when the
+    hot keys' OTHER-side rows fit in memory: route the hot keys
+    around the shuffle entirely instead of spreading them
+    (salted_shuffle_join) or splitting them at runtime (AQE).
+
+    One exact pre-pass finds the keys holding more than
+    ``min_fraction`` of the fact (:func:`hot_keys` — at most
+    ``1/min_fraction`` keys can exist, so the hot-key set is bounded
+    by construction and broadcasts legally). The fact then splits:
+
+    - COLD rows join ``other`` on the ordinary key shuffle, which is
+      now skew-free — every pathological key left the exchange;
+    - HOT rows join the hot slice of ``other`` (≤ ``1/min_fraction``
+      keys' worth) as a BROADCAST join: the heaviest rows never
+      shuffle at all.
+
+    vs salting: no ``n_salts``× replication of the other side, and
+    the hot rows pay zero exchange instead of a 1/n_salts-wide one;
+    the price is the extra counting pass and the requirement that
+    the hot slice of ``other`` be broadcast-sized (true whenever
+    ``other`` is one-row-per-key — the semi-join bound is
+    1/min_fraction rows). Result-invariance vs the plain join is
+    oracle-checked by the ``skew_hotcold_join`` pair."""
+    hot = F.broadcast(hot_keys(fact, key, min_fraction).select(key))
+    fact_hot = fact.join(hot, key, "left_semi")
+    fact_cold = fact.join(hot, key, "left_anti")
+    other_hot = other.join(hot, key, "left_semi")
+    cold = fact_cold.join(other, key)
+    # other_hot is ≤ 1/min_fraction keys of `other`: bounded, the
+    # broadcast is the operator's point
+    hot_side = fact_hot.join(F.broadcast(other_hot), key)
+    return cold.unionByName(hot_side)
+
+
 def salted_broadcast_left(fact: DataFrame, dim: DataFrame, key: str,
                           n_salts: int = 8) -> DataFrame:
     """Equi-join with the fact side salted and the (small) dim side

@@ -291,6 +291,69 @@ def _skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                  sum_exact("bucket_due").alias("sum_bucket_due")))
 
 
+@query(
+    "skew_hotcold_join",
+    oracle="""
+    WITH r AS (
+      SELECT CASE WHEN o_orderkey % 3 = 0 THEN 0
+                  ELSE o_orderkey END AS k,
+             CAST(COUNT(*) AS BIGINT) AS n_ord
+      FROM orders GROUP BY 1
+    ),
+    l AS (
+      SELECT CASE WHEN l_orderkey % 3 = 0 THEN 0
+                  ELSE l_orderkey END AS k,
+             l_returnflag, l_extendedprice, l_discount
+      FROM lineitem
+    )
+    SELECT l.k = 0 AS is_hot_key, l.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           CAST(SUM(r.n_ord) AS BIGINT) AS sum_n_ord
+    FROM l JOIN r ON l.k = r.k
+    GROUP BY 1, 2
+    """,
+)
+def _skew_hotcold_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot/cold split join under the oracle gate
+    (operators/skew.hot_cold_split_join) — the third skew lever,
+    completing the family with ``skew_salted_agg`` (aggregation
+    salting) and ``skew_salted_join`` (join salting): the same
+    planted hot key (~1/3 of lineitem folded onto key 0) is detected
+    by one exact counting pass, its rows join the hot slice of the
+    per-key order rollup as a BROADCAST (zero shuffle for the
+    heaviest rows), and the cold remainder rides a now-skew-free key
+    shuffle. The oracle computes the PLAIN join: the hash match
+    proves the split+union is result-invariant.
+
+    Chosen over salting when the hot keys' other-side rows fit in
+    memory (always, for a one-row-per-key side: ≤ 1/min_fraction
+    rows by the hot-key definition); salting remains the lever when
+    the other side is wide per key. Scale: one map-side counting
+    scan + one broadcast of ≤100 keys; the cold shuffle moves 2/3 of
+    the fact with its worst key removed."""
+    from ..operators.skew import hot_cold_split_join
+    from ..operators.windowed_agg import sum_exact
+
+    fold = lambda c: (F.when(F.col(c) % 3 == 0, F.lit(0))  # noqa: E731
+                      .otherwise(F.col(c)).cast("long"))
+    line = load_table(spark, sf_dir, "lineitem").select(
+        fold("l_orderkey").alias("k"),
+        "l_returnflag", "l_extendedprice", "l_discount")
+    right = (load_table(spark, sf_dir, "orders")
+             .select(fold("o_orderkey").alias("k"))
+             .groupBy("k")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_ord")))
+    joined = hot_cold_split_join(line, right, "k", min_fraction=0.01)
+    return (joined.groupBy((F.col("k") == 0).alias("is_hot_key"),
+                           "l_returnflag")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                 sum_exact(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))).alias("revenue"),
+                 F.sum("n_ord").cast("long").alias("sum_n_ord")))
+
+
 @query("streaming_funnel_replay", oracle=_FUNNEL_ORACLE)
 def _streaming_funnel_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STREAMING funnel (streaming/funnel.py,

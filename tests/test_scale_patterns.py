@@ -524,6 +524,10 @@ def test_no_unconditional_broadcast_on_sf_growing_sides():
         (p + "operators/curation.py", "36495e76"): 1,   # thr: 1-row threshold
         (p + "operators/curation.py", "b8cef101"): 1,   # tot: 1-row count
         (p + "operators/enrichment_join.py", "fa3afa78"): 1,  # d: latest-dim snap
+        (p + "operators/skew.py", "91c55e88"): 1,    # hot: ≤1/min_fraction
+                                                     # keys by definition (r13)
+        (p + "operators/skew.py", "b446503a"): 1,    # other_hot: semi-join to
+                                                     # the bounded hot set (r13)
         (p + "operators/skew.py", "984814e0"): 2,    # fact/spine: salt ranges
                                                      # (n_salts rows each:
                                                      # salted_broadcast_left +

@@ -102,6 +102,38 @@ def test_salted_join_matches_plain_and_shuffles_on_salt(spark,
     assert "__salt" in plan and "hashpartitioning(k" in plan, plan
 
 
+def test_hotcold_join_matches_plain_and_splits_paths(spark,
+                                                     skew_confs):
+    """The hot/cold split must (a) equal the plain join and (b) show
+    both physical paths: a BroadcastHashJoin for the hot slice (the
+    explicit bounded-set hint survives even with auto-broadcast
+    disabled) and a shuffle join for the cold remainder."""
+    from flink_precisely_demo_spark.operators.skew import (
+        hot_cold_split_join)
+
+    line, right = _sides(spark)
+    split = hot_cold_split_join(line, right, "k", min_fraction=0.01)
+    plain = line.join(right, "k")
+    agg = lambda df: (df.groupBy("l_returnflag")  # noqa: E731
+                      .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                           F.sum(F.col("l_quantity") * F.col("n_ord"))
+                           .alias("s")))
+    got = sorted(map(tuple, agg(split).collect()))
+    want = sorted(map(tuple, agg(plain).collect()))
+    assert got == want
+    plan = split._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan     # hot path: no shuffle
+    assert "SortMergeJoin" in plan, plan         # cold path: key shuffle
+
+
+def test_hotcold_hot_set_is_exactly_the_plant(spark):
+    from flink_precisely_demo_spark.operators.skew import hot_keys
+
+    line, _ = _sides(spark)
+    hot = {r["k"] for r in hot_keys(line, "k", 0.01).collect()}
+    assert hot == {0}
+
+
 def test_salt_is_deterministic(spark):
     """xxhash64-derived salts re-derive identically on retry (unlike
     rand()): two evaluations give byte-identical assignments."""
