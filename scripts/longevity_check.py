@@ -271,8 +271,88 @@ def check_ann_upsert(spark, n_triggers: int = 50,
     return stats, violations
 
 
+def check_flagship_window(spark, n_triggers: int = 50,
+                          n_addr: int = 30) -> tuple[dict, list]:
+    """The streaming flagship's L1 claim, MEASURED: with a 10-minute
+    watermark and event time advancing 2 h per trigger, the windowed
+    aggregation's state must hold only the still-open windows —
+    closed windows leave the store at eviction, so state keys stay
+    bounded by (windows per trigger x state groups) x a 2-trigger
+    carry, and bytes/cost stay flat for the stream's whole life.
+    This is the engine's own eviction contract, but the flagship
+    composition (decode -> enrich -> window) earns its
+    runs-forever claim from this measurement, not from the docs."""
+    import datetime as dt
+
+    from flink_precisely_demo_spark.streaming.pipeline import (
+        drain_query,
+        streaming_flagship,
+    )
+
+    work = tempfile.mkdtemp(prefix="longevity_flagship_")
+    feed = os.path.join(work, "feed")
+    os.makedirs(feed)
+    base = dt.datetime(2023, 11, 14, 22, 13, 20)
+    for k in range(n_triggers):
+        lines = []
+        for a in range(n_addr):
+            for j in range(3):           # 3 distinct 10-min windows
+                ts = base + dt.timedelta(hours=2 * k, minutes=10 * j)
+                s = ts.strftime("%Y%m%d%H%M%S") + "000000"
+                lines.append(json.dumps({
+                    "sv_manip_type": "I",
+                    "sv_trans_id": k * n_addr + a,
+                    "sv_trans_row_seq": 1,
+                    "sv_op_timestamp": s,
+                    "after_image": {"SalesOrderId": k * n_addr + a,
+                                    "ShipToAddressId": a,
+                                    "TotalDue": 100.0}}))
+        p = os.path.join(feed, f"b{k:04d}.jsonl")
+        with open(p, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        os.utime(p, (1_000_000_000 + 10 * k,) * 2)
+    addr = spark.createDataFrame(
+        [(a, a % 5) for a in range(n_addr)],
+        "AddressID int, StateProvinceID int")
+    states = spark.createDataFrame(
+        [(i, "R1", f"S{i}") for i in range(5)],
+        "StateProvinceID int, CountryRegionCode string, Name string")
+    out = streaming_flagship(spark, feed, addr, states,
+                             max_files_per_trigger=1)
+    q = (out.writeStream.outputMode("append").format("noop")
+         .option("checkpointLocation", os.path.join(work, "ckpt"))
+         .trigger(availableNow=True).start())
+    try:
+        drain_query(q, 1200, "flagship longevity replay")
+        prog = [json.loads(p.json) for p in q.recentProgress]
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    rows = [{"trigger_ms": p["durationMs"].get("triggerExecution"),
+             "n_state_keys": p["stateOperators"][0].get("numRowsTotal"),
+             "state_bytes": p["stateOperators"][0].get("memoryUsedBytes")}
+            for p in prog if p.get("stateOperators")]
+    violations: list = []
+    # 3 windows/trigger x 5 (Country, State) groups, x2 for the
+    # one-trigger eviction lag (closed windows leave at the NEXT
+    # trigger's watermark advance)
+    bound = 3 * 5 * 2
+    stats = {"check": "flagship_window", "n_triggers": len(rows),
+             "max_state_keys": max(r["n_state_keys"] for r in rows)}
+    if stats["max_state_keys"] > bound:
+        violations.append(
+            f"state keys {stats['max_state_keys']} exceed the "
+            f"open-window bound {bound} — closed windows are not "
+            "being evicted")
+    stats.update(_flatness([r["trigger_ms"] for r in rows],
+                           "trigger_ms", violations))
+    stats.update(_flatness([r["state_bytes"] for r in rows],
+                           "state_bytes", violations))
+    return stats, violations
+
+
 CHECKS = {"sessionize": check_sessionize, "pattern": check_pattern,
-          "dedup": check_dedup, "ann_upsert": check_ann_upsert}
+          "dedup": check_dedup, "ann_upsert": check_ann_upsert,
+          "flagship_window": check_flagship_window}
 
 
 def main() -> None:
