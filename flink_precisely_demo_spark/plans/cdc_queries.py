@@ -424,9 +424,18 @@ def _streaming_flagship_replay(spark: SparkSession,
                                             "envelopes", n_batches=3)
         out = streaming_flagship(spark, feed_dir, address_dim,
                                  states_dim, max_files_per_trigger=1)
-        res = replay_to_parquet(
-            out, spark, "flagship_replay",
-            checkpoint=os.path.join(work, "ckpt"))
+        # replay micro-batches are small: size the state store to
+        # them, not to core count (the scd2-replay house note —
+        # per-trigger fixed cost is state-store open/commit PER
+        # PARTITION); conf restored after, batch plans unaffected
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            res = replay_to_parquet(
+                out, spark, "flagship_replay",
+                checkpoint=os.path.join(work, "ckpt"))
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return res.select(
