@@ -194,6 +194,7 @@ _DEFERRED = [
 # local sf0.01 + sf1 + sf10 evidence in the r13 supplemental sweep.
 _PENDING: list[str] = [
     "skew_hotcold_join",
+    "dedup_ingest_novelty",
 ]
 
 

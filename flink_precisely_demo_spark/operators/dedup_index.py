@@ -1,0 +1,184 @@
+"""Persisted MinHash-LSH band index: dedup NEW data against an
+existing corpus without rescanning it.
+
+The in-corpus dedup family (operators/dedup.py) answers "which
+documents in THIS dataset duplicate each other" — one self-contained
+pass. A production training-data pipeline asks a different question
+every day: "which of today's N new documents duplicate anything in
+the 100 TB we already keep?" Re-banding the historical corpus per
+batch would pay the full shingle -> minhash -> band lineage on every
+ingest; this module materializes that lineage ONCE as a persisted
+index of per-document band digests, partitioned by ``band_id``:
+
+- ``build_band_index``: band the corpus (the exact
+  ``_minhash_banded`` kernel the in-corpus pipeline uses — one
+  banding rule, no drift) and write ``(doc_id, band_key)`` parquet
+  under ``bands/band_id=B/``, published with the same atomic
+  nonce-stage + double-rename protocol as the ANN index (the
+  staging/marker helpers are imported from operators/ann_index —
+  one publish protocol in the codebase, not two).
+- ``ingest_batch``: band ONLY the incoming batch, union with the
+  index's band rows, and label each new document novel-or-duplicate
+  in one bucket-grouped aggregation — no pairwise explosion: per
+  (band_id, band_key) bucket the only facts needed are the MINIMUM
+  historical member and the MINIMUM batch member, so a hot bucket
+  costs one min-aggregation, never O(m^2) pairs. A batch document y
+  is a duplicate iff some bucket links it to a historical document
+  or to an EARLIER batch document (smaller id — the ingest-order
+  rule: the first arrival of a duplicate cohort is novel, the rest
+  point at it). The same oversized-bucket cap as the in-corpus
+  pipeline applies, measured over the COMBINED (index + batch)
+  bucket population.
+- ``append_bands``: the accepted batch's band rows become a delta
+  generation (``deltas/delta-NNNNNN-*/``, atomic-marker publish —
+  the ANN index's LSM shape re-expressed for band digests), so
+  tomorrow's ingest sees today's documents without a rebuild;
+  ``compact_band_index`` folds deltas into a fresh base.
+
+Scale: ingest shuffles only (band digest, doc_id) for the BATCH plus
+the matching index partitions' digests — the historical corpus's
+text is never read again. The index is ~num_hashes/r rows of
+digest-width per document, ~1% of corpus bytes at typical settings.
+
+No reference counterpart (extension scope, SURVEY.md §2.3); the
+incremental shape is the standard production dedup-at-ingest design
+(e.g. the CCNet/RefinedWeb pipelines' persisted hash stores).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .ann_index import (
+    _delta_dirs,
+    _nonce,
+    _publish_index,
+    _reap_stale_dirs,
+    index_ok,
+)
+from .dedup import _minhash_banded
+
+_DEFAULTS = dict(num_hashes=16, bands=4, shingle_n=3)
+
+
+def build_band_index(corpus: DataFrame, index_path: str,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     num_hashes: int = 16, bands: int = 4,
+                     shingle_n: int = 3) -> None:
+    """Band the corpus once and publish the band-digest index."""
+    _reap_stale_dirs(index_path)
+    nonce = _nonce()
+    stage = f"{index_path}.build-{nonce}"
+    banded = _minhash_banded(corpus, text_col, id_col,
+                             num_hashes, bands, shingle_n)
+    banded.write.mode("overwrite").partitionBy("band_id") \
+        .parquet(f"{stage}/bands")
+    with open(os.path.join(stage, "_INDEX_OK"), "w") as f:
+        f.write("ok\n")
+    _publish_index(stage, index_path, nonce)
+
+
+def _index_bands(spark: SparkSession, index_path: str,
+                 id_col: str) -> DataFrame:
+    """Base + published delta generations of (id, band_id, band_key)."""
+    from functools import reduce
+
+    frames = [spark.read.parquet(f"{index_path}/bands")]
+    for _, d in _delta_dirs(index_path):
+        frames.append(spark.read.parquet(os.path.join(d, "bands")))
+    out = reduce(lambda a, b: a.unionByName(b), frames)
+    return out.select(id_col, F.col("band_id").cast("long"), "band_key")
+
+
+def ingest_batch(spark: SparkSession, index_path: str, batch: DataFrame,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 num_hashes: int = 16, bands: int = 4,
+                 shingle_n: int = 3,
+                 max_bucket_size: int = 1024) -> DataFrame:
+    """Label each batch document against the index:
+    (id, is_novel, dup_of) — ``dup_of`` is the smallest colliding
+    historical id, or the smallest EARLIER batch id, else NULL."""
+    if not index_ok(index_path):
+        raise FileNotFoundError(f"no published index at {index_path}")
+    hist = _index_bands(spark, index_path, id_col) \
+        .select(F.col(id_col).alias("__hid"), "band_id", "band_key")
+    newb = _minhash_banded(batch, text_col, id_col,
+                           num_hashes, bands, shingle_n) \
+        .select(F.col(id_col).alias("__nid"),
+                F.col("band_id").cast("long"), "band_key")
+
+    # one bucket-grouped min-pass over the COMBINED population: a
+    # bucket's dedup verdicts depend only on its min historical and
+    # min batch member, so hot buckets never emit pairs; the cap
+    # mirrors the in-corpus pipeline's, measured over the union
+    members = (hist.select("band_id", "band_key",
+                           F.col("__hid").alias("mid"),
+                           F.lit(False).alias("is_new"))
+               .unionByName(newb.select("band_id", "band_key",
+                                        F.col("__nid").alias("mid"),
+                                        F.lit(True).alias("is_new"))))
+    stats = (members.groupBy("band_id", "band_key")
+             .agg(F.count(F.lit(1)).alias("__bn"),
+                  F.min(F.when(~F.col("is_new"), F.col("mid")))
+                  .alias("min_hist"),
+                  F.min(F.when(F.col("is_new"), F.col("mid")))
+                  .alias("min_new")))
+    cand = (newb.join(stats.filter(F.col("__bn") <= max_bucket_size),
+                      ["band_id", "band_key"])
+            .select("__nid",
+                    F.least(
+                        "min_hist",
+                        F.when(F.col("min_new") < F.col("__nid"),
+                               F.col("min_new"))).alias("__dup")))
+    verdict = cand.groupBy("__nid").agg(F.min("__dup").alias("dup_of"))
+    return (batch.select(id_col)
+            .join(verdict, batch[id_col] == verdict["__nid"], "left")
+            .select(id_col, F.col("dup_of").isNull().alias("is_novel"),
+                    "dup_of"))
+
+
+def append_bands(spark: SparkSession, index_path: str, batch: DataFrame,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 num_hashes: int = 16, bands: int = 4,
+                 shingle_n: int = 3) -> int:
+    """Publish the batch's band rows as a delta generation so the
+    next ingest sees them; returns the generation number."""
+    if not index_ok(index_path):
+        raise FileNotFoundError(f"no published index at {index_path}")
+    deltas = _delta_dirs(index_path)
+    seq = (deltas[-1][0] + 1) if deltas else 1
+    root = os.path.join(index_path, "deltas")
+    os.makedirs(root, exist_ok=True)
+    nonce = _nonce()
+    stage = os.path.join(root, f".stage-{nonce}")
+    final = os.path.join(root, f"delta-{seq:06d}-{nonce}")
+    banded = _minhash_banded(batch, text_col, id_col,
+                             num_hashes, bands, shingle_n)
+    banded.write.mode("overwrite").partitionBy("band_id") \
+        .parquet(f"{stage}/bands")
+    with open(os.path.join(stage, "_DELTA_OK"), "w") as f:
+        f.write("ok\n")
+    os.rename(stage, final)
+    return seq
+
+
+def compact_band_index(spark: SparkSession, index_path: str,
+                       id_col: str = "doc_id") -> int:
+    """Fold deltas into a fresh base (atomic double-rename publish);
+    returns the number of generations folded."""
+    deltas = _delta_dirs(index_path)
+    if not deltas:
+        return 0
+    _reap_stale_dirs(index_path)
+    nonce = _nonce()
+    stage = f"{index_path}.build-{nonce}"
+    allb = _index_bands(spark, index_path, id_col)
+    allb.write.mode("overwrite").partitionBy("band_id") \
+        .parquet(f"{stage}/bands")
+    with open(os.path.join(stage, "_INDEX_OK"), "w") as f:
+        f.write("ok\n")
+    _publish_index(stage, index_path, nonce)
+    return len(deltas)

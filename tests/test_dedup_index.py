@@ -1,0 +1,125 @@
+"""Persisted MinHash-LSH band index: incremental ingest labeling,
+LSM append visibility, compaction equivalence, and crash-atomicity
+of the publishes."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from flink_precisely_demo_spark.operators.dedup_index import (
+    append_bands,
+    build_band_index,
+    compact_band_index,
+    ingest_batch,
+)
+from flink_precisely_demo_spark.sources.parquet import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return load_table(spark, SF, "documents")
+
+
+def _verdicts(df):
+    return {int(r["doc_id"]): (bool(r["is_novel"]),
+                               None if r["dup_of"] is None
+                               else int(r["dup_of"]))
+            for r in df.collect()}
+
+
+def test_exact_copy_is_flagged_against_the_index(spark, tmp_path):
+    """A batch document whose text equals an indexed document's must
+    collide on every band and point at the historical id."""
+    docs = _docs(spark)
+    hist = docs.filter(F.col("doc_id") < 100)
+    path = str(tmp_path / "idx")
+    build_band_index(hist, path)
+    # batch: one verbatim copy of doc 7 (new id 1000), one fresh text
+    copy = hist.filter(F.col("doc_id") == 7) \
+        .select(F.lit(1000).cast("long").alias("doc_id"), "text")
+    fresh = spark.createDataFrame(
+        [(1001, "entirely novel zebra quantum text with unusual "
+                "tokens nowhere else in this corpus at all")],
+        "doc_id long, text string")
+    got = _verdicts(ingest_batch(spark, path,
+                                 copy.unionByName(fresh)))
+    assert got[1000] == (False, 7)
+    assert got[1001][0] is True
+
+
+def test_batch_internal_order_rule(spark, tmp_path):
+    """Two copies arriving in the SAME batch: the smaller id is
+    novel, the larger points at it."""
+    hist = _docs(spark).filter(F.col("doc_id") < 50)
+    path = str(tmp_path / "idx")
+    build_band_index(hist, path)
+    t = "the same exact duplicated payload text repeated verbatim " * 5
+    batch = spark.createDataFrame(
+        [(2000, t), (2001, t)], "doc_id long, text string")
+    got = _verdicts(ingest_batch(spark, path, batch))
+    assert got[2000][0] is True
+    assert got[2001] == (False, 2000)
+
+
+def test_append_makes_next_ingest_see_prior_batch(spark, tmp_path):
+    """The LSM loop: append wave 1's bands; wave 2's copy of a
+    wave-1 document must be flagged WITHOUT a rebuild."""
+    hist = _docs(spark).filter(F.col("doc_id") < 50)
+    path = str(tmp_path / "idx")
+    build_band_index(hist, path)
+    t = "wave one unique payload about persimmon engines " * 4
+    w1 = spark.createDataFrame([(3000, t)], "doc_id long, text string")
+    assert _verdicts(ingest_batch(spark, path, w1))[3000][0] is True
+    assert append_bands(spark, path, w1) == 1
+    w2 = spark.createDataFrame([(3001, t)], "doc_id long, text string")
+    assert _verdicts(ingest_batch(spark, path, w2))[3001] == (False,
+                                                              3000)
+    # compaction folds the delta away without changing verdicts
+    assert compact_band_index(spark, path) == 1
+    assert not os.listdir(os.path.join(path, "deltas")) \
+        if os.path.isdir(os.path.join(path, "deltas")) else True
+    assert _verdicts(ingest_batch(spark, path, w2))[3001] == (False,
+                                                              3000)
+
+
+def test_unmarked_stage_is_invisible(spark, tmp_path):
+    """A crashed append leaves an unmarked .stage dir readers never
+    see."""
+    hist = _docs(spark).filter(F.col("doc_id") < 50)
+    path = str(tmp_path / "idx")
+    build_band_index(hist, path)
+    t = "crashed wave payload about moth lanterns " * 4
+    w1 = spark.createDataFrame([(4000, t)], "doc_id long, text string")
+    append_bands(spark, path, w1)
+    deltas = os.path.join(path, "deltas")
+    published = next(d for d in os.listdir(deltas)
+                     if d.startswith("delta-"))
+    # simulate a crash: strip the marker and rename to a stage dir
+    os.remove(os.path.join(deltas, published, "_DELTA_OK"))
+    os.rename(os.path.join(deltas, published),
+              os.path.join(deltas, ".stage-dead"))
+    w2 = spark.createDataFrame([(4001, t)], "doc_id long, text string")
+    assert _verdicts(ingest_batch(spark, path, w2))[4001][0] is True
+
+
+def test_ingest_matches_incorpus_pipeline_on_split(spark, tmp_path):
+    """Consistency with the in-corpus family: for the %5 split, every
+    (batch doc -> dup_of) edge must be an LSH candidate pair of the
+    ONE-SHOT banding over the full corpus (same banding rule, so the
+    incremental path can't invent or lose collisions)."""
+    from flink_precisely_demo_spark.operators.dedup import (
+        minhash_near_dup_pairs)
+
+    docs = _docs(spark)
+    path = str(tmp_path / "idx")
+    build_band_index(docs.filter(F.col("doc_id") % 5 != 0), path)
+    got = _verdicts(ingest_batch(
+        spark, path, docs.filter(F.col("doc_id") % 5 == 0)))
+    pairs = {(int(r["a"]), int(r["b"]))
+             for r in minhash_near_dup_pairs(docs).collect()}
+    for nid, (novel, dup) in got.items():
+        if not novel:
+            assert (min(dup, nid), max(dup, nid)) in pairs, (nid, dup)
