@@ -195,6 +195,7 @@ _DEFERRED = [
 _PENDING: list[str] = [
     "skew_hotcold_join",
     "dedup_ingest_novelty",
+    "streaming_dedup_ingest_replay",
 ]
 
 

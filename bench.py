@@ -197,9 +197,12 @@ def main() -> None:
                  "ann_index_health", "streaming_ann_upsert_replay",
                  "bucketed_colocated_join",
                  # r13 additions: streaming flagship replay, salted
-                 # skew join, maintained-index recall gate
+                 # skew join, maintained-index recall gate, skew
+                 # hot/cold split, dedup-at-ingest (batch + stream)
                  "streaming_flagship_replay", "skew_salted_join",
-                 "ann_recall_maintained"]
+                 "ann_recall_maintained", "skew_hotcold_join",
+                 "dedup_ingest_novelty",
+                 "streaming_dedup_ingest_replay"]
     secondary: dict[str, float] = {}
     for name in SECONDARY:
         try:

@@ -55,8 +55,11 @@ from pyspark.sql import functions as F
 from .ann_index import (
     _delta_dirs,
     _nonce,
+    _persist_tags,
     _publish_index,
     _reap_stale_dirs,
+    applied_tags,
+    delta_tags,
     index_ok,
 )
 from .dedup import _minhash_banded
@@ -143,9 +146,11 @@ def ingest_batch(spark: SparkSession, index_path: str, batch: DataFrame,
 def append_bands(spark: SparkSession, index_path: str, batch: DataFrame,
                  text_col: str = "text", id_col: str = "doc_id",
                  num_hashes: int = 16, bands: int = 4,
-                 shingle_n: int = 3) -> int:
+                 shingle_n: int = 3, tag: str | None = None) -> int:
     """Publish the batch's band rows as a delta generation so the
-    next ingest sees them; returns the generation number."""
+    next ingest sees them; returns the generation number. ``tag``
+    rides the delta's atomic rename (the ANN index's writer-tag
+    contract) so a micro-batch sink can make appends idempotent."""
     if not index_ok(index_path):
         raise FileNotFoundError(f"no published index at {index_path}")
     deltas = _delta_dirs(index_path)
@@ -159,6 +164,9 @@ def append_bands(spark: SparkSession, index_path: str, batch: DataFrame,
                              num_hashes, bands, shingle_n)
     banded.write.mode("overwrite").partitionBy("band_id") \
         .parquet(f"{stage}/bands")
+    if tag is not None:
+        with open(os.path.join(stage, "_TAG"), "w") as f:
+            f.write(tag + "\n")
     with open(os.path.join(stage, "_DELTA_OK"), "w") as f:
         f.write("ok\n")
     os.rename(stage, final)
@@ -168,10 +176,15 @@ def append_bands(spark: SparkSession, index_path: str, batch: DataFrame,
 def compact_band_index(spark: SparkSession, index_path: str,
                        id_col: str = "doc_id") -> int:
     """Fold deltas into a fresh base (atomic double-rename publish);
-    returns the number of generations folded."""
+    returns the number of generations folded. Live writer tags are
+    persisted to the sibling ``.applied.json`` manifest first, so an
+    out-of-band compact never erases a streaming sink's idempotence
+    record (the same contract as compact_ann_index)."""
     deltas = _delta_dirs(index_path)
     if not deltas:
         return 0
+    if delta_tags(index_path):
+        _persist_tags(index_path, applied_tags(index_path))
     _reap_stale_dirs(index_path)
     nonce = _nonce()
     stage = f"{index_path}.build-{nonce}"

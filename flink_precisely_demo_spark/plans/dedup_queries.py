@@ -555,3 +555,139 @@ def _dedup_ingest_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = load_table(spark, sf_dir, "documents") \
         .filter(F.col("doc_id") % 5 == 0)
     return ingest_batch(spark, path, batch)
+
+
+_STREAM_INGEST_CACHE: dict[str, tuple[str, str]] = {}
+
+
+def _stream_ingest_paths(spark: SparkSession, sf_dir: str
+                         ) -> tuple[str, str]:
+    """Clone the shared band index and drain the 2-wave document
+    stream through the foreachBatch ingest sink with
+    ``compact_every=2``; returns (index_path, verdicts_path). The
+    end state is deterministic (compacted base absorbing both waves,
+    manifest recording both tags, verdict dirs for both batches), so
+    the pair of dirs is reusable across processes; the clone stages
+    under a nonce dir and publishes by rename (the
+    ann-queries staging rule)."""
+    import os
+    import re
+    import shutil
+    import tempfile
+    import tempfile as tf
+
+    from ..operators.ann_index import (_delta_dirs, _manifest_path,
+                                       _nonce, _publish_index,
+                                       _reap_stale_dirs, applied_tags,
+                                       index_ok)
+    from ..streaming.dedup_ingest import run_dedup_ingest
+    from ..streaming.replay_stage import stage_trigger_files
+
+    cached = _STREAM_INGEST_CACHE.get(sf_dir)
+    if cached is None:
+        slug = re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir.strip("/"))
+        path = os.path.join(tempfile.gettempdir(),
+                            f"band_singest_{slug}")
+        vpath = path + ".verdicts"
+        complete = (index_ok(path) and not _delta_dirs(path)
+                    and applied_tags(path) >= {"b0", "b1"}
+                    and all(os.path.isdir(os.path.join(vpath, f"batch={b}"))
+                            for b in (0, 1)))
+        if not complete:
+            _reap_stale_dirs(path)
+            nonce = _nonce()
+            stage = f"{path}.build-{nonce}"
+            svpath = stage + ".verdicts"
+            shutil.rmtree(svpath, ignore_errors=True)
+            shutil.copytree(_band_index_path(spark, sf_dir), stage)
+            work = tf.mkdtemp(prefix="dedup_ingest_replay_")
+            try:
+                batch = load_table(spark, sf_dir, "documents") \
+                    .filter(F.col("doc_id") % 5 == 0) \
+                    .select("doc_id", "text")
+                feed_dir = stage_trigger_files(
+                    batch, work,
+                    F.when(F.col("doc_id") % 10 == 0, 0).otherwise(1),
+                    "docs")
+                schema = spark.read.parquet(feed_dir).schema
+                feed = (spark.readStream.schema(schema)
+                        .option("maxFilesPerTrigger", 1)
+                        .parquet(feed_dir))
+                run_dedup_ingest(feed, stage, svpath,
+                                 checkpoint=os.path.join(work, "ckpt"),
+                                 compact_every=2)
+            finally:
+                shutil.rmtree(work, ignore_errors=True)
+            _publish_index(stage, path, nonce)
+            os.replace(_manifest_path(stage), _manifest_path(path))
+            shutil.rmtree(vpath, ignore_errors=True)
+            os.rename(svpath, vpath)
+        _STREAM_INGEST_CACHE[sf_dir] = (path, vpath)
+    return _STREAM_INGEST_CACHE[sf_dir]
+
+
+@query(
+    "streaming_dedup_ingest_replay",
+    oracle=f"""
+    WITH {_MINHASH_BANDS_CTES},
+    stats AS (
+      SELECT band_id, band_key,
+             COUNT(CASE WHEN doc_id % 5 != 0 THEN 1 END) AS n_hist,
+             COUNT(CASE WHEN doc_id % 10 = 0 THEN 1 END) AS n_w0,
+             COUNT(CASE WHEN doc_id % 10 = 5 THEN 1 END) AS n_w1,
+             MIN(CASE WHEN doc_id % 5 != 0 THEN doc_id END) AS min_hist,
+             MIN(CASE WHEN doc_id % 10 = 0 THEN doc_id END) AS min_w0,
+             MIN(CASE WHEN doc_id % 10 = 5 THEN doc_id END) AS min_w1
+      FROM bands GROUP BY 1, 2
+    ),
+    verdict AS (
+      SELECT b.doc_id AS nid,
+             MIN(CASE WHEN b.doc_id % 10 = 0 THEN
+                   LEAST(s.min_hist,
+                         CASE WHEN s.min_w0 < b.doc_id
+                              THEN s.min_w0 END)
+                 ELSE
+                   LEAST(s.min_hist, s.min_w0,
+                         CASE WHEN s.min_w1 < b.doc_id
+                              THEN s.min_w1 END)
+                 END) AS dup_of
+      FROM bands b
+      JOIN stats s ON s.band_id = b.band_id
+                  AND s.band_key = b.band_key
+      WHERE b.doc_id % 5 = 0
+        AND (CASE WHEN b.doc_id % 10 = 0
+                  THEN s.n_hist + s.n_w0
+                  ELSE s.n_hist + s.n_w0 + s.n_w1 END) <= 1024
+      GROUP BY 1
+    )
+    SELECT d.doc_id,
+           v.dup_of IS NULL AS is_novel,
+           v.dup_of
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+    LEFT JOIN verdict v ON v.nid = d.doc_id
+    """,
+)
+def _streaming_dedup_ingest_replay(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Streaming dedup-at-ingest (streaming/dedup_ingest.py) proven
+    end-to-end: the batch slice (doc_id % 5 == 0) arrives as TWO
+    trigger waves (%10 == 0, then %10 == 5); each micro-batch is
+    labeled against the index AS IT STOOD — so wave-1 documents are
+    checked against the historical corpus AND all of wave 0, which
+    only works if the sink's tagged delta append actually made
+    wave 0 visible — then appended, and ``compact_every=2`` folds
+    the deltas so this pair also exercises tag survival across
+    compaction. The oracle therefore differs from the one-shot
+    ``dedup_ingest_novelty`` exactly where sequential semantics
+    bite: a wave-1 document colliding ONLY with a later-id wave-0
+    document is still a duplicate here (that doc was already
+    ingested), and each wave's oversized-bucket cap is measured over
+    the population the sink saw at that trigger. Retry idempotence
+    and the checkpoint/store binding guard are pinned by
+    tests/test_dedup_index.py.
+
+    Scale: per trigger, batch-sized banding + one bucket-grouped
+    min-aggregation; verdicts land exactly-once per batch dir."""
+    _, vpath = _stream_ingest_paths(spark, sf_dir)
+    return spark.read.parquet(vpath) \
+        .select("doc_id", "is_novel", "dup_of")
