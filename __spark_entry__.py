@@ -187,11 +187,17 @@ _DEFERRED = [
 #
 # r13: the three pairs built before the rotation
 # (ann_recall_maintained, streaming_flagship_replay,
-# skew_salted_join) seated directly in the head; skew_hotcold_join —
-# the hot/cold split join completing the skew family — registered
-# AFTER the window was finalized (SWEEP_r13 already running against
-# the 142-pair registration) and parks here for its r14 seat, with
-# local sf0.01 + sf1 + sf10 evidence in the r13 supplemental sweep.
+# skew_salted_join) seated directly in the head; everything
+# registered AFTER the window was finalized (SWEEP_r13 was already
+# running against the 142-pair registration) parks here for its r14
+# seat, each with full-hash sf0.01 + sf1 + sf10 evidence recorded in
+# SWEEP_r13.json on its registration day:
+# - skew_hotcold_join — the hot/cold split join completing the skew
+#   family;
+# - dedup_ingest_novelty — dedup-at-ingest against the persisted
+#   band index (one-shot batch semantics);
+# - streaming_dedup_ingest_replay — the same index fed by the
+#   foreachBatch sink, two sequential waves + compaction.
 _PENDING: list[str] = [
     "skew_hotcold_join",
     "dedup_ingest_novelty",

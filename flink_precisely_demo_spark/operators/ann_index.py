@@ -144,8 +144,18 @@ def _reap_stale_dirs(index_path: str) -> None:
                     pid = int(name[len(base + tag):].split("-")[0])
                     os.kill(pid, 0)
                 except (ValueError, ProcessLookupError):
-                    shutil.rmtree(os.path.join(parent, name),
-                                  ignore_errors=True)
+                    # stale remains may be a DIR (the staged index) or
+                    # a FILE (the stage's sibling .applied.json
+                    # manifest a crashed sink left) — rmtree silently
+                    # refuses files, so remove those explicitly
+                    dead = os.path.join(parent, name)
+                    if os.path.isdir(dead):
+                        shutil.rmtree(dead, ignore_errors=True)
+                    else:
+                        try:
+                            os.remove(dead)
+                        except OSError:
+                            pass
                 except PermissionError:
                     pass                    # pid alive, not ours
 

@@ -67,6 +67,20 @@ from .dedup import _minhash_banded
 _DEFAULTS = dict(num_hashes=16, bands=4, shingle_n=3)
 
 
+def _write_bands(banded: DataFrame, dest: str) -> None:
+    """Band-partitioned write with the empty-set guard: a partitioned
+    write of ZERO rows (every document NULL/too-short to shingle)
+    leaves a file-less dir no later read can infer a schema from —
+    the same hazard compact_ann_index documents; an unpartitioned
+    empty write keeps one schema-bearing file (nothing to prune in
+    an empty band set)."""
+    if banded.isEmpty():
+        banded.coalesce(1).write.mode("overwrite").parquet(dest)
+    else:
+        banded.write.mode("overwrite").partitionBy("band_id") \
+            .parquet(dest)
+
+
 def build_band_index(corpus: DataFrame, index_path: str,
                      text_col: str = "text", id_col: str = "doc_id",
                      num_hashes: int = 16, bands: int = 4,
@@ -77,8 +91,7 @@ def build_band_index(corpus: DataFrame, index_path: str,
     stage = f"{index_path}.build-{nonce}"
     banded = _minhash_banded(corpus, text_col, id_col,
                              num_hashes, bands, shingle_n)
-    banded.write.mode("overwrite").partitionBy("band_id") \
-        .parquet(f"{stage}/bands")
+    _write_bands(banded, f"{stage}/bands")
     with open(os.path.join(stage, "_INDEX_OK"), "w") as f:
         f.write("ok\n")
     _publish_index(stage, index_path, nonce)
@@ -99,19 +112,23 @@ def _index_bands(spark: SparkSession, index_path: str,
 def ingest_batch(spark: SparkSession, index_path: str, batch: DataFrame,
                  text_col: str = "text", id_col: str = "doc_id",
                  num_hashes: int = 16, bands: int = 4,
-                 shingle_n: int = 3,
-                 max_bucket_size: int = 1024) -> DataFrame:
+                 shingle_n: int = 3, max_bucket_size: int = 1024,
+                 banded: DataFrame | None = None) -> DataFrame:
     """Label each batch document against the index:
     (id, is_novel, dup_of) — ``dup_of`` is the smallest colliding
-    historical id, or the smallest EARLIER batch id, else NULL."""
+    historical id, or the smallest EARLIER batch id, else NULL.
+    ``banded`` optionally supplies the batch's pre-computed (ideally
+    persisted) band rows so a caller that also appends them pays the
+    shingle->minhash->band lineage once, not twice."""
     if not index_ok(index_path):
         raise FileNotFoundError(f"no published index at {index_path}")
+    if banded is None:
+        banded = _minhash_banded(batch, text_col, id_col,
+                                 num_hashes, bands, shingle_n)
     hist = _index_bands(spark, index_path, id_col) \
         .select(F.col(id_col).alias("__hid"), "band_id", "band_key")
-    newb = _minhash_banded(batch, text_col, id_col,
-                           num_hashes, bands, shingle_n) \
-        .select(F.col(id_col).alias("__nid"),
-                F.col("band_id").cast("long"), "band_key")
+    newb = banded.select(F.col(id_col).alias("__nid"),
+                         F.col("band_id").cast("long"), "band_key")
 
     # one bucket-grouped min-pass over the COMBINED population: a
     # bucket's dedup verdicts depend only on its min historical and
@@ -146,11 +163,13 @@ def ingest_batch(spark: SparkSession, index_path: str, batch: DataFrame,
 def append_bands(spark: SparkSession, index_path: str, batch: DataFrame,
                  text_col: str = "text", id_col: str = "doc_id",
                  num_hashes: int = 16, bands: int = 4,
-                 shingle_n: int = 3, tag: str | None = None) -> int:
+                 shingle_n: int = 3, tag: str | None = None,
+                 banded: DataFrame | None = None) -> int:
     """Publish the batch's band rows as a delta generation so the
     next ingest sees them; returns the generation number. ``tag``
     rides the delta's atomic rename (the ANN index's writer-tag
-    contract) so a micro-batch sink can make appends idempotent."""
+    contract) so a micro-batch sink can make appends idempotent;
+    ``banded`` reuses a pre-computed banding (see ingest_batch)."""
     if not index_ok(index_path):
         raise FileNotFoundError(f"no published index at {index_path}")
     deltas = _delta_dirs(index_path)
@@ -160,10 +179,10 @@ def append_bands(spark: SparkSession, index_path: str, batch: DataFrame,
     nonce = _nonce()
     stage = os.path.join(root, f".stage-{nonce}")
     final = os.path.join(root, f"delta-{seq:06d}-{nonce}")
-    banded = _minhash_banded(batch, text_col, id_col,
-                             num_hashes, bands, shingle_n)
-    banded.write.mode("overwrite").partitionBy("band_id") \
-        .parquet(f"{stage}/bands")
+    if banded is None:
+        banded = _minhash_banded(batch, text_col, id_col,
+                                 num_hashes, bands, shingle_n)
+    _write_bands(banded, f"{stage}/bands")
     if tag is not None:
         with open(os.path.join(stage, "_TAG"), "w") as f:
             f.write(tag + "\n")
@@ -189,8 +208,7 @@ def compact_band_index(spark: SparkSession, index_path: str,
     nonce = _nonce()
     stage = f"{index_path}.build-{nonce}"
     allb = _index_bands(spark, index_path, id_col)
-    allb.write.mode("overwrite").partitionBy("band_id") \
-        .parquet(f"{stage}/bands")
+    _write_bands(allb, f"{stage}/bands")
     with open(os.path.join(stage, "_INDEX_OK"), "w") as f:
         f.write("ok\n")
     _publish_index(stage, index_path, nonce)

@@ -27,15 +27,21 @@ from .broadcast import hint_broadcast_if_small
 
 def hot_keys(df: DataFrame, key: str,
              min_fraction: float = 0.01) -> DataFrame:
-    """Keys holding more than ``min_fraction`` of rows. One exact
-    aggregation pass — groupBy(key).count() with map-side combine
-    shuffles one row per distinct key, already the cheap shape; a
-    sketch pre-pass would save nothing here (a prior ``approx_rsd``
-    parameter advertised one without implementing it)."""
-    total = df.count()
-    return (df.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
-              .filter(F.col("n") >= total * min_fraction)
-              .select(key, "n"))
+    """Keys holding more than ``min_fraction`` of rows. ONE exact
+    aggregation pass over ``df`` — groupBy(key).count() with map-side
+    combine shuffles one row per distinct key, already the cheap
+    shape; a sketch pre-pass would save nothing here. The per-key
+    counts persist (distinct-key-sized — two longs per key) so the
+    row total can be summed from them and the threshold filter can
+    reuse them WITHOUT a second scan of ``df`` (the prior shape paid
+    an extra eager ``df.count()`` full pass — r13 review). Deciding
+    hotness is inherently an action, so the total's one small job on
+    the aggregated frame runs at call time."""
+    counts = (df.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
+              .persist())
+    total = counts.agg(F.sum("n")).collect()[0][0] or 0
+    return counts.filter(F.col("n") >= total * min_fraction) \
+                 .select(key, "n")
 
 
 def salted_grouped_agg(df: DataFrame, key: str, aggs: list[Column],

@@ -316,7 +316,6 @@ def _stream_upsert_index_path(spark: SparkSession, sf_dir: str) -> str:
     that end state is deterministic, making the dir reusable across
     processes (mirrors _upsert_index_path's reuse rule)."""
     import shutil
-    import tempfile as tf
 
     from ..operators.ann_index import _delta_dirs, index_ok
     from ..streaming.ann_upsert import _applied_tags, run_ann_upsert
@@ -341,7 +340,7 @@ def _stream_upsert_index_path(spark: SparkSession, sf_dir: str) -> str:
             nonce = _nonce()
             stage = f"{path}.build-{nonce}"
             shutil.copytree(ann_index_path(spark, sf_dir), stage)
-            work = tf.mkdtemp(prefix="ann_upsert_replay_")
+            work = tempfile.mkdtemp(prefix="ann_upsert_replay_")
             try:
                 feed_dir = stage_trigger_files(
                     _mutation_feed(spark, sf_dir), work, F.col("b"),

@@ -574,7 +574,6 @@ def _stream_ingest_paths(spark: SparkSession, sf_dir: str
     import re
     import shutil
     import tempfile
-    import tempfile as tf
 
     from ..operators.ann_index import (_delta_dirs, _manifest_path,
                                        _nonce, _publish_index,
@@ -600,7 +599,7 @@ def _stream_ingest_paths(spark: SparkSession, sf_dir: str
             svpath = stage + ".verdicts"
             shutil.rmtree(svpath, ignore_errors=True)
             shutil.copytree(_band_index_path(spark, sf_dir), stage)
-            work = tf.mkdtemp(prefix="dedup_ingest_replay_")
+            work = tempfile.mkdtemp(prefix="dedup_ingest_replay_")
             try:
                 batch = load_table(spark, sf_dir, "documents") \
                     .filter(F.col("doc_id") % 5 == 0) \

@@ -30,6 +30,7 @@ import os
 from pyspark.sql import DataFrame
 
 from ..operators.ann_index import _delta_dirs, applied_tags
+from ..operators.dedup import _minhash_banded
 from ..operators.dedup_index import (
     append_bands,
     compact_band_index,
@@ -65,16 +66,27 @@ def dedup_ingest_sink(index_path: str, verdicts_path: str,
                 "fresh index.")
         if batch_df.isEmpty():
             return
-        verdicts = ingest_batch(spark, index_path, batch_df,
-                                text_col=text_col, id_col=id_col,
-                                num_hashes=num_hashes, bands=bands,
-                                shingle_n=shingle_n,
-                                max_bucket_size=max_bucket_size)
-        verdicts.write.mode("overwrite").parquet(
-            os.path.join(verdicts_path, f"batch={batch_id}"))
-        append_bands(spark, index_path, batch_df, text_col=text_col,
-                     id_col=id_col, num_hashes=num_hashes,
-                     bands=bands, shingle_n=shingle_n, tag=tag)
+        # band the batch ONCE: both the verdict computation and the
+        # delta append consume the persisted band rows, so the
+        # shingle -> minhash -> band lineage (the dominant per-batch
+        # cost) runs a single time per trigger
+        banded = _minhash_banded(batch_df, text_col, id_col,
+                                 num_hashes, bands, shingle_n).persist()
+        try:
+            verdicts = ingest_batch(spark, index_path, batch_df,
+                                    text_col=text_col, id_col=id_col,
+                                    num_hashes=num_hashes, bands=bands,
+                                    shingle_n=shingle_n,
+                                    max_bucket_size=max_bucket_size,
+                                    banded=banded)
+            verdicts.write.mode("overwrite").parquet(
+                os.path.join(verdicts_path, f"batch={batch_id}"))
+            append_bands(spark, index_path, batch_df, text_col=text_col,
+                         id_col=id_col, num_hashes=num_hashes,
+                         bands=bands, shingle_n=shingle_n, tag=tag,
+                         banded=banded)
+        finally:
+            banded.unpersist()
         if compact_every and len(_delta_dirs(index_path)) >= compact_every:
             compact_band_index(spark, index_path, id_col=id_col)
 
