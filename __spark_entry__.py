@@ -198,10 +198,13 @@ _DEFERRED = [
 #   band index (one-shot batch semantics);
 # - streaming_dedup_ingest_replay — the same index fed by the
 #   foreachBatch sink, two sequential waves + compaction.
+# - dedup_index_health — per-band row/bucket/hot-bucket stats of
+#   the post-ingest compacted index (the LSH alerting surface).
 _PENDING: list[str] = [
     "skew_hotcold_join",
     "dedup_ingest_novelty",
     "streaming_dedup_ingest_replay",
+    "dedup_index_health",
 ]
 
 

@@ -192,6 +192,33 @@ def append_bands(spark: SparkSession, index_path: str, batch: DataFrame,
     return seq
 
 
+def band_index_stats(spark: SparkSession, index_path: str,
+                     id_col: str = "doc_id",
+                     max_bucket_size: int = 1024) -> DataFrame:
+    """Per-band health of the served index: (band_id, n_rows,
+    n_buckets, max_bucket, n_over_cap) — the numbers an LSH
+    deployment alerts on. ``max_bucket`` and ``n_over_cap`` surface
+    the hot-bucket population (boilerplate/adversarial cohorts) that
+    the candidate cap excludes from pair emission: when a band's
+    over-cap count grows, the corpus needs re-banding with a longer
+    signature or an exact-dedup pre-pass on those cohorts — the
+    r3-era cap adjudication, now measurable per index instead of
+    rediscovered per incident.
+
+    Scale: one shuffle on (band_id, band_key) with map-side partial
+    aggregation over digest-width rows, then a ≤ ``bands``-row
+    rollup. No document text is touched."""
+    bk = (_index_bands(spark, index_path, id_col)
+          .groupBy("band_id", "band_key")
+          .agg(F.count(F.lit(1)).alias("m")))
+    return (bk.groupBy("band_id")
+            .agg(F.sum("m").cast("long").alias("n_rows"),
+                 F.count(F.lit(1)).cast("long").alias("n_buckets"),
+                 F.max("m").cast("long").alias("max_bucket"),
+                 F.sum(F.when(F.col("m") > max_bucket_size, 1)
+                       .otherwise(0)).cast("long").alias("n_over_cap")))
+
+
 def compact_band_index(spark: SparkSession, index_path: str,
                        id_col: str = "doc_id") -> int:
     """Fold deltas into a fresh base (atomic double-rename publish);

@@ -690,3 +690,42 @@ def _streaming_dedup_ingest_replay(spark: SparkSession,
     _, vpath = _stream_ingest_paths(spark, sf_dir)
     return spark.read.parquet(vpath) \
         .select("doc_id", "is_novel", "dup_of")
+
+
+@query(
+    "dedup_index_health",
+    oracle=f"""
+    WITH {_MINHASH_BANDS_CTES},
+    bk AS (
+      SELECT band_id, band_key, COUNT(*) AS m
+      FROM bands GROUP BY 1, 2
+    )
+    SELECT CAST(band_id AS BIGINT) AS band_id,
+           CAST(SUM(m) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(MAX(m) AS BIGINT) AS max_bucket,
+           CAST(SUM(CASE WHEN m > 1024 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_over_cap
+    FROM bk GROUP BY 1
+    """,
+)
+def _dedup_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observability for the maintained band index
+    (operators/dedup_index.band_index_stats): per band, the digest
+    row count, distinct bucket count, LARGEST bucket, and how many
+    buckets exceed the pair-emission cap — the hot-bucket population
+    a production LSH deployment alerts on (growth there means
+    re-band with a longer signature or exact-dedup the cohort
+    first). Runs against the POST-INGEST streaming index — the
+    compacted base that absorbed both document waves — so the
+    audited state is hist + batch = the full corpus, which is
+    exactly what the oracle bands. A health regression from ANY
+    stage (banding drift, a lost delta, compaction dropping rows)
+    lands in these 4 rows.
+
+    Scale: one partial-agg shuffle over digest-width rows + a
+    4-row rollup; document text untouched."""
+    from ..operators.dedup_index import band_index_stats
+
+    path, _ = _stream_ingest_paths(spark, sf_dir)
+    return band_index_stats(spark, path)
