@@ -202,7 +202,8 @@ def main() -> None:
                  "streaming_flagship_replay", "skew_salted_join",
                  "ann_recall_maintained", "skew_hotcold_join",
                  "dedup_ingest_novelty",
-                 "streaming_dedup_ingest_replay"]
+                 "streaming_dedup_ingest_replay",
+                 "dedup_index_health"]
     secondary: dict[str, float] = {}
     for name in SECONDARY:
         try:
