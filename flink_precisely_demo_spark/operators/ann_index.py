@@ -160,6 +160,30 @@ def _reap_stale_dirs(index_path: str) -> None:
                     pass                    # pid alive, not ours
 
 
+def _reap_stale_delta_stages(index_path: str) -> None:
+    """Remove ``deltas/.stage-<pid>-*`` staging dirs whose owning
+    process is gone — a writer that crashed between the staged write
+    and the publishing rename leaves litter `_reap_stale_dirs` never
+    sees (it only scans .build-/.old- SIBLINGS of the index root),
+    so it would accumulate until a base republish happened to remove
+    the whole deltas tree (r13 advice). Published ``delta-*`` dirs
+    and live pids are untouched."""
+    import os
+    import shutil
+
+    root = os.path.join(index_path, "deltas")
+    for name in os.listdir(root) if os.path.isdir(root) else []:
+        if name.startswith(".stage-"):
+            try:
+                pid = int(name[len(".stage-"):].split("-")[0])
+                os.kill(pid, 0)
+            except (ValueError, ProcessLookupError):
+                shutil.rmtree(os.path.join(root, name),
+                              ignore_errors=True)
+            except PermissionError:
+                pass                    # pid alive, not ours
+
+
 def _publish_index(build_path: str, final_path: str, nonce: str) -> None:
     """Atomic publish: swing the old index aside (rename, not rmtree
     — the no-index window is one rename pair, not a recursive
@@ -290,6 +314,7 @@ def upsert_ann_index(spark: SparkSession, index_path: str,
     seq = (deltas[-1][0] + 1) if deltas else 1
     root = os.path.join(index_path, "deltas")
     os.makedirs(root, exist_ok=True)
+    _reap_stale_delta_stages(index_path)
     nonce = _nonce()
     stage = os.path.join(root, f".stage-{nonce}")
     final = os.path.join(root, f"delta-{seq:06d}-{nonce}")
@@ -465,6 +490,7 @@ def compact_ann_index(spark: SparkSession, index_path: str,
     if live_tags:
         _persist_tags(index_path, applied_tags(index_path))
     _reap_stale_dirs(index_path)
+    _reap_stale_delta_stages(index_path)
     nonce = _nonce()
     build_path = f"{index_path}.build-{nonce}"
     live = _live_vectors(spark, index_path, id_col, vec_col)

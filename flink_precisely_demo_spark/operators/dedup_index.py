@@ -57,6 +57,7 @@ from .ann_index import (
     _nonce,
     _persist_tags,
     _publish_index,
+    _reap_stale_delta_stages,
     _reap_stale_dirs,
     applied_tags,
     delta_tags,
@@ -176,6 +177,7 @@ def append_bands(spark: SparkSession, index_path: str, batch: DataFrame,
     seq = (deltas[-1][0] + 1) if deltas else 1
     root = os.path.join(index_path, "deltas")
     os.makedirs(root, exist_ok=True)
+    _reap_stale_delta_stages(index_path)
     nonce = _nonce()
     stage = os.path.join(root, f".stage-{nonce}")
     final = os.path.join(root, f"delta-{seq:06d}-{nonce}")
@@ -232,6 +234,7 @@ def compact_band_index(spark: SparkSession, index_path: str,
     if delta_tags(index_path):
         _persist_tags(index_path, applied_tags(index_path))
     _reap_stale_dirs(index_path)
+    _reap_stale_delta_stages(index_path)
     nonce = _nonce()
     stage = f"{index_path}.build-{nonce}"
     allb = _index_bands(spark, index_path, id_col)

@@ -25,6 +25,19 @@ from pyspark.sql import functions as F
 from .broadcast import hint_broadcast_if_small
 
 
+def _assert_no_salt_col(*dfs: DataFrame) -> None:
+    """The salting helpers stage their salt under the fixed name
+    ``__salt``; an input that already carries that column would be
+    silently clobbered by withColumn / duplicated ambiguously by the
+    replication cross join, producing WRONG joins instead of an error
+    (r13 advice). Fail loudly instead."""
+    for df in dfs:
+        if "__salt" in df.columns:
+            raise ValueError(
+                "input already has a '__salt' column — rename it "
+                "before using the skew salting helpers")
+
+
 def hot_keys(df: DataFrame, key: str,
              min_fraction: float = 0.01) -> DataFrame:
     """Keys holding more than ``min_fraction`` of rows. ONE exact
@@ -39,9 +52,20 @@ def hot_keys(df: DataFrame, key: str,
     the aggregated frame runs at call time."""
     counts = (df.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
               .persist())
-    total = counts.agg(F.sum("n")).collect()[0][0] or 0
-    return counts.filter(F.col("n") >= total * min_fraction) \
-                 .select(key, "n")
+    try:
+        total = counts.agg(F.sum("n")).collect()[0][0] or 0
+        # at most 1/min_fraction keys can clear the threshold, so the
+        # collect is bounded by construction; materializing on the
+        # driver lets us unpersist deterministically here instead of
+        # pinning the cached counts for the session's lifetime
+        # (r13 advice: every hot_cold_split_join / bench sweep call
+        # leaked one cached dataset)
+        rows = (counts.filter(F.col("n") >= total * min_fraction)
+                .select(key, "n").collect())
+    finally:
+        counts.unpersist()
+    schema = counts.select(key, "n").schema
+    return df.sparkSession.createDataFrame(rows, schema)
 
 
 def salted_grouped_agg(df: DataFrame, key: str, aggs: list[Column],
@@ -54,6 +78,7 @@ def salted_grouped_agg(df: DataFrame, key: str, aggs: list[Column],
     ``F.sum('partial_sum').alias('total')``. Caller guarantees the
     pair is algebraically correct (sum/sum, count/sum, min/min...).
     """
+    _assert_no_salt_col(df)
     salted = df.withColumn(
         "__salt", (F.rand(seed=42) * n_salts).cast("int"))
     phase1 = salted.groupBy(key, "__salt").agg(*aggs)
@@ -83,6 +108,7 @@ def salted_shuffle_join(fact: DataFrame, other: DataFrame, key: str,
     by the ``skew_salted_join`` pair). Cost: the other side's shuffle
     volume multiplies by ``n_salts`` — the standard salting trade;
     size ``n_salts`` to the hot key's reducer overload, not higher."""
+    _assert_no_salt_col(fact, other)
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_on]),
                   F.lit(n_salts)).cast("int")
     fact_s = fact.withColumn("__salt", salt)
@@ -133,6 +159,7 @@ def salted_broadcast_left(fact: DataFrame, dim: DataFrame, key: str,
     """Equi-join with the fact side salted and the (small) dim side
     replicated across salts, preserving a (key, salt) partitioning
     for downstream stateful operators."""
+    _assert_no_salt_col(fact, dim)
     fact_s = fact.withColumn(
         "__salt", (F.rand(seed=42) * n_salts).cast("int"))
     dim_s = dim.crossJoin(

@@ -29,6 +29,22 @@ def sum_exact(col: Column | str, scale: int = 6) -> Column:
     return F.sum(c.cast(f"decimal(28,{scale})")).cast("double")
 
 
+def sum_exact_decimal(col: Column | str, scale: int = 6) -> Column:
+    """Order-independent SUM that STAYS decimal — for intermediates a
+    downstream aggregation will re-sum. ``sum_exact``'s trailing
+    ``.cast("double")`` is fine for final outputs, but re-casting that
+    double BACK to decimal for a second exact sum creates a
+    double→decimal→double round-trip where Spark (shortest-string
+    BigDecimal, HALF_UP) and other engines (round the exact binary
+    value, e.g. DuckDB) can disagree by one ULP on boundary values —
+    the r13 ``skew_salted_join`` driver red. Keeping the intermediate
+    DECIMAL leaves exactly ONE rounding site (the final
+    decimal→double), which every engine performs identically
+    (round-to-nearest of an exact decimal value)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(28,{scale})"))
+
+
 def avg_exact(col: Column | str, scale: int = 6) -> Column:
     """Order-stable AVG: exact decimal sum divided by count, at a
     fixed result scale, cast back to double."""

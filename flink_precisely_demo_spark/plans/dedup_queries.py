@@ -619,8 +619,20 @@ def _stream_ingest_paths(spark: SparkSession, sf_dir: str
                 shutil.rmtree(work, ignore_errors=True)
             _publish_index(stage, path, nonce)
             os.replace(_manifest_path(stage), _manifest_path(path))
-            shutil.rmtree(vpath, ignore_errors=True)
+            # verdicts swap with the same rename-aside protocol as the
+            # index publish (r13 advice): rmtree-then-rename left a
+            # window where a concurrent completeness check saw the
+            # verdicts missing while the index looked complete. Two
+            # renames shrink that window to nothing observable (no
+            # bulk delete between them); the aside dir is reaped last.
+            # aside name matches _reap_stale_dirs' "<base>.old-<pid>-"
+            # pattern so a crash between the renames leaves reapable
+            # litter, not a permanent orphan
+            vold = f"{path}.old-{nonce}-verdicts"
+            if os.path.isdir(vpath):
+                os.rename(vpath, vold)
             os.rename(svpath, vpath)
+            shutil.rmtree(vold, ignore_errors=True)
         _STREAM_INGEST_CACHE[sf_dir] = (path, vpath)
     return _STREAM_INGEST_CACHE[sf_dir]
 

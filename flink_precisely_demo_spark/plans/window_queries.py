@@ -222,8 +222,7 @@ def _skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CASE WHEN o_orderkey % 3 = 0 THEN 0
                   ELSE o_orderkey END AS k,
              CAST(COUNT(*) AS BIGINT) AS n_ord,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
-               AS bucket_due
+             SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS bucket_due
       FROM orders GROUP BY 1
     ),
     l AS (
@@ -236,7 +235,13 @@ def _skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(SUM(CAST(l.l_quantity * r.n_ord AS DECIMAL(28,6)))
                 AS DOUBLE) AS qty_x_orders,
-           CAST(SUM(CAST(r.bucket_due AS DECIMAL(28,6))) AS DOUBLE)
+           -- decimal→double routed through VARCHAR: DuckDB's direct
+           -- decimal38→double cast is int128→double then /10^scale
+           -- (two roundings — off by one ULP when the scaled value
+           -- exceeds 2^53), while Spark's BigDecimal→double is
+           -- correctly rounded; strtod parsing is correctly rounded
+           -- too, so the string route matches Spark bit-for-bit.
+           CAST(CAST(SUM(r.bucket_due) AS VARCHAR) AS DOUBLE)
              AS sum_bucket_due
     FROM l JOIN r ON l.k = r.k
     GROUP BY 1, 2
@@ -268,18 +273,22 @@ def _skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     is safe despite the skewed key: partial aggregation means the
     hot key moves one row per map task, not its raw rows."""
     from ..operators.skew import salted_shuffle_join
-    from ..operators.windowed_agg import sum_exact
+    from ..operators.windowed_agg import sum_exact, sum_exact_decimal
 
     fold = lambda c: (F.when(F.col(c) % 3 == 0, F.lit(0))  # noqa: E731
                       .otherwise(F.col(c)).cast("long"))
     line = load_table(spark, sf_dir, "lineitem").select(
         fold("l_orderkey").alias("k"),
         "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+    # bucket_due stays DECIMAL through the join and the re-sum below:
+    # casting sum_exact's double output back to decimal for the second
+    # sum was the r13 driver red (double→decimal HALF_UP boundary
+    # disagreement between engines) — one rounding site, at the end.
     right = (load_table(spark, sf_dir, "orders")
              .select(fold("o_orderkey").alias("k"), "o_totalprice")
              .groupBy("k")
              .agg(F.count(F.lit(1)).cast("long").alias("n_ord"),
-                  sum_exact("o_totalprice").alias("bucket_due")))
+                  sum_exact_decimal("o_totalprice").alias("bucket_due")))
     joined = salted_shuffle_join(line, right, "k",
                                  salt_on=["l_orderkey", "l_linenumber"],
                                  n_salts=16)
@@ -288,7 +297,8 @@ def _skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
                  sum_exact(F.col("l_quantity") * F.col("n_ord"))
                  .alias("qty_x_orders"),
-                 sum_exact("bucket_due").alias("sum_bucket_due")))
+                 F.sum("bucket_due").cast("double")
+                 .alias("sum_bucket_due")))
 
 
 @query(

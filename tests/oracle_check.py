@@ -2,14 +2,17 @@
 
 Runs a Spark query and its DuckDB oracle SQL over the same parquet,
 then compares row count, column names, and order-insensitive values.
-Stricter than needed (exact equality for most cells, 1e-9 relative
-tolerance fallback for floats) so anything passing here should pass
-the driver's hash compare.
+Exactly as strict as the driver: the driver hashes raw cell values
+bit-for-bit, so floats here compare BIT-EXACT too (r14 — the prior
+1e-9 relative tolerance was LOOSER than the driver and hid the r13
+``skew_salted_join`` half-ULP red; "stricter than needed" was false).
+A pair whose engines disagree in the last ULP must fix the plan
+(usually: collapse double→decimal→double re-rounding round-trips to
+one rounding site), not the comparator.
 """
 
 from __future__ import annotations
 
-import math
 import os
 
 import duckdb
@@ -41,8 +44,8 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
              .reset_index(drop=True)
 
 
-def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str,
-            float_rel_tol: float = 1e-9) -> list[str]:
+def compare(spark_df, con: duckdb.DuckDBPyConnection,
+            sql: str) -> list[str]:
     """Return a list of mismatch descriptions (empty == pass)."""
     problems: list[str] = []
     s = spark_df.toPandas()
@@ -75,15 +78,30 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str,
                 f"values match (cast both sides to the same type)")
             continue
         if sv.dtype.kind == "f" or dv.dtype.kind == "f":
-            bad = 0
+            # BIT-EXACT, like the driver's value hash. Report the
+            # worst relative diff so a fresh red is triageable: a
+            # ~1e-16 rel diff is the double→decimal re-rounding class
+            # (fix the plan's rounding sites), anything larger is a
+            # real semantic divergence.
+            bad, worst, worst_pair = 0, 0.0, None
             for a, b in zip(sv, dv):
                 na, nb = pd.isna(a), pd.isna(b)
                 if na and nb:
                     continue
-                if na != nb or not math.isclose(a, b, rel_tol=float_rel_tol, abs_tol=1e-12):
+                if na != nb or float(a) != float(b):
                     bad += 1
+                    if not (na or nb):
+                        denom = max(abs(a), abs(b), 1e-300)
+                        rel = abs(a - b) / denom
+                        if rel >= worst:
+                            worst, worst_pair = rel, (a, b)
             if bad:
-                problems.append(f"col {c}: {bad} float mismatches")
+                detail = (f", worst rel diff {worst:.3e} "
+                          f"(spark={worst_pair[0]!r} "
+                          f"duckdb={worst_pair[1]!r})"
+                          if worst_pair else "")
+                problems.append(
+                    f"col {c}: {bad} bit-exact float mismatches{detail}")
         else:
             neq = ~((sv == dv) | (sv.isna() & dv.isna()))
             if neq.any():

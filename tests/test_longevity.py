@@ -20,6 +20,27 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
 from longevity_check import CHECKS  # noqa: E402
 
 
+_TIMING_LABELS = ("batch_ms", "trigger_ms")
+
+
+def _timing_only(violations: list[str]) -> bool:
+    """True when every violation is a wall-time flatness breach (the
+    retryable class) — batch_ms OR trigger_ms labeled; structural
+    violations (state bounds, dead rows, key counts) never retry."""
+    return bool(violations) and all(
+        any(lbl in v for lbl in _TIMING_LABELS) for v in violations)
+
+
+def _worst_ratio(stats: dict) -> float:
+    """Max second-half/first-half p50 ratio over whichever timing
+    labels this check records."""
+    ratios = [stats[f"{lbl}_p50_second_half"]
+              / max(stats[f"{lbl}_p50_first_half"], 1e-9)
+              for lbl in _TIMING_LABELS
+              if f"{lbl}_p50_first_half" in stats]
+    return max(ratios) if ratios else 0.0
+
+
 @pytest.mark.longevity
 @pytest.mark.parametrize("name", sorted(CHECKS))
 def test_longevity_bounded_state_flat_cost(name, spark):
@@ -27,28 +48,40 @@ def test_longevity_bounded_state_flat_cost(name, spark):
 
     stats, violations = CHECKS[name](spark, 50, 30)
     assert stats["n_triggers"] >= 50 - 1  # availableNow may merge one
-    if violations and all("batch_ms" in v for v in violations):
+    if _timing_only(violations):
         # wall-time-only violation: a REAL retention/compaction bug
         # grows systematically and reproduces on a rerun, while an
         # ambient co-tenant burst (this host's documented failure
         # mode — see the bench contention sentinel) does not. One
-        # retry separates the two; structural violations (state
-        # bounds, dead rows, key counts) fail immediately above.
-        # The rerun must clear the flatness gate WITH MARGIN (ratio
-        # <= 80% of the threshold), not merely land under it — a
-        # genuine slow cost-growth regression that intermittently
-        # crosses the line would otherwise pass whenever one rerun
-        # caught lighter co-tenant load (r12 advisory).
+        # retry separates the two — for trigger_ms-labeled checks as
+        # well as batch_ms (r13 advice: the retry previously covered
+        # only batch_ms, so sessionize/pattern/ann_upsert/flagship
+        # failed on a single timing blip). Structural violations
+        # still fail immediately above.
         stats2, violations2 = CHECKS[name](spark, 50, 30)
         assert not violations2, (
             f"{name}: flat-cost violation REPRODUCED on retry: "
             f"{violations2} ({stats2}; first run {violations} {stats})")
-        ratio2 = (stats2["batch_ms_p50_second_half"]
-                  / max(stats2["batch_ms_p50_first_half"], 1e-9))
-        assert ratio2 <= 0.8 * FLAT_FACTOR, (
-            f"{name}: rerun ratio {ratio2:.3f} is under the "
-            f"{FLAT_FACTOR} gate but without margin — both runs "
-            f"trend up, treating as a real cost-growth regression "
-            f"(first {violations} {stats}; rerun {stats2})")
+        # The rerun should clear the gate WITH MARGIN (<= 80% of the
+        # threshold) — a slow cost-growth regression that
+        # intermittently crosses the line would otherwise pass
+        # whenever the rerun caught lighter load (r12 advisory). But
+        # a clean rerun landing in the 0.8-1.0x band is AMBIGUOUS
+        # (noisy co-tenant pass vs creeping regression), so it gets a
+        # third confirming run instead of a hard fail (r13 advice):
+        # real growth trends up in all three; noise does not.
+        if _worst_ratio(stats2) > 0.8 * FLAT_FACTOR:
+            stats3, violations3 = CHECKS[name](spark, 50, 30)
+            assert not violations3, (
+                f"{name}: flat-cost violation returned on 3rd run: "
+                f"{violations3} ({stats3}; run1 {violations} {stats}; "
+                f"run2 clean-without-margin {stats2})")
+            assert _worst_ratio(stats3) <= 0.8 * FLAT_FACTOR, (
+                f"{name}: runs 2 and 3 both under the {FLAT_FACTOR} "
+                f"gate but without margin (run2 "
+                f"{_worst_ratio(stats2):.3f}, run3 "
+                f"{_worst_ratio(stats3):.3f}) — persistent upward "
+                f"trend, treating as a real cost-growth regression "
+                f"(first {violations} {stats})")
         return
     assert not violations, f"{name}: {violations} ({stats})"
