@@ -205,6 +205,7 @@ _PENDING: list[str] = [
     "dedup_ingest_novelty",
     "streaming_dedup_ingest_replay",
     "dedup_index_health",
+    "dedup_ingest_clusters",
 ]
 
 

@@ -34,6 +34,17 @@ index of per-document band digests, partitioned by ``band_id``:
   the ANN index's LSM shape re-expressed for band digests), so
   tomorrow's ingest sees today's documents without a rebuild;
   ``compact_band_index`` folds deltas into a fresh base.
+- **maintained clusters** (r14): ``build_band_index(clusters=True)``
+  seeds persistent cluster membership (``clusters/`` — the
+  non-trivial min-id labels of the build corpus's capped-bucket
+  components); ``ingest_cluster_edges`` keeps EVERY per-bucket link
+  of a batch (not just the verdict's global min, so a doc bridging
+  two clusters merges them); the edges ride each delta's atomic
+  rename and ``cluster_labels`` / ``compact_band_index`` fold the
+  union-find forest with the bounded min-label propagation — cluster
+  membership stays equal to a from-scratch re-clustering of the
+  cumulative corpus (at each stage's cap population) without ever
+  recomputing components from text.
 
 Scale: ingest shuffles only (band digest, doc_id) for the BATCH plus
 the matching index partitions' digests — the historical corpus's
@@ -63,7 +74,7 @@ from .ann_index import (
     delta_tags,
     index_ok,
 )
-from .dedup import _minhash_banded
+from .dedup import _minhash_banded, connected_components
 
 _DEFAULTS = dict(num_hashes=16, bands=4, shingle_n=3)
 
@@ -82,17 +93,58 @@ def _write_bands(banded: DataFrame, dest: str) -> None:
             .parquet(dest)
 
 
+def _star_edges(banded: DataFrame, id_col: str,
+                max_bucket_size: int = 1024) -> DataFrame:
+    """Per-bucket STAR edges (member -> bucket-min member) under the
+    oversized-bucket cap, as (a, b) pairs. Connectivity-equivalent to
+    the in-corpus pipeline's per-bucket cliques (every member is one
+    hop from the bucket min, and the min connects them all) at m-1
+    edges per bucket instead of C(m,2) — so even an at-cap bucket
+    emits 1023 edge rows, never half a million pair structs. Used to
+    seed the maintained cluster state at build time."""
+    stats = (banded.groupBy("band_id", "band_key")
+             .agg(F.count(F.lit(1)).alias("__bn"),
+                  F.min(id_col).alias("__mn")))
+    return (banded.join(stats.filter(F.col("__bn") <= max_bucket_size),
+                        ["band_id", "band_key"])
+            .filter(F.col(id_col) != F.col("__mn"))
+            .select(F.col(id_col).alias("a"), F.col("__mn").alias("b"))
+            .distinct())
+
+
 def build_band_index(corpus: DataFrame, index_path: str,
                      text_col: str = "text", id_col: str = "doc_id",
                      num_hashes: int = 16, bands: int = 4,
-                     shingle_n: int = 3) -> None:
-    """Band the corpus once and publish the band-digest index."""
+                     shingle_n: int = 3, clusters: bool = False,
+                     max_bucket_size: int = 1024) -> None:
+    """Band the corpus once and publish the band-digest index.
+    ``clusters=True`` additionally seeds the MAINTAINED near-dup
+    cluster state: the build-time components (min-label propagation
+    over the capped per-bucket star edges — the same components
+    ``near_dup_clusters`` computes over this corpus) persist under
+    ``clusters/`` as the NON-TRIVIAL labels (cluster_id != id;
+    singletons are implicit), so later ingests can extend cluster
+    membership without ever re-banding the corpus
+    (:func:`ingest_cluster_edges` / :func:`cluster_labels`)."""
     _reap_stale_dirs(index_path)
     nonce = _nonce()
     stage = f"{index_path}.build-{nonce}"
     banded = _minhash_banded(corpus, text_col, id_col,
                              num_hashes, bands, shingle_n)
-    _write_bands(banded, f"{stage}/bands")
+    if clusters:
+        banded = banded.persist()       # bands write + edge pass share it
+    try:
+        _write_bands(banded, f"{stage}/bands")
+        if clusters:
+            comp = connected_components(
+                _star_edges(banded, id_col, max_bucket_size), "a", "b")
+            (comp.filter(F.col("node") != F.col("label"))
+             .select(F.col("node").alias(id_col),
+                     F.col("label").alias("cluster_id"))
+             .write.mode("overwrite").parquet(f"{stage}/clusters"))
+    finally:
+        if clusters:
+            banded.unpersist()
     with open(os.path.join(stage, "_INDEX_OK"), "w") as f:
         f.write("ok\n")
     _publish_index(stage, index_path, nonce)
@@ -110,17 +162,20 @@ def _index_bands(spark: SparkSession, index_path: str,
     return out.select(id_col, F.col("band_id").cast("long"), "band_key")
 
 
-def ingest_batch(spark: SparkSession, index_path: str, batch: DataFrame,
-                 text_col: str = "text", id_col: str = "doc_id",
-                 num_hashes: int = 16, bands: int = 4,
-                 shingle_n: int = 3, max_bucket_size: int = 1024,
-                 banded: DataFrame | None = None) -> DataFrame:
-    """Label each batch document against the index:
-    (id, is_novel, dup_of) — ``dup_of`` is the smallest colliding
-    historical id, or the smallest EARLIER batch id, else NULL.
-    ``banded`` optionally supplies the batch's pre-computed (ideally
-    persisted) band rows so a caller that also appends them pays the
-    shingle->minhash->band lineage once, not twice."""
+def _ingest_candidates(spark: SparkSession, index_path: str,
+                       batch: DataFrame, text_col: str, id_col: str,
+                       num_hashes: int, bands: int, shingle_n: int,
+                       max_bucket_size: int,
+                       banded: DataFrame | None) -> DataFrame:
+    """Per (batch doc, bucket) link candidates (__nid, __dup): the
+    bucket's min historical member, or its min EARLIER batch member
+    if smaller — the single frame BOTH ingest surfaces reduce
+    (verdicts take the global min per doc; cluster maintenance keeps
+    every bucket edge). One bucket-grouped min-pass over the COMBINED
+    population: a bucket's candidates depend only on its min
+    historical and min batch member, so hot buckets never emit pairs;
+    the cap mirrors the in-corpus pipeline's, measured over the
+    union."""
     if not index_ok(index_path):
         raise FileNotFoundError(f"no published index at {index_path}")
     if banded is None:
@@ -130,11 +185,6 @@ def ingest_batch(spark: SparkSession, index_path: str, batch: DataFrame,
         .select(F.col(id_col).alias("__hid"), "band_id", "band_key")
     newb = banded.select(F.col(id_col).alias("__nid"),
                          F.col("band_id").cast("long"), "band_key")
-
-    # one bucket-grouped min-pass over the COMBINED population: a
-    # bucket's dedup verdicts depend only on its min historical and
-    # min batch member, so hot buckets never emit pairs; the cap
-    # mirrors the in-corpus pipeline's, measured over the union
     members = (hist.select("band_id", "band_key",
                            F.col("__hid").alias("mid"),
                            F.lit(False).alias("is_new"))
@@ -147,13 +197,29 @@ def ingest_batch(spark: SparkSession, index_path: str, batch: DataFrame,
                   .alias("min_hist"),
                   F.min(F.when(F.col("is_new"), F.col("mid")))
                   .alias("min_new")))
-    cand = (newb.join(stats.filter(F.col("__bn") <= max_bucket_size),
+    return (newb.join(stats.filter(F.col("__bn") <= max_bucket_size),
                       ["band_id", "band_key"])
             .select("__nid",
                     F.least(
                         "min_hist",
                         F.when(F.col("min_new") < F.col("__nid"),
                                F.col("min_new"))).alias("__dup")))
+
+
+def ingest_batch(spark: SparkSession, index_path: str, batch: DataFrame,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 num_hashes: int = 16, bands: int = 4,
+                 shingle_n: int = 3, max_bucket_size: int = 1024,
+                 banded: DataFrame | None = None) -> DataFrame:
+    """Label each batch document against the index:
+    (id, is_novel, dup_of) — ``dup_of`` is the smallest colliding
+    historical id, or the smallest EARLIER batch id, else NULL.
+    ``banded`` optionally supplies the batch's pre-computed (ideally
+    persisted) band rows so a caller that also appends them pays the
+    shingle->minhash->band lineage once, not twice."""
+    cand = _ingest_candidates(spark, index_path, batch, text_col,
+                              id_col, num_hashes, bands, shingle_n,
+                              max_bucket_size, banded)
     verdict = cand.groupBy("__nid").agg(F.min("__dup").alias("dup_of"))
     return (batch.select(id_col)
             .join(verdict, batch[id_col] == verdict["__nid"], "left")
@@ -161,16 +227,49 @@ def ingest_batch(spark: SparkSession, index_path: str, batch: DataFrame,
                     "dup_of"))
 
 
+def ingest_cluster_edges(spark: SparkSession, index_path: str,
+                         batch: DataFrame | None = None,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         num_hashes: int = 16, bands: int = 4,
+                         shingle_n: int = 3, max_bucket_size: int = 1024,
+                         banded: DataFrame | None = None) -> DataFrame:
+    """The batch's cluster-maintenance edges (a=batch doc, b=link
+    target): ONE edge per (doc, bucket) to the bucket's min
+    historical / min earlier-batch member — the connectivity the
+    verdict's global min discards. A batch doc that collides with
+    members of TWO existing clusters keeps both edges, so folding
+    merges the clusters exactly as a batch re-clustering of the
+    cumulative corpus would (the bridge-doc case a dup_of-only
+    maintenance silently splits). Persist alongside the delta via
+    ``append_bands(cluster_edges=...)``; fold with
+    :func:`cluster_labels` / :func:`compact_band_index`.
+
+    Scale: bounded by the candidate frame — bands-per-doc edges per
+    batch doc at worst, digest-free (two id columns), never O(m^2)
+    in a bucket."""
+    cand = _ingest_candidates(spark, index_path, batch, text_col,
+                              id_col, num_hashes, bands, shingle_n,
+                              max_bucket_size, banded)
+    return (cand.filter(F.col("__dup").isNotNull())
+            .select(F.col("__nid").alias("a"),
+                    F.col("__dup").alias("b"))
+            .distinct())
+
+
 def append_bands(spark: SparkSession, index_path: str, batch: DataFrame,
                  text_col: str = "text", id_col: str = "doc_id",
                  num_hashes: int = 16, bands: int = 4,
                  shingle_n: int = 3, tag: str | None = None,
-                 banded: DataFrame | None = None) -> int:
+                 banded: DataFrame | None = None,
+                 cluster_edges: DataFrame | None = None) -> int:
     """Publish the batch's band rows as a delta generation so the
     next ingest sees them; returns the generation number. ``tag``
     rides the delta's atomic rename (the ANN index's writer-tag
     contract) so a micro-batch sink can make appends idempotent;
-    ``banded`` reuses a pre-computed banding (see ingest_batch)."""
+    ``banded`` reuses a pre-computed banding (see ingest_batch);
+    ``cluster_edges`` (from :func:`ingest_cluster_edges`) rides the
+    SAME atomic rename so cluster maintenance can never observe a
+    delta whose bands landed but whose edges did not."""
     if not index_ok(index_path):
         raise FileNotFoundError(f"no published index at {index_path}")
     deltas = _delta_dirs(index_path)
@@ -185,6 +284,9 @@ def append_bands(spark: SparkSession, index_path: str, batch: DataFrame,
         banded = _minhash_banded(batch, text_col, id_col,
                                  num_hashes, bands, shingle_n)
     _write_bands(banded, f"{stage}/bands")
+    if cluster_edges is not None:
+        cluster_edges.write.mode("overwrite") \
+            .parquet(f"{stage}/cluster_edges")
     if tag is not None:
         with open(os.path.join(stage, "_TAG"), "w") as f:
             f.write(tag + "\n")
@@ -192,6 +294,49 @@ def append_bands(spark: SparkSession, index_path: str, batch: DataFrame,
         f.write("ok\n")
     os.rename(stage, final)
     return seq
+
+
+def cluster_labels(spark: SparkSession, index_path: str,
+                   id_col: str = "doc_id") -> DataFrame:
+    """The maintained near-dup cluster membership: non-trivial
+    (id, cluster_id) labels over everything the index has absorbed —
+    base corpus plus every published delta's cluster edges. With no
+    pending edge deltas this is a plain scan of ``clusters/`` (the
+    freshly-built / freshly-compacted fast path); otherwise the base
+    labels act as STAR EDGES (doc -> representative preserves each
+    cluster's connectivity exactly) unioned with the delta edges, and
+    one bounded min-label propagation
+    (operators/dedup.connected_components) folds the forest — so a
+    delta doc that bridges two existing clusters merges them, and
+    every member relabels to the new min. Docs absent from the output
+    are singletons (label themselves); callers COALESCE.
+
+    Scale: the folded graph is DUPLICATE-COHORT sized (non-trivial
+    labels + delta edges), never corpus sized — the 100 TB corpus
+    contributes only the members that actually cluster."""
+    cl = os.path.join(index_path, "clusters")
+    if not os.path.isdir(cl):
+        raise FileNotFoundError(
+            f"index at {index_path} has no cluster state — build with "
+            "build_band_index(..., clusters=True)")
+    base = spark.read.parquet(cl)
+    edge_dirs = [os.path.join(d, "cluster_edges")
+                 for _, d in _delta_dirs(index_path)]
+    edge_dirs = [d for d in edge_dirs if os.path.isdir(d)]
+    if not edge_dirs:
+        return base.select(id_col, "cluster_id")
+    from functools import reduce
+
+    delta_e = reduce(lambda a, b: a.unionByName(b),
+                     [spark.read.parquet(d).select("a", "b")
+                      for d in edge_dirs])
+    edges = base.select(F.col(id_col).alias("a"),
+                        F.col("cluster_id").alias("b")) \
+                .unionByName(delta_e)
+    comp = connected_components(edges, "a", "b")
+    return (comp.filter(F.col("node") != F.col("label"))
+            .select(F.col("node").alias(id_col),
+                    F.col("label").alias("cluster_id")))
 
 
 def band_index_stats(spark: SparkSession, index_path: str,
@@ -227,7 +372,11 @@ def compact_band_index(spark: SparkSession, index_path: str,
     returns the number of generations folded. Live writer tags are
     persisted to the sibling ``.applied.json`` manifest first, so an
     out-of-band compact never erases a streaming sink's idempotence
-    record (the same contract as compact_ann_index)."""
+    record (the same contract as compact_ann_index). On a clustered
+    index the maintained labels fold too: the union-find forest
+    (base star edges + delta cluster edges) collapses into a fresh
+    non-trivial label table, so post-compaction cluster reads are a
+    plain scan again."""
     deltas = _delta_dirs(index_path)
     if not deltas:
         return 0
@@ -239,6 +388,11 @@ def compact_band_index(spark: SparkSession, index_path: str,
     stage = f"{index_path}.build-{nonce}"
     allb = _index_bands(spark, index_path, id_col)
     _write_bands(allb, f"{stage}/bands")
+    if os.path.isdir(os.path.join(index_path, "clusters")):
+        # fold BEFORE the publish swaps the old base out: the write
+        # materializes the propagation while base+deltas still exist
+        cluster_labels(spark, index_path, id_col) \
+            .write.mode("overwrite").parquet(f"{stage}/clusters")
     with open(os.path.join(stage, "_INDEX_OK"), "w") as f:
         f.write("ok\n")
     _publish_index(stage, index_path, nonce)

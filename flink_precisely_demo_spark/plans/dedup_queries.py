@@ -557,6 +557,150 @@ def _dedup_ingest_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ingest_batch(spark, path, batch)
 
 
+_INGEST_CLUSTER_CACHE: dict[str, str] = {}
+
+
+def _ingest_cluster_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once fixture for the maintained-cluster pair: the
+    historical corpus (doc_id % 5 != 0) is banded WITH cluster state,
+    two ingest waves (doc_id % 10 == 0, then % 10 == 5) append
+    edge-carrying deltas, and a final compaction folds the union-find
+    forest — so the published index's ``clusters/`` is the maintained
+    membership after build + 2 ingests + compact. Everything runs
+    against a nonce-staged dir with ONE atomic publish at the end
+    (the ann-queries staging rule), so a concurrent process never
+    observes a half-ingested index."""
+    import os
+    import re
+    import tempfile
+
+    from ..operators.ann_index import (_delta_dirs, _manifest_path,
+                                       _nonce, _publish_index,
+                                       _reap_stale_dirs, applied_tags,
+                                       index_ok)
+    from ..operators.dedup import _minhash_banded
+    from ..operators.dedup_index import (append_bands, build_band_index,
+                                         compact_band_index,
+                                         ingest_cluster_edges)
+
+    cached = _INGEST_CLUSTER_CACHE.get(sf_dir)
+    if cached is None:
+        slug = re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir.strip("/"))
+        path = os.path.join(tempfile.gettempdir(),
+                            f"band_clusters_{slug}")
+        complete = (index_ok(path) and not _delta_dirs(path)
+                    and applied_tags(path) >= {"w0", "w1"}
+                    and os.path.isdir(os.path.join(path, "clusters")))
+        if not complete:
+            _reap_stale_dirs(path)
+            nonce = _nonce()
+            stage = f"{path}.build-{nonce}"
+            docs = load_table(spark, sf_dir, "documents") \
+                .select("doc_id", "text")
+            build_band_index(docs.filter(F.col("doc_id") % 5 != 0),
+                             stage, clusters=True)
+            for wave, mod in ((0, 0), (1, 5)):
+                batch = docs.filter(F.col("doc_id") % 10 == mod)
+                banded = _minhash_banded(batch, "text", "doc_id",
+                                         16, 4, 3).persist()
+                try:
+                    edges = ingest_cluster_edges(spark, stage,
+                                                 banded=banded)
+                    append_bands(spark, stage, batch, tag=f"w{wave}",
+                                 banded=banded, cluster_edges=edges)
+                finally:
+                    banded.unpersist()
+            compact_band_index(spark, stage)
+            _publish_index(stage, path, nonce)
+            os.replace(_manifest_path(stage), _manifest_path(path))
+        _INGEST_CLUSTER_CACHE[sf_dir] = path
+    return _INGEST_CLUSTER_CACHE[sf_dir]
+
+
+@query(
+    "dedup_ingest_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_BANDS_CTES},
+    stats AS (
+      SELECT band_id, band_key,
+             COUNT(CASE WHEN doc_id % 5 != 0 THEN 1 END) AS n_hist,
+             COUNT(CASE WHEN doc_id % 10 = 0 THEN 1 END) AS n_w0,
+             COUNT(CASE WHEN doc_id % 10 = 5 THEN 1 END) AS n_w1,
+             MIN(CASE WHEN doc_id % 5 != 0 THEN doc_id END) AS min_hist,
+             MIN(CASE WHEN doc_id % 10 = 0 THEN doc_id END) AS min_w0,
+             MIN(CASE WHEN doc_id % 10 = 5 THEN doc_id END) AS min_w1
+      FROM bands GROUP BY 1, 2
+    ),
+    raw_edges AS (
+      -- build: per-bucket star edges over the historical corpus,
+      -- capped on the build-time (historical) bucket population
+      SELECT b.doc_id AS a, s.min_hist AS lnk
+      FROM bands b JOIN stats s USING (band_id, band_key)
+      WHERE b.doc_id % 5 != 0 AND b.doc_id != s.min_hist
+        AND s.n_hist <= 1024
+      UNION
+      -- wave-0 ingest: links to min historical / min earlier-wave-0
+      -- member, capped on the hist+w0 population it saw
+      SELECT b.doc_id,
+             LEAST(s.min_hist,
+                   CASE WHEN s.min_w0 < b.doc_id THEN s.min_w0 END)
+      FROM bands b JOIN stats s USING (band_id, band_key)
+      WHERE b.doc_id % 10 = 0 AND s.n_hist + s.n_w0 <= 1024
+      UNION
+      -- wave-1 ingest: wave-0's delta is historical now
+      SELECT b.doc_id,
+             LEAST(s.min_hist, s.min_w0,
+                   CASE WHEN s.min_w1 < b.doc_id THEN s.min_w1 END)
+      FROM bands b JOIN stats s USING (band_id, band_key)
+      WHERE b.doc_id % 10 = 5 AND s.n_hist + s.n_w0 + s.n_w1 <= 1024
+    ),
+    e0 AS (SELECT a, lnk AS b FROM raw_edges WHERE lnk IS NOT NULL),
+    edges AS (
+      SELECT a AS src, b AS dst FROM e0
+      UNION
+      SELECT b AS src, a AS dst FROM e0
+    ),
+    reach(node, lab) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.lab FROM edges e JOIN reach r ON r.node = e.dst
+    ),
+    comp AS (SELECT node, MIN(lab) AS cluster_id FROM reach GROUP BY node)
+    SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    """,
+)
+def _dedup_ingest_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTALLY MAINTAINED near-dup clusters
+    (operators/dedup_index.cluster_labels): the historical corpus is
+    clustered once at index build; each ingest wave contributes only
+    its per-bucket link edges (ingest_cluster_edges — every bucket
+    edge, not just the verdict's global min, so a batch doc that
+    bridges two existing clusters MERGES them); compaction folds the
+    forest with the bounded min-label propagation. The result is
+    cluster membership over the cumulative corpus, equal to a
+    from-scratch re-clustering at each stage's cap population —
+    without ever re-banding or re-pairing historical text. The oracle
+    recomputes the same staged edge sets in SQL (build star edges,
+    then each wave's links against everything earlier) and closes
+    them transitively.
+
+    Scale: per ingest the added state is edge rows bounded by
+    bands-per-doc x batch size; the fold's graph is duplicate-cohort
+    sized (non-trivial labels + delta edges), never corpus sized —
+    the maintenance a daily 100 TB dedup pipeline can actually
+    afford."""
+    from ..operators.dedup_index import cluster_labels
+
+    path = _ingest_cluster_path(spark, sf_dir)
+    labels = cluster_labels(spark, path)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return (docs.join(labels, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("cluster_id", "doc_id")
+                    .alias("cluster_id")))
+
+
 _STREAM_INGEST_CACHE: dict[str, tuple[str, str]] = {}
 
 
