@@ -206,6 +206,7 @@ _PENDING: list[str] = [
     "streaming_dedup_ingest_replay",
     "dedup_index_health",
     "dedup_ingest_clusters",
+    "streaming_corpus_ingest_replay",
 ]
 
 

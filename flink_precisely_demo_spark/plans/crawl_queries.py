@@ -650,3 +650,183 @@ def _csv_ingest_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max(v("o_orderdate")).alias("last_order_ts"),
                  F.sum(F.when(valid, F.lit(0)).otherwise(1))
                   .cast("long").alias("n_corrupt")))
+
+
+# ---------------------------------------------------------------------------
+# Streaming corpus ingestion (the e2e composition, streaming twin of
+# crawl_to_training_shards): CDC decode -> gates -> dedup-at-ingest ->
+# ANN upsert, one foreachBatch pipeline (streaming/corpus_pipeline.py)
+# ---------------------------------------------------------------------------
+
+_CORPUS_PIPE_CACHE: dict[str, str] = {}
+
+
+def _corpus_pipeline_root(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once fixture: band + ANN indexes over the GATED
+    historical corpus (doc_id % 5 != 0), then the %5==0 documents
+    stream through the composed sink as TWO CDC-JSON trigger waves
+    (%10==0 then %10==5) with compact_every=2. Everything stages
+    under a nonce dir with ONE atomic publish — a published root is
+    by construction a fully-drained pipeline, so completeness is just
+    the markers."""
+    import os
+    import re
+    import shutil
+    import tempfile
+
+    from ..operators.ann_index import (_nonce, _publish_index,
+                                       _reap_stale_dirs, build_ann_index,
+                                       index_ok)
+    from ..operators.dedup_index import build_band_index
+    from ..streaming.corpus_pipeline import (DEFAULT_QUALITY_GATE,
+                                             run_corpus_ingest,
+                                             synthesize_documents_envelope)
+    from ..streaming.replay_stage import stage_trigger_text_files
+
+    cached = _CORPUS_PIPE_CACHE.get(sf_dir)
+    if cached is None:
+        slug = re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir.strip("/"))
+        path = os.path.join(tempfile.gettempdir(), f"corpus_pipe_{slug}")
+        band = os.path.join(path, "band_index")
+        ann = os.path.join(path, "ann_index")
+        verd = os.path.join(path, "verdicts")
+        if not (index_ok(band) and index_ok(ann) and os.path.isdir(verd)):
+            _reap_stale_dirs(path)
+            nonce = _nonce()
+            stage = f"{path}.build-{nonce}"
+            shutil.rmtree(stage, ignore_errors=True)
+            os.makedirs(stage)
+            docs = load_table(spark, sf_dir, "documents") \
+                .select("doc_id", "text")
+            emb = load_table(spark, sf_dir, "embeddings") \
+                .select(F.col("vec_id").alias("doc_id"), "embedding")
+            gate = ((quality_score("text") >= F.lit(DEFAULT_QUALITY_GATE))
+                    & (language_id("text") != F.lit("und")))
+            hist = docs.filter((F.col("doc_id") % 5 != 0) & gate)
+            build_band_index(hist, os.path.join(stage, "band_index"))
+            build_ann_index(hist.select("doc_id").join(emb, "doc_id"),
+                            os.path.join(stage, "ann_index"),
+                            id_col="doc_id")
+            work = tempfile.mkdtemp(prefix="corpus_pipe_replay_")
+            try:
+                feed_dir = stage_trigger_text_files(
+                    synthesize_documents_envelope(
+                        docs.filter(F.col("doc_id") % 5 == 0),
+                        extra_cols=[
+                            F.when(F.col("doc_id") % 10 == 0, 0)
+                            .otherwise(1).alias("b")]),
+                    work, F.col("b"), "cdc_docs")
+                raw = (spark.readStream.format("text")
+                       .option("maxFilesPerTrigger", 1).load(feed_dir))
+                run_corpus_ingest(raw, os.path.join(stage, "band_index"),
+                                  os.path.join(stage, "ann_index"),
+                                  os.path.join(stage, "verdicts"), emb,
+                                  checkpoint=os.path.join(work, "ckpt"),
+                                  compact_every=2)
+            finally:
+                shutil.rmtree(work, ignore_errors=True)
+            _publish_index(stage, path, nonce)
+        _CORPUS_PIPE_CACHE[sf_dir] = path
+    return _CORPUS_PIPE_CACHE[sf_dir]
+
+
+from .dedup_queries import minhash_bands_ctes as _bands_ctes_from  # noqa: E402
+
+
+@query(
+    "streaming_corpus_ingest_replay",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, text, {_lang_case_sql()} AS lang,
+             {_QUALITY_SQL} AS quality
+      FROM documents
+    ),
+    gated AS (
+      SELECT doc_id, text FROM g
+      WHERE quality >= {_QUALITY_GATE} AND lang <> 'und'
+    ),
+    {_bands_ctes_from('gated')},
+    stats AS (
+      SELECT band_id, band_key,
+             COUNT(CASE WHEN doc_id % 5 != 0 THEN 1 END) AS n_hist,
+             COUNT(CASE WHEN doc_id % 10 = 0 THEN 1 END) AS n_w0,
+             COUNT(CASE WHEN doc_id % 10 = 5 THEN 1 END) AS n_w1,
+             MIN(CASE WHEN doc_id % 5 != 0 THEN doc_id END) AS min_hist,
+             MIN(CASE WHEN doc_id % 10 = 0 THEN doc_id END) AS min_w0,
+             MIN(CASE WHEN doc_id % 10 = 5 THEN doc_id END) AS min_w1
+      FROM bands GROUP BY 1, 2
+    ),
+    verdict AS (
+      SELECT b.doc_id AS nid,
+             MIN(CASE WHEN b.doc_id % 10 = 0 THEN
+                   LEAST(s.min_hist,
+                         CASE WHEN s.min_w0 < b.doc_id
+                              THEN s.min_w0 END)
+                 ELSE
+                   LEAST(s.min_hist, s.min_w0,
+                         CASE WHEN s.min_w1 < b.doc_id
+                              THEN s.min_w1 END)
+                 END) AS dup_of
+      FROM bands b
+      JOIN stats s ON s.band_id = b.band_id
+                  AND s.band_key = b.band_key
+      WHERE b.doc_id % 5 = 0
+        AND (CASE WHEN b.doc_id % 10 = 0
+                  THEN s.n_hist + s.n_w0
+                  ELSE s.n_hist + s.n_w0 + s.n_w1 END) <= 1024
+      GROUP BY 1
+    )
+    SELECT d.doc_id,
+           gd.doc_id IS NOT NULL AS passed_gates,
+           CASE WHEN gd.doc_id IS NOT NULL
+                THEN v.dup_of IS NULL END AS is_novel,
+           v.dup_of,
+           (gd.doc_id IS NOT NULL AND v.dup_of IS NULL
+            AND em.vec_id IS NOT NULL) AS indexed
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+    LEFT JOIN gated gd ON gd.doc_id = d.doc_id
+    LEFT JOIN verdict v ON v.nid = d.doc_id
+    LEFT JOIN embeddings em ON em.vec_id = d.doc_id
+    """,
+)
+def _streaming_corpus_ingest_replay(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """The END-TO-END streaming corpus pipeline
+    (streaming/corpus_pipeline.py) replayed and checked under one
+    hash: reference-shaped CDC document envelopes arrive as a
+    2-trigger stream, each micro-batch decodes against the declared
+    envelope schema, passes the text-quality gates, is labeled
+    against the persisted band index (exactly-once verdicts + tagged
+    delta append), and its novel documents upsert their embeddings
+    into the served ANN index — the streaming twin of
+    ``crawl_to_training_shards``, and the integration a real
+    deployment runs. The output is each streamed document's final
+    disposition: gated?, novel?, dup-of whom, and — read back from
+    the ANN index's live state, so the upsert leg is verified from
+    its own post-compaction storage — similarity-indexed?. The
+    oracle recomputes gates, the wave-aware staged dedup arithmetic,
+    and embedding availability from first principles.
+
+    Scale: see the module docstring — per-trigger work is
+    batch-sized on every leg, historical text/vectors never re-read,
+    compaction amortized across triggers."""
+    import os
+
+    from ..operators.ann_index import _live_vectors
+
+    root = _corpus_pipeline_root(spark, sf_dir)
+    streamed = load_table(spark, sf_dir, "documents") \
+        .filter(F.col("doc_id") % 5 == 0).select("doc_id")
+    v = (spark.read.parquet(os.path.join(root, "verdicts"))
+         .select("doc_id", F.col("is_novel").alias("__nov"), "dup_of"))
+    live = _live_vectors(spark, os.path.join(root, "ann_index"),
+                         "doc_id", "embedding") \
+        .select("doc_id", F.lit(True).alias("__idx"))
+    return (streamed
+            .join(v, "doc_id", "left")
+            .join(live, "doc_id", "left")
+            .select("doc_id",
+                    F.col("__nov").isNotNull().alias("passed_gates"),
+                    F.col("__nov").alias("is_novel"),
+                    "dup_of",
+                    F.coalesce("__idx", F.lit(False)).alias("indexed")))

@@ -26,9 +26,13 @@ from .queries import query
 # tokens() and operators/dedup.py word_shingles / _hex_bucket)
 _TOKS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
 
-_SHINGLES_CTE = f"""
+def _shingles_cte(src: str = "documents") -> str:
+    """Shingle CTEs over any (doc_id, text) relation ``src`` — the
+    default is the raw documents view; the streaming corpus pipeline
+    parameterizes it with its gated subset."""
+    return f"""
     toks AS (
-      SELECT doc_id, {_TOKS} AS toks FROM documents
+      SELECT doc_id, {_TOKS} AS toks FROM {src}
     ),
     shingles AS (
       -- per-document unnest(range(...)) derives the shingle count from
@@ -42,6 +46,9 @@ _SHINGLES_CTE = f"""
       )
     )
 """
+
+
+_SHINGLES_CTE = _shingles_cte()
 
 
 @query(
@@ -62,6 +69,15 @@ def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # CTE body ending in `bands` = per-document LSH band digests (the
 # exact band_key format of operators/dedup._minhash_banded); shared
 # by the pair/cluster queries and the streaming-replay oracle
+def minhash_bands_ctes(src: str = "documents") -> str:
+    """The band-digest CTEs over any (doc_id, text) relation — one
+    banding rule across the whole dedup family AND every oracle that
+    parameterizes the corpus (e.g. the streaming corpus pipeline's
+    gated subset)."""
+    return _MINHASH_BANDS_CTES.replace(_SHINGLES_CTE,
+                                       _shingles_cte(src), 1)
+
+
 _MINHASH_BANDS_CTES = f"""{_SHINGLES_CTE},
     mins AS (
       SELECT sh.doc_id, s.seed,

@@ -1,0 +1,127 @@
+"""Composed streaming corpus pipeline (streaming/corpus_pipeline.py):
+decode fidelity, gate placement, retry idempotence across BOTH index
+legs, and crash-resume between the dedup append and the ANN upsert."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from flink_precisely_demo_spark.functions.text import (
+    language_id,
+    quality_score,
+)
+from flink_precisely_demo_spark.operators.ann_index import (
+    _delta_dirs,
+    _live_vectors,
+    applied_tags,
+    build_ann_index,
+)
+from flink_precisely_demo_spark.operators.dedup_index import (
+    build_band_index,
+)
+from flink_precisely_demo_spark.sources.cdc_json import (
+    decode_envelope,
+    flatten_after_image,
+)
+from flink_precisely_demo_spark.sources.parquet import load_table
+from flink_precisely_demo_spark.streaming.corpus_pipeline import (
+    DEFAULT_QUALITY_GATE,
+    DOCS_PAYLOAD,
+    corpus_ingest_sink,
+    synthesize_documents_envelope,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _fixture(spark, tmp_path):
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    emb = load_table(spark, SF, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding")
+    gate = ((quality_score("text") >= F.lit(DEFAULT_QUALITY_GATE))
+            & (language_id("text") != F.lit("und")))
+    hist = docs.filter((F.col("doc_id") % 5 != 0) & gate)
+    band = str(tmp_path / "band")
+    ann = str(tmp_path / "ann")
+    verd = str(tmp_path / "verd")
+    build_band_index(hist, band)
+    build_ann_index(hist.select("doc_id").join(emb, "doc_id"), ann,
+                    id_col="doc_id")
+    batch = synthesize_documents_envelope(
+        docs.filter(F.col("doc_id") % 10 == 0))
+    return docs, emb, band, ann, verd, batch
+
+
+def _state(spark, band, ann, verd):
+    return (
+        sorted(t for t, _ in _delta_dirs(band)),
+        sorted(t for t, _ in _delta_dirs(ann)),
+        sorted(map(tuple, spark.read.parquet(
+            os.path.join(verd, "batch=0")).collect())),
+        sorted(int(r["doc_id"]) for r in _live_vectors(
+            spark, ann, "doc_id", "embedding").select("doc_id").collect()),
+    )
+
+
+def test_envelope_roundtrip_is_lossless(spark):
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    back = flatten_after_image(decode_envelope(
+        synthesize_documents_envelope(docs), DOCS_PAYLOAD))
+    assert back.exceptAll(docs).isEmpty()
+    assert docs.exceptAll(back).isEmpty()
+
+
+def test_retry_of_applied_batch_noops_both_legs(spark, tmp_path):
+    _, emb, band, ann, verd, batch = _fixture(spark, tmp_path)
+    sink = corpus_ingest_sink(band, ann, verd, emb)
+    sink(batch, 0)
+    st = _state(spark, band, ann, verd)
+    assert applied_tags(band) >= {"b0"} and applied_tags(ann) >= {"b0"}
+    sink(batch, 0)                       # foreachBatch retry
+    assert _state(spark, band, ann, verd) == st
+
+
+def test_crash_between_legs_resumes_to_identical_state(spark, tmp_path):
+    """Simulate a pipeline death AFTER the dedup append but BEFORE the
+    ANN upsert: the retry must no-op the dedup leg, replay the ANN leg
+    from the persisted verdicts, and land in exactly the state a
+    clean single run produces."""
+    from flink_precisely_demo_spark.streaming.dedup_ingest import (
+        dedup_ingest_sink)
+
+    docs, emb, band, ann, verd, batch = _fixture(spark, tmp_path)
+    gate = ((quality_score("text") >= F.lit(DEFAULT_QUALITY_GATE))
+            & (language_id("text") != F.lit("und")))
+    gated = flatten_after_image(
+        decode_envelope(batch, DOCS_PAYLOAD)).filter(gate)
+    dedup_ingest_sink(band, verd)(gated, 0)   # the "crashed" half-run
+    assert applied_tags(band) >= {"b0"}
+    assert not _delta_dirs(ann)
+    sink = corpus_ingest_sink(band, ann, verd, emb)
+    sink(batch, 0)                            # the retry
+    st = _state(spark, band, ann, verd)
+    # reference: a clean run on fresh dirs
+    _, emb2, band2, ann2, verd2, batch2 = _fixture(
+        spark, tmp_path / "clean")
+    corpus_ingest_sink(band2, ann2, verd2, emb2)(batch2, 0)
+    assert st == _state(spark, band2, ann2, verd2)
+
+
+def test_gates_precede_all_state(spark, tmp_path):
+    """Ungated documents must never touch either index or the
+    verdicts: feed a batch that is ENTIRELY garbage and verify zero
+    deltas, zero verdicts, zero live-id change."""
+    _, emb, band, ann, verd, _ = _fixture(spark, tmp_path)
+    live0 = sorted(int(r["doc_id"]) for r in _live_vectors(
+        spark, ann, "doc_id", "embedding").select("doc_id").collect())
+    junk = spark.createDataFrame(
+        [(900000 + i, "zzz " * 2) for i in range(5)],
+        "doc_id long, text string")
+    sink = corpus_ingest_sink(band, ann, verd, emb)
+    sink(synthesize_documents_envelope(junk), 0)
+    assert not _delta_dirs(band) and not _delta_dirs(ann)
+    assert not os.path.isdir(os.path.join(verd, "batch=0"))
+    assert live0 == sorted(int(r["doc_id"]) for r in _live_vectors(
+        spark, ann, "doc_id", "embedding").select("doc_id").collect())
