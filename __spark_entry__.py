@@ -207,6 +207,7 @@ _PENDING: list[str] = [
     "dedup_index_health",
     "dedup_ingest_clusters",
     "streaming_corpus_ingest_replay",
+    "dedup_substring_exact",
 ]
 
 

@@ -111,6 +111,87 @@ def passage_hashes(df: DataFrame, text_col: str = "text",
                        .alias("passage_hash")))
 
 
+def sliding_window_hashes(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          k: int = 16) -> DataFrame:
+    """(id, pos, win_hash) — one row per token position: the 16-hex
+    md5 of the k-token window starting there (1-based); documents
+    shorter than k tokens yield nothing. The sliding (stride-1) twin
+    of :func:`passage_hashes`: any exact shared token run of length
+    >= k contains at least one aligned full window on BOTH sides, so
+    window-hash equality is a complete anchor set for exact-substring
+    detection. Scan-stage only — text never shuffles, only
+    (id, pos, hash) rows."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), n - F.lit(k - 1))
+    wins = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.cast("long").alias("pos"),
+            F.substring(F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
+                        1, 16).alias("h")))
+    return (df.filter(F.size(tokens(text_col)) >= k)
+              .select(F.col(id_col), F.explode(wins).alias("w"))
+              .select(id_col, F.col("w.pos").alias("pos"),
+                      F.col("w.h").alias("win_hash")))
+
+
+def exact_substring_spans(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", k: int = 16,
+                          min_len: int = 24,
+                          max_df: int = 64) -> DataFrame:
+    """Maximal cross-document EXACT token runs of length >= min_len:
+    (a, b, a_start, b_start, run_tokens) — the Lee et al. 2022
+    exact-substring dedup class ("Deduplicating Training Data Makes
+    Language Models Better"), recast from their suffix-array scan to
+    an engine-portable anchor-and-extend: stride-1 k-token window
+    hashes anchor candidate alignments, and consecutive aligned
+    anchors chain into maximal runs (a shared substring of S tokens
+    is S-k+1 consecutive anchors at one (a, b, offset), so
+    run_tokens = chain length + k - 1 is EXACT, not approximate).
+
+    The extension step is gaps-and-islands per (a, b, offset): one
+    shuffle on the anchor hash for the alignment join, one window
+    function over runs — no suffix array, no per-pair rescans.
+
+    ``max_df`` caps the document frequency of an anchor before it may
+    emit alignments (boilerplate k-grams shared by 10^5 docs would
+    otherwise emit O(df^2) pairs from one hash); a run whose interior
+    crosses an over-cap anchor splits — the same bounded-emission
+    trade as the LSH bucket cap, and the capped hashes are the
+    re-bandable side output.
+
+    Scale: the window table is one row per token (16-hex + two ids)
+    — linear in corpus tokens; the O(n*k) character folding stays in
+    the scan stage. Alignment rows are bounded by max_df^2 per anchor
+    hash."""
+    from pyspark.sql import Window
+
+    w = sliding_window_hashes(df, text_col, id_col, k)
+    hd = w.groupBy("win_hash").agg(
+        F.count_distinct(id_col).alias("__dfd"))
+    shared = w.join(hd.filter((F.col("__dfd") >= 2)
+                              & (F.col("__dfd") <= max_df)), "win_hash")
+    left = shared.select("win_hash", F.col(id_col).alias("a"),
+                         F.col("pos").alias("pa"))
+    right = shared.select("win_hash", F.col(id_col).alias("b"),
+                          F.col("pos").alias("pb"))
+    m = (left.join(right, "win_hash")
+         .filter(F.col("a") < F.col("b"))
+         .select("a", "b", "pa", (F.col("pa") - F.col("pb")).alias("off")))
+    win = Window.partitionBy("a", "b", "off").orderBy("pa")
+    g = m.withColumn("__grp", F.col("pa") - F.row_number().over(win))
+    runs = (g.groupBy("a", "b", "off", "__grp")
+            .agg(F.min("pa").alias("a_start"),
+                 F.count(F.lit(1)).alias("__c")))
+    return (runs.select("a", "b", "a_start",
+                        (F.col("a_start") - F.col("off")).alias("b_start"),
+                        (F.col("__c") + F.lit(k - 1)).cast("long")
+                        .alias("run_tokens"))
+            .filter(F.col("run_tokens") >= min_len))
+
+
 def word_shingles(text_col: str = "text", n: int = 3) -> Column:
     """Distinct word n-gram shingles of the lowercased text.
 

@@ -901,3 +901,60 @@ def _dedup_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path, _ = _stream_ingest_paths(spark, sf_dir)
     return band_index_stats(spark, path)
+
+
+@query(
+    "dedup_substring_exact",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    w AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             substring(md5(array_to_string(
+               toks[CAST(i AS INT):CAST(i + 15 AS INT)], ' ')), 1, 16)
+               AS h
+      FROM (
+        SELECT doc_id, toks,
+               unnest(range(1, len(toks) - 15 + 1)) AS i
+        FROM toks WHERE len(toks) >= 16
+      )
+    ),
+    hd AS (SELECT h, COUNT(DISTINCT doc_id) AS dfd FROM w GROUP BY 1),
+    s AS (SELECT w.* FROM w JOIN hd USING (h)
+          WHERE dfd >= 2 AND dfd <= 64),
+    m AS (
+      SELECT l.doc_id AS a, r.doc_id AS b, l.pos AS pa,
+             l.pos - r.pos AS off
+      FROM s l JOIN s r ON l.h = r.h AND l.doc_id < r.doc_id
+    ),
+    g AS (
+      SELECT a, b, off, pa,
+             pa - ROW_NUMBER() OVER (PARTITION BY a, b, off
+                                     ORDER BY pa) AS grp
+      FROM m
+    ),
+    runs AS (
+      SELECT a, b, off, MIN(pa) AS a_start, COUNT(*) AS c
+      FROM g GROUP BY a, b, off, grp
+    )
+    SELECT a, b, a_start, a_start - off AS b_start,
+           CAST(c + 15 AS BIGINT) AS run_tokens
+    FROM runs WHERE c + 15 >= 24
+    """,
+)
+def _dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup, the Lee et al. 2022 suffix-array class
+    (operators/dedup.exact_substring_spans): every maximal cross-
+    document run of >= 24 exactly-shared consecutive tokens, located
+    on both sides — the dedup mode that catches verbatim quotation /
+    boilerplate reuse that document- and passage-level hashing miss
+    or only bound. Anchors are stride-1 16-token window hashes;
+    consecutive aligned anchors chain into exact maximal runs via
+    gaps-and-islands (no suffix array, no per-pair rescans — see the
+    operator docstring for the 100 TB shape). The oracle replays the
+    identical window/anchor/extension arithmetic in SQL."""
+    from ..operators.dedup import exact_substring_spans
+    return exact_substring_spans(
+        load_table(spark, sf_dir, "documents"),
+        k=16, min_len=24, max_df=64)

@@ -325,3 +325,47 @@ def test_attribution_bot_user_bounded(spark):
     # candidates reaching the rank stage were themselves pre-capped:
     # a 1-hour window spans at most two hour buckets
     assert all(r.n_candidates <= 2 * _TOUCH_CAND_CAP for r in over)
+
+
+def test_exact_substring_spans_arithmetic(spark):
+    """Constructed docs with a KNOWN shared run: the span must locate
+    both start positions and report the exact token length; a shared
+    run shorter than min_len must not appear; within-doc repetition
+    alone must not pair a doc with itself."""
+    from flink_precisely_demo_spark.operators.dedup import (
+        exact_substring_spans)
+
+    shared = " ".join(f"s{i}" for i in range(30))      # 30-token run
+    short = " ".join(f"t{i}" for i in range(20))       # 20 < min_len 24
+    docs = spark.createDataFrame(
+        [
+            (1, "a0 a1 a2 " + shared + " a3 a4"),       # run at pos 4
+            (2, shared + " b0 b1 b2 b3 b4 b5 b6 b7"),   # run at pos 1
+            (3, "c0 c1 " + short + " c2 c3 c4 c5 c6 c7 c8 c9 c10 c11"),
+            (4, short + " d0 d1 d2 d3 d4 d5 d6 d7 d8 d9 d10 d11 d12"),
+            (5, ("e0 " * 40).strip()),                   # self-repeat only
+        ],
+        "doc_id long, text string")
+    got = {(int(r["a"]), int(r["b"]), int(r["a_start"]),
+            int(r["b_start"]), int(r["run_tokens"]))
+           for r in exact_substring_spans(docs, k=16, min_len=24)
+           .collect()}
+    assert got == {(1, 2, 4, 1, 30)}
+
+
+def test_exact_substring_df_cap_bounds_emission(spark):
+    """An anchor k-gram shared by more docs than max_df must emit NO
+    alignments (the boilerplate bound); raising the cap restores the
+    spans."""
+    from flink_precisely_demo_spark.operators.dedup import (
+        exact_substring_spans)
+
+    boiler = " ".join(f"x{i}" for i in range(25))
+    docs = spark.createDataFrame(
+        [(i, boiler + f" u{i}a u{i}b") for i in range(6)],
+        "doc_id long, text string")
+    assert exact_substring_spans(docs, k=16, min_len=24,
+                                 max_df=3).isEmpty()
+    wide = exact_substring_spans(docs, k=16, min_len=24, max_df=64)
+    assert wide.count() == 15                       # C(6,2) pairs
+    assert {int(r["run_tokens"]) for r in wide.collect()} == {25}
