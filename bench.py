@@ -203,7 +203,13 @@ def main() -> None:
                  "ann_recall_maintained", "skew_hotcold_join",
                  "dedup_ingest_novelty",
                  "streaming_dedup_ingest_replay",
-                 "dedup_index_health"]
+                 "dedup_index_health",
+                 # r14 additions: maintained near-dup clusters, the
+                 # e2e streaming corpus pipeline, exact-substring
+                 # spans
+                 "dedup_ingest_clusters",
+                 "streaming_corpus_ingest_replay",
+                 "dedup_substring_exact"]
     secondary: dict[str, float] = {}
     for name in SECONDARY:
         try:

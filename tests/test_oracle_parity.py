@@ -70,30 +70,29 @@ def test_parity_queries_inside_driver_window():
         "cdc_envelope_decode", "projection_flatten",
         "parse_ts_roundtrip", "enrichment_latest_join",
         "tumbling_window_events", "window_analytics",
-        # r13 rotation: the five r12 _PENDING pairs' first seats
-        "csv_ingest_policy", "ann_index_upsert_topk",
-        "streaming_ann_upsert_replay", "ann_index_health",
-        "bucketed_colocated_join",
-        # the ENTIRE r9-last-green cohort (28 entries, 4 rounds
-        # stale — the r12 verdict's mandated refresh)
-        "ann_ivf_pq_topk", "ann_recall_eval", "bloom_semijoin_prune",
-        "bpe_encode_corpus", "bpe_vocab_merges", "corpus_datasheet",
-        "crawl_to_training_shards", "dedup_passage_exact",
-        "deletion_propagation_audit", "embedding_hard_negatives",
-        "embedding_pq_codebook", "event_pattern_match",
-        "jsonl_corpus_roundtrip", "multimodal_format_audit",
-        "q11_important_stock", "q12_shipping_priority_class",
-        "q15_top_supplier", "q16_supplier_part_types",
-        "q17_small_quantity_revenue", "q20_potential_promotion",
-        "q2_min_cost_supplier", "q9_product_type_profit",
-        "sketch_heavy_hitters", "streaming_attribution_replay",
-        "streaming_pattern_replay", "streaming_session_replay",
-        "text_bigram_typicality", "text_winnow_fingerprints",
-        # this round's new pairs (r12 verdict items 4/5/6)
-        "ann_recall_maintained", "streaming_flagship_replay",
+        # the r13 driver red, KEPT to certify its fix
         "skew_salted_join",
-        # stalest-first fill from the r10 cohort
-        "anti_semi_join", "distinct_agg"]:
+        # r14 rotation: the four r13 _PENDING pairs' first seats
+        "skew_hotcold_join", "dedup_ingest_novelty",
+        "streaming_dedup_ingest_replay", "dedup_index_health",
+        # this round's new pairs (r13 verdict items 4/5/8)
+        "dedup_ingest_clusters", "streaming_corpus_ingest_replay",
+        "dedup_substring_exact",
+        # stalest-first refresh: the ENTIRE r10-last-green cohort...
+        "cdc_apply_snapshot", "curation_pack_chunks",
+        "curation_pipeline_e2e", "dedup_minhash_lsh",
+        "dedup_pipeline_e2e", "dedup_simhash", "dedup_simhash_pairs",
+        "full_outer_join_nulls", "intersect_keys", "pivot_events",
+        "q1_pricing_summary", "rollup_agg", "session_window_events",
+        "set_ops", "similarity_ivf_topk", "string_math_funcs",
+        "text_repetition_quality",
+        # ...plus the 13 stalest r11-last entries
+        "attribution_multi_touch", "cdc_history_scd2",
+        "multimodal_audio_decode", "multimodal_video_decode",
+        "q21_waiting_supplier", "streaming_dedup_replay",
+        "streaming_enrichment_replay", "text_chunk_windows",
+        "text_html_extract", "text_pii_scrub", "text_tfidf_top_terms",
+        "url_canonicalize", "web_triangle_count"]:
         assert name in first50, f"{name} fell outside the driver window"
 
 
