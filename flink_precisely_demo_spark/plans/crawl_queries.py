@@ -573,8 +573,10 @@ def _delimited_orders_dir(spark: SparkSession, sf_dir: str) -> str:
     oracle="""
     SELECT o_orderpriority,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
-               AS total_price,
+           -- VARCHAR route: correctly-rounded decimal→double (DuckDB's
+           -- direct cast is off one ULP above 2^53 scaled — r14 sweep)
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS VARCHAR)
+                AS DOUBLE) AS total_price,
            MIN(o_orderkey) AS min_orderkey,
            MAX(o_custkey) AS max_custkey,
            MAX(ascii(o_orderstatus)) AS max_status_ascii,

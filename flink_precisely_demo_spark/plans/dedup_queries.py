@@ -637,7 +637,13 @@ def _ingest_cluster_path(spark: SparkSession, sf_dir: str) -> str:
     "dedup_ingest_clusters",
     oracle=f"""
     WITH RECURSIVE {_MINHASH_BANDS_CTES},
-    stats AS (
+    -- MATERIALIZED: this oracle references the band relation FOUR
+    -- times (stats + three edge branches); DuckDB inlines plain CTEs
+    -- per reference, which re-ran the whole 16-seed minhash pipeline
+    -- 4x at sf10 and exhausted spill disk (the r14 sweep's one
+    -- ERROR). Materializing pins one evaluation.
+    bands_m AS MATERIALIZED (SELECT * FROM bands),
+    stats AS MATERIALIZED (
       SELECT band_id, band_key,
              COUNT(CASE WHEN doc_id % 5 != 0 THEN 1 END) AS n_hist,
              COUNT(CASE WHEN doc_id % 10 = 0 THEN 1 END) AS n_w0,
@@ -645,13 +651,13 @@ def _ingest_cluster_path(spark: SparkSession, sf_dir: str) -> str:
              MIN(CASE WHEN doc_id % 5 != 0 THEN doc_id END) AS min_hist,
              MIN(CASE WHEN doc_id % 10 = 0 THEN doc_id END) AS min_w0,
              MIN(CASE WHEN doc_id % 10 = 5 THEN doc_id END) AS min_w1
-      FROM bands GROUP BY 1, 2
+      FROM bands_m GROUP BY 1, 2
     ),
     raw_edges AS (
       -- build: per-bucket star edges over the historical corpus,
       -- capped on the build-time (historical) bucket population
       SELECT b.doc_id AS a, s.min_hist AS lnk
-      FROM bands b JOIN stats s USING (band_id, band_key)
+      FROM bands_m b JOIN stats s USING (band_id, band_key)
       WHERE b.doc_id % 5 != 0 AND b.doc_id != s.min_hist
         AND s.n_hist <= 1024
       UNION
@@ -660,14 +666,14 @@ def _ingest_cluster_path(spark: SparkSession, sf_dir: str) -> str:
       SELECT b.doc_id,
              LEAST(s.min_hist,
                    CASE WHEN s.min_w0 < b.doc_id THEN s.min_w0 END)
-      FROM bands b JOIN stats s USING (band_id, band_key)
+      FROM bands_m b JOIN stats s USING (band_id, band_key)
       WHERE b.doc_id % 10 = 0 AND s.n_hist + s.n_w0 <= 1024
       UNION
       -- wave-1 ingest: wave-0's delta is historical now
       SELECT b.doc_id,
              LEAST(s.min_hist, s.min_w0,
                    CASE WHEN s.min_w1 < b.doc_id THEN s.min_w1 END)
-      FROM bands b JOIN stats s USING (band_id, band_key)
+      FROM bands_m b JOIN stats s USING (band_id, band_key)
       WHERE b.doc_id % 10 = 5 AND s.n_hist + s.n_w0 + s.n_w1 <= 1024
     ),
     e0 AS (SELECT a, lnk AS b FROM raw_edges WHERE lnk IS NOT NULL),

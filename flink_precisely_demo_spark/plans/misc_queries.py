@@ -124,7 +124,10 @@ def _array_functions_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
            COUNT(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total,
+           -- VARCHAR route: correctly-rounded decimal→double (DuckDB's
+           -- direct cast is off one ULP above 2^53 scaled — r14 sweep)
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS VARCHAR)
+                AS DOUBLE) AS total,
            CASE WHEN floor(o_totalprice / 50000) < 2 THEN 'low'
                 WHEN floor(o_totalprice / 50000) < 6 THEN 'mid'
                 ELSE 'high' END AS band

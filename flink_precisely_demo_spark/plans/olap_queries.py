@@ -110,7 +110,10 @@ def _cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "grouping_sets",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total,
+           -- VARCHAR route: correctly-rounded decimal→double (DuckDB's
+           -- direct cast is off one ULP above 2^53 scaled — r14 sweep)
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS VARCHAR)
+                AS DOUBLE) AS total,
            COUNT(*) AS n
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())

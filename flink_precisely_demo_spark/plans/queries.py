@@ -216,13 +216,20 @@ def _tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q1_pricing_summary",
     oracle="""
+    -- decimal→double routed through VARCHAR throughout: DuckDB's
+    -- direct decimal38→double cast double-rounds (int128→double then
+    -- /10^scale) and drifts one ULP from Spark's correctly-rounded
+    -- BigDecimal cast once the scaled value exceeds 2^53 — caught by
+    -- the r14 bit-exact sweep on sum_charge at sf1/sf10; strtod
+    -- parsing is correctly rounded, so the string route matches
+    -- Spark bit-for-bit at every magnitude.
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
-           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) / COUNT(l_quantity) AS DECIMAL(38,6)) AS DOUBLE) AS avg_qty,
-           CAST(CAST(SUM(CAST(l_discount AS DECIMAL(28,6))) / COUNT(l_discount) AS DECIMAL(38,6)) AS DOUBLE) AS avg_disc,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+           CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+           CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+           CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) / COUNT(l_quantity) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS avg_qty,
+           CAST(CAST(CAST(SUM(CAST(l_discount AS DECIMAL(28,6))) / COUNT(l_discount) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'

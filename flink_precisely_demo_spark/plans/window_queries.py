@@ -318,8 +318,11 @@ def _skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l.k = 0 AS is_hot_key, l.l_returnflag,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-                         AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           -- VARCHAR route: correctly-rounded decimal→double (DuckDB's
+           -- direct cast is off one ULP above 2^53 scaled — r14 sweep)
+           CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                              AS DECIMAL(28,6))) AS VARCHAR)
+                AS DOUBLE) AS revenue,
            CAST(SUM(r.n_ord) AS BIGINT) AS sum_n_ord
     FROM l JOIN r ON l.k = r.k
     GROUP BY 1, 2
