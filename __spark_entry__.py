@@ -187,9 +187,17 @@ _DEFERRED = [
 # — the list cannot be used to hide once-red or once-green entries).
 # All pairs still run in the local pytest oracle sweep regardless.
 #
-# r14: empty — all three pairs built this round were registered
-# before the rotation was finalized and seat directly in the head.
-_PENDING: list[str] = []
+# r14: the three pairs built before the rotation was finalized
+# seated directly in the head; built after it (SWEEP_r14 already
+# recorded against the 149-pair registration):
+# - streaming_dedup_cluster_replay — the ingest sink now maintains
+#   cluster state on a clusters=True index (edges ride each tagged
+#   delta); same oracle as dedup_ingest_clusters, streaming
+#   machinery under test. Full-hash evidence at sf0.001/sf0.01 +
+#   resumed sf1/sf10 sweep rows on registration day.
+_PENDING: list[str] = [
+    "streaming_dedup_cluster_replay",
+]
 
 
 def _ordered(mapping: dict) -> dict:

@@ -209,7 +209,8 @@ def main() -> None:
                  # spans
                  "dedup_ingest_clusters",
                  "streaming_corpus_ingest_replay",
-                 "dedup_substring_exact"]
+                 "dedup_substring_exact",
+                 "streaming_dedup_cluster_replay"]
     secondary: dict[str, float] = {}
     for name in SECONDARY:
         try:

@@ -2,7 +2,11 @@
 labeled against the persisted band index, its verdicts land
 exactly-once, and its accepted band rows append as one tagged delta
 generation — so the NEXT trigger's documents are checked against
-this trigger's.
+this trigger's. On an index that carries cluster state (built with
+``clusters=True``), each batch's per-bucket link edges ride the same
+delta, so near-dup CLUSTER membership is maintained across triggers
+too (operators/dedup_index.cluster_labels folds it; compaction
+collapses the forest).
 
 The idempotence contract is the ANN mutation sink's
 (streaming/ann_upsert.py), re-used verbatim: a batch publishes its
@@ -35,6 +39,7 @@ from ..operators.dedup_index import (
     append_bands,
     compact_band_index,
     ingest_batch,
+    ingest_cluster_edges,
 )
 
 
@@ -81,10 +86,23 @@ def dedup_ingest_sink(index_path: str, verdicts_path: str,
                                     banded=banded)
             verdicts.write.mode("overwrite").parquet(
                 os.path.join(verdicts_path, f"batch={batch_id}"))
+            # cluster maintenance rides automatically when the index
+            # carries cluster state (built with clusters=True): the
+            # batch's per-bucket link edges land in the SAME tagged
+            # delta rename as its bands, so the maintained membership
+            # is exactly as idempotent/atomic as the bands themselves
+            # and compaction folds both (r14)
+            edges = None
+            if os.path.isdir(os.path.join(index_path, "clusters")):
+                edges = ingest_cluster_edges(
+                    spark, index_path, text_col=text_col, id_col=id_col,
+                    num_hashes=num_hashes, bands=bands,
+                    shingle_n=shingle_n,
+                    max_bucket_size=max_bucket_size, banded=banded)
             append_bands(spark, index_path, batch_df, text_col=text_col,
                          id_col=id_col, num_hashes=num_hashes,
                          bands=bands, shingle_n=shingle_n, tag=tag,
-                         banded=banded)
+                         banded=banded, cluster_edges=edges)
         finally:
             banded.unpersist()
         if compact_every and len(_delta_dirs(index_path)) >= compact_every:

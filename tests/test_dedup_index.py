@@ -254,3 +254,29 @@ def test_cluster_labels_requires_cluster_state(spark, tmp_path):
     build_band_index(_docs(spark).filter(F.col("doc_id") < 30), path)
     with pytest.raises(FileNotFoundError, match="cluster state"):
         cluster_labels(spark, path)
+
+
+def test_streaming_sink_maintains_clusters(spark, tmp_path):
+    """On a clusters=True index the foreachBatch sink rides each
+    trigger's link edges inside the tagged delta: after two batches +
+    compaction the maintained labels must equal near_dup_clusters
+    over the cumulative corpus, and a retry must not disturb them."""
+    from flink_precisely_demo_spark.operators.dedup import (
+        near_dup_clusters)
+    from flink_precisely_demo_spark.streaming.dedup_ingest import (
+        dedup_ingest_sink)
+
+    docs = _docs(spark).select("doc_id", "text")
+    path = str(tmp_path / "idx")
+    vpath = str(tmp_path / "verd")
+    build_band_index(docs.filter(F.col("doc_id") % 5 != 0), path,
+                     clusters=True)
+    sink = dedup_ingest_sink(path, vpath, compact_every=2)
+    for b, mod in ((0, 0), (1, 5)):
+        sink(docs.filter(F.col("doc_id") % 10 == mod), b)
+    expect = {int(r["doc_id"]): int(r["cluster_id"])
+              for r in near_dup_clusters(docs).collect()
+              if int(r["doc_id"]) != int(r["cluster_id"])}
+    assert _labels(spark, path) == expect
+    sink(docs.filter(F.col("doc_id") % 10 == 5), 1)   # retry: no-op
+    assert _labels(spark, path) == expect
