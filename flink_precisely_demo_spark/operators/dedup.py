@@ -97,13 +97,17 @@ def passage_hashes(df: DataFrame, text_col: str = "text",
     100 TB only (id, 16-hex-hash) pairs ever leave the scan; document
     text never shuffles. Empty documents are dropped explicitly (both
     engines agree no tokens => no passages)."""
-    toks = tokens(text_col)
+    # tokenize ONCE into a staged column (subexpression elimination
+    # does not span the filter/project boundary — r14, same fix as
+    # sliding_window_hashes)
+    toks = F.col("__toks")
     n = F.size(toks)
     n_chunks = F.floor((n + F.lit(width - 1)) / F.lit(width)).cast("int")
     idx = F.sequence(F.lit(0), n_chunks - 1)
     passages = F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(toks, i * width + 1, width)))
-    return (df.filter(F.size(tokens(text_col)) > 0)
+    return (df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+              .filter(F.size(toks) > 0)
               .select(F.col(id_col),
                       F.explode(passages).alias("__passage"))
               .select(id_col,
@@ -122,16 +126,20 @@ def sliding_window_hashes(df: DataFrame, text_col: str = "text",
     window-hash equality is a complete anchor set for exact-substring
     detection. Scan-stage only — text never shuffles, only
     (id, pos, hash) rows."""
-    toks = tokens(text_col)
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), n - F.lit(k - 1))
+    # tokenize ONCE into a staged column: Spark's subexpression
+    # elimination does not span the filter/project boundary, so the
+    # naive filter(size(tokens)>=k).select(...tokens...) shape pays
+    # the regexp split twice per row
+    toks = F.col("__toks")
+    idx = F.sequence(F.lit(1), F.size(toks) - F.lit(k - 1))
     wins = F.transform(
         idx,
         lambda i: F.struct(
             i.cast("long").alias("pos"),
             F.substring(F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
                         1, 16).alias("h")))
-    return (df.filter(F.size(tokens(text_col)) >= k)
+    return (df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+              .filter(F.size(toks) >= k)
               .select(F.col(id_col), F.explode(wins).alias("w"))
               .select(id_col, F.col("w.pos").alias("pos"),
                       F.col("w.h").alias("win_hash")))

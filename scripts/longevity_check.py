@@ -212,6 +212,85 @@ def check_dedup(spark, n_triggers: int = 50,
     return stats, violations
 
 
+def check_dedup_ingest(spark, n_triggers: int = 50,
+                       batch_size: int = 50) -> tuple[dict, list]:
+    """The band-index ingest sink (dedup-at-ingest + maintained
+    clusters) under stream age: 50 re-keyed document batches through
+    dedup_ingest_sink on a clusters=True index with compact_every=8.
+    Structural gates: the published delta count must stay bounded by
+    the compaction schedule (otherwise every later ingest and every
+    cluster fold pays an ever-growing delta list), each batch's
+    verdicts dir must exist, and the maintained labels must be
+    identical before and after a final out-of-band compaction (the
+    fold-on-read view and the folded base are the same forest).
+    Timing gate: flat per-trigger cost — the corpus is sized so the
+    index's linear growth (50*batch_size bands rows over a 2000-doc
+    base) stays inside the fixed-cost noise; real index-size growth
+    is the deployment's own linear cost, not a leak."""
+    from pyspark.sql import functions as F
+
+    from flink_precisely_demo_spark.operators.ann_index import (
+        _delta_dirs)
+    from flink_precisely_demo_spark.operators.dedup_index import (
+        build_band_index, cluster_labels, compact_band_index)
+    from flink_precisely_demo_spark.streaming.dedup_ingest import (
+        dedup_ingest_sink)
+
+    compact_every = 8
+    docs_df = (spark.read.parquet(
+                   "/root/testdata/sf0.01/documents.parquet")
+               .select("doc_id", "text"))
+    hist = docs_df.limit(2000)
+    feed = docs_df.limit(batch_size).collect()
+    work = tempfile.mkdtemp(prefix="longevity_dingest_")
+    idx = f"{work}/idx"
+    build_band_index(hist, idx, clusters=True)
+    sink = dedup_ingest_sink(idx, f"{work}/verd",
+                             compact_every=compact_every)
+    times: list = []
+    violations: list = []
+    try:
+        for i in range(n_triggers):
+            batch = spark.createDataFrame(
+                [(r["doc_id"] + (i + 1) * 1_000_000, r["text"])
+                 for r in feed],
+                "doc_id long, text string")
+            t0 = time.monotonic()
+            sink(batch, i)
+            times.append(round((time.monotonic() - t0) * 1000, 1))
+            n_deltas = len(_delta_dirs(idx))
+            if n_deltas >= compact_every:
+                violations.append(
+                    f"trigger {i}: {n_deltas} deltas survive "
+                    f"compact_every={compact_every}")
+            if not os.path.isdir(f"{work}/verd/batch={i}"):
+                violations.append(f"trigger {i}: verdicts dir missing")
+        before = {(int(r["doc_id"]), int(r["cluster_id"]))
+                  for r in cluster_labels(spark, idx).collect()}
+        compact_band_index(spark, idx)
+        after = {(int(r["doc_id"]), int(r["cluster_id"]))
+                 for r in cluster_labels(spark, idx).collect()}
+        if before != after:
+            violations.append(
+                f"maintained labels changed across final compaction "
+                f"(+{len(after - before)}/-{len(before - after)})")
+        ingested = {int(r["doc_id"]) + (i + 1) * 1_000_000
+                    for i in range(n_triggers) for r in feed}
+        hist_ids = {int(r["doc_id"]) for r in hist.select(
+            "doc_id").collect()}
+        stray = {d for d, _ in after} - ingested - hist_ids
+        if stray:
+            violations.append(
+                f"{len(stray)} labeled ids never ingested "
+                f"(e.g. {sorted(stray)[:3]})")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    stats = {"check": "dedup_ingest", "n_triggers": n_triggers,
+             "batch_size": batch_size}
+    stats.update(_flatness(times, "batch_ms", violations))
+    return stats, violations
+
+
 def check_ann_upsert(spark, n_triggers: int = 50,
                      batch_size: int = 80) -> tuple[dict, list]:
     """The streaming ANN sink under stream age: every batch
@@ -351,7 +430,8 @@ def check_flagship_window(spark, n_triggers: int = 50,
 
 
 CHECKS = {"sessionize": check_sessionize, "pattern": check_pattern,
-          "dedup": check_dedup, "ann_upsert": check_ann_upsert,
+          "dedup": check_dedup, "dedup_ingest": check_dedup_ingest,
+          "ann_upsert": check_ann_upsert,
           "flagship_window": check_flagship_window}
 
 
