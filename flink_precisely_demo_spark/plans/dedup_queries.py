@@ -88,7 +88,13 @@ _MINHASH_BANDS_CTES = f"""{_SHINGLES_CTE},
       CROSS JOIN range(0, 16) s(seed)
       GROUP BY sh.doc_id, s.seed
     ),
-    bands AS (
+    -- MATERIALIZED: most consumers reference the band relation twice
+    -- or more (bucket stats + member scans / self-joins); DuckDB
+    -- inlines plain CTEs per reference, re-running the whole 16-seed
+    -- minhash pipeline each time — at sf10 that doubled (and in the
+    -- 4-reference r14 clusters oracle, quadrupled, to the point of
+    -- spill-disk exhaustion) the oracle cost for zero benefit
+    bands AS MATERIALIZED (
       SELECT doc_id, CAST(seed // 4 AS INT) AS band_id,
              string_agg(CAST(seed AS VARCHAR) || ':' || CAST(minhash AS VARCHAR), '|'
                         ORDER BY seed)
@@ -99,8 +105,9 @@ _MINHASH_BANDS_CTES = f"""{_SHINGLES_CTE},
 # CTE body ending in `pairs` = the capped MinHash-LSH candidate
 # pairs; shared by the pair query and the clustering query
 _MINHASH_PAIRS_CTES = f"""{_MINHASH_BANDS_CTES},
-    -- hot-bucket cap (mirrors max_bucket_size=1024 in the Spark plan)
-    sized AS (
+    -- hot-bucket cap (mirrors max_bucket_size=1024 in the Spark plan);
+    -- MATERIALIZED: the pairs CTE self-joins it
+    sized AS MATERIALIZED (
       SELECT *, COUNT(*) OVER (PARTITION BY band_id, band_key) AS bn
       FROM bands
     ),
