@@ -227,6 +227,22 @@ def ingest_batch(spark: SparkSession, index_path: str, batch: DataFrame,
                     "dup_of"))
 
 
+def verdicts_from_edges(batch: DataFrame, edges: DataFrame,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Derive the (id, is_novel, dup_of) verdicts from an already-
+    computed edge frame (:func:`ingest_cluster_edges`): dup_of is the
+    minimum link target, novel means no edge — algebraically
+    identical to :func:`ingest_batch` (both reduce the same candidate
+    frame; the global min over per-bucket links IS the verdict), so a
+    cluster-maintaining caller pays the index-band candidate pass
+    ONCE per batch instead of twice."""
+    verdict = edges.groupBy("a").agg(F.min("b").alias("dup_of"))
+    return (batch.select(id_col)
+            .join(verdict, batch[id_col] == verdict["a"], "left")
+            .select(id_col, F.col("dup_of").isNull().alias("is_novel"),
+                    "dup_of"))
+
+
 def ingest_cluster_edges(spark: SparkSession, index_path: str,
                          batch: DataFrame | None = None,
                          text_col: str = "text", id_col: str = "doc_id",

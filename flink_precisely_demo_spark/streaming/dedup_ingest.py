@@ -40,6 +40,7 @@ from ..operators.dedup_index import (
     compact_band_index,
     ingest_batch,
     ingest_cluster_edges,
+    verdicts_from_edges,
 )
 
 
@@ -77,34 +78,45 @@ def dedup_ingest_sink(index_path: str, verdicts_path: str,
         # cost) runs a single time per trigger
         banded = _minhash_banded(batch_df, text_col, id_col,
                                  num_hashes, bands, shingle_n).persist()
+        edges = None
         try:
-            verdicts = ingest_batch(spark, index_path, batch_df,
-                                    text_col=text_col, id_col=id_col,
-                                    num_hashes=num_hashes, bands=bands,
-                                    shingle_n=shingle_n,
-                                    max_bucket_size=max_bucket_size,
-                                    banded=banded)
-            verdicts.write.mode("overwrite").parquet(
-                os.path.join(verdicts_path, f"batch={batch_id}"))
             # cluster maintenance rides automatically when the index
             # carries cluster state (built with clusters=True): the
             # batch's per-bucket link edges land in the SAME tagged
             # delta rename as its bands, so the maintained membership
             # is exactly as idempotent/atomic as the bands themselves
-            # and compaction folds both (r14)
-            edges = None
+            # and compaction folds both (r14). When edges are
+            # computed, the verdicts DERIVE from them
+            # (verdicts_from_edges — the global min over per-bucket
+            # links IS the verdict), so the index-band candidate pass
+            # runs once per trigger, not twice; edges persist because
+            # both the verdict write and the delta append consume
+            # them.
             if os.path.isdir(os.path.join(index_path, "clusters")):
                 edges = ingest_cluster_edges(
                     spark, index_path, text_col=text_col, id_col=id_col,
                     num_hashes=num_hashes, bands=bands,
                     shingle_n=shingle_n,
-                    max_bucket_size=max_bucket_size, banded=banded)
+                    max_bucket_size=max_bucket_size,
+                    banded=banded).persist()
+                verdicts = verdicts_from_edges(batch_df, edges, id_col)
+            else:
+                verdicts = ingest_batch(spark, index_path, batch_df,
+                                        text_col=text_col, id_col=id_col,
+                                        num_hashes=num_hashes,
+                                        bands=bands, shingle_n=shingle_n,
+                                        max_bucket_size=max_bucket_size,
+                                        banded=banded)
+            verdicts.write.mode("overwrite").parquet(
+                os.path.join(verdicts_path, f"batch={batch_id}"))
             append_bands(spark, index_path, batch_df, text_col=text_col,
                          id_col=id_col, num_hashes=num_hashes,
                          bands=bands, shingle_n=shingle_n, tag=tag,
                          banded=banded, cluster_edges=edges)
         finally:
             banded.unpersist()
+            if edges is not None:
+                edges.unpersist()
         if compact_every and len(_delta_dirs(index_path)) >= compact_every:
             compact_band_index(spark, index_path, id_col=id_col)
 

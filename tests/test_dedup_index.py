@@ -280,3 +280,21 @@ def test_streaming_sink_maintains_clusters(spark, tmp_path):
     assert _labels(spark, path) == expect
     sink(docs.filter(F.col("doc_id") % 10 == 5), 1)   # retry: no-op
     assert _labels(spark, path) == expect
+
+
+def test_verdicts_from_edges_equals_ingest_batch(spark, tmp_path):
+    """The derived-verdict path (one candidate pass, used by the
+    cluster-maintaining sink) must produce exactly ingest_batch's
+    verdicts on the same batch."""
+    from flink_precisely_demo_spark.operators.dedup_index import (
+        ingest_cluster_edges, verdicts_from_edges)
+
+    docs = _docs(spark).select("doc_id", "text")
+    path = str(tmp_path / "idx")
+    build_band_index(docs.filter(F.col("doc_id") % 5 != 0), path,
+                     clusters=True)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    direct = _verdicts(ingest_batch(spark, path, batch))
+    derived = _verdicts(verdicts_from_edges(
+        batch, ingest_cluster_edges(spark, path, batch)))
+    assert direct == derived
