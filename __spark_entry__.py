@@ -195,8 +195,12 @@ _DEFERRED = [
 #   delta); same oracle as dedup_ingest_clusters, streaming
 #   machinery under test. Full-hash evidence at sf0.001/sf0.01 +
 #   resumed sf1/sf10 sweep rows on registration day.
+# - curation_substring_contamination — cross-split verbatim-leakage
+#   audit built on the exact-substring machinery; same evidence
+#   ladder on registration day.
 _PENDING: list[str] = [
     "streaming_dedup_cluster_replay",
+    "curation_substring_contamination",
 ]
 
 

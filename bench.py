@@ -210,7 +210,8 @@ def main() -> None:
                  "dedup_ingest_clusters",
                  "streaming_corpus_ingest_replay",
                  "dedup_substring_exact",
-                 "streaming_dedup_cluster_replay"]
+                 "streaming_dedup_cluster_replay",
+                 "curation_substring_contamination"]
     secondary: dict[str, float] = {}
     for name in SECONDARY:
         try:

@@ -1018,3 +1018,72 @@ def _streaming_dedup_cluster_replay(spark: SparkSession,
             .select("doc_id",
                     F.coalesce("cluster_id", "doc_id")
                     .alias("cluster_id")))
+
+
+@query(
+    "curation_substring_contamination",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    w AS MATERIALIZED (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             substring(md5(array_to_string(
+               toks[CAST(i AS INT):CAST(i + 15 AS INT)], ' ')), 1, 16)
+               AS h
+      FROM (
+        SELECT doc_id, toks,
+               unnest(range(1, len(toks) - 15 + 1)) AS i
+        FROM toks WHERE len(toks) >= 16
+      )
+    ),
+    hd AS (SELECT h, COUNT(DISTINCT doc_id) AS dfd FROM w GROUP BY 1),
+    ok AS (SELECT h FROM hd WHERE dfd <= 64),
+    m AS (
+      SELECT t.doc_id AS train_id, b.doc_id AS bench_id,
+             t.pos AS pt, t.pos - b.pos AS off
+      FROM w t
+      JOIN ok USING (h)
+      JOIN w b ON b.h = t.h
+      WHERE t.doc_id % 4 != 0 AND b.doc_id % 4 = 0
+    ),
+    g AS (
+      SELECT train_id, bench_id, off, pt,
+             pt - ROW_NUMBER() OVER (PARTITION BY train_id, bench_id,
+                                     off ORDER BY pt) AS grp
+      FROM m
+    ),
+    runs AS (
+      SELECT train_id, bench_id, off,
+             MIN(pt) AS train_start, COUNT(*) AS c
+      FROM g GROUP BY train_id, bench_id, off, grp
+    )
+    SELECT train_id, bench_id, train_start,
+           train_start - off AS bench_start,
+           CAST(c + 15 AS BIGINT) AS run_tokens
+    FROM runs WHERE c + 15 >= 24
+    """,
+)
+def _curation_substring_contamination(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """Cross-split EXACT-SUBSTRING decontamination
+    (operators/dedup.substring_contamination): every maximal run of
+    >= 24 exactly-shared consecutive tokens between a train-split
+    document (doc_id % 4 != 0) and a benchmark-split document
+    (% 4 == 0), with both start offsets — the verbatim-leakage audit
+    that n-gram-overlap contamination gates (curation_contamination)
+    only approximate, and the coordinates an auditor needs to cut.
+    Anchor-and-extend across the split (alignments taken only
+    train x bench; the df cap measured over both sides combined);
+    the oracle replays the identical window/anchor/extension
+    arithmetic in SQL.
+
+    Scale: linear window tables per side; at 100 TB the benchmark
+    side is tiny and its window table broadcasts."""
+    from ..operators.dedup import substring_contamination
+
+    docs = load_table(spark, sf_dir, "documents")
+    return substring_contamination(
+        docs.filter(F.col("doc_id") % 4 != 0),
+        docs.filter(F.col("doc_id") % 4 == 0),
+        k=16, min_len=24, max_df=64)

@@ -369,3 +369,29 @@ def test_exact_substring_df_cap_bounds_emission(spark):
     wide = exact_substring_spans(docs, k=16, min_len=24, max_df=64)
     assert wide.count() == 15                       # C(6,2) pairs
     assert {int(r["run_tokens"]) for r in wide.collect()} == {25}
+
+
+def test_substring_contamination_sides_and_spans(spark):
+    """Alignments must be strictly cross-split (train x bench, never
+    within one side) and the span arithmetic must locate the shared
+    run on both sides."""
+    from flink_precisely_demo_spark.operators.dedup import (
+        substring_contamination)
+
+    shared = " ".join(f"s{i}" for i in range(30))
+    train = spark.createDataFrame(
+        [(1, "a0 a1 " + shared),        # leaks bench span, pos 3
+         (2, "b0 " + shared),           # leaks bench span, pos 2
+         (3, "clean " + " ".join(f"c{i}" for i in range(30)))],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(10, shared + " q0 q1"),
+         (11, " ".join(f"z{i}" for i in range(30)))],
+        "doc_id long, text string")
+    got = {(int(r["train_id"]), int(r["bench_id"]), int(r["train_start"]),
+            int(r["bench_start"]), int(r["run_tokens"]))
+           for r in substring_contamination(train, bench,
+                                            k=16, min_len=24).collect()}
+    # train docs 1 and 2 both share the 30-token run with bench 10;
+    # train 1/2 sharing it with EACH OTHER must NOT pair (same side)
+    assert got == {(1, 10, 3, 1, 30), (2, 10, 2, 1, 30)}
