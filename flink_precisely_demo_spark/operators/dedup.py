@@ -148,7 +148,8 @@ def sliding_window_hashes(df: DataFrame, text_col: str = "text",
 def exact_substring_spans(df: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id", k: int = 16,
                           min_len: int = 24,
-                          max_df: int = 64) -> DataFrame:
+                          max_df: int = 64,
+                          max_occ: int | None = None) -> DataFrame:
     """Maximal cross-document EXACT token runs of length >= min_len:
     (a, b, a_start, b_start, run_tokens) — the Lee et al. 2022
     exact-substring dedup class ("Deduplicating Training Data Makes
@@ -165,22 +166,31 @@ def exact_substring_spans(df: DataFrame, text_col: str = "text",
 
     ``max_df`` caps the document frequency of an anchor before it may
     emit alignments (boilerplate k-grams shared by 10^5 docs would
-    otherwise emit O(df^2) pairs from one hash); a run whose interior
-    crosses an over-cap anchor splits — the same bounded-emission
-    trade as the LSH bucket cap, and the capped hashes are the
-    re-bandable side output.
+    otherwise emit O(df^2) pairs from one hash); ``max_occ``
+    (default ``4 * max_df``) additionally caps an anchor's TOTAL
+    occurrence count, because a k-gram repeated many times WITHIN
+    each of a handful of documents — the repetitive-boilerplate case
+    max_df exists for — would otherwise emit positions_a x
+    positions_b alignment rows from one under-df hash. Together the
+    two caps bound alignment rows per anchor by max_occ^2. A run
+    whose interior crosses an over-cap anchor splits — the same
+    bounded-emission trade as the LSH bucket cap.
 
     Scale: the window table is one row per token (16-hex + two ids)
     — linear in corpus tokens; the O(n*k) character folding stays in
-    the scan stage. Alignment rows are bounded by max_df^2 per anchor
-    hash."""
+    the scan stage."""
     from pyspark.sql import Window
 
+    if max_occ is None:
+        max_occ = 4 * max_df
     w = sliding_window_hashes(df, text_col, id_col, k)
     hd = w.groupBy("win_hash").agg(
-        F.count_distinct(id_col).alias("__dfd"))
+        F.count_distinct(id_col).alias("__dfd"),
+        F.count(F.lit(1)).alias("__tot"))
     shared = w.join(hd.filter((F.col("__dfd") >= 2)
-                              & (F.col("__dfd") <= max_df)), "win_hash")
+                              & (F.col("__dfd") <= max_df)
+                              & (F.col("__tot") <= max_occ)),
+                    "win_hash")
     left = shared.select("win_hash", F.col(id_col).alias("a"),
                          F.col("pos").alias("pa"))
     right = shared.select("win_hash", F.col(id_col).alias("b"),
@@ -204,7 +214,8 @@ def substring_contamination(train: DataFrame, bench: DataFrame,
                             text_col: str = "text",
                             id_col: str = "doc_id", k: int = 16,
                             min_len: int = 24,
-                            max_df: int = 64) -> DataFrame:
+                            max_df: int = 64,
+                            max_occ: int | None = None) -> DataFrame:
     """Cross-split exact-substring contamination: every maximal run of
     >= min_len exactly-shared consecutive tokens between a TRAIN
     document and a BENCHMARK document, located on both sides —
@@ -216,7 +227,16 @@ def substring_contamination(train: DataFrame, bench: DataFrame,
     machinery as :func:`exact_substring_spans`, with the alignment
     join taken ACROSS the two sides (never within one) and the
     document-frequency cap measured over both sides' distinct
-    documents combined.
+    documents combined. The df count tags each side's ids before the
+    union ('t:'/'b:' prefix): the two splits are independent datasets
+    whose raw ids may collide (both numbered from 0 in the generic
+    API case), and an untagged count_distinct would conflate a train
+    doc with a bench doc carrying the same id, undercounting df and
+    weakening the boilerplate cap exactly where it matters.
+    ``max_occ`` (default ``4 * max_df``) caps an anchor's total
+    occurrence count across both sides, bounding alignment rows per
+    anchor even when a k-gram repeats many times inside few docs —
+    see :func:`exact_substring_spans`.
 
     Scale: window tables are linear in each side's tokens; alignment
     rows are bounded by the per-anchor cap. Benchmarks are tiny next
@@ -224,13 +244,24 @@ def substring_contamination(train: DataFrame, bench: DataFrame,
     broadcasts in practice."""
     from pyspark.sql import Window
 
+    if max_occ is None:
+        max_occ = 4 * max_df
     tw = sliding_window_hashes(train, text_col, id_col, k)
     bw = sliding_window_hashes(bench, text_col, id_col, k)
-    both = (tw.select("win_hash", id_col)
-            .unionByName(bw.select("win_hash", id_col)))
+    both = (tw.select(
+                "win_hash",
+                F.concat(F.lit("t:"), F.col(id_col).cast("string"))
+                .alias("__sid"))
+            .unionByName(bw.select(
+                "win_hash",
+                F.concat(F.lit("b:"), F.col(id_col).cast("string"))
+                .alias("__sid"))))
     hd = both.groupBy("win_hash").agg(
-        F.count_distinct(id_col).alias("__dfd"))
-    ok = hd.filter(F.col("__dfd") <= max_df).select("win_hash")
+        F.count_distinct("__sid").alias("__dfd"),
+        F.count(F.lit(1)).alias("__tot"))
+    ok = (hd.filter((F.col("__dfd") <= max_df)
+                    & (F.col("__tot") <= max_occ))
+          .select("win_hash"))
     m = (tw.join(ok, "win_hash")
          .select("win_hash", F.col(id_col).alias("t"),
                  F.col("pos").alias("pt"))

@@ -285,9 +285,27 @@ def append_bands(spark: SparkSession, index_path: str, batch: DataFrame,
     ``banded`` reuses a pre-computed banding (see ingest_batch);
     ``cluster_edges`` (from :func:`ingest_cluster_edges`) rides the
     SAME atomic rename so cluster maintenance can never observe a
-    delta whose bands landed but whose edges did not."""
+    delta whose bands landed but whose edges did not.
+
+    On an index that carries cluster state (``clusters/`` present),
+    ``cluster_edges`` is REQUIRED: cluster_labels folds only deltas
+    that ship edges, and compact_band_index rewrites ``clusters/``
+    without an edge-less delta's links — one plain append would
+    permanently and undetectably stale the maintained membership
+    (the bands compact in; the edges can never be recomputed without
+    re-reading historical text). Pass ``cluster_edges=`` (the
+    streaming sink auto-detects and does this) or build the index
+    with ``clusters=False``."""
     if not index_ok(index_path):
         raise FileNotFoundError(f"no published index at {index_path}")
+    if cluster_edges is None and \
+            os.path.isdir(os.path.join(index_path, "clusters")):
+        raise ValueError(
+            f"index at {index_path} maintains cluster state "
+            "(clusters/ present) but append_bands was called without "
+            "cluster_edges — the delta's links would be silently lost "
+            "at the next compaction; pass "
+            "cluster_edges=ingest_cluster_edges(...)")
     deltas = _delta_dirs(index_path)
     seq = (deltas[-1][0] + 1) if deltas else 1
     root = os.path.join(index_path, "deltas")

@@ -950,9 +950,10 @@ def _dedup_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM toks WHERE len(toks) >= 16
       )
     ),
-    hd AS (SELECT h, COUNT(DISTINCT doc_id) AS dfd FROM w GROUP BY 1),
+    hd AS (SELECT h, COUNT(DISTINCT doc_id) AS dfd,
+                  COUNT(*) AS tot FROM w GROUP BY 1),
     s AS (SELECT w.* FROM w JOIN hd USING (h)
-          WHERE dfd >= 2 AND dfd <= 64),
+          WHERE dfd >= 2 AND dfd <= 64 AND tot <= 256),
     m AS (
       SELECT l.doc_id AS a, r.doc_id AS b, l.pos AS pa,
              l.pos - r.pos AS off
@@ -1037,8 +1038,9 @@ def _streaming_dedup_cluster_replay(spark: SparkSession,
         FROM toks WHERE len(toks) >= 16
       )
     ),
-    hd AS (SELECT h, COUNT(DISTINCT doc_id) AS dfd FROM w GROUP BY 1),
-    ok AS (SELECT h FROM hd WHERE dfd <= 64),
+    hd AS (SELECT h, COUNT(DISTINCT doc_id) AS dfd,
+                  COUNT(*) AS tot FROM w GROUP BY 1),
+    ok AS (SELECT h FROM hd WHERE dfd <= 64 AND tot <= 256),
     m AS (
       SELECT t.doc_id AS train_id, b.doc_id AS bench_id,
              t.pos AS pt, t.pos - b.pos AS off

@@ -395,3 +395,61 @@ def test_substring_contamination_sides_and_spans(spark):
     # train docs 1 and 2 both share the 30-token run with bench 10;
     # train 1/2 sharing it with EACH OTHER must NOT pair (same side)
     assert got == {(1, 10, 3, 1, 30), (2, 10, 2, 1, 30)}
+
+
+def test_exact_substring_occ_cap_bounds_emission(spark):
+    """An anchor k-gram UNDER the df cap but repeated many times
+    WITHIN each document (boilerplate-heavy corpora) must be dropped
+    by the total-occurrence cap — the case where df alone would let
+    one hash emit positions_a x positions_b alignment rows; raising
+    max_occ restores the spans."""
+    from flink_precisely_demo_spark.operators.dedup import (
+        exact_substring_spans)
+
+    block = " ".join(f"p{i}" for i in range(16))    # one 16-token gram
+    # 4 copies per doc, unique separators so ONLY the block windows
+    # repeat: block appears at token positions 1, 18, 35, 52
+    def doc(d):
+        seps = [f"g{d}x{j}" for j in range(3)]
+        return (block + " " + seps[0] + " " + block + " " + seps[1]
+                + " " + block + " " + seps[2] + " " + block)
+    docs = spark.createDataFrame(
+        [(1, doc(1)), (2, doc(2))], "doc_id long, text string")
+    # dfd = 2 (under max_df) but tot = 8 occurrences of the anchor
+    assert exact_substring_spans(docs, k=16, min_len=16,
+                                 max_occ=6).isEmpty()
+    wide = exact_substring_spans(docs, k=16, min_len=16, max_occ=8)
+    # every cross-doc position pair aligns: 4 x 4 = 16 runs of 16
+    assert wide.count() == 16
+    assert {int(r["run_tokens"]) for r in wide.collect()} == {16}
+
+
+def test_substring_contamination_tags_sides_for_df_cap(spark):
+    """Independent train/bench datasets with COLLIDING raw ids (both
+    numbered from 0 — the generic API case): the df cap must count
+    each side's documents as distinct, so a boilerplate gram in 3
+    train docs + 3 bench docs with the same ids is df=6 (over a cap
+    of 4), not a conflated df=3 (under it). A genuine leak between
+    non-colliding content must still surface."""
+    from flink_precisely_demo_spark.operators.dedup import (
+        substring_contamination)
+
+    boiler = " ".join(f"x{i}" for i in range(25))
+    leak = " ".join(f"s{i}" for i in range(30))
+    train = spark.createDataFrame(
+        [(0, boiler + " ta0 ta1"), (1, boiler + " tb0 tb1"),
+         (2, boiler + " tc0 tc1"), (5, "lead " + leak)],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(0, boiler + " qa0 qa1"), (1, boiler + " qb0 qb1"),
+         (2, boiler + " qc0 qc1"), (7, leak + " tail0 tail1")],
+        "doc_id long, text string")
+    got = {(int(r["train_id"]), int(r["bench_id"]),
+            int(r["train_start"]), int(r["bench_start"]),
+            int(r["run_tokens"]))
+           for r in substring_contamination(train, bench, k=16,
+                                            min_len=24, max_df=4)
+           .collect()}
+    # boiler pairs (9 of them) suppressed by the side-tagged df cap;
+    # the genuine 30-token leak still located on both sides
+    assert got == {(5, 7, 2, 1, 30)}

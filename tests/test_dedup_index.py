@@ -298,3 +298,26 @@ def test_verdicts_from_edges_equals_ingest_batch(spark, tmp_path):
     derived = _verdicts(verdicts_from_edges(
         batch, ingest_cluster_edges(spark, path, batch)))
     assert direct == derived
+
+
+def test_append_bands_requires_edges_on_clustered_index(spark, tmp_path):
+    """append_bands on a clusters=True index without cluster_edges
+    must raise: cluster_labels folds only deltas that ship edges, and
+    compaction would rewrite clusters/ without the batch's links —
+    silently and permanently staling the maintained membership. A
+    plain (clusters=False) index keeps accepting edge-less appends."""
+    import pytest
+
+    docs = _docs(spark).select("doc_id", "text")
+    hist = docs.filter(F.col("doc_id") < 100)
+    batch = docs.filter((F.col("doc_id") >= 100)
+                        & (F.col("doc_id") < 120))
+
+    clustered = str(tmp_path / "clustered")
+    build_band_index(hist, clustered, clusters=True)
+    with pytest.raises(ValueError, match="cluster_edges"):
+        append_bands(spark, clustered, batch)
+
+    plain = str(tmp_path / "plain")
+    build_band_index(hist, plain)
+    assert append_bands(spark, plain, batch) == 1
