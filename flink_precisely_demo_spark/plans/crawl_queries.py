@@ -42,8 +42,16 @@ from ..functions.text import (
 )
 from ..sources.parquet import load_table
 from ..operators.broadcast import hint_broadcast_if_small
+from .dedup_queries import minhash_bands_ctes as _bands_ctes_from
+from .dedup_queries import substr_contam_ids_ctes as _contam_ctes
 from .queries import query
 from .text_queries import _lang_case_sql, _marker_count, _TOKS, canonical_sql
+
+# The held-out benchmark split for the decontamination gates (batch
+# and streaming e2e pipelines): RAW document text, doc_id % 7 == 3 —
+# deliberately overlapping both the crawled corpus and the historical
+# index so "the crawl swept up a benchmark document" is exercised.
+_BENCH_SRC = "(SELECT doc_id, text FROM documents WHERE doc_id % 7 = 3)"
 
 # Quality gate for corpus admission. The synthetic pages score across
 # the whole [0,1] range (length + stopword-band + alpha terms), so
@@ -166,7 +174,8 @@ _QUALITY_SQL = f"""round(
     WHERE quality >= {_QUALITY_GATE} AND lang <> 'und'
     """,
 )
-def _warc_to_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _warc_to_corpus(spark: SparkSession, sf_dir: str,
+                    with_text: bool = False) -> DataFrame:
     """Crawl -> corpus, one narrow pass: synthesize a gzip'd WARC
     file per document (1 warcinfo + 1 HTTP 200 response whose body is
     an HTML page around the document text), parse it with
@@ -227,19 +236,25 @@ def _warc_to_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     page = page.mapInPandas(
         materialize,
         "doc_id long, target_uri string, title string, extracted string")
+    # with_text keeps the stripped page text (as `text`) for consumers
+    # that audit content downstream (the decontamination gate); the
+    # default drops it so the admitted-page rollups stay narrow
+    extra = [F.col("extracted").alias("text")] if with_text else []
     scored = page.select(
         "doc_id", "target_uri", "title",
         language_id(F.col("extracted")).alias("lang"),
         quality_score(F.col("extracted")).alias("quality"),
         token_count(F.col("extracted")).cast("long").alias("n_tokens"),
-        doc_fingerprint(F.col("extracted")).alias("fingerprint"))
+        doc_fingerprint(F.col("extracted")).alias("fingerprint"),
+        *extra)
+    extra = ["text"] if with_text else []
     return (scored
             .filter((F.col("quality") >= _QUALITY_GATE)
                     & (F.col("lang") != "und"))
             .select("doc_id",
                     url_canonicalize("target_uri").alias("canonical_url"),
                     "title", "lang", "quality", "n_tokens",
-                    "fingerprint"))
+                    "fingerprint", *extra))
 
 
 # ------------------------------------------------------- robots.txt gate
@@ -448,7 +463,7 @@ def _jsonl_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM a
     ),
     s AS (
-      SELECT doc_id,
+      SELECT doc_id, text,
              {_lang_case_sql()} AS lang,
              {_QUALITY_SQL} AS quality,
              CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
@@ -461,12 +476,18 @@ def _jsonl_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT * FROM s
       WHERE quality >= {_QUALITY_GATE} AND lang <> 'und'
     ),
-    kept AS (
+    kept AS MATERIALIZED (
       SELECT * FROM (
         SELECT *, MIN(doc_id) OVER (PARTITION BY fingerprint)
                     AS keep_id
         FROM corpus
       ) WHERE doc_id = keep_id
+    ),
+    {_contam_ctes('(SELECT doc_id, text FROM kept)', _BENCH_SRC,
+                  prefix='dc_')},
+    clean AS (
+      SELECT * FROM kept
+      WHERE doc_id NOT IN (SELECT doc_id FROM dc_contam)
     ),
     c AS (
       SELECT lang, n_tokens,
@@ -475,43 +496,75 @@ def _jsonl_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ROWS BETWEEN UNBOUNDED PRECEDING
                              AND 1 PRECEDING), 0)
                   / 512.0) AS BIGINT) AS chunk_id
-      FROM kept
+      FROM clean
+    ),
+    roll AS (
+      SELECT lang, chunk_id,
+             COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS chunk_tokens
+      FROM c GROUP BY 1, 2
+    ),
+    dec AS (
+      SELECT lang, COUNT(*) AS n_dec FROM kept
+      WHERE doc_id IN (SELECT doc_id FROM dc_contam)
+      GROUP BY 1
     )
-    SELECT lang, chunk_id,
-           COUNT(*) AS n_docs,
-           CAST(SUM(n_tokens) AS BIGINT) AS chunk_tokens
-    FROM c GROUP BY 1, 2
+    SELECT roll.*,
+           CAST(COALESCE(dec.n_dec, 0) AS BIGINT) AS n_decontaminated
+    FROM roll LEFT JOIN dec USING (lang)
     """,
 )
 def _crawl_to_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPLETE training-data path in one plan: raw WARC crawl
     archives -> parsed pages -> HTML-stripped text -> language/quality
     gate (warc_to_corpus, reused directly) -> exact content dedup
-    (lowest-id survivor per fingerprint) -> deterministic 512-token
-    packing into per-language training shards. This is what a user
-    actually ships to a trainer; every stage is individually green
-    elsewhere and this row proves the end-to-end composition under
-    one hash.
+    (lowest-id survivor per fingerprint) -> exact-substring
+    DECONTAMINATION against the held-out benchmark split (raw
+    documents with doc_id % 7 == 3: any kept page sharing a verbatim
+    run of >= 24 tokens with a benchmark document is cut — including
+    benchmark documents the crawl itself swept up) -> deterministic
+    512-token packing into per-language training shards, with the
+    per-language decontamination count carried in the output as the
+    audit disposition. This is what a user actually ships to a
+    trainer; every stage is individually green elsewhere and this row
+    proves the end-to-end composition under one hash.
 
     Scale shape: the crawl->corpus prefix is the same zero-exchange
     scan-stage map; dedup adds ONE shuffle on the 16-hex fingerprint;
-    packing windows within (lang) — the shard key — so chunk
-    assignment parallelizes across languages with no global sort; the
-    final rollup reuses the lang partitioning."""
+    the decontamination audit is linear window tables + one anchor-
+    hash shuffle with the tiny benchmark side broadcastable; packing
+    windows within (lang) — the shard key — so chunk assignment
+    parallelizes across languages with no global sort; the final
+    rollup reuses the lang partitioning."""
     from pyspark.sql import Window
 
     from ..operators.curation import pack_token_chunks
+    from ..operators.dedup import substring_contamination
 
-    corpus = _warc_to_corpus(spark, sf_dir) \
+    corpus = _warc_to_corpus(spark, sf_dir, with_text=True) \
         .withColumnRenamed("n_tokens", "__toks")
     w = Window.partitionBy("fingerprint")
     kept = (corpus.withColumn("__keep", F.min("doc_id").over(w))
                   .filter(F.col("doc_id") == F.col("__keep")))
-    packed = pack_token_chunks(kept, ["lang"], F.col("__toks"),
+    bench = (load_table(spark, sf_dir, "documents")
+             .filter(F.col("doc_id") % 7 == 3)
+             .select("doc_id", "text"))
+    contam = (substring_contamination(kept.select("doc_id", "text"),
+                                      bench)
+              .select(F.col("train_id").alias("doc_id")).distinct())
+    clean = kept.join(contam, "doc_id", "left_anti")
+    packed = pack_token_chunks(clean, ["lang"], F.col("__toks"),
                                order_col="doc_id", budget=512)
-    return (packed.groupBy("lang", "chunk_id")
+    roll = (packed.groupBy("lang", "chunk_id")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_tokens").cast("bigint").alias("chunk_tokens")))
+    dec = (kept.join(contam, "doc_id", "left_semi")
+           .groupBy("lang")
+           .agg(F.count(F.lit(1)).alias("__nd")))
+    return (roll.join(dec, "lang", "left")
+            .select("lang", "chunk_id", "n_docs", "chunk_tokens",
+                    F.coalesce("__nd", F.lit(0)).cast("bigint")
+                    .alias("n_decontaminated")))
 
 
 # Staged delimited export of the orders table, one per (process,
@@ -667,10 +720,14 @@ def _corpus_pipeline_root(spark: SparkSession, sf_dir: str) -> str:
     """Build-once fixture: band + ANN indexes over the GATED
     historical corpus (doc_id % 5 != 0), then the %5==0 documents
     stream through the composed sink as TWO CDC-JSON trigger waves
-    (%10==0 then %10==5) with compact_every=2. Everything stages
-    under a nonce dir with ONE atomic publish — a published root is
-    by construction a fully-drained pipeline, so completeness is just
-    the markers."""
+    (%10==0 then %10==5) with compact_every=2 and the
+    exact-substring decontamination gate armed against the held-out
+    benchmark split (raw documents with doc_id % 7 == 3 — overlaps
+    both the historical corpus and the stream, so benchmark documents
+    crawled into the feed are cut, the real leakage story).
+    Everything stages under a nonce dir with ONE atomic publish — a
+    published root is by construction a fully-drained pipeline, so
+    completeness is just the markers."""
     import os
     import re
     import shutil
@@ -688,11 +745,15 @@ def _corpus_pipeline_root(spark: SparkSession, sf_dir: str) -> str:
     cached = _CORPUS_PIPE_CACHE.get(sf_dir)
     if cached is None:
         slug = re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir.strip("/"))
-        path = os.path.join(tempfile.gettempdir(), f"corpus_pipe_{slug}")
+        # pipe2: the r15 shape (decontamination leg) — the bumped slug
+        # can never resurrect a pre-decontamination published root
+        path = os.path.join(tempfile.gettempdir(), f"corpus_pipe2_{slug}")
         band = os.path.join(path, "band_index")
         ann = os.path.join(path, "ann_index")
         verd = os.path.join(path, "verdicts")
-        if not (index_ok(band) and index_ok(ann) and os.path.isdir(verd)):
+        dec = os.path.join(path, "decontam")
+        if not (index_ok(band) and index_ok(ann) and os.path.isdir(verd)
+                and os.path.isdir(dec)):
             _reap_stale_dirs(path)
             nonce = _nonce()
             stage = f"{path}.build-{nonce}"
@@ -724,15 +785,16 @@ def _corpus_pipeline_root(spark: SparkSession, sf_dir: str) -> str:
                                   os.path.join(stage, "ann_index"),
                                   os.path.join(stage, "verdicts"), emb,
                                   checkpoint=os.path.join(work, "ckpt"),
-                                  compact_every=2)
+                                  compact_every=2,
+                                  benchmark=docs.filter(
+                                      F.col("doc_id") % 7 == 3),
+                                  decontam_path=os.path.join(
+                                      stage, "decontam"))
             finally:
                 shutil.rmtree(work, ignore_errors=True)
             _publish_index(stage, path, nonce)
         _CORPUS_PIPE_CACHE[sf_dir] = path
     return _CORPUS_PIPE_CACHE[sf_dir]
-
-
-from .dedup_queries import minhash_bands_ctes as _bands_ctes_from  # noqa: E402
 
 
 @query(
@@ -743,11 +805,24 @@ from .dedup_queries import minhash_bands_ctes as _bands_ctes_from  # noqa: E402
              {_QUALITY_SQL} AS quality
       FROM documents
     ),
-    gated AS (
+    gated AS MATERIALIZED (
       SELECT doc_id, text FROM g
       WHERE quality >= {_QUALITY_GATE} AND lang <> 'und'
     ),
+    {_contam_ctes('(SELECT doc_id, text FROM gated WHERE doc_id % 10 = 0)',
+                  _BENCH_SRC, prefix='w0_')},
+    {_contam_ctes('(SELECT doc_id, text FROM gated WHERE doc_id % 10 = 5)',
+                  _BENCH_SRC, prefix='w1_')},
+    contam AS (
+      SELECT doc_id FROM w0_contam
+      UNION ALL SELECT doc_id FROM w1_contam
+    ),
     {_bands_ctes_from('gated')},
+    bands_eff AS (
+      SELECT * FROM bands
+      WHERE doc_id % 5 != 0
+         OR doc_id NOT IN (SELECT doc_id FROM contam)
+    ),
     stats AS (
       SELECT band_id, band_key,
              COUNT(CASE WHEN doc_id % 5 != 0 THEN 1 END) AS n_hist,
@@ -756,7 +831,7 @@ from .dedup_queries import minhash_bands_ctes as _bands_ctes_from  # noqa: E402
              MIN(CASE WHEN doc_id % 5 != 0 THEN doc_id END) AS min_hist,
              MIN(CASE WHEN doc_id % 10 = 0 THEN doc_id END) AS min_w0,
              MIN(CASE WHEN doc_id % 10 = 5 THEN doc_id END) AS min_w1
-      FROM bands GROUP BY 1, 2
+      FROM bands_eff GROUP BY 1, 2
     ),
     verdict AS (
       SELECT b.doc_id AS nid,
@@ -769,7 +844,7 @@ from .dedup_queries import minhash_bands_ctes as _bands_ctes_from  # noqa: E402
                          CASE WHEN s.min_w1 < b.doc_id
                               THEN s.min_w1 END)
                  END) AS dup_of
-      FROM bands b
+      FROM bands_eff b
       JOIN stats s ON s.band_id = b.band_id
                   AND s.band_key = b.band_key
       WHERE b.doc_id % 5 = 0
@@ -780,13 +855,16 @@ from .dedup_queries import minhash_bands_ctes as _bands_ctes_from  # noqa: E402
     )
     SELECT d.doc_id,
            gd.doc_id IS NOT NULL AS passed_gates,
-           CASE WHEN gd.doc_id IS NOT NULL
+           (gd.doc_id IS NOT NULL AND ct.doc_id IS NOT NULL)
+             AS decontaminated,
+           CASE WHEN gd.doc_id IS NOT NULL AND ct.doc_id IS NULL
                 THEN v.dup_of IS NULL END AS is_novel,
            v.dup_of,
-           (gd.doc_id IS NOT NULL AND v.dup_of IS NULL
-            AND em.vec_id IS NOT NULL) AS indexed
+           (gd.doc_id IS NOT NULL AND ct.doc_id IS NULL
+            AND v.dup_of IS NULL AND em.vec_id IS NOT NULL) AS indexed
     FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
     LEFT JOIN gated gd ON gd.doc_id = d.doc_id
+    LEFT JOIN contam ct ON ct.doc_id = d.doc_id
     LEFT JOIN verdict v ON v.nid = d.doc_id
     LEFT JOIN embeddings em ON em.vec_id = d.doc_id
     """,
@@ -797,17 +875,21 @@ def _streaming_corpus_ingest_replay(spark: SparkSession,
     (streaming/corpus_pipeline.py) replayed and checked under one
     hash: reference-shaped CDC document envelopes arrive as a
     2-trigger stream, each micro-batch decodes against the declared
-    envelope schema, passes the text-quality gates, is labeled
-    against the persisted band index (exactly-once verdicts + tagged
-    delta append), and its novel documents upsert their embeddings
-    into the served ANN index — the streaming twin of
-    ``crawl_to_training_shards``, and the integration a real
-    deployment runs. The output is each streamed document's final
-    disposition: gated?, novel?, dup-of whom, and — read back from
-    the ANN index's live state, so the upsert leg is verified from
-    its own post-compaction storage — similarity-indexed?. The
-    oracle recomputes gates, the wave-aware staged dedup arithmetic,
-    and embedding availability from first principles.
+    envelope schema, passes the text-quality gates, is audited
+    against the held-out benchmark split (exact-substring
+    decontamination — contaminated documents cut before any index
+    state, ids persisted per batch), is labeled against the persisted
+    band index (exactly-once verdicts + tagged delta append), and its
+    novel documents upsert their embeddings into the served ANN index
+    — the streaming twin of ``crawl_to_training_shards``, and the
+    integration a real deployment runs. The output is each streamed
+    document's final disposition: gated?, decontaminated?, novel?,
+    dup-of whom, and — read back from the ANN index's live state, so
+    the upsert leg is verified from its own post-compaction storage —
+    similarity-indexed?. The oracle recomputes gates, the per-wave
+    contamination audit (df caps measured per trigger, exactly as the
+    sink runs them), the wave-aware staged dedup arithmetic, and
+    embedding availability from first principles.
 
     Scale: see the module docstring — per-trigger work is
     batch-sized on every leg, historical text/vectors never re-read,
@@ -821,14 +903,20 @@ def _streaming_corpus_ingest_replay(spark: SparkSession,
         .filter(F.col("doc_id") % 5 == 0).select("doc_id")
     v = (spark.read.parquet(os.path.join(root, "verdicts"))
          .select("doc_id", F.col("is_novel").alias("__nov"), "dup_of"))
+    dec = (spark.read.parquet(os.path.join(root, "decontam"))
+           .select("doc_id", F.lit(True).alias("__dec")))
     live = _live_vectors(spark, os.path.join(root, "ann_index"),
                          "doc_id", "embedding") \
         .select("doc_id", F.lit(True).alias("__idx"))
     return (streamed
             .join(v, "doc_id", "left")
+            .join(dec, "doc_id", "left")
             .join(live, "doc_id", "left")
             .select("doc_id",
-                    F.col("__nov").isNotNull().alias("passed_gates"),
+                    (F.col("__nov").isNotNull()
+                     | F.col("__dec").isNotNull()).alias("passed_gates"),
+                    F.coalesce("__dec", F.lit(False))
+                    .alias("decontaminated"),
                     F.col("__nov").alias("is_novel"),
                     "dup_of",
                     F.coalesce("__idx", F.lit(False)).alias("indexed")))

@@ -51,6 +51,72 @@ def _shingles_cte(src: str = "documents") -> str:
 _SHINGLES_CTE = _shingles_cte()
 
 
+def _window_hashes_sql(src: str, k: int = 16) -> str:
+    """Stride-1 k-token window-hash relation (doc_id, pos, h) over any
+    (doc_id, text) relation — the SQL twin of
+    operators/dedup.sliding_window_hashes, shared by the
+    exact-substring oracles and the decontamination-gate oracles."""
+    return f"""
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             substring(md5(array_to_string(
+               toks[CAST(i AS INT):CAST(i + {k - 1} AS INT)], ' ')),
+               1, 16) AS h
+      FROM (
+        SELECT doc_id, toks,
+               unnest(range(1, len(toks) - {k - 1} + 1)) AS i
+        FROM (SELECT doc_id, {_TOKS} AS toks FROM {src})
+        WHERE len(toks) >= {k}
+      )"""
+
+
+def substr_contam_ids_ctes(train_src: str, bench_src: str,
+                           prefix: str = "", k: int = 16,
+                           min_len: int = 24, max_df: int = 64,
+                           max_occ: int | None = None) -> str:
+    """CTE chain ending in ``{prefix}contam`` — the DISTINCT train-side
+    doc_ids holding at least one maximal run of >= min_len
+    exactly-shared consecutive tokens with any bench-side document:
+    the SQL twin of operators/dedup.substring_contamination reduced to
+    its existence test (a shared substring of S tokens is S-k+1
+    consecutive anchors at one (t, b, off), so the HAVING threshold is
+    exact). Side-tagged df cap + total-occurrence cap, in lockstep
+    with the operator. ``train_src``/``bench_src`` are (doc_id, text)
+    relations (parenthesized subqueries or CTE names)."""
+    if max_occ is None:
+        max_occ = 4 * max_df
+    p = prefix
+    chain = min_len - k + 1
+    return f"""
+    {p}tw AS MATERIALIZED ({_window_hashes_sql(train_src, k)}),
+    {p}bw AS MATERIALIZED ({_window_hashes_sql(bench_src, k)}),
+    {p}hd AS (
+      SELECT h, COUNT(DISTINCT sid) AS dfd, COUNT(*) AS tot FROM (
+        SELECT h, 't:' || CAST(doc_id AS VARCHAR) AS sid FROM {p}tw
+        UNION ALL
+        SELECT h, 'b:' || CAST(doc_id AS VARCHAR) AS sid FROM {p}bw
+      ) GROUP BY 1
+    ),
+    {p}ok AS (SELECT h FROM {p}hd
+              WHERE dfd <= {max_df} AND tot <= {max_occ}),
+    {p}contam AS (
+      SELECT DISTINCT t AS doc_id FROM (
+        SELECT t FROM (
+          SELECT t, b, off, pt,
+                 pt - ROW_NUMBER() OVER (PARTITION BY t, b, off
+                                         ORDER BY pt) AS grp
+          FROM (
+            SELECT tw.doc_id AS t, bw.doc_id AS b, tw.pos AS pt,
+                   tw.pos - bw.pos AS off
+            FROM {p}tw tw
+            JOIN {p}ok USING (h)
+            JOIN {p}bw bw ON bw.h = tw.h
+          )
+        ) GROUP BY t, b, off, grp
+        HAVING COUNT(*) >= {chain}
+      )
+    )"""
+
+
 @query(
     "dedup_exact",
     oracle="""

@@ -14,6 +14,12 @@ Per trigger:
 2. **gate** — the text-quality gates (functions/text.quality_score >=
    the gate, language_id != 'und') drop garbage BEFORE any state is
    touched: ungated documents consume zero index bytes;
+2b. **decontaminate** (optional ``benchmark=``) — documents holding a
+   verbatim run of >= 24 exactly-shared consecutive tokens with any
+   held-out benchmark document (operators/dedup.substring_contamination
+   — the Lee-class exact-substring audit) are CUT before any index
+   state is touched, and their ids persist under
+   ``decontam/batch=<id>/`` so the disposition is auditable;
 3. **dedup-at-ingest** — the gated batch flows through the persisted
    band index's sink (streaming/dedup_ingest.dedup_ingest_sink):
    exactly-once verdicts under ``verdicts/batch=<id>/``, the batch's
@@ -95,12 +101,27 @@ def corpus_ingest_sink(band_index_path: str, ann_index_path: str,
                        verdicts_path: str, embeddings: DataFrame,
                        quality_gate: float = DEFAULT_QUALITY_GATE,
                        compact_every: int | None = None,
-                       id_col: str = "doc_id", text_col: str = "text"):
+                       id_col: str = "doc_id", text_col: str = "text",
+                       benchmark: DataFrame | None = None,
+                       decontam_path: str | None = None):
     """Returns the composed ``foreachBatch`` function. ``embeddings``
     is the (id_col, embedding) lookup side — novel documents without
     an embedding are accepted into the corpus but not indexed for
     similarity (the standard embed-lag seam; they index when their
-    vector arrives as a later mutation)."""
+    vector arrives as a later mutation).
+
+    ``benchmark`` (an (id_col, text_col) DataFrame, with
+    ``decontam_path``) turns on the exact-substring decontamination
+    gate: each trigger's gated batch is audited against the held-out
+    split and contaminated documents are cut before the dedup/ANN
+    legs, their ids persisted under ``decontam/batch=<id>/`` (an
+    overwrite of the batch's own dir — idempotent on retry, same as
+    the verdicts). Benchmarks are small and immutable, so callers
+    that drive many triggers should pass a persisted/cached
+    ``benchmark`` frame; its window table is recomputed per trigger
+    from whatever plan the frame carries."""
+    if benchmark is not None and decontam_path is None:
+        raise ValueError("benchmark requires decontam_path")
     dedup = dedup_ingest_sink(band_index_path, verdicts_path,
                               text_col=text_col, id_col=id_col,
                               compact_every=compact_every)
@@ -110,12 +131,26 @@ def corpus_ingest_sink(band_index_path: str, ann_index_path: str,
     emb = embeddings.select(id_col, "embedding")
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.dedup import substring_contamination
+
         spark = batch_df.sparkSession
         docs = flatten_after_image(
             decode_envelope(batch_df, DOCS_PAYLOAD))
         gated = docs.filter(
             (quality_score(text_col) >= F.lit(quality_gate))
             & (language_id(text_col) != F.lit("und")))
+        if benchmark is not None:
+            contam = (substring_contamination(
+                          gated, benchmark,
+                          text_col=text_col, id_col=id_col)
+                      .select(F.col("train_id").alias(id_col))
+                      .distinct())
+            ddir = os.path.join(decontam_path, f"batch={batch_id}")
+            contam.write.mode("overwrite").parquet(ddir)
+            # cut against the PERSISTED ids (same retry-consistency
+            # rationale as the ANN leg below)
+            gated = gated.join(spark.read.parquet(ddir),
+                               id_col, "left_anti")
         dedup(gated, batch_id)
         # ANN leg inputs come from the PERSISTED verdicts, not the
         # in-memory frame: a retry that died between the dedup append

@@ -125,3 +125,50 @@ def test_gates_precede_all_state(spark, tmp_path):
     assert not os.path.isdir(os.path.join(verd, "batch=0"))
     assert live0 == sorted(int(r["doc_id"]) for r in _live_vectors(
         spark, ann, "doc_id", "embedding").select("doc_id").collect())
+
+
+def test_decontamination_cuts_before_all_state(spark, tmp_path):
+    """With a benchmark split armed, a gated document sharing a
+    verbatim >= 24-token run with a benchmark document must be cut
+    BEFORE the dedup/ANN legs: its id lands in decontam/batch=<id>/,
+    it gets no verdict, no band delta row, and never indexes — while
+    clean documents in the same trigger flow through untouched."""
+    docs, emb, band, ann, verd, _ = _fixture(spark, tmp_path)
+    dec = str(tmp_path / "dec")
+    leaked = " ".join(f"leak{i}" for i in range(40))
+    clean_text = ("substantive original prose about river deltas and "
+                  "sediment transport that reads naturally and is "
+                  "long enough to pass the composite quality gates "
+                  "with many common the and of to in words") * 2
+    batch = synthesize_documents_envelope(spark.createDataFrame(
+        [(700001, "intro words " + leaked + " closing words " +
+          clean_text),
+         (700002, clean_text + " completely fresh ending")],
+        "doc_id long, text string"))
+    bench = spark.createDataFrame(
+        [(1, "benchmark preamble " + leaked + " benchmark epilogue")],
+        "doc_id long, text string")
+    sink = corpus_ingest_sink(band, ann, verd, emb,
+                              benchmark=bench, decontam_path=dec)
+    sink(batch, 0)
+    cut = {int(r["doc_id"]) for r in spark.read.parquet(
+        os.path.join(dec, "batch=0")).collect()}
+    assert cut == {700001}
+    verdict_ids = {int(r["doc_id"]) for r in spark.read.parquet(
+        os.path.join(verd, "batch=0")).collect()}
+    assert 700001 not in verdict_ids and 700002 in verdict_ids
+    # retry idempotence with the decontamination leg armed
+    st = _state(spark, band, ann, verd)
+    sink(batch, 0)
+    assert _state(spark, band, ann, verd) == st
+    assert {int(r["doc_id"]) for r in spark.read.parquet(
+        os.path.join(dec, "batch=0")).collect()} == {700001}
+
+
+def test_benchmark_without_decontam_path_rejected(spark, tmp_path):
+    import pytest
+
+    _, emb, band, ann, verd, _ = _fixture(spark, tmp_path)
+    bench = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="decontam_path"):
+        corpus_ingest_sink(band, ann, verd, emb, benchmark=bench)
