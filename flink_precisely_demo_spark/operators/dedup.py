@@ -179,14 +179,40 @@ def exact_substring_spans(df: DataFrame, text_col: str = "text",
     Scale: the window table is one row per token (16-hex + two ids)
     — linear in corpus tokens; the O(n*k) character folding stays in
     the scan stage."""
+    w = sliding_window_hashes(df, text_col, id_col, k)
+    return spans_from_windows(w, id_col, k, min_len, max_df, max_occ)
+
+
+def spans_from_windows(w: DataFrame, id_col: str = "doc_id",
+                       k: int = 16, min_len: int = 24,
+                       max_df: int = 64,
+                       max_occ: int | None = None,
+                       stats: DataFrame | None = None) -> DataFrame:
+    """The anchor-and-extend kernel of :func:`exact_substring_spans`,
+    over an ALREADY-COMPUTED window-hash table (id, pos, win_hash) —
+    shared by the in-corpus operator and the persisted substring
+    index (operators/substring_index.py), whose absorbed window rows
+    replay through this exact kernel so the two paths can never
+    drift. Same caps, same gaps-and-islands arithmetic, same output
+    columns.
+
+    ``stats`` optionally supplies the per-hash (win_hash, df, tot)
+    frame the caps filter against, INSTEAD of recomputing counts from
+    ``w``. The substring index needs this: its compaction prunes the
+    window rows of over-cap hashes while keeping their true counts in
+    stats, so a post-prune append could otherwise resurrect a pruned
+    hash with undercounted partial rows."""
     from pyspark.sql import Window
 
     if max_occ is None:
         max_occ = 4 * max_df
-    w = sliding_window_hashes(df, text_col, id_col, k)
-    hd = w.groupBy("win_hash").agg(
-        F.count_distinct(id_col).alias("__dfd"),
-        F.count(F.lit(1)).alias("__tot"))
+    if stats is not None:
+        hd = stats.select("win_hash", F.col("df").alias("__dfd"),
+                          F.col("tot").alias("__tot"))
+    else:
+        hd = w.groupBy("win_hash").agg(
+            F.count_distinct(id_col).alias("__dfd"),
+            F.count(F.lit(1)).alias("__tot"))
     shared = w.join(hd.filter((F.col("__dfd") >= 2)
                               & (F.col("__dfd") <= max_df)
                               & (F.col("__tot") <= max_occ)),

@@ -429,10 +429,88 @@ def check_flagship_window(spark, n_triggers: int = 50,
     return stats, violations
 
 
+def check_substring_ingest(spark, n_triggers: int = 50,
+                           batch_size: int = 25) -> tuple[dict, list]:
+    """The exact-substring anchor index under stream age
+    (operators/substring_index.py): N batches of DISTINCT document
+    slices each run the against-corpus span query, append their
+    window delta, and compact every 8 generations. Structural gates:
+    the published delta count stays bounded by the compaction
+    schedule; timing gate: flat per-batch cost (content is distinct
+    per batch, so ingest work is batch-sized, not stream-age-sized —
+    re-ingesting identical text every trigger would grow alignment
+    rows by construction, which is real work, not a leak). Final
+    gate: the absorbed-state span set equals a from-scratch
+    exact_substring_spans over the cumulative corpus — the LSM's
+    whole correctness claim, re-proven after 50 generations of
+    append/prune/compact."""
+    from flink_precisely_demo_spark.operators.ann_index import (
+        _delta_dirs)
+    from flink_precisely_demo_spark.operators.dedup import (
+        exact_substring_spans)
+    from flink_precisely_demo_spark.operators.substring_index import (
+        append_windows, build_substring_index, compact_substring_index,
+        ingest_substring_spans, substring_spans_from_index)
+
+    compact_every = 8
+    docs_df = (spark.read.parquet(
+                   "/root/testdata/sf0.01/documents.parquet")
+               .select("doc_id", "text"))
+    hist = docs_df.limit(500)
+    feed = docs_df.collect()
+    hist_n = 500
+    work = tempfile.mkdtemp(prefix="longevity_substr_")
+    idx = f"{work}/idx"
+    build_substring_index(hist, idx)
+    times: list = []
+    violations: list = []
+    cum_rows = [(int(r["doc_id"]), r["text"]) for r in feed[:hist_n]]
+    try:
+        for i in range(n_triggers):
+            lo = hist_n + i * batch_size
+            rows = [(int(r["doc_id"]), r["text"])
+                    for r in feed[lo:lo + batch_size]]
+            if len(rows) < batch_size:      # wrap with fresh ids
+                rows += [(int(r["doc_id"]) + (i + 1) * 1_000_000,
+                          r["text"])
+                         for r in feed[:batch_size - len(rows)]]
+            cum_rows += rows
+            batch = spark.createDataFrame(
+                rows, "doc_id long, text string")
+            t0 = time.monotonic()
+            ingest_substring_spans(spark, idx, batch).count()
+            append_windows(spark, idx, batch, tag=f"b{i}")
+            if len(_delta_dirs(idx)) >= compact_every:
+                compact_substring_index(spark, idx)
+            times.append(round((time.monotonic() - t0) * 1000, 1))
+            n_deltas = len(_delta_dirs(idx))
+            if n_deltas >= compact_every:
+                violations.append(
+                    f"trigger {i}: {n_deltas} deltas survive "
+                    f"compact_every={compact_every}")
+        cum = spark.createDataFrame(cum_rows, "doc_id long, text string")
+        got = {tuple(map(int, r))
+               for r in substring_spans_from_index(spark, idx).collect()}
+        want = {tuple(map(int, r))
+                for r in exact_substring_spans(cum).collect()}
+        if got != want:
+            violations.append(
+                f"absorbed spans diverge from from-scratch after "
+                f"{n_triggers} generations "
+                f"(+{len(got - want)}/-{len(want - got)})")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    stats = {"check": "substring_ingest", "n_triggers": n_triggers,
+             "batch_size": batch_size}
+    stats.update(_flatness(times, "batch_ms", violations))
+    return stats, violations
+
+
 CHECKS = {"sessionize": check_sessionize, "pattern": check_pattern,
           "dedup": check_dedup, "dedup_ingest": check_dedup_ingest,
           "ann_upsert": check_ann_upsert,
-          "flagship_window": check_flagship_window}
+          "flagship_window": check_flagship_window,
+          "substring_ingest": check_substring_ingest}
 
 
 def main() -> None:
