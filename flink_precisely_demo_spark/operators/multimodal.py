@@ -72,6 +72,7 @@ _MAGIC = [
     (b"fLaC", "flac", "audio"),
     (b"II*\x00", "tiff", "image"),
     (b"MM\x00*", "tiff", "image"),
+    (b"%PDF-", "pdf", "document"),
 ]
 
 
@@ -571,6 +572,51 @@ def audio_features(media: DataFrame,
     return (media.filter(F.col("meta.media_type") == "audio")
                  .repartition(n, "media_id")
                  .mapInPandas(compute, schema=AUDIO_FEATURES_SCHEMA))
+
+
+PDF_TEXT_SCHEMA = ("media_id long, page int, char_offset long, "
+                   "n_chars long, text string, error string")
+
+
+def pdf_text_features(media: DataFrame) -> DataFrame:
+    """PDF -> per-page extracted text rows (media_id, page,
+    char_offset, n_chars, text, error). The extraction is this
+    repo's own from-scratch parser (operators/pdf.py: xref walk,
+    FlateDecode, BT/ET + Tj/'/\"/TJ with the word-kern rule);
+    ``char_offset`` is the page's first character's offset in the
+    document's concatenated text — derived purely from the decoded
+    pages, so it holds for any input. A payload outside the supported
+    profile (encrypted, xref-stream, Type0 fonts, exotic filters) or
+    malformed yields ONE row with null page fields and the typed
+    error message — per-row data, never a job abort, the contract
+    every codec here carries.
+
+    Scale: decode is Arrow-batched scan-stage work over the binary
+    column; only the extracted text (not the payload) flows on."""
+    from .pdf import pdf_text_pages
+
+    n = media.sparkSession.sparkContext.defaultParallelism
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    pages = pdf_text_pages(bytes(payload))
+                except Exception as e:               # noqa: BLE001
+                    out.append((mid, None, None, None, None,
+                                f"{type(e).__name__}: {e}"))
+                    continue
+                off = 0
+                for i, text in enumerate(pages):
+                    out.append((mid, i, off, len(text), text, None))
+                    off += len(text)
+            yield pd.DataFrame(out, columns=[
+                "media_id", "page", "char_offset", "n_chars",
+                "text", "error"])
+
+    return (media.repartition(n, "media_id")
+                 .mapInPandas(compute, schema=PDF_TEXT_SCHEMA))
 
 
 FRAME_SAMPLE_SCHEMA = ("media_id long, frame_idx int, ts_ms long, "

@@ -685,3 +685,85 @@ def _warc_ingest_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("target_uri").cast("long").alias("n_uris"),
         F.max(F.when(is_resp, F.col("body_md5"))).alias("body_md5"),
         F.max("n_bad_segments").cast("int").alias("n_bad")))
+
+
+@query(
+    "multimodal_pdf_extract",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(p AS INTEGER) AS page,
+           CAST(p * chunk AS BIGINT) AS char_offset,
+           CAST(len(pg) AS BIGINT) AS n_chars,
+           md5(pg) AS text_md5,
+           CAST(NULL AS VARCHAR) AS error
+    FROM (
+      SELECT doc_id, p, chunk,
+             substr(text, CAST(1 + p * chunk AS INT),
+                    CAST(chunk AS INT)) AS pg
+      FROM (
+        SELECT doc_id, text,
+               120 + ((doc_id // 15) % 5) * 40 AS chunk,
+               unnest(range(0, CAST(ceil(
+                 len(text) / (120 + ((doc_id // 15) % 5) * 40.0))
+                 AS BIGINT))) AS p
+        FROM documents WHERE doc_id % 15 = 0 AND text IS NOT NULL
+      )
+    )
+    """,
+)
+def _multimodal_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PDF text extraction through Spark (operators/pdf.py —
+    xref-table walk, FlateDecode via zlib, object/string grammar,
+    BT/ET + Tj/TJ text operators with the word-kern rule): each
+    document's text splits into arithmetic page chunks and encodes as
+    a real multi-page PDF cycling through FOUR writer profiles by
+    (doc_id // 15) % 4 — Flate-compressed literal strings, raw TJ
+    word-kern arrays, Flate + hex strings + /Contents split across
+    two streams, and raw literal — then
+    operators/multimodal.pdf_text_features parses the bytes back and
+    the driver hashes per-page md5 + offsets against the oracle's
+    substring arithmetic. A hash match proves the parse -> inflate ->
+    content-tokenize -> text-assemble chain recovers every page
+    byte-for-byte; the all-null error column proves no row fell back
+    to the typed-error path (encryption/xref-stream/Type0 errors are
+    pytest-pinned in tests/test_pdf.py).
+
+    Scale: encode and decode are Arrow-batched scan-stage work; only
+    page text rows (never payloads) flow on."""
+    from ..operators.pdf import encode_pdf
+    from ..operators.multimodal import pdf_text_features
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter((F.col("doc_id") % 15 == 0)
+                    & F.col("text").isNotNull())
+            .select("doc_id", "text"))
+
+    def synthesize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas, payloads = [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                chunk = 120 + ((did // 15) % 5) * 40
+                pages = [text[i:i + chunk]
+                         for i in range(0, len(text), chunk)]
+                v = (did // 15) % 4
+                payloads.append(encode_pdf(
+                    pages,
+                    flate=v in (0, 2),
+                    tj_words=v == 1,
+                    hex_strings=v == 2,
+                    split_contents=v == 2))
+                metas.append({"media_type": "document", "format": "pdf",
+                              "width": None, "height": None,
+                              "n_channels": None, "sample_rate": None,
+                              "duration_ms": None})
+            yield pd.DataFrame({
+                "media_id": pdf["doc_id"].astype("int64"),
+                "meta": pd.Series(metas, dtype="object"),
+                "payload": pd.Series(payloads, dtype="object")})
+
+    media = docs.mapInPandas(synthesize, schema=MEDIA_SCHEMA)
+    feats = pdf_text_features(media)
+    return feats.select(
+        "media_id", "page", "char_offset", "n_chars",
+        F.md5("text").alias("text_md5"), "error")
