@@ -886,3 +886,79 @@ def _streaming_enrichment_replay(spark: SparkSession,
         shutil.rmtree(work, ignore_errors=True)
     return enriched.select(
         "k", "o_orderkey", "price", "c_custkey", "c_nationkey", "acctbal")
+
+
+@query(
+    "streaming_late_sideoutput_replay",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, ts, event_id % 3 AS wave FROM events
+    ),
+    m0 AS (SELECT MAX(ts) AS m FROM e WHERE wave = 0),
+    m1 AS (SELECT greatest((SELECT m FROM m0), MAX(ts)) AS m
+           FROM e WHERE wave = 1)
+    SELECT event_id, CAST(wave AS BIGINT) AS wave,
+           CASE wave
+             WHEN 0 THEN FALSE
+             WHEN 1 THEN ts < (SELECT m FROM m0) - INTERVAL 15 DAY
+             ELSE ts < (SELECT m FROM m1) - INTERVAL 15 DAY
+           END AS is_late
+    FROM e
+    """,
+)
+def _streaming_late_sideoutput_replay(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """The late-data SIDE OUTPUT (streaming/late_data.py — the Flink
+    ``sideOutputLateData`` twin the reference's L1 drop semantics
+    extend to): the events table replays as THREE deterministic
+    trigger files (wave = event_id % 3) through the foreachBatch
+    splitter, which maintains the event-time high watermark as
+    atomic driver state and routes each batch's rows to the main or
+    the late parquet sink by ``ts < hwm − 15 days``. The output is
+    every event's final disposition read back FROM THE TWO SINKS —
+    so the split, the one-batch watermark lag (batch N judges
+    against the max event time through batch N−1, exactly how the
+    engine advances its own watermark), and the atomic hwm persist
+    are all under the driver hash. The oracle recomputes the staged
+    max arithmetic per wave from first principles.
+
+    Scale: the split is a narrow per-batch filter + one observed
+    aggregate (no extra probe jobs); driver state is one timestamp."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.late_data import run_with_late_capture
+    from ..streaming.replay_stage import stage_trigger_files
+
+    work = tempfile.mkdtemp(prefix="late_sideout_replay_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+        feed = stage_trigger_files(ev, work, F.pmod(F.col("event_id"), 3),
+                                   "late_feed", n_batches=3)
+        stream = (spark.readStream
+                  .schema("event_id long, ts timestamp_ntz")
+                  .option("maxFilesPerTrigger", 1).parquet(feed))
+        main_dir = os.path.join(work, "main")
+        late_dir = os.path.join(work, "late")
+        run_with_late_capture(stream, "ts", "15 days", main_dir,
+                              late_dir, os.path.join(work, "state"),
+                              checkpoint=os.path.join(work, "ckpt"))
+
+        def read_back(path: str, late: bool) -> DataFrame:
+            if not os.path.isdir(path):
+                return (spark.createDataFrame(
+                            [], "event_id long")
+                        .withColumn("is_late", F.lit(late)))
+            return (spark.read.parquet(path)
+                    .select("event_id", F.lit(late).alias("is_late")))
+
+        out = (read_back(main_dir, False)
+               .unionByName(read_back(late_dir, True))
+               .select("event_id",
+                       F.pmod(F.col("event_id"), 3).alias("wave"),
+                       "is_late"))
+        # materialize before the tempdir vanishes
+        return spark.createDataFrame(out.toPandas(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -65,7 +65,11 @@ def late_data_splitter(ts_col: str, delay: str, main_sink, late_sink,
         if hwm is None:
             is_late = F.lit(False)
         else:
-            threshold = F.lit(hwm).cast("timestamp") - F.expr(f"INTERVAL {delay}")
+            # cast the persisted watermark to the ts column's OWN type:
+            # an ntz stream compares ntz-to-ntz (timezone-independent,
+            # like the engine's own watermark), an ltz stream ltz-to-ltz
+            ts_type = batch_df.schema[ts_col].dataType.simpleString()
+            threshold = F.lit(hwm).cast(ts_type) - F.expr(f"INTERVAL {delay}")
             is_late = F.coalesce(F.col(ts_col) < threshold, F.lit(False))
         # One full scan computes the split counts AND the next high
         # watermark as observed metrics of the same job; the sinks then
