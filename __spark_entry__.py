@@ -58,75 +58,73 @@ def entry(spark: SparkSession) -> DataFrame:
 # regardless of position. Per-round rotation history lives in
 # COVERAGE.md ("Window rotation log").
 #
-# r14 window (50 seats), per the r13 verdict's items 1/3: the
-# 12-entry parity/TPC-H floor; skew_salted_join KEPT to certify the
-# r13 driver red's fix (bucket_due now DECIMAL end-to-end on both
-# engines); the FOUR r13 _PENDING pairs taking their first driver
-# seats (skew_hotcold_join, dedup_ingest_novelty,
-# streaming_dedup_ingest_replay, dedup_index_health); this round's
-# THREE new pairs, never driver-validated (dedup_ingest_clusters —
-# verdict item 4, maintained near-dup clusters;
-# streaming_corpus_ingest_replay — verdict item 5, the e2e CDC ->
-# gates -> dedup-at-ingest -> ANN pipeline; dedup_substring_exact —
-# verdict item 8, the Lee et al. exact-substring class); and 30
-# stalest-first refresh seats — the ENTIRE 17-entry r10-last-green
-# cohort plus the 13 stalest r11-last entries (fewest greens first,
-# alphabetical tiebreak). Seats paid by the r12/r13-green cohorts,
-# every deferral eligible under the mechanical rule (the seven
-# single-green r13 entries all hold full-scale rows in the latest
-# sweep). Annotations are machine-generated from CORRECTNESS_r*.json
-# via scripts/green_history.py and list EVERY green round.
+# r15 window (50 seats), per the r14 verdict's items 1-4/8: the
+# 12-entry parity/TPC-H floor; the FIVE first-seat pairs never
+# driver-validated (the two r14 _PENDING pairs
+# streaming_dedup_cluster_replay + curation_substring_contamination
+# taking the seats the r14 verdict directed, plus this round's
+# dedup_ingest_substring — the incremental exact-substring LSM
+# index, verdict item 3 — multimodal_pdf_extract — verdict item 4 —
+# and streaming_late_sideoutput_replay — verdict item 8); THREE
+# re-seats whose semantics changed this round and whose prior greens
+# therefore certify the OLD behavior (dedup_substring_exact — the
+# ADVICE occurrence cap; crawl_to_training_shards and
+# streaming_corpus_ingest_replay — the decontamination gate +
+# disposition columns, verdict item 2); and 30 stalest-first refresh
+# seats — the 24-entry r11-last-green cohort in full plus the 6
+# alphabetically-first r12-last entries (last-green round ascending,
+# alphabetical tiebreak). skew_salted_join leaves the window with its
+# r14 fix certified (rule (b): one green + full-scale sweep rows).
+# Annotations are machine-generated from CORRECTNESS_r*.json via
+# scripts/green_history.py and list EVERY green round.
 _DEFERRED = [
     "ann_index_health",                     # r13
-    "ann_index_topk",                       # r2 r3 r4 r5 r8 r12
     "ann_index_upsert_topk",                # r13
     "ann_ivf_pq_topk",                      # r9 r13
     "ann_recall_eval",                      # r9 r13
     "ann_recall_maintained",                # r13
     "anti_semi_join",                       # r1 r2 r6 r10 r13
-    "approx_sketches",                      # r3 r4 r5 r8 r12
-    "array_functions_embeddings",           # r1 r2 r6 r10 r11
-    "asof_join_prior_click",                # r1 r2 r3 r4 r5 r8 r12
-    "audio_stream_triage",                  # r7 r8 r12
+    "attribution_multi_touch",              # r9 r11 r14
     "bloom_semijoin_prune",                 # r9 r13
     "bpe_encode_corpus",                    # r9 r13
     "bpe_vocab_merges",                     # r9 r13
     "bucketed_colocated_join",              # r13
-    "cdc_state_asof",                       # r2 r3 r4 r5 r8 r12
+    "cdc_apply_snapshot",                   # r1 r2 r3 r4 r5 r6 r10 r14
+    "cdc_history_scd2",                     # r6 r7 r11 r14
     "corpus_datasheet",                     # r9 r13
-    "corpus_health_report",                 # r7 r8 r12
     "corpus_snapshot_diff",                 # r7 r8 r12
-    "crawl_to_training_shards",             # r9 r13
     "csv_ingest_policy",                    # r13
-    "cube_agg",                             # r1 r2 r6 r10 r11
-    "curation_contamination",               # r2 r3 r4 r7 r11
     "curation_mixture_sample",              # r7 r8 r12
-    "curation_sample",                      # r2 r3 r7 r10 r11
-    "curation_split",                       # r2 r3 r7 r10 r11
+    "curation_pack_chunks",                 # r2 r3 r4 r5 r6 r10 r14
+    "curation_pipeline_e2e",                # r2 r3 r4 r5 r6 r7 r10 r14
     "curation_stratified",                  # r3 r4 r5 r8 r12
-    "date_functions",                       # r1 r3 r4 r7 r11
     "ddl_entry_pipeline",                   # r2 r3 r4 r5 r8 r12
     "dedup_clusters",                       # r3 r4 r5 r8 r12
-    "dedup_embedding_cosine",               # r1 r3 r4 r7 r11
     "dedup_exact",                          # r1 r2 r3 r4 r5 r8 r12
-    "dedup_ngram_jaccard",                  # r1 r2 r3 r7 r11
+    "dedup_index_health",                   # r14
+    "dedup_ingest_clusters",                # r14
+    "dedup_ingest_novelty",                 # r14
+    "dedup_minhash_lsh",                    # r1 r2 r3 r4 r5 r6 r7 r10 r14
     "dedup_passage_exact",                  # r9 r13
+    "dedup_pipeline_e2e",                   # r3 r4 r5 r6 r10 r14
     "dedup_semantic",                       # r7 r8 r12
+    "dedup_simhash",                        # r1 r2 r3 r7 r10 r14
+    "dedup_simhash_pairs",                  # r1 r2 r3 r7 r10 r14
     "deletion_propagation_audit",           # r9 r13
     "distinct_agg",                         # r1 r2 r6 r10 r13
     "embedding_hard_negatives",             # r9 r13
     "embedding_pq_codebook",                # r9 r13
-    "embedding_quantize_stats",             # r2 r3 r4 r7 r11
     "event_funnel_steps",                   # r8 r9 r12
     "event_pattern_match",                  # r9 r13
-    "grouping_sets",                        # r1 r2 r6 r10 r11
-    "histogram_buckets",                    # r1 r2 r6 r10 r11
+    "full_outer_join_nulls",                # r1 r2 r6 r10 r14
+    "intersect_keys",                       # r1 r2 r6 r10 r14
     "jsonl_corpus_roundtrip",               # r9 r13
     "kmeans_ivf_index",                     # r2 r3 r4 r5 r8 r12
+    "multimodal_audio_decode",              # r5 r6 r7 r11 r14
     "multimodal_format_audit",              # r7 r8 r9 r13
-    "multimodal_image_decode",              # r5 r6 r7 r10 r11
     "multimodal_manifest",                  # r2 r3 r4 r5 r8 r12
-    "percentile_exact",                     # r1 r2 r6 r10 r11
+    "multimodal_video_decode",              # r5 r6 r10 r11 r14
+    "pivot_events",                         # r1 r2 r6 r10 r14
     "q10_returned_items",                   # r4 r5 r8 r12
     "q11_important_stock",                  # r9 r13
     "q12_shipping_priority_class",          # r9 r13
@@ -136,45 +134,53 @@ _DEFERRED = [
     "q16_supplier_part_types",              # r9 r13
     "q17_small_quantity_revenue",           # r4 r5 r9 r13
     "q19_disjunctive_revenue",              # r4 r5 r8 r12
+    "q1_pricing_summary",                   # r1 r2 r3 r4 r5 r6 r7 r10 r14
     "q20_potential_promotion",              # r9 r13
-    "q22_global_sales_opportunity",         # r5 r6 r10 r11
+    "q21_waiting_supplier",                 # r5 r6 r10 r11 r14
     "q2_min_cost_supplier",                 # r9 r13
     "q3_shipping_priority",                 # r1 r3 r4 r5 r8 r12
-    "q4_order_priority",                    # r5 r6 r10 r11
     "q6_forecast_revenue",                  # r4 r5 r8 r12
     "q7_volume_shipping",                   # r4 r5 r8 r12
     "q8_market_share",                      # r4 r5 r8 r12
     "q9_product_type_profit",               # r9 r13
     "range_join_events",                    # r1 r2 r3 r4 r5 r8 r12
-    "regex_extract_props",                  # r1 r2 r6 r10 r11
     "robots_txt_gate",                      # r8 r9 r12
+    "rollup_agg",                           # r1 r2 r6 r10 r14
+    "session_window_events",                # r1 r3 r4 r7 r10 r14
     "sessionization",                       # r2 r3 r4 r5 r8 r12
-    "similarity_bruteforce_topk",           # r1 r2 r3 r7 r11
-    "similarity_ivf_cells",                 # r1 r2 r3 r7 r11
+    "set_ops",                              # r1 r2 r6 r10 r14
+    "similarity_ivf_topk",                  # r1 r2 r3 r4 r5 r6 r7 r10 r14
     "sketch_heavy_hitters",                 # r9 r13
+    "skew_hotcold_join",                    # r14
     "skew_salted_agg",                      # r8 r9 r12
-    "sliding_window_events",                # r1 r3 r4 r7 r11
+    "skew_salted_join",                     # r14
     "streaming_ann_upsert_replay",          # r13
     "streaming_attribution_replay",         # r9 r13
+    "streaming_dedup_ingest_replay",        # r14
+    "streaming_dedup_replay",               # r6 r7 r11 r14
+    "streaming_enrichment_replay",          # r10 r11 r14
     "streaming_flagship_replay",            # r13
     "streaming_funnel_replay",              # r8 r9 r12
     "streaming_pattern_replay",             # r9 r13
     "streaming_scd2_replay",                # r11 r12
     "streaming_session_replay",             # r9 r13
-    "subquery_in_exists",                   # r1 r2 r6 r10 r11
+    "string_math_funcs",                    # r1 r2 r6 r10 r14
     "table_profile_orders",                 # r8 r9 r12
     "text_bigram_typicality",               # r9 r13
     "text_bm25_term_scores",                # r8 r9 r12
+    "text_chunk_windows",                   # r6 r7 r11 r14
     "text_filter_pipeline",                 # r1 r3 r4 r5 r8 r12
-    "text_language_id",                     # r1 r3 r7 r10 r11
-    "text_quality_score",                   # r1 r3 r7 r10 r11
+    "text_html_extract",                    # r6 r7 r11 r14
+    "text_pii_scrub",                       # r6 r7 r11 r14
+    "text_repetition_quality",              # r3 r4 r5 r6 r7 r10 r14
+    "text_tfidf_top_terms",                 # r6 r7 r11 r14
     "text_token_stats",                     # r1 r3 r4 r5 r8 r12
     "text_winnow_fingerprints",             # r9 r13
-    "top_k_per_group",                      # r1 r2 r3 r7 r11
-    "unpivot_measures",                     # r1 r2 r6 r10 r11
+    "url_canonicalize",                     # r6 r7 r11 r14
     "warc_ingest_extract",                  # r7 r8 r12
     "warc_to_corpus",                       # r8 r9 r12
     "web_link_pagerank",                    # r7 r8 r12
+    "web_triangle_count",                   # r9 r10 r11 r14
     "zorder_layout_stats",                  # r8 r9 r12
 ]
 
@@ -187,21 +193,10 @@ _DEFERRED = [
 # — the list cannot be used to hide once-red or once-green entries).
 # All pairs still run in the local pytest oracle sweep regardless.
 #
-# r14: the three pairs built before the rotation was finalized
-# seated directly in the head; built after it (SWEEP_r14 already
-# recorded against the 149-pair registration):
-# - streaming_dedup_cluster_replay — the ingest sink now maintains
-#   cluster state on a clusters=True index (edges ride each tagged
-#   delta); same oracle as dedup_ingest_clusters, streaming
-#   machinery under test. Full-hash evidence at sf0.001/sf0.01 +
-#   resumed sf1/sf10 sweep rows on registration day.
-# - curation_substring_contamination — cross-split verbatim-leakage
-#   audit built on the exact-substring machinery; same evidence
-#   ladder on registration day.
-_PENDING: list[str] = [
-    "streaming_dedup_cluster_replay",
-    "curation_substring_contamination",
-]
+# r15: empty — both r14 _PENDING pairs took their first driver seats
+# in this rotation, and every pair built this round was registered
+# before the window was finalized and seated directly in the head.
+_PENDING: list[str] = []
 
 
 def _ordered(mapping: dict) -> dict:

@@ -70,29 +70,32 @@ def test_parity_queries_inside_driver_window():
         "cdc_envelope_decode", "projection_flatten",
         "parse_ts_roundtrip", "enrichment_latest_join",
         "tumbling_window_events", "window_analytics",
-        # the r13 driver red, KEPT to certify its fix
-        "skew_salted_join",
-        # r14 rotation: the four r13 _PENDING pairs' first seats
-        "skew_hotcold_join", "dedup_ingest_novelty",
-        "streaming_dedup_ingest_replay", "dedup_index_health",
-        # this round's new pairs (r13 verdict items 4/5/8)
-        "dedup_ingest_clusters", "streaming_corpus_ingest_replay",
-        "dedup_substring_exact",
-        # stalest-first refresh: the ENTIRE r10-last-green cohort...
-        "cdc_apply_snapshot", "curation_pack_chunks",
-        "curation_pipeline_e2e", "dedup_minhash_lsh",
-        "dedup_pipeline_e2e", "dedup_simhash", "dedup_simhash_pairs",
-        "full_outer_join_nulls", "intersect_keys", "pivot_events",
-        "q1_pricing_summary", "rollup_agg", "session_window_events",
-        "set_ops", "similarity_ivf_topk", "string_math_funcs",
-        "text_repetition_quality",
-        # ...plus the 13 stalest r11-last entries
-        "attribution_multi_touch", "cdc_history_scd2",
-        "multimodal_audio_decode", "multimodal_video_decode",
-        "q21_waiting_supplier", "streaming_dedup_replay",
-        "streaming_enrichment_replay", "text_chunk_windows",
-        "text_html_extract", "text_pii_scrub", "text_tfidf_top_terms",
-        "url_canonicalize", "web_triangle_count"]:
+        # r15 first seats: the two r14 _PENDING pairs (r14 verdict
+        # item 1) + this round's three new pairs (items 3/4/8)
+        "streaming_dedup_cluster_replay",
+        "curation_substring_contamination",
+        "dedup_ingest_substring", "multimodal_pdf_extract",
+        "streaming_late_sideoutput_replay",
+        # re-seats whose semantics changed this round (ADVICE caps;
+        # decontamination gate + disposition columns, item 2)
+        "dedup_substring_exact", "crawl_to_training_shards",
+        "streaming_corpus_ingest_replay",
+        # stalest-first refresh: the ENTIRE r11-last-green cohort...
+        "array_functions_embeddings", "cube_agg",
+        "curation_contamination", "curation_sample", "curation_split",
+        "date_functions", "dedup_embedding_cosine",
+        "dedup_ngram_jaccard", "embedding_quantize_stats",
+        "grouping_sets", "histogram_buckets", "multimodal_image_decode",
+        "percentile_exact", "q22_global_sales_opportunity",
+        "q4_order_priority", "regex_extract_props",
+        "similarity_bruteforce_topk", "similarity_ivf_cells",
+        "sliding_window_events", "subquery_in_exists",
+        "text_language_id", "text_quality_score", "top_k_per_group",
+        "unpivot_measures",
+        # ...plus the 6 alphabetically-first r12-last entries
+        "ann_index_topk", "approx_sketches", "asof_join_prior_click",
+        "audio_stream_triage", "cdc_state_asof",
+        "corpus_health_report"]:
         assert name in first50, f"{name} fell outside the driver window"
 
 
