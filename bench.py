@@ -211,7 +211,12 @@ def main() -> None:
                  "streaming_corpus_ingest_replay",
                  "dedup_substring_exact",
                  "streaming_dedup_cluster_replay",
-                 "curation_substring_contamination"]
+                 "curation_substring_contamination",
+                 # r15 additions: incremental substring index, PDF
+                 # extraction, late-data side output
+                 "dedup_ingest_substring",
+                 "multimodal_pdf_extract",
+                 "streaming_late_sideoutput_replay"]
     secondary: dict[str, float] = {}
     for name in SECONDARY:
         try:
