@@ -193,10 +193,19 @@ _DEFERRED = [
 # — the list cannot be used to hide once-red or once-green entries).
 # All pairs still run in the local pytest oracle sweep regardless.
 #
-# r15: empty — both r14 _PENDING pairs took their first driver seats
-# in this rotation, and every pair built this round was registered
-# before the window was finalized and seated directly in the head.
-_PENDING: list[str] = []
+# r15: both r14 _PENDING pairs took their first driver seats in this
+# rotation, and the round's main new pairs were registered before the
+# window was finalized and seated directly in the head. Built after
+# the rotation (sweeps/bench already recording against the 154-pair
+# registration):
+# - pdf_to_corpus — PDF as a first-class corpus source format:
+#   encode -> parse -> per-page reassembly -> language/quality/
+#   fingerprint admission gates, the warc_to_corpus composition for
+#   the crawl's second format. Full-hash evidence at sf0.001/sf0.01
+#   + resumed sf1/sf10 sweep rows on registration day.
+_PENDING: list[str] = [
+    "pdf_to_corpus",
+]
 
 
 def _ordered(mapping: dict) -> dict:

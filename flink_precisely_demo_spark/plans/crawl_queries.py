@@ -920,3 +920,90 @@ def _streaming_corpus_ingest_replay(spark: SparkSession,
                     F.col("__nov").alias("is_novel"),
                     "dup_of",
                     F.coalesce("__idx", F.lit(False)).alias("indexed")))
+
+
+@query(
+    "pdf_to_corpus",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(ceil(len(text) / (100 + (doc_id % 7) * 30.0))
+                AS BIGINT) AS n_pages,
+           CAST(len(text) AS BIGINT) AS n_chars,
+           {_lang_case_sql()} AS lang,
+           {_QUALITY_SQL} AS quality,
+           substring(md5(regexp_replace(trim(lower(text)),
+                                        '\\s+', ' ', 'g')), 1, 16)
+             AS fingerprint,
+           ({_QUALITY_SQL} >= {_QUALITY_GATE}
+            AND {_lang_case_sql()} <> 'und') AS admitted
+    FROM documents
+    WHERE doc_id % 3 = 1 AND text IS NOT NULL
+    """,
+)
+def _pdf_to_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF as a FIRST-CLASS corpus source format — the second-most
+    common crawl payload after HTML, composed end to end: each
+    document synthesizes as a real multi-page PDF (arithmetic page
+    chunks; writer profile cycling by (doc_id // 3) % 4 as in
+    ``multimodal_pdf_extract``), operators/pdf.py parses the bytes
+    back per page, the pages REASSEMBLE into the document (exact
+    substring concatenation, proving page ordering and offsets
+    compose losslessly), and the standard corpus admission gates run
+    over the recovered text — language-ID, composite quality,
+    whitespace-normalized content fingerprint, the same
+    gate/fingerprint chain ``warc_to_corpus`` runs on HTML. The
+    oracle computes every output from the original text arithmetic,
+    so a hash match proves encode -> parse -> reassemble -> gate is
+    lossless end to end.
+
+    Scale: encode/parse/reassemble is Arrow-batched scan-stage work;
+    the only shuffle is the per-document page regroup (page rows are
+    text-sized, bounded by the document itself); the gates are JVM
+    column expressions."""
+    from ..operators.multimodal import MEDIA_SCHEMA, pdf_text_features
+    from ..operators.pdf import encode_pdf
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter((F.col("doc_id") % 3 == 1)
+                    & F.col("text").isNotNull())
+            .select("doc_id", "text"))
+
+    def synthesize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas, payloads = [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                chunk = 100 + (did % 7) * 30
+                pages = [text[i:i + chunk]
+                         for i in range(0, len(text), chunk)]
+                v = (did // 3) % 4
+                payloads.append(encode_pdf(
+                    pages, flate=v in (0, 2), tj_words=v == 1,
+                    hex_strings=v == 2, split_contents=v == 2))
+                metas.append({"media_type": "document", "format": "pdf",
+                              "width": None, "height": None,
+                              "n_channels": None, "sample_rate": None,
+                              "duration_ms": None})
+            yield pd.DataFrame({
+                "media_id": pdf["doc_id"].astype("int64"),
+                "meta": pd.Series(metas, dtype="object"),
+                "payload": pd.Series(payloads, dtype="object")})
+
+    media = docs.mapInPandas(synthesize, schema=MEDIA_SCHEMA)
+    feats = pdf_text_features(media)
+    rebuilt = (feats.groupBy(F.col("media_id").alias("doc_id"))
+               .agg(F.count(F.lit(1)).cast("long").alias("n_pages"),
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("page", "text"))),
+                            lambda s: s["text"]), "").alias("text")))
+    return rebuilt.select(
+        "doc_id", "n_pages",
+        F.length("text").cast("long").alias("n_chars"),
+        language_id(F.col("text")).alias("lang"),
+        quality_score(F.col("text")).alias("quality"),
+        doc_fingerprint(F.col("text")).alias("fingerprint"),
+        ((quality_score(F.col("text")) >= F.lit(_QUALITY_GATE))
+         & (language_id(F.col("text")) != F.lit("und")))
+        .alias("admitted"))
