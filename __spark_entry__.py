@@ -203,8 +203,16 @@ _DEFERRED = [
 #   fingerprint admission gates, the warc_to_corpus composition for
 #   the crawl's second format. Full-hash evidence at sf0.001/sf0.01
 #   + resumed sf1/sf10 sweep rows on registration day.
+# - search_index_topk / search_index_health — BM25 serving from the
+#   maintained LSM inverted index (operators/text_index.py): build ->
+#   adds delta -> compaction -> mixed update/add/delete delta, served
+#   results bit-identical to a from-scratch build over the visible
+#   corpus. Full-hash evidence at sf0.001/sf0.01 + sf1/sf10 sweep
+#   rows on registration day.
 _PENDING: list[str] = [
     "pdf_to_corpus",
+    "search_index_topk",
+    "search_index_health",
 ]
 
 

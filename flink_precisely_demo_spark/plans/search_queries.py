@@ -244,3 +244,203 @@ def _table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows", "n_null", "n_distinct", "min_num", "max_num",
         F.when(~numeric, F.col("mn_str")).alias("min_str"),
         F.when(~numeric, F.col("mx_str")).alias("max_str"))
+
+
+# ------------------------------------------------- maintained text index
+
+# Final visible corpus after the maintenance fixture below: base
+# (doc_id % 3 != 0) + wave-0 adds (% 6 == 0) + wave-1 adds (% 6 == 3)
+# is every non-null-text document; wave 1 also re-defines % 12 == 1
+# docs' text and deletes % 12 == 2 — so the served state must equal a
+# from-scratch build over exactly this CTE, and BM25 over it is the
+# SAME oracle arithmetic as text_bm25_term_scores on a shifted corpus.
+_VIS_SQL = """
+      SELECT doc_id,
+             CASE WHEN doc_id % 12 = 1 THEN text || ' refreshed copy'
+                  ELSE text END AS text
+      FROM documents
+      WHERE text IS NOT NULL AND doc_id % 12 <> 2
+"""
+
+_TEXT_INDEX_CACHE: dict[str, str] = {}
+
+
+def _text_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once fixture for the maintained inverted index
+    (operators/text_index.py): base build over doc_id % 3 != 0, an
+    adds-only delta (% 6 == 0, tag u0), a COMPACTION, then one mixed
+    delta (updates % 12 == 1 with re-defined text + adds % 6 == 3 +
+    deletes % 12 == 2, tag u1) left unfolded — so the served queries
+    reconcile base + tombstoned delta state, not a fresh build.
+    Atomic nonce-stage publish; a published root is by construction
+    the fully-maintained end state."""
+    import os
+    import re
+    import tempfile
+
+    from ..operators.ann_index import (_manifest_path, _nonce,
+                                       _publish_index, _reap_stale_dirs,
+                                       applied_tags, delta_tags)
+    from ..operators.text_index import (build_text_index,
+                                        compact_text_index,
+                                        index_ok, upsert_text_index)
+
+    cached = _TEXT_INDEX_CACHE.get(sf_dir)
+    if cached is None:
+        slug = re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir.strip("/"))
+        path = os.path.join(tempfile.gettempdir(), f"text_index_{slug}")
+        done = (index_ok(path)
+                and (applied_tags(path) | delta_tags(path))
+                >= {"u0", "u1"})
+        if not done:
+            _reap_stale_dirs(path)
+            nonce = _nonce()
+            stage = f"{path}.build-{nonce}"
+            docs = (load_table(spark, sf_dir, "documents")
+                    .select("doc_id", "text")
+                    .filter(F.col("text").isNotNull()))
+            build_text_index(docs.filter(F.col("doc_id") % 3 != 0),
+                             stage)
+            upsert_text_index(
+                spark, stage,
+                updates=docs.filter(F.col("doc_id") % 6 == 0),
+                tag="u0")
+            compact_text_index(spark, stage)
+            upd = docs.filter(F.col("doc_id") % 12 == 1).select(
+                "doc_id", F.concat("text", F.lit(" refreshed copy"))
+                .alias("text"))
+            upsert_text_index(
+                spark, stage,
+                updates=upd.unionByName(
+                    docs.filter(F.col("doc_id") % 6 == 3)),
+                delete_ids=docs.filter(F.col("doc_id") % 12 == 2)
+                .select("doc_id"),
+                tag="u1")
+            _publish_index(stage, path, nonce)
+            if os.path.exists(_manifest_path(stage)):
+                os.replace(_manifest_path(stage), _manifest_path(path))
+        _TEXT_INDEX_CACHE[sf_dir] = path
+    return _TEXT_INDEX_CACHE[sf_dir]
+
+
+@query(
+    "search_index_topk",
+    oracle=f"""
+    WITH vis AS ({_VIS_SQL}),
+    t AS (
+      SELECT doc_id, {_TOKS} AS toks FROM vis
+    ),
+    corpus AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(len(toks)) AS BIGINT) AS total_toks
+      FROM t
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf,
+             CAST(ANY_VALUE(dl) AS BIGINT) AS dl
+      FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t)
+      WHERE term IN ({_terms_sql()})
+      GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df, tf.dl,
+             CAST((2 * c.n_docs - 2 * df.df + 1) * 22 * tf.tf
+                  * c.total_toks AS DOUBLE)
+             / CAST((2 * df.df + 1)
+                    * (10 * tf.tf * c.total_toks + 3 * c.total_toks
+                       + 9 * tf.dl * c.n_docs) AS DOUBLE) AS score
+      FROM tf JOIN df USING (term) CROSS JOIN corpus c
+    )
+    SELECT term, doc_id, tf, df, dl, round(score, 6) AS score,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY term ORDER BY score DESC, doc_id) AS rank
+      FROM scored
+    ) WHERE rank <= {_TOPK}
+    """,
+)
+def _search_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-{_TOPK} per query term SERVED FROM MAINTAINED STATE
+    (operators/text_index.py): the corpus postings live as an LSM
+    inverted index driven through build -> adds delta -> compaction
+    -> mixed update/add/delete delta, and the query reconciles base
+    + tombstoned delta generations at read time. The oracle is the
+    from-scratch exact-integer BM25 over the final visible corpus —
+    served results must be bit-identical to a full re-scan, which
+    pins the reconciliation rule (later-generation tombstones shadow
+    every older row), the derived-not-stored df/corpus stats, and
+    the shared scoring arithmetic in one hash.
+
+    Scale: the postings read prunes to the query terms' hash-bucket
+    partitions on every generation; df aggregates only those rows;
+    N/total_tokens is one narrow agg over doc-count-sized docs/
+    frames; upsert cost was batch-proportional and historical text
+    is never re-tokenized."""
+    from ..operators.text_index import search_text_index
+
+    path = _text_index_path(spark, sf_dir)
+    return search_text_index(spark, path, QUERY_TERMS, k=_TOPK)
+
+
+@query(
+    "search_index_health",
+    oracle=f"""
+    WITH vis AS ({_VIS_SQL}),
+    base_docs AS (
+      -- state folded by the compaction after wave u0
+      SELECT doc_id, text FROM documents
+      WHERE text IS NOT NULL
+        AND (doc_id % 3 <> 0 OR doc_id % 6 = 0)
+    ),
+    delta_docs AS (
+      -- wave u1's generation rows: re-defined texts + adds
+      SELECT doc_id, text || ' refreshed copy' AS text
+      FROM documents WHERE text IS NOT NULL AND doc_id % 12 = 1
+      UNION ALL
+      SELECT doc_id, text
+      FROM documents WHERE text IS NOT NULL AND doc_id % 6 = 3
+    ),
+    post AS (SELECT s.doc_id, unnest({_TOKS.replace("text", "s.text")})
+                    AS term
+             FROM vis s),
+    postings_live AS (
+      SELECT COUNT(*) AS n FROM (SELECT DISTINCT doc_id, term FROM post)
+    ),
+    postings_base AS (
+      SELECT COUNT(*) AS n FROM (
+        SELECT DISTINCT b.doc_id, unnest({_TOKS.replace("text", "b.text")})
+               AS term
+        FROM base_docs b)
+    ),
+    postings_delta AS (
+      SELECT COUNT(*) AS n FROM (
+        SELECT DISTINCT d.doc_id, unnest({_TOKS.replace("text", "d.text")})
+               AS term
+        FROM delta_docs d)
+    )
+    SELECT (SELECT COUNT(*) FROM vis) AS n_docs_live,
+           (SELECT n FROM postings_live) AS n_postings_live,
+           (SELECT n FROM postings_base) AS n_postings_base,
+           (SELECT n FROM postings_delta) AS n_postings_delta,
+           (SELECT COUNT(DISTINCT term) FROM post) AS n_terms_live,
+           CAST(1 AS BIGINT) AS n_deltas
+    """,
+)
+def _search_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintained inverted index's one-row health frame
+    (operators/text_index.text_index_stats): live/base/delta posting
+    counts, live vocabulary size, and outstanding delta generations
+    — the compaction-debt numbers a serving deployment alerts on.
+    The oracle recomputes every number from the fixture's documented
+    maintenance history (base-after-compaction = waves through u0;
+    one unfolded mixed delta), so a drift in what compaction folds,
+    what a delta physically carries, or what reconciliation serves
+    breaks the hash."""
+    from ..operators.text_index import text_index_stats
+
+    path = _text_index_path(spark, sf_dir)
+    return text_index_stats(spark, path)
