@@ -213,6 +213,7 @@ _PENDING: list[str] = [
     "pdf_to_corpus",
     "search_index_topk",
     "search_index_health",
+    "streaming_search_index_replay",
 ]
 
 

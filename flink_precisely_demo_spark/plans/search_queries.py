@@ -323,9 +323,11 @@ def _text_index_path(spark: SparkSession, sf_dir: str) -> str:
     return _TEXT_INDEX_CACHE[sf_dir]
 
 
-@query(
-    "search_index_topk",
-    oracle=f"""
+# shared by the batch pair (uncompacted reconciling read) and the
+# streaming-ingest twin (post-compaction base read): both fixtures
+# converge on the same visible corpus, so one oracle pins both ends
+# of the LSM read lifecycle.
+_INDEX_TOPK_ORACLE = f"""
     WITH vis AS ({_VIS_SQL}),
     t AS (
       SELECT doc_id, {_TOKS} AS toks FROM vis
@@ -361,8 +363,10 @@ def _text_index_path(spark: SparkSession, sf_dir: str) -> str:
         PARTITION BY term ORDER BY score DESC, doc_id) AS rank
       FROM scored
     ) WHERE rank <= {_TOPK}
-    """,
-)
+    """
+
+
+@query("search_index_topk", oracle=_INDEX_TOPK_ORACLE)
 def _search_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-{_TOPK} per query term SERVED FROM MAINTAINED STATE
     (operators/text_index.py): the corpus postings live as an LSM
@@ -444,3 +448,116 @@ def _search_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _text_index_path(spark, sf_dir)
     return text_index_stats(spark, path)
+
+
+_STREAM_TEXT_INDEX_CACHE: dict[str, str] = {}
+
+
+def _stream_text_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Streaming twin of :func:`_text_index_path`: the same base
+    build over doc_id % 3 != 0, but both maintenance waves arrive as
+    a 2-trigger document-mutation STREAM (mtime-pinned files,
+    maxFilesPerTrigger=1) drained through the foreachBatch sink
+    (streaming/text_index_ingest.py) with ``compact_every=2`` — so
+    the final state is a COMPACTED base (0 deltas) whose
+    applied-batch manifest records both triggers; that end state is
+    deterministic, making the dir reusable across processes."""
+    import os
+    import re
+    import tempfile
+
+    from ..operators.ann_index import (_delta_dirs, _manifest_path,
+                                       _nonce, _publish_index,
+                                       _reap_stale_dirs, applied_tags)
+    from ..operators.text_index import build_text_index, index_ok
+    from ..streaming.replay_stage import stage_trigger_files
+    from ..streaming.text_index_ingest import run_text_index_ingest
+
+    cached = _STREAM_TEXT_INDEX_CACHE.get(sf_dir)
+    if cached is None:
+        slug = re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir.strip("/"))
+        path = os.path.join(tempfile.gettempdir(),
+                            f"text_sindex_{slug}")
+        done = (index_ok(path) and not _delta_dirs(path)
+                and applied_tags(path) >= {"b0", "b1"})
+        if not done:
+            _reap_stale_dirs(path)
+            nonce = _nonce()
+            stage = f"{path}.build-{nonce}"
+            docs = (load_table(spark, sf_dir, "documents")
+                    .select("doc_id", "text")
+                    .filter(F.col("text").isNotNull()))
+            build_text_index(docs.filter(F.col("doc_id") % 3 != 0),
+                             stage)
+            # trigger 0: wave-u0 adds; trigger 1: re-defined texts +
+            # adds + takedowns — the exact batch-fixture waves as a
+            # mutation stream (op D rows carry no text)
+            muts = (docs.filter(F.col("doc_id") % 6 == 0)
+                    .select("doc_id", "text", F.lit("U").alias("op"),
+                            F.lit(0).alias("b"))
+                    .unionByName(
+                        docs.filter(F.col("doc_id") % 12 == 1)
+                        .select("doc_id",
+                                F.concat("text",
+                                         F.lit(" refreshed copy"))
+                                .alias("text"),
+                                F.lit("U").alias("op"),
+                                F.lit(1).alias("b")))
+                    .unionByName(
+                        docs.filter(F.col("doc_id") % 6 == 3)
+                        .select("doc_id", "text",
+                                F.lit("U").alias("op"),
+                                F.lit(1).alias("b")))
+                    .unionByName(
+                        docs.filter(F.col("doc_id") % 12 == 2)
+                        .select("doc_id",
+                                F.lit(None).cast("string")
+                                .alias("text"),
+                                F.lit("D").alias("op"),
+                                F.lit(1).alias("b"))))
+            work = tempfile.mkdtemp(prefix="text_index_replay_")
+            try:
+                feed_dir = stage_trigger_files(muts, work, F.col("b"),
+                                               "mutations")
+                feed = (spark.readStream
+                        .schema("doc_id long, text string, op string,"
+                                " b int")
+                        .option("maxFilesPerTrigger", 1)
+                        .parquet(feed_dir))
+                run_text_index_ingest(
+                    feed, stage,
+                    checkpoint=os.path.join(work, "ckpt"),
+                    compact_every=2)
+            finally:
+                import shutil
+                shutil.rmtree(work, ignore_errors=True)
+            _publish_index(stage, path, nonce)
+            os.replace(_manifest_path(stage), _manifest_path(path))
+        _STREAM_TEXT_INDEX_CACHE[sf_dir] = path
+    return _STREAM_TEXT_INDEX_CACHE[sf_dir]
+
+
+@query("streaming_search_index_replay", oracle=_INDEX_TOPK_ORACLE)
+def _streaming_search_index_replay(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the served inverted index
+    (streaming/text_index_ingest.py) proven end-to-end: the two
+    maintenance waves arrive as a 2-trigger document-mutation stream,
+    each micro-batch becomes one tagged delta generation through the
+    foreachBatch sink, and ``compact_every=2`` triggers the scheduled
+    compaction — so THIS pair serves BM25 from the POST-COMPACTION
+    base while its batch twin ``search_index_topk`` serves the
+    uncompacted reconciling path, and both must hash-match the SAME
+    from-scratch oracle over the visible corpus (both ends of the
+    LSM read lifecycle under one driver check). Retry idempotence,
+    the checkpoint/store binding guard, and tag survival across
+    compaction are pinned by tests/test_text_index.py.
+
+    Scale: per trigger the sink's work is batch-sized (one tokenize
+    pass + bucket-partitioned write); compaction is one reconciled
+    scan + re-laid-out rewrite, amortized across ``compact_every``
+    triggers."""
+    from ..operators.text_index import search_text_index
+
+    path = _stream_text_index_path(spark, sf_dir)
+    return search_text_index(spark, path, QUERY_TERMS, k=_TOPK)
