@@ -216,7 +216,13 @@ def main() -> None:
                  # extraction, late-data side output
                  "dedup_ingest_substring",
                  "multimodal_pdf_extract",
-                 "streaming_late_sideoutput_replay"]
+                 "streaming_late_sideoutput_replay",
+                 # r15 additions (second batch): the maintained
+                 # inverted text index — batch serving + health +
+                 # streaming ingest twin — and PDF as corpus source
+                 "search_index_topk", "search_index_health",
+                 "streaming_search_index_replay",
+                 "pdf_to_corpus"]
     secondary: dict[str, float] = {}
     for name in SECONDARY:
         try:

@@ -147,6 +147,37 @@ def main() -> None:
         out["substring_deltas_at_measure"] = len(_delta_dirs(sub))
         out["substring_ingest_sec"] = _min3(
             lambda: ingest_substring_spans(spark, sub, probe).count())
+
+        # ---- inverted text index -------------------------------------
+        from flink_precisely_demo_spark.operators.text_index import (
+            build_text_index, compact_text_index, search_text_index,
+            upsert_text_index)
+        from flink_precisely_demo_spark.plans.search_queries import (
+            QUERY_TERMS)
+
+        tix = f"{work}/tix"
+        t0 = time.monotonic()
+        build_text_index(docs, tix)
+        out["text_build_sec"] = round(time.monotonic() - t0, 1)
+        t0 = time.monotonic()
+        for i in range(n_batches):
+            b = batch_df(i)
+            # every 5th batch also takes down the previous batch's
+            # first 20 docs, so the aged state carries live tombstones
+            dels = None
+            if i % 5 == 4:
+                dels = [int(r["doc_id"]) + i * 10_000_000
+                        for r in feed[(i - 1) * batch_size:
+                                      (i - 1) * batch_size + 20]]
+            upsert_text_index(spark, tix, updates=b, delete_ids=dels,
+                              tag=f"b{i}")
+            if len(_delta_dirs(tix)) >= compact_every:
+                compact_text_index(spark, tix)
+        out["text_age_sec"] = round(time.monotonic() - t0, 1)
+        out["text_deltas_at_measure"] = len(_delta_dirs(tix))
+        out["text_search_sec"] = _min3(
+            lambda: search_text_index(spark, tix, QUERY_TERMS,
+                                      k=5).count())
     finally:
         shutil.rmtree(work, ignore_errors=True)
         spark.stop()
