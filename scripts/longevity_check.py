@@ -506,11 +506,102 @@ def check_substring_ingest(spark, n_triggers: int = 50,
     return stats, violations
 
 
+def check_text_index(spark, n_triggers: int = 50,
+                     batch_size: int = 25) -> tuple[dict, list]:
+    """The maintained inverted text index under stream age
+    (operators/text_index.py): N mutation batches — fresh documents,
+    every 5th batch re-defining part of the previous batch and
+    deleting a few absorbed docs — each upsert one tagged delta,
+    compacting every 8 generations. Structural gates: delta count
+    bounded by the compaction schedule; timing gate: flat per-batch
+    cost (upsert work is batch-sized — tokenize + bucket write —
+    never index-sized). Final gate: served BM25 top-k over the aged
+    state equals a from-scratch build over the visible cumulative
+    corpus — the LSM correctness claim re-proven after 50
+    generations of shadowing, tombstones, and folds."""
+    from flink_precisely_demo_spark.operators.ann_index import (
+        _delta_dirs)
+    from flink_precisely_demo_spark.operators.text_index import (
+        build_text_index, compact_text_index, search_text_index,
+        upsert_text_index)
+    from flink_precisely_demo_spark.plans.search_queries import (
+        QUERY_TERMS)
+
+    compact_every = 8
+    docs_df = (spark.read.parquet(
+                   "/root/testdata/sf0.01/documents.parquet")
+               .select("doc_id", "text")
+               .filter("text IS NOT NULL"))
+    feed = docs_df.collect()
+    hist_n = 500
+    work = tempfile.mkdtemp(prefix="longevity_tix_")
+    idx = f"{work}/idx"
+    build_text_index(spark.createDataFrame(
+        [(int(r["doc_id"]), r["text"]) for r in feed[:hist_n]],
+        "doc_id long, text string"), idx)
+    times: list = []
+    violations: list = []
+    visible = {int(r["doc_id"]): r["text"] for r in feed[:hist_n]}
+    prev_rows: list = []
+    try:
+        for i in range(n_triggers):
+            lo = hist_n + i * batch_size
+            rows = [(int(r["doc_id"]), r["text"])
+                    for r in feed[lo:lo + batch_size]]
+            if len(rows) < batch_size:      # wrap with fresh ids
+                rows += [(int(r["doc_id"]) + (i + 1) * 1_000_000,
+                          r["text"])
+                         for r in feed[:batch_size - len(rows)]]
+            dels = None
+            if i % 5 == 4 and prev_rows:
+                # re-define the previous batch's first 5 docs and
+                # delete its next 5 — shadowing + tombstones age in
+                rows += [(d, t + " revised") for d, t in prev_rows[:5]]
+                dels = [d for d, _ in prev_rows[5:10]]
+            batch = spark.createDataFrame(
+                rows, "doc_id long, text string")
+            t0 = time.monotonic()
+            upsert_text_index(spark, idx, updates=batch,
+                              delete_ids=dels, tag=f"b{i}")
+            if len(_delta_dirs(idx)) >= compact_every:
+                compact_text_index(spark, idx)
+            times.append(round((time.monotonic() - t0) * 1000, 1))
+            for d, t in rows:
+                visible[d] = t
+            for d in dels or []:
+                visible.pop(d, None)
+            prev_rows = rows
+            n_deltas = len(_delta_dirs(idx))
+            if n_deltas >= compact_every:
+                violations.append(
+                    f"trigger {i}: {n_deltas} deltas survive "
+                    f"compact_every={compact_every}")
+        got = sorted(map(tuple, search_text_index(
+            spark, idx, QUERY_TERMS, k=5).collect()))
+        scratch = f"{work}/scratch"
+        build_text_index(spark.createDataFrame(
+            list(visible.items()), "doc_id long, text string"),
+            scratch)
+        want = sorted(map(tuple, search_text_index(
+            spark, scratch, QUERY_TERMS, k=5).collect()))
+        if got != want:
+            violations.append(
+                f"served top-k diverges from from-scratch after "
+                f"{n_triggers} generations")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    stats = {"check": "text_index", "n_triggers": n_triggers,
+             "batch_size": batch_size}
+    stats.update(_flatness(times, "batch_ms", violations))
+    return stats, violations
+
+
 CHECKS = {"sessionize": check_sessionize, "pattern": check_pattern,
           "dedup": check_dedup, "dedup_ingest": check_dedup_ingest,
           "ann_upsert": check_ann_upsert,
           "flagship_window": check_flagship_window,
-          "substring_ingest": check_substring_ingest}
+          "substring_ingest": check_substring_ingest,
+          "text_index": check_text_index}
 
 
 def main() -> None:
