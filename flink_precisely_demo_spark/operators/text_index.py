@@ -285,6 +285,54 @@ def search_text_index(spark: SparkSession, index_path: str,
                     F.col("rank").cast("long").alias("rank")))
 
 
+def search_text_index_docs(spark: SparkSession, index_path: str,
+                           terms, k: int = 10) -> DataFrame:
+    """Top-``k`` live documents for the WHOLE query — ranked by the
+    summed per-term BM25 over every query term the doc contains
+    (disjunctive retrieval, the ranking a search deployment actually
+    serves): (doc_id, n_terms, score, rank). The per-term scores are
+    the exact-integer doubles of :func:`search_text_index`; the
+    cross-term sum is exact decimal accumulation
+    (operators/windowed_agg.sum_exact) so the ranking is
+    order-independent and bit-identical cross-engine.
+
+    Plan shape: identical pruned postings read; one extra
+    doc-keyed aggregation over query-term hit rows only (corpus-
+    sized in docs that contain a query term, never in postings);
+    top-k is a single-partition window over that bounded set — swap
+    in the local-partial-top-k merge at extreme scale."""
+    from pyspark.sql import Window
+
+    from .windowed_agg import sum_exact
+
+    if not index_ok(index_path):
+        raise FileNotFoundError(f"no published index at {index_path}")
+    man = _manifest(index_path)
+    terms = list(terms)
+    bks = _term_buckets(spark, terms, man["n_buckets"])
+    hits = (_reconcile(spark, index_path, "postings", buckets=bks)
+            .filter(F.col("term").isin(*terms)))
+    corpus = _reconcile(spark, index_path, "docs").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_toks"))
+    df_ = hits.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"))
+    scored = (hits.join(F.broadcast(df_), "term")
+              .crossJoin(F.broadcast(corpus))
+              .withColumn("__s", bm25_exact_score(
+                  F.col("tf"), F.col("df"), F.col("dl"),
+                  F.col("n_docs"), F.col("total_toks"))))
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        sum_exact("__s").alias("__total"))
+    w = Window.orderBy(F.desc("__total"), "doc_id")
+    return (per_doc.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("doc_id", "n_terms",
+                    F.round("__total", 6).alias("score"),
+                    F.col("rank").cast("long").alias("rank")))
+
+
 def _term_buckets(spark: SparkSession, terms: list,
                   n_buckets: int) -> list[int]:
     """The query terms' partition buckets, for pruning: evaluated by

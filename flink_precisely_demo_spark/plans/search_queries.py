@@ -561,3 +561,68 @@ def _streaming_search_index_replay(spark: SparkSession,
 
     path = _stream_text_index_path(spark, sf_dir)
     return search_text_index(spark, path, QUERY_TERMS, k=_TOPK)
+
+
+@query(
+    "search_index_doc_topk",
+    oracle=f"""
+    WITH vis AS ({_VIS_SQL}),
+    t AS (
+      SELECT doc_id, {_TOKS} AS toks FROM vis
+    ),
+    corpus AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(len(toks)) AS BIGINT) AS total_toks
+      FROM t
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf,
+             CAST(ANY_VALUE(dl) AS BIGINT) AS dl
+      FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t)
+      WHERE term IN ({_terms_sql()})
+      GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST((2 * c.n_docs - 2 * df.df + 1) * 22 * tf.tf
+                  * c.total_toks AS DOUBLE)
+             / CAST((2 * df.df + 1)
+                    * (10 * tf.tf * c.total_toks + 3 * c.total_toks
+                       + 9 * tf.dl * c.n_docs) AS DOUBLE) AS score
+      FROM tf JOIN df USING (term) CROSS JOIN corpus c
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+             CAST(SUM(CAST(score AS DECIMAL(28,6))) AS DOUBLE)
+               AS total
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_terms, round(total, 6) AS score,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        ORDER BY total DESC, doc_id) AS rank
+      FROM per_doc
+    ) WHERE rank <= 10
+    """,
+)
+def _search_index_doc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-query document ranking served from the maintained index
+    (operators/text_index.search_text_index_docs): top-10 visible
+    docs by SUMMED per-term BM25 over the query terms (disjunctive
+    retrieval — the ranking a search deployment actually serves,
+    where ``search_index_topk`` is the per-term diagnostic view).
+    The cross-term sum is exact decimal accumulation (the sum_exact
+    house rule), so the ranking is order-independent and the oracle
+    — the same maintenance-history corpus, summed in SQL decimal —
+    hash-matches bit-exactly.
+
+    Scale: same pruned postings read as the per-term pair; the extra
+    doc-keyed agg runs over query-term hit rows only."""
+    from ..operators.text_index import search_text_index_docs
+
+    path = _text_index_path(spark, sf_dir)
+    return search_text_index_docs(spark, path, QUERY_TERMS, k=10)

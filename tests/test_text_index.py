@@ -242,3 +242,43 @@ def test_streaming_sink_idempotence_and_binding_guard(spark, tmp_path):
         applied_tags as _at,
     )
     assert _at(path) >= {"b1", "b2"}     # tags survive the fold
+
+
+def test_doc_ranking_equals_scratch_and_sums_terms(spark, tmp_path):
+    """search_text_index_docs: summed-BM25 doc ranking from aged
+    state equals a from-scratch build, and each doc's total is the
+    exact-decimal sum of its per-term scores."""
+    from decimal import Decimal
+
+    from flink_precisely_demo_spark.operators.text_index import (
+        search_text_index_docs,
+    )
+
+    docs = _docs(spark)
+    path = os.path.join(str(tmp_path), "tix")
+    build_text_index(docs.filter(F.col("doc_id") % 3 != 0), path,
+                     n_buckets=16)
+    upsert_text_index(spark, path,
+                      updates=docs.filter(F.col("doc_id") % 3 == 0),
+                      delete_ids=docs.filter(F.col("doc_id") % 12 == 2)
+                      .select("doc_id"),
+                      tag="u0")
+    served = _rows(search_text_index_docs(spark, path, TERMS, k=10))
+    scratch_p = os.path.join(str(tmp_path), "scratch")
+    build_text_index(docs.filter(F.col("doc_id") % 12 != 2), scratch_p,
+                     n_buckets=16)
+    assert served == _rows(
+        search_text_index_docs(spark, scratch_p, TERMS, k=10))
+
+    # cross-check the decimal accumulation against the per-term view
+    per_term = search_text_index(spark, path, TERMS, k=10**9)
+    by_doc = {}
+    for r in per_term.collect():
+        d = by_doc.setdefault(r["doc_id"], [Decimal(0), 0])
+        # quantize exactly as decimal(28,6) accumulation does
+        d[0] += Decimal(repr(r["score"])).quantize(Decimal("0.000001"))
+        d[1] += 1
+    for doc_id, n_terms, score, rank in served:
+        want_total, want_n = by_doc[doc_id]
+        assert n_terms == want_n
+        assert abs(float(want_total) - score) < 1e-6
