@@ -215,6 +215,7 @@ _PENDING: list[str] = [
     "search_index_health",
     "streaming_search_index_replay",
     "search_index_doc_topk",
+    "search_index_phrase",
 ]
 
 

@@ -222,7 +222,7 @@ def main() -> None:
                  # streaming ingest twin — and PDF as corpus source
                  "search_index_topk", "search_index_health",
                  "streaming_search_index_replay",
-                 "search_index_doc_topk",
+                 "search_index_doc_topk", "search_index_phrase",
                  "pdf_to_corpus"]
     secondary: dict[str, float] = {}
     for name in SECONDARY:

@@ -86,25 +86,41 @@ def _bucket(term_col, n_buckets: int):
 
 
 def _postings(corpus: DataFrame, text_col: str, id_col: str,
-              n_buckets: int) -> tuple[DataFrame, DataFrame]:
+              n_buckets: int,
+              positions: bool = False) -> tuple[DataFrame, DataFrame]:
     """(postings, docs) for one generation. Tokenizes once: postings
     are (bucket, term, doc_id, tf, dl) — dl denormalized onto the
     posting row so scoring never joins back to docs/ — and docs are
     (doc_id, dl) for EVERY document (zero-token docs included; they
-    carry corpus-stat weight even with no postings)."""
+    carry corpus-stat weight even with no postings). With
+    ``positions`` the posting row also carries the term's sorted
+    0-based token offsets (``positions: array<int>``) — the phrase-
+    query payload; the arrays sum to document length across a doc's
+    rows, so storage stays linear in corpus tokens."""
     t = (corpus.filter(F.col(text_col).isNotNull())
          .select(F.col(id_col).alias("doc_id"),
                  tokens(text_col).alias("__toks")))
     docs = t.select("doc_id",
                     F.size("__toks").cast("long").alias("dl"))
-    posts = (t.select("doc_id",
-                      F.size("__toks").cast("long").alias("dl"),
-                      F.explode("__toks").alias("term"))
-             .groupBy("term", "doc_id")
-             .agg(F.count(F.lit(1)).cast("long").alias("tf"),
-                  F.first("dl").alias("dl"))
+    if positions:
+        hits = t.select("doc_id",
+                        F.size("__toks").cast("long").alias("dl"),
+                        F.posexplode("__toks").alias("pos", "term"))
+        agg = [F.count(F.lit(1)).cast("long").alias("tf"),
+               F.first("dl").alias("dl"),
+               F.sort_array(F.collect_list(F.col("pos").cast("int")))
+               .alias("positions")]
+        cols = ["term", "doc_id", "tf", "dl", "positions"]
+    else:
+        hits = t.select("doc_id",
+                        F.size("__toks").cast("long").alias("dl"),
+                        F.explode("__toks").alias("term"))
+        agg = [F.count(F.lit(1)).cast("long").alias("tf"),
+               F.first("dl").alias("dl")]
+        cols = ["term", "doc_id", "tf", "dl"]
+    posts = (hits.groupBy("term", "doc_id").agg(*agg)
              .select(_bucket(F.col("term"), n_buckets).alias("bucket"),
-                     "term", "doc_id", "tf", "dl"))
+                     *cols))
     return posts, docs
 
 
@@ -117,20 +133,24 @@ def _write_gen(posts: DataFrame, docs: DataFrame, dest: str) -> None:
 
 def build_text_index(corpus: DataFrame, index_path: str,
                      text_col: str = "text", id_col: str = "doc_id",
-                     n_buckets: int = 64) -> None:
+                     n_buckets: int = 64,
+                     positions: bool = False) -> None:
     """Tokenize the corpus once and publish the inverted index
     (atomic nonce-stage rename — a crashed build is invisible).
     ``n_buckets`` pins the term-hash partition layout in the
     manifest; every later generation writes the same layout so
-    query-time pruning applies uniformly."""
+    query-time pruning applies uniformly. ``positions`` pins the
+    positional-postings layout (required for phrase queries) —
+    every later upsert writes it too."""
     _reap_stale_dirs(index_path)
     nonce = _nonce()
     stage = f"{index_path}.build-{nonce}"
-    posts, docs = _postings(corpus, text_col, id_col, n_buckets)
+    posts, docs = _postings(corpus, text_col, id_col, n_buckets,
+                            positions)
     _write_gen(posts, docs, stage)
     with open(os.path.join(stage, _MANIFEST), "w") as f:
         json.dump({"id_col": id_col, "text_col": text_col,
-                   "n_buckets": n_buckets}, f)
+                   "n_buckets": n_buckets, "positions": positions}, f)
     with open(os.path.join(stage, "_INDEX_OK"), "w") as f:
         f.write("ok\n")
     _publish_index(stage, index_path, nonce)
@@ -172,7 +192,8 @@ def upsert_text_index(spark: SparkSession, index_path: str,
             updates = None
     if updates is not None:
         posts, docs = _postings(updates, man["text_col"],
-                                man["id_col"], man["n_buckets"])
+                                man["id_col"], man["n_buckets"],
+                                man.get("positions", False))
         _write_gen(posts, docs, stage)
     if delete_ids is not None:
         if isinstance(delete_ids, DataFrame):
@@ -331,6 +352,62 @@ def search_text_index_docs(spark: SparkSession, index_path: str,
             .select("doc_id", "n_terms",
                     F.round("__total", 6).alias("score"),
                     F.col("rank").cast("long").alias("rank")))
+
+
+def search_text_index_phrase(spark: SparkSession, index_path: str,
+                             phrases) -> DataFrame:
+    """EXACT phrase matching from positional postings: for each
+    phrase (a whitespace-joined term string), every live document
+    containing the consecutive token sequence, with its exact
+    occurrence count — (phrase, doc_id, n_occurrences). Overlapping
+    occurrences count individually (``"b b b"`` contains ``"b b"``
+    twice), which substring/regex counting gets wrong on adjacent
+    repeats.
+
+    The index must be built with ``positions=True`` (enforced from
+    the manifest). Plan shape: one pruned postings read over the
+    union of all phrase terms; per phrase, the i-th term's positions
+    are shifted by −i and intersected (``array_intersect`` — pure
+    JVM array kernels, no Python), so a document's count is the size
+    of the surviving start-position set. Docs lacking any phrase
+    term drop at the inner joins; every join is doc-keyed over
+    term-hit rows only."""
+    if not index_ok(index_path):
+        raise FileNotFoundError(f"no published index at {index_path}")
+    man = _manifest(index_path)
+    if not man.get("positions", False):
+        raise ValueError(
+            "phrase queries need a positional index: rebuild with "
+            "build_text_index(..., positions=True)")
+    plists = [p.split() for p in phrases]
+    all_terms = sorted({t for p in plists for t in p})
+    bks = _term_buckets(spark, all_terms, man["n_buckets"])
+    hits = (_reconcile(spark, index_path, "postings", buckets=bks)
+            .filter(F.col("term").isin(*all_terms))
+            .select("term", "doc_id", "positions"))
+    def _shifted(i: int):
+        # NOTE: the lambda must stay single-arg — PySpark treats a
+        # 2-arg HOF lambda as (element, array_index)
+        if i == 0:
+            return F.col("positions")
+        return F.transform("positions", lambda x: x - F.lit(i))
+
+    out = None
+    for phrase, terms in zip(phrases, plists):
+        cur = None
+        for i, t in enumerate(terms):
+            side = (hits.filter(F.col("term") == t)
+                    .select("doc_id", _shifted(i).alias(f"__p{i}")))
+            cur = side if cur is None else cur.join(side, "doc_id")
+        inter = F.col("__p0")
+        for i in range(1, len(terms)):
+            inter = F.array_intersect(inter, F.col(f"__p{i}"))
+        one = (cur.select(F.lit(phrase).alias("phrase"), "doc_id",
+                          F.size(inter).cast("long")
+                          .alias("n_occurrences"))
+               .filter(F.col("n_occurrences") > 0))
+        out = one if out is None else out.unionByName(one)
+    return out
 
 
 def _term_buckets(spark: SparkSession, terms: list,

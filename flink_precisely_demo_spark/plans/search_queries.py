@@ -281,7 +281,7 @@ def _text_index_path(spark: SparkSession, sf_dir: str) -> str:
     from ..operators.ann_index import (_manifest_path, _nonce,
                                        _publish_index, _reap_stale_dirs,
                                        applied_tags, delta_tags)
-    from ..operators.text_index import (build_text_index,
+    from ..operators.text_index import (_manifest, build_text_index,
                                         compact_text_index,
                                         index_ok, upsert_text_index)
 
@@ -291,7 +291,8 @@ def _text_index_path(spark: SparkSession, sf_dir: str) -> str:
         path = os.path.join(tempfile.gettempdir(), f"text_index_{slug}")
         done = (index_ok(path)
                 and (applied_tags(path) | delta_tags(path))
-                >= {"u0", "u1"})
+                >= {"u0", "u1"}
+                and _manifest(path).get("positions", False))
         if not done:
             _reap_stale_dirs(path)
             nonce = _nonce()
@@ -300,7 +301,7 @@ def _text_index_path(spark: SparkSession, sf_dir: str) -> str:
                     .select("doc_id", "text")
                     .filter(F.col("text").isNotNull()))
             build_text_index(docs.filter(F.col("doc_id") % 3 != 0),
-                             stage)
+                             stage, positions=True)
             upsert_text_index(
                 spark, stage,
                 updates=docs.filter(F.col("doc_id") % 6 == 0),
@@ -626,3 +627,71 @@ def _search_index_doc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _text_index_path(spark, sf_dir)
     return search_text_index_docs(spark, path, QUERY_TERMS, k=10)
+
+
+# phrases for the oracle-checked pair: two common bigrams, one
+# 3-token phrase, and a repeated-token bigram (the overlap case
+# substring/regex counting gets wrong — "batch batch batch" holds
+# TWO occurrences of "batch batch")
+PHRASES = ("table scan", "merge sort", "stream spark window",
+           "batch batch")
+
+
+def _phrase_block(phrase: str) -> str:
+    terms = phrase.split()
+    joins, conds = [], []
+    for i, t in enumerate(terms):
+        a = f"p{i}"
+        if i == 0:
+            joins.append(f"pos {a}")
+        else:
+            joins.append(
+                f"JOIN pos {a} ON {a}.doc_id = p0.doc_id "
+                f"AND {a}.p = p0.p + {i}")
+        conds.append(f"{a}.term = '{t}'")
+    return f"""
+      SELECT '{phrase}' AS phrase, p0.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_occurrences
+      FROM {' '.join(joins)}
+      WHERE {' AND '.join(conds)}
+      GROUP BY p0.doc_id"""
+
+
+@query(
+    "search_index_phrase",
+    oracle=f"""
+    WITH vis AS ({_VIS_SQL}),
+    t AS (
+      SELECT doc_id, {_TOKS} AS toks FROM vis
+    ),
+    pos AS (
+      SELECT doc_id, unnest(toks) AS term,
+             generate_subscripts(toks, 1) AS p
+      FROM t
+    )
+    SELECT * FROM ({' UNION ALL '.join(_phrase_block(p)
+                                       for p in PHRASES)})
+    """,
+)
+def _search_index_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT phrase search served from the maintained positional
+    index (operators/text_index.search_text_index_phrase): every
+    live document containing each query phrase as a consecutive
+    token run, with its exact occurrence count — overlapping
+    occurrences counted individually (the repeated-token phrase in
+    the set exists to pin that; substring counting undercounts it).
+    The index fixture is the SAME maintained state as the scoring
+    pairs (build -> adds -> compact -> update/add/delete delta, now
+    built positional), so the oracle — positional self-joins over
+    the visible corpus in SQL — also re-proves that positions ride
+    the LSM reconciliation correctly through shadowing and
+    tombstones.
+
+    Scale: one postings read pruned to the phrases' term buckets;
+    per phrase, doc-keyed inner joins over term-hit rows and a pure
+    JVM array-intersect of shifted position arrays — no Python, no
+    corpus-sized shuffle."""
+    from ..operators.text_index import search_text_index_phrase
+
+    path = _text_index_path(spark, sf_dir)
+    return search_text_index_phrase(spark, path, list(PHRASES))

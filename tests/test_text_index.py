@@ -282,3 +282,50 @@ def test_doc_ranking_equals_scratch_and_sums_terms(spark, tmp_path):
         want_total, want_n = by_doc[doc_id]
         assert n_terms == want_n
         assert abs(float(want_total) - score) < 1e-6
+
+
+def test_phrase_counts_overlaps_and_reconciliation(spark, tmp_path):
+    """search_text_index_phrase: exact occurrence counts including
+    OVERLAPPING repeats (the substring-counting trap), served through
+    LSM shadowing and tombstones; non-positional indexes refuse."""
+    import pytest
+
+    from flink_precisely_demo_spark.operators.text_index import (
+        search_text_index_phrase,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "b b b a c"), (2, "a c a c"), (3, "b a c b")],
+        "doc_id long, text string")
+    path = os.path.join(str(tmp_path), "tix")
+    build_text_index(corpus, path, n_buckets=4, positions=True)
+    got = {(r["phrase"], r["doc_id"]): r["n_occurrences"]
+           for r in search_text_index_phrase(
+               spark, path, ["b b", "a c", "a c a"]).collect()}
+    assert got == {("b b", 1): 2,            # overlap: b b b -> 2
+                   ("a c", 1): 1, ("a c", 2): 2, ("a c", 3): 1,
+                   ("a c a", 2): 1}
+
+    # doc 1 re-defined without the phrase, doc 3 deleted
+    upsert_text_index(
+        spark, path,
+        updates=spark.createDataFrame([(1, "a c x")],
+                                      "doc_id long, text string"),
+        delete_ids=[3])
+    got2 = {(r["phrase"], r["doc_id"]): r["n_occurrences"]
+            for r in search_text_index_phrase(
+                spark, path, ["b b", "a c"]).collect()}
+    assert got2 == {("a c", 1): 1, ("a c", 2): 2}
+
+    # compaction keeps the positional payload
+    compact_text_index(spark, path)
+    got3 = {(r["phrase"], r["doc_id"]): r["n_occurrences"]
+            for r in search_text_index_phrase(
+                spark, path, ["a c"]).collect()}
+    assert got3 == {("a c", 1): 1, ("a c", 2): 2}
+
+    # a plain index refuses phrase queries with a typed error
+    plain = os.path.join(str(tmp_path), "plain")
+    build_text_index(corpus, plain, n_buckets=4)
+    with pytest.raises(ValueError, match="positions=True"):
+        search_text_index_phrase(spark, plain, ["a c"])
