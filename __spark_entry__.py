@@ -216,6 +216,7 @@ _PENDING: list[str] = [
     "streaming_search_index_replay",
     "search_index_doc_topk",
     "search_index_phrase",
+    "orc_corpus_roundtrip",
 ]
 
 

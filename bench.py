@@ -223,6 +223,7 @@ def main() -> None:
                  "search_index_topk", "search_index_health",
                  "streaming_search_index_replay",
                  "search_index_doc_topk", "search_index_phrase",
+                 "orc_corpus_roundtrip",
                  "pdf_to_corpus"]
     secondary: dict[str, float] = {}
     for name in SECONDARY:

@@ -1007,3 +1007,72 @@ def _pdf_to_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((quality_score(F.col("text")) >= F.lit(_QUALITY_GATE))
          & (language_id(F.col("text")) != F.lit("und")))
         .alias("admitted"))
+
+
+_ORC_DIRS: dict[str, str] = {}
+
+
+def _orc_corpus_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Session-cached ORC copy of the documents table (the
+    `_roundtrip_corpus_dir` pattern for the columnar format)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.orc import write_orc_corpus
+
+    key = os.path.realpath(sf_dir)
+    cached = _ORC_DIRS.get(key)
+    if cached and os.path.isdir(cached):
+        return cached
+    work = tempfile.mkdtemp(prefix="orc_roundtrip_")
+    if not _ORC_DIRS:
+        atexit.register(lambda: [shutil.rmtree(
+            os.path.dirname(d), ignore_errors=True)
+            for d in _ORC_DIRS.values()])
+    out = os.path.join(work, "corpus")
+    write_orc_corpus(load_table(spark, sf_dir, "documents"), out,
+                     ["doc_id", "text", "lang", "source", "n_chars"])
+    _ORC_DIRS[key] = out
+    return out
+
+
+@query(
+    "orc_corpus_roundtrip",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(len(text)) AS BIGINT) AS read_chars
+    FROM documents
+    WHERE n_chars > 40
+    GROUP BY lang
+    """,
+)
+def _orc_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ORC source/sink contract (sources/orc.py) proven as a
+    roundtrip: documents -> ORC -> read back under an explicit
+    schema, filtered and rolled up per language. The `n_chars > 40`
+    predicate REACHES THE ORC SCAN (`PushedFilters:
+    [GreaterThan(n_chars,40)]` — row-group stats prune stripes the
+    way a 100 TB Hive-era lake expects), and the hash match against
+    the parquet originals proves the writer/reader pair is lossless
+    for the corpus schema, text payload included (`read_chars`
+    re-measures the text AFTER the roundtrip).
+
+    Scale: columnar scan-stage until one groupBy(lang) shuffle; the
+    ORC copy is a session-cached input."""
+    from ..sources.orc import read_orc_corpus
+
+    out = _orc_corpus_dir(spark, sf_dir)
+    back = read_orc_corpus(
+        spark, out,
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    return (back.filter(F.col("n_chars") > 40)
+                .groupBy("lang")
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.sum("n_chars").cast("long").alias("total_chars"),
+                     F.sum(F.length("text")).cast("long")
+                      .alias("read_chars")))

@@ -339,3 +339,34 @@ def test_jsonl_roundtrip_cleanup_reclaims_whole_temp_tree(tmp_path):
     finally:
         cq._ROUNDTRIP_DIRS.clear()
         cq._ROUNDTRIP_DIRS.update(saved)
+
+
+def test_orc_roundtrip_losslessness_and_pushdown(spark, tmp_path):
+    """The ORC source/sink contract (sources/orc.py): write -> read
+    under explicit schema is lossless for the corpus schema, and a
+    comparison predicate reaches the ORC scan as a pushed filter."""
+    import os
+    import re
+
+    from pyspark.sql import functions as F
+
+    from flink_precisely_demo_spark.sources.orc import (
+        read_orc_corpus,
+        write_orc_corpus,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta", "en", 10), (2, "gamma", "de", 5),
+         (3, None, "en", 0)],
+        "doc_id long, text string, lang string, n_chars long")
+    path = os.path.join(str(tmp_path), "orc")
+    write_orc_corpus(df, path)
+    back = read_orc_corpus(
+        spark, path, "doc_id long, text string, lang string, n_chars long")
+    assert sorted(map(tuple, back.collect())) == \
+        sorted(map(tuple, df.collect()))
+
+    filtered = back.filter(F.col("n_chars") > 4)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PushedFilters: \[[^\]]*GreaterThan\(n_chars,4\)", plan)
+    assert m, f"ORC pushdown missing: {plan[:500]}"
