@@ -217,6 +217,7 @@ _PENDING: list[str] = [
     "search_index_doc_topk",
     "search_index_phrase",
     "orc_corpus_roundtrip",
+    "streaming_substring_ingest_replay",
 ]
 
 

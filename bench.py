@@ -224,6 +224,7 @@ def main() -> None:
                  "streaming_search_index_replay",
                  "search_index_doc_topk", "search_index_phrase",
                  "orc_corpus_roundtrip",
+                 "streaming_substring_ingest_replay",
                  "pdf_to_corpus"]
     secondary: dict[str, float] = {}
     for name in SECONDARY:

@@ -1244,3 +1244,99 @@ def _dedup_ingest_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _substring_index_path(spark, sf_dir)
     return substring_spans_from_index(spark, path, min_len=24)
+
+
+_STREAM_SUBSTRING_CACHE: dict[str, str] = {}
+
+
+def _stream_substring_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Streaming twin of :func:`_substring_index_path`: the same base
+    build over doc_id % 5 != 0, but the two ingest waves (%10==0,
+    then %10==5) arrive as a 2-trigger document STREAM drained
+    through the foreachBatch sink (streaming/substring_ingest.py)
+    with ``compact_every=2`` — each trigger runs the against-corpus
+    span query off the shared window fold, appends its tagged delta,
+    and the scheduled compaction folds both (exercising the over-cap
+    prune on the streamed generations). Final state: compacted base,
+    applied manifest recording both triggers — deterministic, so the
+    dir is reusable across processes."""
+    import os
+    import re
+    import shutil
+    import tempfile
+
+    from ..operators.ann_index import (_manifest_path, _nonce,
+                                       _publish_index, _reap_stale_dirs,
+                                       applied_tags)
+    from ..operators.substring_index import (build_substring_index,
+                                             index_ok)
+    from ..streaming.replay_stage import stage_trigger_files
+    from ..streaming.substring_ingest import run_substring_ingest
+
+    cached = _STREAM_SUBSTRING_CACHE.get(sf_dir)
+    if cached is None:
+        slug = re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir.strip("/"))
+        path = os.path.join(tempfile.gettempdir(),
+                            f"substring_sindex_{slug}")
+        from ..operators.ann_index import _delta_dirs
+        done = (index_ok(path) and not _delta_dirs(path)
+                and applied_tags(path) >= {"b0", "b1"})
+        if not done:
+            _reap_stale_dirs(path)
+            nonce = _nonce()
+            stage = f"{path}.build-{nonce}"
+            docs = load_table(spark, sf_dir, "documents") \
+                .select("doc_id", "text")
+            build_substring_index(
+                docs.filter(F.col("doc_id") % 5 != 0), stage)
+            feed_df = (docs.filter(F.col("doc_id") % 10 == 0)
+                       .withColumn("b", F.lit(0))
+                       .unionByName(
+                           docs.filter(F.col("doc_id") % 10 == 5)
+                           .withColumn("b", F.lit(1))))
+            work = tempfile.mkdtemp(prefix="substr_ingest_replay_")
+            try:
+                feed_dir = stage_trigger_files(feed_df, work,
+                                               F.col("b"), "docs")
+                feed = (spark.readStream
+                        .schema("doc_id long, text string, b int")
+                        .option("maxFilesPerTrigger", 1)
+                        .parquet(feed_dir))
+                run_substring_ingest(
+                    feed.select("doc_id", "text"), stage,
+                    checkpoint=os.path.join(work, "ckpt"),
+                    spans_out=os.path.join(work, "spans"),
+                    compact_every=2)
+            finally:
+                shutil.rmtree(work, ignore_errors=True)
+            _publish_index(stage, path, nonce)
+            os.replace(_manifest_path(stage), _manifest_path(path))
+        _STREAM_SUBSTRING_CACHE[sf_dir] = path
+    return _STREAM_SUBSTRING_CACHE[sf_dir]
+
+
+@query("streaming_substring_ingest_replay", oracle=_SUBSTRING_EXACT_ORACLE)
+def _streaming_substring_ingest_replay(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the exact-substring anchor index
+    (streaming/substring_ingest.py) proven end-to-end: the two
+    ingest waves arrive as a 2-trigger document stream, each
+    micro-batch folds its text once, runs the against-corpus span
+    query off that fold, appends one tagged window delta, and
+    ``compact_every=2`` triggers the scheduled compaction (with its
+    over-cap prune) — so THIS pair reads absorbed spans from the
+    POST-COMPACTION base while its batch twin
+    ``dedup_ingest_substring`` reads the uncompacted delta window,
+    and both must hash-match the SAME from-scratch
+    ``exact_substring_spans`` oracle over the cumulative corpus.
+    Retry idempotence and the checkpoint binding guard follow the
+    shared sink contract (pinned for this sink in
+    tests/test_substring_index.py).
+
+    Scale: per trigger the sink's work is batch-sized (one window
+    fold + the stats-gated anchor join); compaction is one
+    reconciled scan + pruned rewrite amortized across triggers."""
+    from ..operators.substring_index import substring_spans_from_index
+
+    path = _stream_substring_index_path(spark, sf_dir)
+    return substring_spans_from_index(spark, path, min_len=24)
