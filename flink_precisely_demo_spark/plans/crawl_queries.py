@@ -745,15 +745,17 @@ def _corpus_pipeline_root(spark: SparkSession, sf_dir: str) -> str:
     cached = _CORPUS_PIPE_CACHE.get(sf_dir)
     if cached is None:
         slug = re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir.strip("/"))
-        # pipe2: the r15 shape (decontamination leg) — the bumped slug
-        # can never resurrect a pre-decontamination published root
-        path = os.path.join(tempfile.gettempdir(), f"corpus_pipe2_{slug}")
+        # pipe3: the late-r15 shape (decontamination + text-index
+        # legs) — the bumped slug can never resurrect an earlier
+        # published root missing a leg
+        path = os.path.join(tempfile.gettempdir(), f"corpus_pipe3_{slug}")
         band = os.path.join(path, "band_index")
         ann = os.path.join(path, "ann_index")
+        tixp = os.path.join(path, "text_index")
         verd = os.path.join(path, "verdicts")
         dec = os.path.join(path, "decontam")
-        if not (index_ok(band) and index_ok(ann) and os.path.isdir(verd)
-                and os.path.isdir(dec)):
+        if not (index_ok(band) and index_ok(ann) and index_ok(tixp)
+                and os.path.isdir(verd) and os.path.isdir(dec)):
             _reap_stale_dirs(path)
             nonce = _nonce()
             stage = f"{path}.build-{nonce}"
@@ -770,6 +772,8 @@ def _corpus_pipeline_root(spark: SparkSession, sf_dir: str) -> str:
             build_ann_index(hist.select("doc_id").join(emb, "doc_id"),
                             os.path.join(stage, "ann_index"),
                             id_col="doc_id")
+            from ..operators.text_index import build_text_index
+            build_text_index(hist, os.path.join(stage, "text_index"))
             work = tempfile.mkdtemp(prefix="corpus_pipe_replay_")
             try:
                 feed_dir = stage_trigger_text_files(
@@ -789,7 +793,9 @@ def _corpus_pipeline_root(spark: SparkSession, sf_dir: str) -> str:
                                   benchmark=docs.filter(
                                       F.col("doc_id") % 7 == 3),
                                   decontam_path=os.path.join(
-                                      stage, "decontam"))
+                                      stage, "decontam"),
+                                  text_index_path=os.path.join(
+                                      stage, "text_index"))
             finally:
                 shutil.rmtree(work, ignore_errors=True)
             _publish_index(stage, path, nonce)
@@ -861,7 +867,9 @@ def _corpus_pipeline_root(spark: SparkSession, sf_dir: str) -> str:
                 THEN v.dup_of IS NULL END AS is_novel,
            v.dup_of,
            (gd.doc_id IS NOT NULL AND ct.doc_id IS NULL
-            AND v.dup_of IS NULL AND em.vec_id IS NOT NULL) AS indexed
+            AND v.dup_of IS NULL AND em.vec_id IS NOT NULL) AS indexed,
+           (gd.doc_id IS NOT NULL AND ct.doc_id IS NULL
+            AND v.dup_of IS NULL) AS searchable
     FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
     LEFT JOIN gated gd ON gd.doc_id = d.doc_id
     LEFT JOIN contam ct ON ct.doc_id = d.doc_id
@@ -881,12 +889,14 @@ def _streaming_corpus_ingest_replay(spark: SparkSession,
     state, ids persisted per batch), is labeled against the persisted
     band index (exactly-once verdicts + tagged delta append), and its
     novel documents upsert their embeddings into the served ANN index
-    — the streaming twin of ``crawl_to_training_shards``, and the
-    integration a real deployment runs. The output is each streamed
-    document's final disposition: gated?, decontaminated?, novel?,
-    dup-of whom, and — read back from the ANN index's live state, so
-    the upsert leg is verified from its own post-compaction storage —
-    similarity-indexed?. The oracle recomputes gates, the per-wave
+    AND their text into the maintained inverted index (the late-r15
+    fifth leg — BM25/phrase serving reflects the trigger with no
+    lookup dependency) — the streaming twin of
+    ``crawl_to_training_shards``, and the integration a real
+    deployment runs. The output is each streamed document's final
+    disposition: gated?, decontaminated?, novel?, dup-of whom, and —
+    each read back from its own index's live post-compaction storage
+    — similarity-indexed? and text-searchable?. The oracle recomputes gates, the per-wave
     contamination audit (df caps measured per trigger, exactly as the
     sink runs them), the wave-aware staged dedup arithmetic, and
     embedding availability from first principles.
@@ -908,10 +918,15 @@ def _streaming_corpus_ingest_replay(spark: SparkSession,
     live = _live_vectors(spark, os.path.join(root, "ann_index"),
                          "doc_id", "embedding") \
         .select("doc_id", F.lit(True).alias("__idx"))
+    from ..operators.text_index import _reconcile
+    srch = _reconcile(spark, os.path.join(root, "text_index"),
+                      "docs").select("doc_id",
+                                     F.lit(True).alias("__srch"))
     return (streamed
             .join(v, "doc_id", "left")
             .join(dec, "doc_id", "left")
             .join(live, "doc_id", "left")
+            .join(srch, "doc_id", "left")
             .select("doc_id",
                     (F.col("__nov").isNotNull()
                      | F.col("__dec").isNotNull()).alias("passed_gates"),
@@ -919,7 +934,9 @@ def _streaming_corpus_ingest_replay(spark: SparkSession,
                     .alias("decontaminated"),
                     F.col("__nov").alias("is_novel"),
                     "dup_of",
-                    F.coalesce("__idx", F.lit(False)).alias("indexed")))
+                    F.coalesce("__idx", F.lit(False)).alias("indexed"),
+                    F.coalesce("__srch", F.lit(False))
+                    .alias("searchable")))
 
 
 @query(

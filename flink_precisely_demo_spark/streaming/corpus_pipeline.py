@@ -27,7 +27,12 @@ Per trigger:
 4. **ANN upsert** — the batch's NOVEL documents join the embedding
    lookup and upsert into the served ANN index through its sink
    (streaming/ann_upsert.ann_upsert_sink), so similarity serving
-   reflects this trigger's accepted documents next trigger.
+   reflects this trigger's accepted documents next trigger;
+5. **text-index upsert** (optional ``text_index_path=``) — the same
+   novel slice upserts its TEXT into the maintained inverted index
+   (streaming/text_index_ingest.text_index_sink), so BM25/phrase
+   search serving reflects the trigger too. Unlike the ANN leg there
+   is no lookup dependency: every novel document is searchable.
 
 Idempotence composes from the parts: both index sinks carry the
 ``b<batch_id>`` writer-tag contract (an applied batch no-ops on
@@ -56,6 +61,7 @@ from ..functions.text import language_id, quality_score
 from ..sources.cdc_json import decode_envelope, flatten_after_image
 from .ann_upsert import ann_upsert_sink
 from .dedup_ingest import dedup_ingest_sink
+from .text_index_ingest import text_index_sink
 
 #: after_image payload for a document-capture CDC feed: the envelope
 #: machinery is the reference's; only the payload row type differs
@@ -103,7 +109,8 @@ def corpus_ingest_sink(band_index_path: str, ann_index_path: str,
                        compact_every: int | None = None,
                        id_col: str = "doc_id", text_col: str = "text",
                        benchmark: DataFrame | None = None,
-                       decontam_path: str | None = None):
+                       decontam_path: str | None = None,
+                       text_index_path: str | None = None):
     """Returns the composed ``foreachBatch`` function. ``embeddings``
     is the (id_col, embedding) lookup side — novel documents without
     an embedding are accepted into the corpus but not indexed for
@@ -128,6 +135,10 @@ def corpus_ingest_sink(band_index_path: str, ann_index_path: str,
     ann = ann_upsert_sink(ann_index_path, id_col=id_col,
                           vec_col="embedding", op_col=None,
                           compact_every=compact_every)
+    tix = (text_index_sink(text_index_path, text_col=text_col,
+                           id_col=id_col, op_col=None,
+                           compact_every=compact_every)
+           if text_index_path is not None else None)
     emb = embeddings.select(id_col, "embedding")
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -161,6 +172,13 @@ def corpus_ingest_sink(band_index_path: str, ann_index_path: str,
         novel = (spark.read.parquet(vdir)
                  .filter(F.col("is_novel")).select(id_col))
         ann(novel.join(emb, id_col), batch_id)
+        if tix is not None:
+            # the gated frame recomputes identically on retry
+            # (deterministic decode/gates + the PERSISTED decontam
+            # cut), so the text leg's inputs are retry-consistent
+            # like the ANN leg's
+            tix(novel.join(gated.select(id_col, text_col), id_col),
+                batch_id)
 
     return apply_batch
 

@@ -172,3 +172,56 @@ def test_benchmark_without_decontam_path_rejected(spark, tmp_path):
     bench = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError, match="decontam_path"):
         corpus_ingest_sink(band, ann, verd, emb, benchmark=bench)
+
+
+def test_text_leg_crash_window_and_searchability(spark, tmp_path):
+    """The late-r15 fifth leg: novel documents become text-searchable;
+    a crash AFTER the ANN upsert but BEFORE the text-index upsert
+    resumes to exactly the clean-run state (dedup + ANN legs no-op on
+    their applied tags, the text leg applies from the same persisted
+    verdicts)."""
+    from flink_precisely_demo_spark.operators.text_index import (
+        _reconcile,
+        build_text_index,
+        search_text_index,
+    )
+
+    def fixture(base):
+        docs, emb, band, ann, verd, batch = _fixture(spark, base)
+        tix = str(base / "tix")
+        gate = ((quality_score("text") >= F.lit(DEFAULT_QUALITY_GATE))
+                & (language_id("text") != F.lit("und")))
+        build_text_index(
+            docs.filter((F.col("doc_id") % 5 != 0) & gate), tix)
+        return docs, emb, band, ann, verd, tix, batch
+
+    def tix_state(tix):
+        return (sorted(t for t, _ in _delta_dirs(tix)),
+                sorted(int(r["doc_id"]) for r in _reconcile(
+                    spark, tix, "docs").select("doc_id").collect()))
+
+    # crashed half-run: every leg EXCEPT text applied
+    docs, emb, band, ann, verd, tix, batch = fixture(tmp_path)
+    corpus_ingest_sink(band, ann, verd, emb)(batch, 0)
+    assert applied_tags(band) >= {"b0"} and applied_tags(ann) >= {"b0"}
+    assert not _delta_dirs(tix)
+    # the retry runs the FULL sink (text leg now wired)
+    corpus_ingest_sink(band, ann, verd, emb,
+                       text_index_path=tix)(batch, 0)
+    st = (_state(spark, band, ann, verd), tix_state(tix))
+
+    # reference: a clean full run on fresh dirs
+    d2 = tmp_path / "clean"
+    docs2, emb2, band2, ann2, verd2, tix2, batch2 = fixture(d2)
+    corpus_ingest_sink(band2, ann2, verd2, emb2,
+                       text_index_path=tix2)(batch2, 0)
+    assert st == (_state(spark, band2, ann2, verd2), tix_state(tix2))
+
+    # searchability: every novel doc of the trigger is in the live
+    # docs set, and a served search runs against the updated state
+    novel = {int(r["doc_id"]) for r in spark.read.parquet(
+        os.path.join(verd, "batch=0")).filter(F.col("is_novel"))
+        .collect()}
+    live_docs = set(tix_state(tix)[1])
+    assert novel <= live_docs
+    assert search_text_index(spark, tix, ("the",), k=3).count() >= 0
