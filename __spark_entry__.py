@@ -203,12 +203,22 @@ _DEFERRED = [
 #   fingerprint admission gates, the warc_to_corpus composition for
 #   the crawl's second format. Full-hash evidence at sf0.001/sf0.01
 #   + resumed sf1/sf10 sweep rows on registration day.
-# - search_index_topk / search_index_health — BM25 serving from the
-#   maintained LSM inverted index (operators/text_index.py): build ->
-#   adds delta -> compaction -> mixed update/add/delete delta, served
-#   results bit-identical to a from-scratch build over the visible
-#   corpus. Full-hash evidence at sf0.001/sf0.01 + sf1/sf10 sweep
-#   rows on registration day.
+# - search_index_{topk,health,doc_topk,phrase} +
+#   streaming_search_index_replay — the maintained LSM inverted text
+#   index (operators/text_index.py, streaming/text_index_ingest.py):
+#   per-term BM25 serving, live/base/delta health accounting,
+#   summed-BM25 document ranking, exact phrase matching from
+#   positional postings, and the streaming-ingest twin serving the
+#   post-compaction base against the same oracle as the batch pair's
+#   uncompacted reconciling read.
+# - orc_corpus_roundtrip — ORC as a corpus source/sink format
+#   (sources/orc.py): lossless explicit-schema roundtrip with
+#   plan-guarded predicate pushdown.
+# - streaming_substring_ingest_replay — the exact-substring anchor
+#   index's streaming sink (streaming/substring_ingest.py),
+#   completing the maintained-index quartet's streaming contract.
+# Every pair: full-hash evidence at sf0.001/sf0.01 + sf1/sf10 sweep
+# rows on registration day (SWEEP_r15, zero failures).
 _PENDING: list[str] = [
     "pdf_to_corpus",
     "search_index_topk",
