@@ -297,13 +297,51 @@ def search_text_index(spark: SparkSession, index_path: str,
               .crossJoin(F.broadcast(corpus))
               .withColumn("score", bm25_exact_score(
                   F.col("tf"), F.col("df"), F.col("dl"),
-                  F.col("n_docs"), F.col("total_toks"))))
+                  F.col("n_docs"), F.col("total_toks")))
+              .select("term", "doc_id", "tf", "df", "dl", "score"))
+    # local-partial-top-k merge (the similarity.py pattern): each
+    # Arrow batch keeps only its own top-k per term map-side, so the
+    # final window ranks ≤ batches×k candidate rows per term instead
+    # of every posting of a hot term — the difference between a tiny
+    # shuffle and a single reducer swallowing a billion-df term at
+    # 100 TB. Exactness holds because any global top-k row is in its
+    # batch's top-k (scores are exact doubles; same tiebreak both
+    # levels), so top-k(union of local top-k) == global top-k.
+    local = _local_topk_by(scored, ["term"], "score", "doc_id", k)
     w = Window.partitionBy("term").orderBy(F.desc("score"), "doc_id")
-    return (scored.withColumn("rank", F.row_number().over(w))
+    return (local.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("term", "doc_id", "tf", "df", "dl",
                     F.round("score", 6).alias("score"),
                     F.col("rank").cast("long").alias("rank")))
+
+
+def _local_topk_by(df: DataFrame, group_cols: list, score_col: str,
+                   tiebreak_col: str, k: int) -> DataFrame:
+    """Map-side per-Arrow-batch top-k within ``group_cols`` by
+    (``score_col`` desc, ``tiebreak_col`` asc) — the local half of
+    the local-partial-top-k merge. ``group_cols=[]`` keeps one global
+    top-k per batch. No shuffle; output ≤ batches×groups×k rows."""
+    import numpy as np
+    import pandas as pd
+
+    schema = df.schema
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            groups = (pdf.groupby(group_cols, sort=False)
+                      if group_cols else [(None, pdf)])
+            out = []
+            for _, g in groups:
+                order = np.lexsort(
+                    (g[tiebreak_col].to_numpy(),
+                     -g[score_col].to_numpy()))[:k]
+                out.append(g.iloc[order])
+            yield pd.concat(out, ignore_index=True)
+
+    return df.mapInPandas(kernel, schema=schema)
 
 
 def search_text_index_docs(spark: SparkSession, index_path: str,
@@ -346,8 +384,11 @@ def search_text_index_docs(spark: SparkSession, index_path: str,
     per_doc = scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_terms"),
         sum_exact("__s").alias("__total"))
+    # local-partial-top-k (see search_text_index): the global ranking
+    # window sees ≤ batches×k candidates, never every scored doc
+    local = _local_topk_by(per_doc, [], "__total", "doc_id", k)
     w = Window.orderBy(F.desc("__total"), "doc_id")
-    return (per_doc.withColumn("rank", F.row_number().over(w))
+    return (local.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("doc_id", "n_terms",
                     F.round("__total", 6).alias("score"),
