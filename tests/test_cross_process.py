@@ -59,7 +59,12 @@ def test_state_touching_queries_pass_in_two_separate_processes():
     the same repo dir — must still pass. Both processes run all three
     queries so each query sees its own prior on-disk state."""
     names = ["reference_pipeline_verbatim", "ddl_entry_pipeline",
-             "ann_index_topk"]
+             "ann_index_topk",
+             # r15: the maintained-text-index fixture family — the
+             # second process must accept the published positional
+             # index + applied-tag manifest as done (never a
+             # half-rebuild over live state)
+             "search_index_topk", "streaming_search_index_replay"]
     _run_in_fresh_process(names)   # seeds the on-disk state
     _run_in_fresh_process(names)   # fresh catalog + stale disk: the r4 bug
 
