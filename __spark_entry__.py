@@ -228,6 +228,7 @@ _PENDING: list[str] = [
     "search_index_phrase",
     "orc_corpus_roundtrip",
     "streaming_substring_ingest_replay",
+    "search_index_snippets",
 ]
 
 

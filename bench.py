@@ -225,6 +225,7 @@ def main() -> None:
                  "search_index_doc_topk", "search_index_phrase",
                  "orc_corpus_roundtrip",
                  "streaming_substring_ingest_replay",
+                 "search_index_snippets",
                  "pdf_to_corpus"]
     secondary: dict[str, float] = {}
     for name in SECONDARY:

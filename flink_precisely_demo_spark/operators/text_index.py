@@ -86,8 +86,8 @@ def _bucket(term_col, n_buckets: int):
 
 
 def _postings(corpus: DataFrame, text_col: str, id_col: str,
-              n_buckets: int,
-              positions: bool = False) -> tuple[DataFrame, DataFrame]:
+              n_buckets: int, positions: bool = False,
+              store_text: bool = False) -> tuple[DataFrame, DataFrame]:
     """(postings, docs) for one generation. Tokenizes once: postings
     are (bucket, term, doc_id, tf, dl) — dl denormalized onto the
     posting row so scoring never joins back to docs/ — and docs are
@@ -96,12 +96,21 @@ def _postings(corpus: DataFrame, text_col: str, id_col: str,
     ``positions`` the posting row also carries the term's sorted
     0-based token offsets (``positions: array<int>``) — the phrase-
     query payload; the arrays sum to document length across a doc's
-    rows, so storage stays linear in corpus tokens."""
+    rows, so storage stays linear in corpus tokens. With
+    ``store_text`` the docs row also keeps the raw text (the stored-
+    fields file of a Lucene segment) — what snippet generation reads
+    back for matched docs only."""
     t = (corpus.filter(F.col(text_col).isNotNull())
          .select(F.col(id_col).alias("doc_id"),
                  tokens(text_col).alias("__toks")))
     docs = t.select("doc_id",
                     F.size("__toks").cast("long").alias("dl"))
+    if store_text:
+        docs = (corpus.filter(F.col(text_col).isNotNull())
+                .select(F.col(id_col).alias("doc_id"),
+                        F.size(tokens(text_col)).cast("long")
+                        .alias("dl"),
+                        F.col(text_col).alias("text")))
     if positions:
         hits = t.select("doc_id",
                         F.size("__toks").cast("long").alias("dl"),
@@ -133,8 +142,8 @@ def _write_gen(posts: DataFrame, docs: DataFrame, dest: str) -> None:
 
 def build_text_index(corpus: DataFrame, index_path: str,
                      text_col: str = "text", id_col: str = "doc_id",
-                     n_buckets: int = 64,
-                     positions: bool = False) -> None:
+                     n_buckets: int = 64, positions: bool = False,
+                     store_text: bool = False) -> None:
     """Tokenize the corpus once and publish the inverted index
     (atomic nonce-stage rename — a crashed build is invisible).
     ``n_buckets`` pins the term-hash partition layout in the
@@ -146,11 +155,12 @@ def build_text_index(corpus: DataFrame, index_path: str,
     nonce = _nonce()
     stage = f"{index_path}.build-{nonce}"
     posts, docs = _postings(corpus, text_col, id_col, n_buckets,
-                            positions)
+                            positions, store_text)
     _write_gen(posts, docs, stage)
     with open(os.path.join(stage, _MANIFEST), "w") as f:
         json.dump({"id_col": id_col, "text_col": text_col,
-                   "n_buckets": n_buckets, "positions": positions}, f)
+                   "n_buckets": n_buckets, "positions": positions,
+                   "store_text": store_text}, f)
     with open(os.path.join(stage, "_INDEX_OK"), "w") as f:
         f.write("ok\n")
     _publish_index(stage, index_path, nonce)
@@ -193,7 +203,8 @@ def upsert_text_index(spark: SparkSession, index_path: str,
     if updates is not None:
         posts, docs = _postings(updates, man["text_col"],
                                 man["id_col"], man["n_buckets"],
-                                man.get("positions", False))
+                                man.get("positions", False),
+                                man.get("store_text", False))
         _write_gen(posts, docs, stage)
     if delete_ids is not None:
         if isinstance(delete_ids, DataFrame):
@@ -413,6 +424,15 @@ def search_text_index_phrase(spark: SparkSession, index_path: str,
     of the surviving start-position set. Docs lacking any phrase
     term drop at the inner joins; every join is doc-keyed over
     term-hit rows only."""
+    return _phrase_matches(spark, index_path, phrases) \
+        .drop("first_pos")
+
+
+def _phrase_matches(spark: SparkSession, index_path: str,
+                    phrases) -> DataFrame:
+    """(phrase, doc_id, n_occurrences, first_pos) — the phrase
+    result including the first occurrence's 0-based token offset
+    (what snippet generation anchors on)."""
     if not index_ok(index_path):
         raise FileNotFoundError(f"no published index at {index_path}")
     man = _manifest(index_path)
@@ -445,10 +465,49 @@ def search_text_index_phrase(spark: SparkSession, index_path: str,
             inter = F.array_intersect(inter, F.col(f"__p{i}"))
         one = (cur.select(F.lit(phrase).alias("phrase"), "doc_id",
                           F.size(inter).cast("long")
-                          .alias("n_occurrences"))
+                          .alias("n_occurrences"),
+                          F.array_min(inter).cast("long")
+                          .alias("first_pos"))
                .filter(F.col("n_occurrences") > 0))
         out = one if out is None else out.unionByName(one)
     return out
+
+
+def search_text_index_snippets(spark: SparkSession, index_path: str,
+                               phrases, context: int = 4) -> DataFrame:
+    """KWIC (keyword-in-context) snippets for phrase matches, served
+    entirely from maintained state: for each (phrase, live doc)
+    match, the tokens around the FIRST occurrence — (phrase, doc_id,
+    n_occurrences, first_pos, snippet) with ``snippet`` the
+    space-joined token window ``[first_pos − context,
+    first_pos + len(phrase) + context)`` clipped to the document.
+    Needs an index built with ``positions=True`` AND
+    ``store_text=True`` (the stored-fields seam — snippet text is
+    read back from docs/ for MATCHED docs only, never the corpus).
+
+    Plan shape: the phrase-match plan (pruned postings read, shifted
+    position intersects) plus ONE doc-keyed join of the match set
+    against stored docs rows and a pure-JVM tokenize/slice/join —
+    match-set-sized, not corpus-sized."""
+    man = _manifest(index_path)
+    if not man.get("store_text", False):
+        raise ValueError(
+            "snippets need stored text: rebuild with "
+            "build_text_index(..., positions=True, store_text=True)")
+    matches = _phrase_matches(spark, index_path, phrases)
+    stored = _reconcile(spark, index_path, "docs") \
+        .select("doc_id", "text")
+    plen = {p: len(p.split()) for p in phrases}
+    lens = F.create_map(*[x for p, n in plen.items()
+                          for x in (F.lit(p), F.lit(n))])
+    toks = tokens("text")
+    start = F.greatest(F.lit(1),
+                       (F.col("first_pos") + 1 - context).cast("int"))
+    length = (lens[F.col("phrase")] + 2 * context).cast("int")
+    return (matches.join(stored, "doc_id")
+            .select("phrase", "doc_id", "n_occurrences", "first_pos",
+                    F.array_join(F.slice(toks, start, length), " ")
+                    .alias("snippet")))
 
 
 def _term_buckets(spark: SparkSession, terms: list,

@@ -292,7 +292,8 @@ def _text_index_path(spark: SparkSession, sf_dir: str) -> str:
         done = (index_ok(path)
                 and (applied_tags(path) | delta_tags(path))
                 >= {"u0", "u1"}
-                and _manifest(path).get("positions", False))
+                and _manifest(path).get("positions", False)
+                and _manifest(path).get("store_text", False))
         if not done:
             _reap_stale_dirs(path)
             nonce = _nonce()
@@ -301,7 +302,7 @@ def _text_index_path(spark: SparkSession, sf_dir: str) -> str:
                     .select("doc_id", "text")
                     .filter(F.col("text").isNotNull()))
             build_text_index(docs.filter(F.col("doc_id") % 3 != 0),
-                             stage, positions=True)
+                             stage, positions=True, store_text=True)
             upsert_text_index(
                 spark, stage,
                 updates=docs.filter(F.col("doc_id") % 6 == 0),
@@ -695,3 +696,72 @@ def _search_index_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _text_index_path(spark, sf_dir)
     return search_text_index_phrase(spark, path, list(PHRASES))
+
+
+_SNIPPET_CONTEXT = 4
+
+
+def _snippet_block(phrase: str) -> str:
+    terms = phrase.split()
+    n, c = len(terms), _SNIPPET_CONTEXT
+    joins, conds = [], []
+    for i, t in enumerate(terms):
+        a = f"p{i}"
+        if i == 0:
+            joins.append(f"pos {a}")
+        else:
+            joins.append(
+                f"JOIN pos {a} ON {a}.doc_id = p0.doc_id "
+                f"AND {a}.p = p0.p + {i}")
+        conds.append(f"{a}.term = '{t}'")
+    return f"""
+      SELECT '{phrase}' AS phrase, p0.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+             CAST(MIN(p0.p) - 1 AS BIGINT) AS first_pos,
+             CAST(GREATEST(1, MIN(p0.p) - {c}) AS BIGINT) AS s,
+             CAST({n + 2 * c} AS BIGINT) AS l
+      FROM {' '.join(joins)}
+      WHERE {' AND '.join(conds)}
+      GROUP BY p0.doc_id"""
+
+
+@query(
+    "search_index_snippets",
+    oracle=f"""
+    WITH vis AS ({_VIS_SQL}),
+    t AS (
+      SELECT doc_id, {_TOKS} AS toks FROM vis
+    ),
+    pos AS (
+      SELECT doc_id, unnest(toks) AS term,
+             generate_subscripts(toks, 1) AS p
+      FROM t
+    ),
+    m AS ({' UNION ALL '.join(_snippet_block(p) for p in PHRASES)})
+    SELECT m.phrase, m.doc_id, m.n_occurrences, m.first_pos,
+           array_to_string(list_slice(t.toks, m.s, m.s + m.l - 1), ' ')
+             AS snippet
+    FROM m JOIN t ON t.doc_id = m.doc_id
+    """,
+)
+def _search_index_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KWIC snippets served from maintained state
+    (operators/text_index.search_text_index_snippets): for every
+    phrase match in the live corpus, the token window around the
+    FIRST occurrence, read back from the index's stored-fields seam
+    (docs/ keeps the raw text when built ``store_text=True`` — the
+    Lucene stored-fields idea over plain parquet). The fixture is
+    the SAME maintained state as every other search pair, so the
+    oracle — positional self-joins + list slicing over the visible
+    corpus — additionally proves stored text follows the LSM
+    shadowing/tombstone/compaction rules (a doc-2 snippet above
+    reflects its re-defined wave-1 text, not the original).
+
+    Scale: the phrase-match plan plus ONE doc-keyed join against
+    stored docs rows — match-set-sized; the corpus text is never
+    scanned, only the matched docs' rows are read back."""
+    from ..operators.text_index import search_text_index_snippets
+
+    path = _text_index_path(spark, sf_dir)
+    return search_text_index_snippets(spark, path, list(PHRASES),
+                                      context=_SNIPPET_CONTEXT)

@@ -329,3 +329,50 @@ def test_phrase_counts_overlaps_and_reconciliation(spark, tmp_path):
     build_text_index(corpus, plain, n_buckets=4)
     with pytest.raises(ValueError, match="positions=True"):
         search_text_index_phrase(spark, plain, ["a c"])
+
+
+def test_snippets_window_clipping_shadowing_and_refusal(spark, tmp_path):
+    """search_text_index_snippets: fixed-length window around the
+    first occurrence with left/right clipping, stored text follows
+    LSM shadowing, and a text-less index refuses with a typed
+    error."""
+    import pytest
+
+    from flink_precisely_demo_spark.operators.text_index import (
+        search_text_index_snippets,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "x1 x2 x3 a c x4 x5 x6 x7 x8"),
+         (2, "a c start of doc"),
+         (3, "end of doc a c")],
+        "doc_id long, text string")
+    path = os.path.join(str(tmp_path), "tix")
+    build_text_index(corpus, path, n_buckets=4, positions=True,
+                     store_text=True)
+    got = {r["doc_id"]: (r["first_pos"], r["snippet"])
+           for r in search_text_index_snippets(
+               spark, path, ["a c"], context=2).collect()}
+    assert got == {1: (3, "x2 x3 a c x4 x5"),
+                   2: (0, "a c start of doc"),   # left clip keeps length
+                   3: (3, "of doc a c")}         # right clip at doc end
+
+    # stored text shadows under upsert — the snippet reads wave-1 text
+    upsert_text_index(spark, path,
+                      updates=spark.createDataFrame(
+                          [(2, "zz a c yy")],
+                          "doc_id long, text string"))
+    got2 = {r["doc_id"]: r["snippet"]
+            for r in search_text_index_snippets(
+                spark, path, ["a c"], context=2).collect()}
+    assert got2[2] == "zz a c yy"
+    compact_text_index(spark, path)
+    got3 = {r["doc_id"]: r["snippet"]
+            for r in search_text_index_snippets(
+                spark, path, ["a c"], context=2).collect()}
+    assert got3 == got2
+
+    plain = os.path.join(str(tmp_path), "plain")
+    build_text_index(corpus, plain, n_buckets=4, positions=True)
+    with pytest.raises(ValueError, match="store_text=True"):
+        search_text_index_snippets(spark, plain, ["a c"])
