@@ -288,14 +288,21 @@ def _streaming_scd2_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         feed = (spark.readStream.schema(schema)
                 .option("maxFilesPerTrigger", 1).parquet(feed_dir))
 
-        # replay micro-batches are small by construction: size the
-        # state store to them, not to core count (the attribution-
-        # replay house note — per-batch cost is state-store
-        # open/commit PER PARTITION); conf restored after, batch
-        # plans built later are unaffected
+        # state partitions sized to the staged feed, not a constant:
+        # per-trigger cost is state-store open/commit PER PARTITION
+        # (small replays want few), but applyInPandasWithState pays a
+        # Python call PER KEY (large replays want the core count —
+        # measured 2x wall at sf0.1 going 8 -> 32). ~4k rows per
+        # partition keeps the sf0.001 fixed-cost probe at the floor
+        # and saturates cores from sf0.1 up; conf restored after,
+        # batch plans built later are unaffected.
+        from ..streaming.replay_stage import (adaptive_state_partitions,
+                                              staged_feed_rows)
+        n_parts = adaptive_state_partitions(
+            spark, staged_feed_rows(feed_dir), rows_per_partition=4000)
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
         try:
-            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
             closed = replay_to_parquet(
                 scd2_stream(feed), spark, "scd2_replay",
                 checkpoint=os.path.join(work, "ckpt"))

@@ -175,6 +175,47 @@ def _envelope_json(df: DataFrame, payload, key_col: str,
     return df.select(F.to_json(envelope).alias("value"))
 
 
+#: Target data bytes per compacted feed file. 16 MB keeps a file
+#: above the 4 MB openCost split floor (so one file still fans out to
+#: ~4 read splits) while collapsing the encoder's parallelism-width
+#: file count (32 ~1 KB files for a 25-row dim) that every TIMED read
+#: of the fixture would otherwise pay in listing + per-file open cost
+#: (guide §6 "small files hurt twice").
+_FEED_FILE_TARGET = 16 * 1024 * 1024
+
+
+def _compact_text_dir(path: str) -> None:
+    """Merge a text-write's part files down to ceil(bytes/16MB) files.
+
+    Runs once at fixture-build time (untimed, cached thereafter). The
+    envelope feed is an unordered set of self-contained JSON lines, so
+    concatenation order is immaterial; .crc sidecars are dropped with
+    their parts (plain local files carry no checksum contract here).
+    """
+    import os
+
+    parts = sorted(p for p in os.listdir(path)
+                   if p.startswith("part-"))
+    if len(parts) <= 1:
+        return
+    total = sum(os.path.getsize(os.path.join(path, p)) for p in parts)
+    n_out = max(1, -(-total // _FEED_FILE_TARGET))
+    if n_out >= len(parts):
+        return
+    groups: list[list[str]] = [[] for _ in range(n_out)]
+    for i, p in enumerate(parts):
+        groups[i % n_out].append(p)
+    for i, grp in enumerate(groups):
+        out = os.path.join(path, f"merged-{i:05d}.txt")
+        with open(out, "wb") as dst:
+            for p in grp:
+                with open(os.path.join(path, p), "rb") as src:
+                    dst.write(src.read())
+    for p in os.listdir(path):
+        if p.startswith("part-") or p.endswith(".crc"):
+            os.remove(os.path.join(path, p))
+
+
 _FIXED_TS = "20200101000000"
 
 
@@ -241,7 +282,9 @@ def materialize_reference_feed(spark: SparkSession, sf_dir: str) -> str:
 
     def fingerprint(src_table: str) -> str:
         st = os.stat(os.path.join(sf_dir, f"{src_table}.parquet"))
-        return f"{st.st_mtime_ns}:{st.st_size}"
+        # layout version suffix: bumping it invalidates feeds built
+        # before the compacted-file layout (r15)
+        return f"{st.st_mtime_ns}:{st.st_size}:v2"
 
     slug = re.sub(r"[^A-Za-z0-9]+", "_", sf_dir.strip("/"))
     base = os.path.join(tempfile.gettempdir(), f"ref_feed_{slug}")
@@ -260,6 +303,7 @@ def materialize_reference_feed(spark: SparkSession, sf_dir: str) -> str:
         tmp = f"{path}.tmp-{os.getpid()}"
         shutil.rmtree(tmp, ignore_errors=True)
         build(spark, sf_dir).write.mode("overwrite").text(tmp)
+        _compact_text_dir(tmp)
         # leading "_" => Hadoop input listing treats it as hidden, so
         # the marker never appears as a data line to spark.read.text
         with open(os.path.join(tmp, "_FINGERPRINT"), "w") as f:

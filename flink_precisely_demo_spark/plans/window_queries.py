@@ -743,14 +743,21 @@ def _streaming_attribution_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     # stream-stream join state is partitioned by shuffle.partitions,
     # and the per-batch cost here is state-store open/commit PER
     # PARTITION, not rows (measured 14 s for 3 batches of ~20k rows
-    # at 32 partitions -> state machinery, not compute). A replay's
-    # micro-batches are small by construction, so run its state at 8
-    # partitions; a production deployment sizes this to its own
-    # volume. Conf restored afterward — streaming queries pin their
-    # partitioning at start, batch plans built later are unaffected.
+    # at 32 partitions -> state machinery, not compute). Size the
+    # state to the STAGED volume instead of a constant: the native
+    # join amortizes a partition only past ~20k rows, so small
+    # replays stay at the floor of 8 while larger scale factors (and
+    # production volumes) fan out. Conf restored afterward —
+    # streaming queries pin their partitioning at start, batch plans
+    # built later are unaffected.
+    from ..streaming.replay_stage import (adaptive_state_partitions,
+                                          staged_feed_rows)
+    n_parts = adaptive_state_partitions(
+        spark, staged_feed_rows(cdir) + staged_feed_rows(pdir),
+        rows_per_partition=20000)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
         joined = replay_to_parquet(
             stream_interval_join_outer(clicks, purchases,
                                        window="1 hour"),

@@ -19,6 +19,39 @@ import os
 from pyspark.sql import Column, DataFrame
 
 
+def staged_feed_rows(feed_dir: str) -> int:
+    """Total row count of a staged feed directory, read from the
+    parquet footers (metadata only — no Spark job, microseconds)."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for name in os.listdir(feed_dir):
+        if name.endswith(".parquet"):
+            total += pq.ParquetFile(
+                os.path.join(feed_dir, name)).metadata.num_rows
+    return total
+
+
+def adaptive_state_partitions(spark, rows: int,
+                              rows_per_partition: int,
+                              floor: int = 8) -> int:
+    """Scale-adaptive state-store partition count for a replay.
+
+    Two costs pull in opposite directions: every partition pays a
+    state-store open/commit PER TRIGGER (so tiny replays want few
+    partitions — the measured house note behind the old constant 8),
+    while per-row/per-group work inside the stateful operator wants
+    the full core count once volume is real (measured: the scd2
+    replay's per-key Python calls halve in wall-clock from 8 -> 32
+    partitions at sf0.1). Deriving the count from the STAGED feed's
+    row count keeps both regimes right at every scale factor and
+    every ``SPARK_GRAFT_CPUS`` — a production deployment would size
+    this to its own per-trigger volume the same way.
+    """
+    cap = max(floor, spark.sparkContext.defaultParallelism)
+    return max(floor, min(cap, rows // max(1, rows_per_partition)))
+
+
 def stage_trigger_files(df: DataFrame, work: str, batch_col: Column,
                         name: str, n_batches: int = 2) -> str:
     """Write ``df`` into ``n_batches`` single-file parquet batches
