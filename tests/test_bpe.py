@@ -84,3 +84,21 @@ def test_bpe_corpus_run_matches_reference(spark):
             if w:
                 freqs[w] = freqs.get(w, 0) + 1
     assert got == _ref_bpe(freqs, 5)
+
+
+def test_bpe_distributed_path_equals_driver_path(spark):
+    """The scale-adaptive merge loop (r15): the distributed rounds
+    (forced via driver_vocab_max=0) and the driver-side loop over the
+    collected word table must learn the identical merge table and
+    produce the identical final word segmentation."""
+    from flink_precisely_demo_spark.operators.bpe import bpe_train
+    from flink_precisely_demo_spark.sources.parquet import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    m_drv, w_drv = bpe_train(docs, "text", 6, min_freq=2)
+    m_dist, w_dist = bpe_train(docs, "text", 6, min_freq=2,
+                               driver_vocab_max=0)
+    assert sorted(map(tuple, m_drv.collect())) == \
+        sorted(map(tuple, m_dist.collect()))
+    assert sorted(map(tuple, w_drv.collect())) == \
+        sorted(map(tuple, w_dist.collect()))
