@@ -125,7 +125,8 @@ def sliding_window_hashes(df: DataFrame, text_col: str = "text",
     >= k contains at least one aligned full window on BOTH sides, so
     window-hash equality is a complete anchor set for exact-substring
     detection. Scan-stage only — text never shuffles, only
-    (id, pos, hash) rows."""
+    (id, pos, hash) rows (the `_fan_out` widen of a narrow local
+    scan is the one exception, and a no-op at scale)."""
     # tokenize ONCE into a staged column: Spark's subexpression
     # elimination does not span the filter/project boundary, so the
     # naive filter(size(tokens)>=k).select(...tokens...) shape pays
@@ -138,7 +139,11 @@ def sliding_window_hashes(df: DataFrame, text_col: str = "text",
             i.cast("long").alias("pos"),
             F.substring(F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
                         1, 16).alias("h")))
-    return (df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    # one md5 per token position is the heavy per-row work of the
+    # whole substring family — serialized on a single-split local
+    # scan (or a coalesced checkpoint) without the widen
+    return (_fan_out(df, id_col)
+              .select(F.col(id_col), tokens(text_col).alias("__toks"))
               .filter(F.size(toks) >= k)
               .select(F.col(id_col), F.explode(wins).alias("w"))
               .select(id_col, F.col("w.pos").alias("pos"),

@@ -40,6 +40,7 @@ from ..functions.text import (
     token_count,
     url_canonicalize,
 )
+from ..operators.dedup import _fan_out
 from ..sources.parquet import load_table
 from ..operators.broadcast import hint_broadcast_if_small
 from .dedup_queries import minhash_bands_ctes as _bands_ctes_from
@@ -183,9 +184,11 @@ def _warc_to_corpus(spark: SparkSession, sf_dir: str,
     HTTP splitting; `redistribute=False` keeps the parse fused into
     the scan), strip the HTML to text, gate on language-ID and the
     composite quality score, and emit canonical URL + content
-    fingerprint per admitted page. The plan has ZERO exchanges —
-    every stage is a scan-stage map, so at crawl scale throughput is
-    bounded by parse+regex CPU, never the network."""
+    fingerprint per admitted page. The only exchange is the
+    `_fan_out` widen of the narrow local scan (a no-op at crawl
+    scale, where the file count already exceeds the core target) —
+    every later stage is a scan-stage map, so at crawl scale
+    throughput is bounded by parse+regex CPU, never the network."""
     from ..sources.warc import warc_records, write_warc
 
     docs = (load_table(spark, sf_dir, "documents")
@@ -214,7 +217,7 @@ def _warc_to_corpus(spark: SparkSession, sf_dir: str,
                 "media_id": pd.Series(ids, dtype="int64"),
                 "payload": pd.Series(payloads, dtype="object")})
 
-    media = docs.mapInPandas(synthesize, "media_id long, payload binary")
+    media = _fan_out(docs, "doc_id").mapInPandas(synthesize, "media_id long, payload binary")
     recs = warc_records(media, include_body=True, redistribute=False)
     page = (recs
             .filter((F.col("warc_type") == "response")
@@ -544,14 +547,29 @@ def _crawl_to_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _warc_to_corpus(spark, sf_dir, with_text=True) \
         .withColumnRenamed("n_tokens", "__toks")
     w = Window.partitionBy("fingerprint")
+    # materialize the deduped corpus ONCE: three consumers follow
+    # (the contamination audit, the anti-join keep, the semi-join
+    # disposition count), and without the checkpoint each re-ran the
+    # whole WARC synth -> parse -> strip -> gate prefix — per-branch
+    # column pruning makes the subtrees differ, so exchange reuse
+    # never fires (measured: 18 Arrow stages in the executed plan,
+    # 5.4 s; one materialized pass + reuse is ~2x). localCheckpoint
+    # is corpus-sized here (admitted pages + text), the same bounded
+    # class as the operator's own window state, and is reclaimed by
+    # the ContextCleaner when the plan is GC'd.
     kept = (corpus.withColumn("__keep", F.min("doc_id").over(w))
-                  .filter(F.col("doc_id") == F.col("__keep")))
+                  .filter(F.col("doc_id") == F.col("__keep"))
+                  .localCheckpoint(eager=True))
     bench = (load_table(spark, sf_dir, "documents")
              .filter(F.col("doc_id") % 7 == 3)
              .select("doc_id", "text"))
+    # the contaminated-id set is consumed twice (anti + semi): it is
+    # tiny (ids only) but sits atop the alignment join — checkpoint
+    # it so the anchor-hash shuffle runs once
     contam = (substring_contamination(kept.select("doc_id", "text"),
                                       bench)
-              .select(F.col("train_id").alias("doc_id")).distinct())
+              .select(F.col("train_id").alias("doc_id")).distinct()
+              .localCheckpoint(eager=True))
     clean = kept.join(contam, "doc_id", "left_anti")
     packed = pack_token_chunks(clean, ["lang"], F.col("__toks"),
                                order_col="doc_id", budget=512)
@@ -1006,7 +1024,7 @@ def _pdf_to_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "meta": pd.Series(metas, dtype="object"),
                 "payload": pd.Series(payloads, dtype="object")})
 
-    media = docs.mapInPandas(synthesize, schema=MEDIA_SCHEMA)
+    media = _fan_out(docs, "doc_id").mapInPandas(synthesize, schema=MEDIA_SCHEMA)
     feats = pdf_text_features(media)
     rebuilt = (feats.groupBy(F.col("media_id").alias("doc_id"))
                .agg(F.count(F.lit(1)).cast("long").alias("n_pages"),

@@ -24,6 +24,7 @@ from ..operators.multimodal import (
     binary_manifest,
     image_features,
 )
+from ..operators.dedup import _fan_out
 from ..sources.parquet import load_table
 from .queries import query
 
@@ -144,7 +145,7 @@ def _multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "meta": pd.Series(metas, dtype="object"),
                 "payload": pd.Series(payloads, dtype="object")})
 
-    media = docs.mapInPandas(synthesize, schema=MEDIA_SCHEMA)
+    media = _fan_out(docs, "doc_id").mapInPandas(synthesize, schema=MEDIA_SCHEMA)
     feats = image_features(media)
     sel = F.floor(F.col("media_id") / 20) % 4
     fmt = (F.when(sel == 0, "jpeg")
@@ -229,7 +230,7 @@ def _multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "meta": pd.Series(metas, dtype="object"),
                 "payload": pd.Series(payloads, dtype="object")})
 
-    media = docs.mapInPandas(synthesize, schema=MEDIA_SCHEMA)
+    media = _fan_out(docs, "doc_id").mapInPandas(synthesize, schema=MEDIA_SCHEMA)
     feats = audio_features(media)
     sel = F.floor(F.col("media_id") / 25) % 4
     fmt = (F.when(sel == 0, "wav")
@@ -290,7 +291,7 @@ def _multimodal_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "meta": pd.Series(metas, dtype="object"),
                 "payload": pd.Series(payloads, dtype="object")})
 
-    media = docs.mapInPandas(synthesize, schema=MEDIA_SCHEMA)
+    media = _fan_out(docs, "doc_id").mapInPandas(synthesize, schema=MEDIA_SCHEMA)
     return video_features(media).select(
         "media_id", "n_frames", "fps", "duration_ms", "error")
 
@@ -498,7 +499,10 @@ def format_audit(spark: SparkSession, sf_dir: str,
 
     def branch(mt):
         sliced = docs.filter((F.col("doc_id") % 100).isin(slots_of[mt]))
-        return sliced.mapInPandas(synthesize, schema=MEDIA_SCHEMA)
+        # the docs scan is one split locally: without a fan-out the
+        # encode-side Python work serializes on one core per branch
+        return _fan_out(sliced, "doc_id").mapInPandas(
+            synthesize, schema=MEDIA_SCHEMA)
 
     outcomes = (
         image_features(branch("image"), decoders=image_decoders)
@@ -604,7 +608,7 @@ def _audio_stream_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "meta": pd.Series(metas, dtype="object"),
                 "payload": pd.Series(payloads, dtype="object")})
 
-    media = docs.mapInPandas(synthesize, schema=MEDIA_SCHEMA)
+    media = _fan_out(docs, "doc_id").mapInPandas(synthesize, schema=MEDIA_SCHEMA)
     info = audio_stream_info(media)
     is_mp3 = F.col("media_id") % 8 == 0
     return info.select(
@@ -673,7 +677,7 @@ def _warc_ingest_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "media_id": pd.Series(ids, dtype="int64"),
                 "payload": pd.Series(payloads, dtype="object")})
 
-    media = docs.mapInPandas(synthesize, "media_id long, payload binary")
+    media = _fan_out(docs, "doc_id").mapInPandas(synthesize, "media_id long, payload binary")
     recs = warc_records(media)
     is_resp = F.col("http_status").isNotNull()
     return (recs.groupBy("media_id").agg(
@@ -762,7 +766,7 @@ def _multimodal_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "meta": pd.Series(metas, dtype="object"),
                 "payload": pd.Series(payloads, dtype="object")})
 
-    media = docs.mapInPandas(synthesize, schema=MEDIA_SCHEMA)
+    media = _fan_out(docs, "doc_id").mapInPandas(synthesize, schema=MEDIA_SCHEMA)
     feats = pdf_text_features(media)
     return feats.select(
         "media_id", "page", "char_offset", "n_chars",
