@@ -288,24 +288,25 @@ def _streaming_scd2_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         feed = (spark.readStream.schema(schema)
                 .option("maxFilesPerTrigger", 1).parquet(feed_dir))
 
-        # state partitions sized to the staged feed, not a constant:
-        # per-trigger cost is state-store open/commit PER PARTITION
-        # (small replays want few), but applyInPandasWithState pays a
-        # Python call PER KEY (large replays want the core count —
-        # measured 2x wall at sf0.1 going 8 -> 32). ~4k rows per
-        # partition keeps the sf0.001 fixed-cost probe at the floor
-        # and saturates cores from sf0.1 up; conf restored after,
-        # batch plans built later are unaffected.
-        from ..streaming.replay_stage import (adaptive_state_partitions,
+        # key-group count sized to the staged feed (the operator
+        # pays a Python call per state group per trigger), and state
+        # partitions sized to the GROUP count — with the key-grouped
+        # kernel the per-partition state-store open/commit is the
+        # remaining per-trigger cost (measured at sf0.1: 8-16
+        # partitions ~2.6 s vs 32 -> 3.7 s), so partitions follow
+        # groups, floored at the fixed-cost sweet spot of 8. Conf
+        # restored after; batch plans built later are unaffected.
+        from ..streaming.replay_stage import (adaptive_key_groups,
                                               staged_feed_rows)
-        n_parts = adaptive_state_partitions(
-            spark, staged_feed_rows(feed_dir), rows_per_partition=4000)
+        n_groups = adaptive_key_groups(spark, staged_feed_rows(feed_dir))
+        n_parts = max(8, min(spark.sparkContext.defaultParallelism,
+                             n_groups // 16))
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
         try:
             spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
             closed = replay_to_parquet(
-                scd2_stream(feed), spark, "scd2_replay",
-                checkpoint=os.path.join(work, "ckpt"))
+                scd2_stream(feed, key_groups=n_groups), spark,
+                "scd2_replay", checkpoint=os.path.join(work, "ckpt"))
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     finally:

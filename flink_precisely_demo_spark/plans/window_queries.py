@@ -741,20 +741,19 @@ def _streaming_attribution_replay(spark: SparkSession, sf_dir: str) -> DataFrame
                  .option("maxFilesPerTrigger", 1).parquet(pdir)
                  .withWatermark("ts", "1 minutes"))
     # stream-stream join state is partitioned by shuffle.partitions,
-    # and the per-batch cost here is state-store open/commit PER
-    # PARTITION, not rows (measured 14 s for 3 batches of ~20k rows
-    # at 32 partitions -> state machinery, not compute). Size the
-    # state to the STAGED volume instead of a constant: the native
-    # join amortizes a partition only past ~20k rows, so small
-    # replays stay at the floor of 8 while larger scale factors (and
-    # production volumes) fan out. Conf restored afterward —
-    # streaming queries pin their partitioning at start, batch plans
-    # built later are unaffected.
-    from ..streaming.replay_stage import (adaptive_state_partitions,
+    # and the per-batch machinery cost here is state-store
+    # open/commit PER PARTITION x FOUR stores (the symmetric join
+    # keeps KeyToNumValues + KeyWithIndexToValues per side), not
+    # rows. Measured at sf0.1 (~206k rows, 3 triggers): 4 partitions
+    # 4.1 s, 8 -> 4.9 s, 16 -> 7.9 s — so partitions follow the
+    # sqrt cost model in adaptive_join_state_partitions, reaching
+    # the core count only when per-row work amortizes the stores.
+    # Conf restored afterward — streaming queries pin their
+    # partitioning at start, batch plans built later are unaffected.
+    from ..streaming.replay_stage import (adaptive_join_state_partitions,
                                           staged_feed_rows)
-    n_parts = adaptive_state_partitions(
-        spark, staged_feed_rows(cdir) + staged_feed_rows(pdir),
-        rows_per_partition=20000)
+    n_parts = adaptive_join_state_partitions(
+        spark, staged_feed_rows(cdir) + staged_feed_rows(pdir))
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))

@@ -32,24 +32,40 @@ def staged_feed_rows(feed_dir: str) -> int:
     return total
 
 
-def adaptive_state_partitions(spark, rows: int,
-                              rows_per_partition: int,
-                              floor: int = 8) -> int:
-    """Scale-adaptive state-store partition count for a replay.
+def adaptive_key_groups(spark, rows: int,
+                        rows_per_group: int = 2000,
+                        cap: int = 65536) -> int:
+    """State-GROUP count for a key-grouped applyInPandasWithState
+    operator (streaming/scd2.py). The operator pays a Python call +
+    Arrow round-trip per state group per trigger, so groups must be
+    few when volume is small; per-group batch memory is rows/groups,
+    so groups must grow with volume. Floor of 4x parallelism keeps
+    every state partition busy with several groups; ~2k rows/group
+    bounds a group's in-flight Python list at any scale."""
+    floor = 4 * spark.sparkContext.defaultParallelism
+    return max(floor, min(cap, rows // max(1, rows_per_group)))
 
-    Two costs pull in opposite directions: every partition pays a
-    state-store open/commit PER TRIGGER (so tiny replays want few
-    partitions — the measured house note behind the old constant 8),
-    while per-row/per-group work inside the stateful operator wants
-    the full core count once volume is real (measured: the scd2
-    replay's per-key Python calls halve in wall-clock from 8 -> 32
-    partitions at sf0.1). Deriving the count from the STAGED feed's
-    row count keeps both regimes right at every scale factor and
-    every ``SPARK_GRAFT_CPUS`` — a production deployment would size
-    this to its own per-trigger volume the same way.
-    """
+
+def adaptive_join_state_partitions(spark, rows: int,
+                                   rows_quantum: int = 12000,
+                                   floor: int = 4) -> int:
+    """Partition count for the NATIVE stream-stream join replays.
+
+    The symmetric hash join keeps FOUR state stores per partition
+    (KeyToNumValues / KeyWithIndexToValues x two sides), so its
+    per-partition per-trigger machinery cost is several times the
+    single-store operators' — measured at sf0.1 (~200k rows,
+    3 triggers): 4 partitions 4.1 s, 8 -> 4.9 s, 16 -> 7.9 s.
+    Modelling wall as triggers*parts*c_store + work/parts gives the
+    optimum at parts ~ sqrt(rows/quantum), which is what this
+    returns: sqrt scaling reaches the core count only when per-row
+    work genuinely amortizes the stores (sf10 here), instead of the
+    linear ramp that over-partitions mid-scale replays."""
+    import math
+
     cap = max(floor, spark.sparkContext.defaultParallelism)
-    return max(floor, min(cap, rows // max(1, rows_per_partition)))
+    return max(floor, min(cap, math.isqrt(max(rows, 0)
+                                          // max(1, rows_quantum))))
 
 
 def stage_trigger_files(df: DataFrame, work: str, batch_col: Column,

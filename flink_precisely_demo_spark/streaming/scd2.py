@@ -26,11 +26,16 @@ per-partition order). Within one micro-batch, rows are sorted by
 order never matters.
 
 Scale notes: state is one open version per key — the minimum any
-SCD2 maintainer can hold — partitioned across the state store by
-key (RocksDB on a cluster). Each trigger shuffles only that batch's
-changes, once, on the key. Within a micro-batch, changes are applied
-in (ts, trans_id, row_seq) order — the reference envelope's own
-total-order rule — so cross-batch and single-batch replays agree.
+SCD2 maintainer can hold — held per KEY GROUP (``key % key_groups``,
+the Flink key-group idea): ``applyInPandasWithState`` pays a Python
+call and an Arrow round-trip PER STATE GROUP per trigger, so state
+groups must not be as numerous as logical keys (measured: the sf0.1
+replay spent more in ~10k per-key calls than in the state logic;
+grouping to 128 state keys removed it). Each trigger shuffles only
+that batch's changes, once, on the key group. Within a micro-batch,
+changes are applied per logical key in (ts, trans_id, row_seq)
+order — the reference envelope's own total-order rule — so
+cross-batch and single-batch replays agree.
 """
 
 from __future__ import annotations
@@ -40,11 +45,20 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-#: per-key state: the open version, JSON {"ts": iso, "value": float}
+#: per-key-group state: the open versions of the group's keys,
+#: JSON {str(key): {"ts": iso, "value": float}, ...}
 _STATE_SCHEMA = T.StructType([T.StructField("open_json", T.StringType())])
+
+#: Default state-group count. Bounds the per-trigger Python-call
+#: count (the dominant per-trigger cost of this operator — guide
+#: §4.2) while keeping enough groups to spread across the state
+#: partitions; replay/production call sites size it to their own
+#: per-trigger volume via replay_stage.adaptive_key_groups.
+DEFAULT_KEY_GROUPS = 128
 
 SCD2_OUTPUT_SCHEMA = T.StructType([
     T.StructField("key", T.LongType()),
@@ -54,61 +68,77 @@ SCD2_OUTPUT_SCHEMA = T.StructType([
 ])
 
 
-def scd2_stream(changes: DataFrame) -> DataFrame:
+def scd2_stream(changes: DataFrame,
+                key_groups: int = DEFAULT_KEY_GROUPS) -> DataFrame:
     """``changes``: streaming DataFrame with columns
     (key long, m string in I/U/D, ts timestamp, value double,
     trans_id long, row_seq int). Returns the stream of CLOSED
     versions (append-safe); open versions live in state until a
     later change closes them (read them back with
     :func:`open_versions_snapshot` semantics in tests, or run the
-    batch operator for a point-in-time full table)."""
+    batch operator for a point-in-time full table).
+
+    ``key_groups``: number of state groups (``key % key_groups``).
+    Output is identical for any value — the kernel applies each
+    LOGICAL key's changes in (ts, trans_id, row_seq) order exactly
+    as the per-key form did; only the state layout (and the
+    per-trigger Python-call count, which is what made the per-key
+    form slow) changes. A logical key always lands in the same
+    group, so per-key cross-trigger state carry is preserved.
+    """
 
     def fn(key, pdfs: Iterator[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
-        # This function runs once PER KEY per trigger — with a
-        # bounded key domain that is tens of thousands of calls per
-        # replay, so per-call pandas machinery (pd.concat,
-        # DataFrame.sort_values, itertuples) dominated the whole
-        # query (guide §4.2). Work on plain Python lists instead:
-        # a tiny group's tuple-sort is microseconds where
-        # sort_values was ~0.4 ms.
-        recs: list[tuple] = []
+        # One call PER KEY GROUP per trigger. Per-call pandas
+        # machinery (the serializer's concat, sort_values,
+        # itertuples) once dominated this operator when the state
+        # key was the logical key (~10k calls per sf0.1 trigger —
+        # guide §4.2); grouped, the call count is key_groups and the
+        # kernel works on plain Python lists per logical key.
+        groups: dict[int, list[tuple]] = {}
         for c in pdfs:
-            recs.extend(zip(c["ts"].tolist(), c["trans_id"].tolist(),
-                            c["row_seq"].tolist(), c["m"].tolist(),
-                            c["value"].tolist()))
-        recs.sort(key=lambda r: (r[0], r[1], r[2]))
+            for rec in zip(c["key"].tolist(), c["ts"].tolist(),
+                           c["trans_id"].tolist(), c["row_seq"].tolist(),
+                           c["m"].tolist(), c["value"].tolist()):
+                groups.setdefault(int(rec[0]), []).append(rec[1:])
         if state.exists:
             (open_json,) = state.get
-            cur = json.loads(open_json) if open_json else None
+            open_map: dict = json.loads(open_json) if open_json else {}
         else:
-            cur = None
-        k = int(key[0])
+            open_map = {}
         out_key: list[int] = []
         out_val: list[float] = []
         out_from: list[pd.Timestamp] = []
         out_to: list[pd.Timestamp] = []
-        for ts, _tid, _seq, m, value in recs:
-            if cur is not None:
-                out_key.append(k)
-                out_val.append(cur["value"])
-                out_from.append(pd.Timestamp(cur["ts"]))
-                out_to.append(ts)
-            if m == "D":
-                cur = None
+        for k, recs in groups.items():
+            recs.sort(key=lambda r: (r[0], r[1], r[2]))
+            cur = open_map.get(str(k))
+            for ts, _tid, _seq, m, value in recs:
+                if cur is not None:
+                    out_key.append(k)
+                    out_val.append(cur["value"])
+                    out_from.append(pd.Timestamp(cur["ts"]))
+                    out_to.append(ts)
+                if m == "D":
+                    cur = None
+                else:
+                    cur = {"ts": ts.isoformat(), "value": float(value)}
+            if cur is None:
+                open_map.pop(str(k), None)
             else:
-                cur = {"ts": ts.isoformat(), "value": float(value)}
-        if cur is None:
-            if state.exists:
-                state.remove()
-        else:
-            state.update((json.dumps(cur),))
+                open_map[str(k)] = cur
+        if open_map:
+            state.update((json.dumps(open_map),))
+        elif state.exists:
+            state.remove()
         if out_key:
             yield pd.DataFrame({"key": out_key, "value": out_val,
                                 "valid_from": out_from,
                                 "valid_to": out_to})
 
-    return (changes.groupBy("key")
+    return (changes
+            .withColumn("__key_group", F.col("key") % key_groups)
+            .groupBy("__key_group")
             .applyInPandasWithState(
                 fn, SCD2_OUTPUT_SCHEMA, _STATE_SCHEMA,
                 "append", GroupStateTimeout.NoTimeout))

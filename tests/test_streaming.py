@@ -916,6 +916,25 @@ def test_streaming_scd2_matches_batch(spark, tmp_path):
         r = closed[(k, vf)]
         assert r["value"] == val and r["valid_to"].isoformat() == vt
 
+    # key-group invariance (r15 optimization: the kernel batches
+    # logical keys per state group to bound the per-trigger Python
+    # call count): forcing ALL keys into ONE state group — the
+    # maximum-interleaving case — must yield the identical closed
+    # set, because the kernel still applies each logical key's
+    # changes in its own (ts, trans_id, row_seq) order.
+    stream2 = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", 1).json(str(src)))
+    q2 = (scd2_stream(stream2, key_groups=1)
+          .writeStream.format("memory").queryName("scd2_kg1")
+          .option("checkpointLocation", str(tmp_path / "ckpt_kg1"))
+          .trigger(availableNow=True).start())
+    assert q2.awaitTermination(180)
+    closed_kg1 = {(r["key"], r["valid_from"].isoformat()):
+                  (r["value"], r["valid_to"].isoformat())
+                  for r in spark.sql("SELECT * FROM scd2_kg1").collect()}
+    assert closed_kg1 == {(k, vf): (val, vt)
+                          for (k, vf), (val, vt) in expect.items()}
+
 
 def test_streaming_funnel_matches_batch_on_shuffled_replay(spark, tmp_path):
     """The streaming funnel must converge to the batch min-chain on
