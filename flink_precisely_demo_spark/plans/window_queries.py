@@ -964,7 +964,11 @@ def _streaming_late_sideoutput_replay(spark: SparkSession,
                .select("event_id",
                        F.pmod(F.col("event_id"), 3).alias("wave"),
                        "is_late"))
-        # materialize before the tempdir vanishes
-        return spark.createDataFrame(out.toPandas(), out.schema)
+        # materialize before the tempdir vanishes — executor-side
+        # (localCheckpoint blocks), not a toPandas round trip through
+        # the driver: at sf10 this output is ~10M rows and a driver
+        # collect is exactly the §5 anti-pattern (and was ~0.5 s of
+        # pure Arrow-transpose overhead at sf0.1)
+        return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
