@@ -381,10 +381,10 @@ def _streaming_throughput(spark, sf_dir: str) -> float:
     watermark -> tumbling SUM, measured as orders/sec through the
     whole pipeline (micro-batch mode, availableNow)."""
     import shutil
-    import tempfile
 
     from pyspark.sql import functions as F
 
+    from flink_precisely_demo_spark.scratch import scratch_dir
     from flink_precisely_demo_spark.sources.cdc_json import (
         fold_key,
         synthesize_orders_envelope,
@@ -392,7 +392,7 @@ def _streaming_throughput(spark, sf_dir: str) -> float:
     from flink_precisely_demo_spark.sources.parquet import load_table
 
     orders = load_table(spark, sf_dir, "orders")
-    env_dir = tempfile.mkdtemp(prefix="bench_cdc_")
+    env_dir = scratch_dir(prefix="bench_cdc_")
     try:
         synthesize_orders_envelope(orders).write.mode("overwrite").text(env_dir)
         # dims: customer plays address, nation plays states (FIXTURES.md §B).

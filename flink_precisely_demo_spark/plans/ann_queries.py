@@ -24,6 +24,7 @@ from ..sources.parquet import load_table
 from .queries import query
 from .similarity_queries import _N_QUERIES, _cos
 from .sketch_queries import _ITERS, _K, kmeans_ctes
+from ..scratch import scratch_dir
 
 _NPROBE = 2
 _TOPK = 3
@@ -340,7 +341,7 @@ def _stream_upsert_index_path(spark: SparkSession, sf_dir: str) -> str:
             nonce = _nonce()
             stage = f"{path}.build-{nonce}"
             shutil.copytree(ann_index_path(spark, sf_dir), stage)
-            work = tempfile.mkdtemp(prefix="ann_upsert_replay_")
+            work = scratch_dir(prefix="ann_upsert_replay_")
             try:
                 feed_dir = stage_trigger_files(
                     _mutation_feed(spark, sf_dir), work, F.col("b"),

@@ -20,6 +20,7 @@ from ..functions.datetime_fns import format_ts
 from ..operators.cdc_apply import apply_cdc_snapshot
 from ..sources.parquet import load_table
 from .queries import query
+from ..scratch import scratch_dir
 
 
 def _envelope_rows(orders: DataFrame, manip: str, day_shift: int,
@@ -274,7 +275,7 @@ def _streaming_scd2_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("row_seq", F.lit(2)))
     changes = ins.unionByName(upd).unionByName(dele)
 
-    work = tempfile.mkdtemp(prefix="stream_scd2_replay_")
+    work = scratch_dir(prefix="stream_scd2_replay_")
     # the try starts immediately after mkdtemp so a STAGING failure
     # (disk full, bad sf_dir) also reclaims the tree (r11 advisory)
     try:
@@ -426,7 +427,7 @@ def _streaming_flagship_replay(spark: SparkSession,
                           F.col("r_name").alias("CountryRegionCode"),
                           F.col("n_name").alias("Name")))
 
-    work = tempfile.mkdtemp(prefix="stream_flagship_replay_")
+    work = scratch_dir(prefix="stream_flagship_replay_")
     try:
         feed_dir = stage_trigger_text_files(env, work, F.col("b"),
                                             "envelopes", n_batches=3)

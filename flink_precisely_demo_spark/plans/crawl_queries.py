@@ -47,6 +47,7 @@ from .dedup_queries import minhash_bands_ctes as _bands_ctes_from
 from .dedup_queries import substr_contam_ids_ctes as _contam_ctes
 from .queries import query
 from .text_queries import _lang_case_sql, _marker_count, _TOKS, canonical_sql
+from ..scratch import scratch_dir
 
 # The held-out benchmark split for the decontamination gates (batch
 # and streaming e2e pipelines): RAW document text, doc_id % 7 == 3 —
@@ -397,7 +398,7 @@ def _roundtrip_corpus_dir(spark: SparkSession, sf_dir: str) -> str:
     cached = _ROUNDTRIP_DIRS.get(key)
     if cached and os.path.isdir(cached):
         return cached
-    work = tempfile.mkdtemp(prefix="jsonl_roundtrip_")
+    work = scratch_dir(prefix="jsonl_roundtrip_")
     if not _ROUNDTRIP_DIRS:
         atexit.register(_cleanup_roundtrip_dirs)
     out = os.path.join(work, "corpus")
@@ -617,7 +618,7 @@ def _delimited_orders_dir(spark: SparkSession, sf_dir: str) -> str:
     cached = _DELIMITED_DIRS.get(key)
     if cached and os.path.isdir(cached):
         return cached
-    work = tempfile.mkdtemp(prefix="csv_ingest_")
+    work = scratch_dir(prefix="csv_ingest_")
     if not _DELIMITED_DIRS:
         atexit.register(_cleanup_delimited_dirs)
     out = os.path.join(work, "orders_feed")
@@ -792,7 +793,7 @@ def _corpus_pipeline_root(spark: SparkSession, sf_dir: str) -> str:
                             id_col="doc_id")
             from ..operators.text_index import build_text_index
             build_text_index(hist, os.path.join(stage, "text_index"))
-            work = tempfile.mkdtemp(prefix="corpus_pipe_replay_")
+            work = scratch_dir(prefix="corpus_pipe_replay_")
             try:
                 feed_dir = stage_trigger_text_files(
                     synthesize_documents_envelope(
@@ -1061,7 +1062,7 @@ def _orc_corpus_dir(spark: SparkSession, sf_dir: str) -> str:
     cached = _ORC_DIRS.get(key)
     if cached and os.path.isdir(cached):
         return cached
-    work = tempfile.mkdtemp(prefix="orc_roundtrip_")
+    work = scratch_dir(prefix="orc_roundtrip_")
     if not _ORC_DIRS:
         atexit.register(lambda: [shutil.rmtree(
             os.path.dirname(d), ignore_errors=True)

@@ -21,6 +21,7 @@ from ..operators.dedup import (
 )
 from ..sources.parquet import load_table
 from .queries import query
+from ..scratch import scratch_dir
 
 # shared SQL fragments (must stay in lockstep with functions/text.py
 # tokens() and operators/dedup.py word_shingles / _hex_bucket)
@@ -476,7 +477,7 @@ def _streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    work = tempfile.mkdtemp(prefix="stream_dedup_replay_")
+    work = scratch_dir(prefix="stream_dedup_replay_")
     feed = os.path.join(work, "feed")
     os.makedirs(feed)
     for k in range(_REPLAY_BATCHES):
@@ -855,7 +856,7 @@ def _stream_ingest_paths(spark: SparkSession, sf_dir: str
             svpath = stage + ".verdicts"
             shutil.rmtree(svpath, ignore_errors=True)
             shutil.copytree(_band_index_path(spark, sf_dir), stage)
-            work = tempfile.mkdtemp(prefix="dedup_ingest_replay_")
+            work = scratch_dir(prefix="dedup_ingest_replay_")
             try:
                 batch = load_table(spark, sf_dir, "documents") \
                     .filter(F.col("doc_id") % 5 == 0) \
@@ -1294,7 +1295,7 @@ def _stream_substring_index_path(spark: SparkSession, sf_dir: str) -> str:
                        .unionByName(
                            docs.filter(F.col("doc_id") % 10 == 5)
                            .withColumn("b", F.lit(1))))
-            work = tempfile.mkdtemp(prefix="substr_ingest_replay_")
+            work = scratch_dir(prefix="substr_ingest_replay_")
             try:
                 feed_dir = stage_trigger_files(feed_df, work,
                                                F.col("b"), "docs")

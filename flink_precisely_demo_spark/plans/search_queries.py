@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from ..sources.parquet import load_table
 from .queries import query
 from .text_queries import _TOKS
+from ..scratch import scratch_dir
 
 # Fixed keyword set for the oracle-checked query (the operator works
 # for any term list); chosen from the corpus vocabulary so every term
@@ -517,7 +518,7 @@ def _stream_text_index_path(spark: SparkSession, sf_dir: str) -> str:
                                 .alias("text"),
                                 F.lit("D").alias("op"),
                                 F.lit(1).alias("b"))))
-            work = tempfile.mkdtemp(prefix="text_index_replay_")
+            work = scratch_dir(prefix="text_index_replay_")
             try:
                 feed_dir = stage_trigger_files(muts, work, F.col("b"),
                                                "mutations")

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from ..operators.windowed_agg import sum_exact
 from ..sources.parquet import load_table
 from .queries import query
+from ..scratch import scratch_dir
 
 
 @query(
@@ -391,7 +392,7 @@ def _streaming_funnel_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events") \
         .select("event_id", "user_id", "event_type", "ts")
-    work = tempfile.mkdtemp(prefix="stream_funnel_replay_")
+    work = scratch_dir(prefix="stream_funnel_replay_")
     feed = os.path.join(work, "feed")
     os.makedirs(feed)
     for k in range(3):
@@ -474,7 +475,7 @@ def _streaming_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events") \
         .select("event_id", "user_id", "ts")
-    work = tempfile.mkdtemp(prefix="stream_session_replay_")
+    work = scratch_dir(prefix="stream_session_replay_")
     feed = os.path.join(work, "feed")
     os.makedirs(feed)
     for k in range(3):
@@ -599,7 +600,7 @@ def _streaming_pattern_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events") \
         .select("event_id", "user_id", "event_type", "ts")
-    work = tempfile.mkdtemp(prefix="stream_pattern_replay_")
+    work = scratch_dir(prefix="stream_pattern_replay_")
     feed = os.path.join(work, "feed")
     os.makedirs(feed)
     for k in range(3):
@@ -690,7 +691,7 @@ def _streaming_attribution_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
     ev = load_table(spark, sf_dir, "events")
-    work = tempfile.mkdtemp(prefix="stream_attr_replay_")
+    work = scratch_dir(prefix="stream_attr_replay_")
 
     # ONE pass builds all four feed files (2 sources x 2 trigger
     # batches) via a partitioned write — four separate filtered
@@ -851,7 +852,7 @@ def _streaming_enrichment_replay(spark: SparkSession,
     from ..streaming.replay_stage import stage_trigger_files
     from ..streaming.stateful_join import enrich_stream
 
-    work = tempfile.mkdtemp(prefix="stream_enrich_replay_")
+    work = scratch_dir(prefix="stream_enrich_replay_")
 
     def stage(df: DataFrame, batch_col, name: str) -> str:
         return stage_trigger_files(df, work, batch_col, name)
@@ -937,7 +938,7 @@ def _streaming_late_sideoutput_replay(spark: SparkSession,
     from ..streaming.late_data import run_with_late_capture
     from ..streaming.replay_stage import stage_trigger_files
 
-    work = tempfile.mkdtemp(prefix="late_sideout_replay_")
+    work = scratch_dir(prefix="late_sideout_replay_")
     try:
         ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
         feed = stage_trigger_files(ev, work, F.pmod(F.col("event_id"), 3),

@@ -36,6 +36,7 @@ from ..functions.datetime_fns import parse_ts
 from ..operators.windowed_agg import sum_exact
 from ..schemas import ORDERS_PAYLOAD
 from ..sources.cdc_json import decode_envelope
+from ..scratch import scratch_dir
 
 
 def streaming_flagship(spark: SparkSession, envelope_dir: str,
@@ -153,7 +154,7 @@ def replay_to_parquet(df: DataFrame, spark: SparkSession, label: str,
         shutil.rmtree(old, ignore_errors=True)
     if not _REPLAY_DRAIN_DIRS:
         atexit.register(_cleanup_replay_drain_dirs)
-    out = tempfile.mkdtemp(prefix=f"replay_drain_{label}_")
+    out = scratch_dir(prefix=f"replay_drain_{label}_")
     _REPLAY_DRAIN_DIRS[label] = out
 
     q = (df.writeStream.outputMode(output_mode)
