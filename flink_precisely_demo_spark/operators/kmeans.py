@@ -64,6 +64,57 @@ def _partial_sums(vectors: DataFrame, centroids: list[tuple[int, list[float]]],
         kernel, schema="cell_id long, psum array<double>, n long")
 
 
+#: Driver-path cutover for kmeans_fit: a training set at or below
+#: this row count is collected once and iterated driver-side (one job
+#: total instead of 2 jobs per iteration). 65536 x 64 doubles is
+#: ~32 MB — bounded driver use (guide §5), the same row-count-derived
+#: cutover as the BPE merge loop; larger sets keep the distributed
+#: rounds untouched.
+DRIVER_FIT_MAX = 65536
+
+
+def _round_half_up6(x: float) -> float:
+    """Exactly Spark's round(double, 6): BigDecimal.valueOf (shortest
+    decimal repr, which is what Python's repr gives too) -> setScale(6,
+    HALF_UP) -> toDouble. Python's round() is half-EVEN, so it cannot
+    be used here."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(float(x))).quantize(
+        Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+
+def _kmeans_fit_driver(rows, k: int, max_iter: int
+                       ) -> list[tuple[int, list[float]]]:
+    """Driver-side twin of the distributed loop below: identical init
+    (k lowest-id vectors), identical assignment kernel
+    (_nearest_cell: cosine rounded to 6 dp, ties to the lowest cell),
+    identical update (per-cell mean rounded to 6 dp HALF_UP — the
+    rounding that makes the whole recipe summation-order-insensitive,
+    which is also why the DuckDB oracle can replay it), identical
+    early stop. Pinned equal to the distributed path by
+    tests/test_kmeans.py::test_driver_and_distributed_fit_agree."""
+    rows = sorted(rows, key=lambda r: r[0])
+    centroids = [(i, [round(float(x), 6) for x in rows[i][1]])
+                 for i in range(min(k, len(rows)))]
+    if not rows:
+        return centroids
+    batch = np.stack([np.asarray(v, dtype=np.float64) for _, v in rows])
+    for _ in range(max_iter):
+        cell_ids, cent_mat = _centroid_arrays(centroids)
+        cells = _nearest_cell(batch, cent_mat, cell_ids)
+        new = {}
+        for cid in np.unique(cells):
+            sel = batch[cells == cid]
+            mean = sel.sum(axis=0) / len(sel)
+            new[int(cid)] = [_round_half_up6(x) for x in mean]
+        updated = [(cid, new.get(cid, c)) for cid, c in centroids]
+        if updated == centroids:
+            break
+        centroids = updated
+    return centroids
+
+
 def kmeans_fit(vectors: DataFrame, k: int = 8, max_iter: int = 5,
                id_col: str = "vec_id", vec_col: str = "embedding"
                ) -> list[tuple[int, list[float]]]:
@@ -71,8 +122,17 @@ def kmeans_fit(vectors: DataFrame, k: int = 8, max_iter: int = 5,
 
     Only k x dim floats ever reach the driver (the partial sums are
     reduced to k rows by a groupBy first); assignment and averaging
-    stay distributed.
+    stay distributed — except when the training set itself is small
+    enough to collect (<= DRIVER_FIT_MAX rows, probed with a
+    limit-bounded collect), where the per-iteration job pair is pure
+    scheduling overhead and the identical loop runs driver-side.
     """
+    probe = (vectors.select(id_col, vec_col)
+             .limit(DRIVER_FIT_MAX + 1).collect())
+    if len(probe) <= DRIVER_FIT_MAX:
+        return _kmeans_fit_driver(
+            [(r[0], r[1]) for r in probe], k, max_iter)
+
     init = (vectors.orderBy(id_col).limit(k)
             .withColumn("cell_id",
                         F.row_number().over(Window.orderBy(id_col)) - 1)

@@ -100,3 +100,29 @@ def test_misra_gries_preserves_item_column_type(spark):
     mg = {r["item_id"]: r["mg_count"] for r in out.collect()}
     assert all(isinstance(k, int) for k in mg)
     assert mg.get(7, 0) > 0  # heavy hitter survives, as a LONG key
+
+
+def test_kmeans_driver_and_distributed_fit_agree(spark, monkeypatch):
+    """The r15 driver-path cutover (kmeans_fit collects the training
+    set and iterates driver-side when it is <= DRIVER_FIT_MAX rows)
+    must be OUTPUT-INVISIBLE: forcing the cutover off (max = 0 rows)
+    re-runs the distributed per-iteration jobs, and both paths must
+    produce the identical centroid list — same cells, same 6-dp
+    coordinates, same early-stop round — for every call shape the
+    plans use (k=8/iters=3 ivf, k=4/iters=2 PQ subspaces)."""
+    from flink_precisely_demo_spark.operators import kmeans as KM
+
+    emb = load_table(spark, SF, "embeddings")
+    shapes = [
+        (emb, 8, 3),
+        (emb.select("vec_id", F.slice("embedding", 1, 32)
+                    .alias("embedding")), 4, 2),
+        (emb.select("vec_id", F.slice("embedding", 33, 32)
+                    .alias("embedding")), 4, 2),
+    ]
+    for df, k, iters in shapes:
+        driver = KM.kmeans_fit(df, k=k, max_iter=iters)
+        monkeypatch.setattr(KM, "DRIVER_FIT_MAX", 0)
+        distributed = KM.kmeans_fit(df, k=k, max_iter=iters)
+        monkeypatch.undo()
+        assert driver == distributed, (k, iters)
