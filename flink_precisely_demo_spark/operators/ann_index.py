@@ -519,12 +519,45 @@ def index_ok(index_path: str) -> bool:
     return os.path.isfile(os.path.join(index_path, "_INDEX_OK"))
 
 
+#: (index_path, centroid-file fingerprint) -> (cell_ids, cent_mat).
+#: The serving contract freezes cell geometry ("upserts never
+#: retrain"), so a server loads centroids once at startup and serves
+#: every query from memory — re-collecting the k-row parquet per
+#: query_ann call was one full Spark job of pure startup cost on the
+#: timed query path. The fingerprint (file names + mtime + size)
+#: guards the one legal way geometry changes: a rebuild, which writes
+#: new centroid files and misses the cache.
+_CENTROID_CACHE: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _centroid_fingerprint(index_path: str) -> tuple:
+    import os
+
+    d = os.path.join(index_path, "centroids")
+    out = []
+    for name in sorted(os.listdir(d)):
+        st = os.stat(os.path.join(d, name))
+        out.append((name, st.st_mtime_ns, st.st_size))
+    return tuple(out)
+
+
 def load_centroids(spark: SparkSession, index_path: str
                    ) -> tuple[np.ndarray, np.ndarray]:
+    try:
+        key = (index_path, _centroid_fingerprint(index_path))
+    except OSError:
+        key = None
+    if key is not None and key in _CENTROID_CACHE:
+        return _CENTROID_CACHE[key]
     rows = spark.read.parquet(f"{index_path}/centroids").collect()
     rows.sort(key=lambda r: r["cell_id"])
-    return (np.array([r["cell_id"] for r in rows], dtype=np.int64),
-            np.stack([np.asarray(r["c"], dtype=np.float64) for r in rows]))
+    got = (np.array([r["cell_id"] for r in rows], dtype=np.int64),
+           np.stack([np.asarray(r["c"], dtype=np.float64) for r in rows]))
+    if key is not None:
+        if len(_CENTROID_CACHE) >= 64:
+            _CENTROID_CACHE.clear()
+        _CENTROID_CACHE[key] = got
+    return got
 
 
 def _probe_cells(q_mat: np.ndarray, cent_mat: np.ndarray,
