@@ -33,6 +33,43 @@ import time
 # adjudicate — this makes a contended run self-identify instead.
 CONTENTION_BEFORE_FACTOR = 0.25
 CONTENTION_AFTER_FACTOR = 1.25
+# Hypervisor steal sentinel (r15): on a shared VM, a co-tenant on the
+# HYPERVISOR inflates wall clock without appearing in this guest's
+# loadavg at all — /proc/stat's steal column is the only signal (an
+# r15 run measured a broadcast join at 36.7 s under steal vs 3.3 s
+# minutes later, with loadavg quiet throughout and the flag false).
+# Any per-query window in which more than this percentage of total
+# machine ticks was stolen marks the record contended.
+STEAL_WINDOW_PCT = 10.0
+
+
+def cpu_steal_sample() -> tuple[int, int] | None:
+    """(total_ticks, steal_ticks) across all cpus from /proc/stat's
+    aggregate line, or None where unavailable (non-Linux)."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        if parts[0] != "cpu":
+            return None
+        vals = [int(x) for x in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return sum(vals), steal
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def steal_window_pct(prev: tuple[int, int] | None,
+                     cur: tuple[int, int] | None) -> float | None:
+    """Percentage of this window's total machine ticks that the
+    hypervisor gave to a co-tenant. None when either sample is
+    missing or the window is empty."""
+    if prev is None or cur is None:
+        return None
+    total_d = cur[0] - prev[0]
+    steal_d = cur[1] - prev[1]
+    if total_d <= 0:
+        return None
+    return 100.0 * steal_d / total_d
 
 
 def loadavg_1min() -> float | None:
@@ -44,17 +81,22 @@ def loadavg_1min() -> float | None:
 
 
 def contention_flag(load_before: float | None, load_peak: float | None,
-                    cpus: int) -> bool:
+                    cpus: int,
+                    steal_peak_pct: float | None = None) -> bool:
     """True when the run's load samples indicate external load that
     would inflate wall-clock timings: ambient load before start, or
     any DURING/after sample beyond what our own worker threads
     explain. ``load_peak`` is the max of per-query samples, not just
     the final one — a co-tenant burst mid-bench decays out of a
-    single end-of-run 1-min average (r11 advisory)."""
+    single end-of-run 1-min average (r11 advisory).
+    ``steal_peak_pct`` is the max per-query-window hypervisor-steal
+    percentage — the signal loadavg cannot see (r15)."""
     return ((load_before is not None
              and load_before > CONTENTION_BEFORE_FACTOR * cpus)
             or (load_peak is not None
-                and load_peak > CONTENTION_AFTER_FACTOR * cpus))
+                and load_peak > CONTENTION_AFTER_FACTOR * cpus)
+            or (steal_peak_pct is not None
+                and steal_peak_pct > STEAL_WINDOW_PCT))
 
 
 HEADLINE = [
@@ -94,6 +136,18 @@ def main() -> None:
     # mid-bench co-tenant burst can't decay out of the final 1-min
     # average before the end-of-run sample (r11 advisory)
     load_samples: list[float | None] = []
+    # per-query hypervisor-steal windows (r15): steal inflates wall
+    # clock without touching this guest's loadavg, so it gets its own
+    # sample chain and feeds the contention flag via its max
+    steal_pcts: list[float | None] = []
+    _steal_prev = cpu_steal_sample()
+
+    def _sample_window() -> None:
+        nonlocal _steal_prev
+        load_samples.append(loadavg_1min())
+        cur = cpu_steal_sample()
+        steal_pcts.append(steal_window_pct(_steal_prev, cur))
+        _steal_prev = cur
     spark = get_spark("bench", cpus=cpus)
     qs = entry_mod.queries()
 
@@ -156,7 +210,7 @@ def main() -> None:
             print(f"# {name}: {timings[name]}s", file=sys.stderr)
         except Exception as exc:
             _err(name, exc)
-        load_samples.append(loadavg_1min())
+        _sample_window()
 
     # secondary group: the round-6/7/8 pipeline operators. Tracked
     # per round but kept OUT of the headline total, which stays the
@@ -241,7 +295,7 @@ def main() -> None:
                   file=sys.stderr)
         except Exception as exc:
             _err(name, exc)
-        load_samples.append(loadavg_1min())
+        _sample_window()
 
     # Machinery-vs-plan decomposition for the replay secondaries
     # (r11 verdict item 4): the flagship replay entry re-run at
@@ -266,7 +320,7 @@ def main() -> None:
               "(scd2 replay @ sf0.001)", file=sys.stderr)
     except Exception as exc:
         _err("streaming_fixed_cost", exc)
-    load_samples.append(loadavg_1min())
+    _sample_window()
 
     try:
         streaming_eps = _streaming_throughput(spark, sf_dir)
@@ -275,10 +329,12 @@ def main() -> None:
         _err("streaming_flagship", exc)
 
     total = round(sum(timings.values()), 3)
-    load_after = loadavg_1min()
-    load_samples.append(load_after)
+    _sample_window()
+    load_after = load_samples[-1]
     seen = [x for x in load_samples if x is not None]
     load_max = max(seen) if seen else None
+    steal_seen = [x for x in steal_pcts if x is not None]
+    steal_max = round(max(steal_seen), 2) if steal_seen else None
     result = {
         "metric": "headline_queries_total",
         "value": total,
@@ -289,8 +345,10 @@ def main() -> None:
         "load_before": load_before,
         "load_after": load_after,
         "load_max": load_max,
+        "steal_max_pct": steal_max,
         "cpus": cpus,
-        "contended": contention_flag(load_before, load_max, cpus),
+        "contended": contention_flag(load_before, load_max, cpus,
+                                     steal_max),
         "streaming_orders_per_sec": streaming_eps,
         "streaming_fixed_cost_sec": streaming_fixed_cost,
         "streaming_fixed_cost_metric": (
@@ -337,6 +395,7 @@ def compact_line(result: dict) -> str:
         "load_before": result.get("load_before"),
         "load_after": result.get("load_after"),
         "load_max": result.get("load_max"),
+        "steal_max_pct": result.get("steal_max_pct"),
         "contended": result.get("contended"),
         "streaming_orders_per_sec": result["streaming_orders_per_sec"],
         "streaming_fixed_cost_sec": result.get("streaming_fixed_cost_sec"),

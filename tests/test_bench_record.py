@@ -89,3 +89,25 @@ def test_contention_flag_thresholds():
     samples = [0.5, 52.0, 3.0]                         # burst mid-bench
     peak = max(s for s in samples if s is not None)
     assert contention_flag(0.5, peak, 32) is True
+    # hypervisor steal flags even with loadavg quiet throughout (the
+    # r15 case: a co-tenant on the HYPERVISOR never shows in this
+    # guest's loadavg — only /proc/stat steal sees it)
+    assert contention_flag(0.5, 20.0, 32, steal_peak_pct=35.0) is True
+    assert contention_flag(0.5, 20.0, 32, steal_peak_pct=4.0) is False
+    assert contention_flag(0.5, 20.0, 32, steal_peak_pct=None) is False
+
+
+def test_steal_window_pct():
+    """Steal percentage over a sample window; missing or empty
+    windows yield None, never a crash or a zero-division."""
+    from bench import cpu_steal_sample, steal_window_pct
+
+    assert steal_window_pct((1000, 10), (2000, 510)) == 50.0
+    assert steal_window_pct((1000, 10), (2000, 10)) == 0.0
+    assert steal_window_pct(None, (2000, 10)) is None
+    assert steal_window_pct((1000, 10), None) is None
+    assert steal_window_pct((1000, 10), (1000, 10)) is None  # empty window
+    s = cpu_steal_sample()                  # live read on this host
+    if s is not None:
+        total, steal = s
+        assert 0 <= steal <= total
