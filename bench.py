@@ -140,13 +140,17 @@ def main() -> None:
     # clock without touching this guest's loadavg, so it gets its own
     # sample chain and feeds the contention flag via its max
     steal_pcts: list[float | None] = []
+    steal_by_window: dict[str, float] = {}
     _steal_prev = cpu_steal_sample()
 
-    def _sample_window() -> None:
+    def _sample_window(window: str | None = None) -> None:
         nonlocal _steal_prev
         load_samples.append(loadavg_1min())
         cur = cpu_steal_sample()
-        steal_pcts.append(steal_window_pct(_steal_prev, cur))
+        pct = steal_window_pct(_steal_prev, cur)
+        steal_pcts.append(pct)
+        if window is not None and pct is not None:
+            steal_by_window[window] = round(pct, 2)
         _steal_prev = cur
     spark = get_spark("bench", cpus=cpus)
     qs = entry_mod.queries()
@@ -210,7 +214,7 @@ def main() -> None:
             print(f"# {name}: {timings[name]}s", file=sys.stderr)
         except Exception as exc:
             _err(name, exc)
-        _sample_window()
+        _sample_window(name)
 
     # secondary group: the round-6/7/8 pipeline operators. Tracked
     # per round but kept OUT of the headline total, which stays the
@@ -295,7 +299,7 @@ def main() -> None:
                   file=sys.stderr)
         except Exception as exc:
             _err(name, exc)
-        _sample_window()
+        _sample_window(name)
 
     # Machinery-vs-plan decomposition for the replay secondaries
     # (r11 verdict item 4): the flagship replay entry re-run at
@@ -320,7 +324,7 @@ def main() -> None:
               "(scd2 replay @ sf0.001)", file=sys.stderr)
     except Exception as exc:
         _err("streaming_fixed_cost", exc)
-    _sample_window()
+    _sample_window("streaming_fixed_cost")
 
     try:
         streaming_eps = _streaming_throughput(spark, sf_dir)
@@ -329,7 +333,7 @@ def main() -> None:
         _err("streaming_flagship", exc)
 
     total = round(sum(timings.values()), 3)
-    _sample_window()
+    _sample_window("streaming_throughput")
     load_after = load_samples[-1]
     seen = [x for x in load_samples if x is not None]
     load_max = max(seen) if seen else None
@@ -346,6 +350,10 @@ def main() -> None:
         "load_after": load_after,
         "load_max": load_max,
         "steal_max_pct": steal_max,
+        # full-record only (shed by compact_line): which query windows
+        # the steal actually hit, so a partially-contaminated run's
+        # clean entries stay usable as evidence
+        "steal_pct_by_query": steal_by_window,
         "cpus": cpus,
         "contended": contention_flag(load_before, load_max, cpus,
                                      steal_max),
