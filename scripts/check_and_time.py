@@ -51,8 +51,11 @@ def main() -> None:
         except Exception as exc:
             print(f"# warm {w}: {exc}", file=sys.stderr)
 
+    from bench import cpu_steal_sample, steal_window_pct
+
     for name in names:
         runs = []
+        s0 = cpu_steal_sample()
         for _ in range(2):
             t0 = time.perf_counter()
             qs[name](spark, SF).write.mode("overwrite").format("noop").save()
@@ -61,8 +64,11 @@ def main() -> None:
             t0 = time.perf_counter()
             qs[name](spark, SF).write.mode("overwrite").format("noop").save()
             runs.append(time.perf_counter() - t0)
+        steal = steal_window_pct(s0, cpu_steal_sample())
         print(f"time {name}: {min(runs):.3f}s  (runs: "
-              + ", ".join(f"{r:.3f}" for r in runs) + ")", flush=True)
+              + ", ".join(f"{r:.3f}" for r in runs)
+              + (f"; steal {steal:.1f}%" if steal is not None else "")
+              + ")", flush=True)
     spark.stop()
 
 
