@@ -41,11 +41,24 @@ CONTENTION_AFTER_FACTOR = 1.25
 # Any per-query window in which more than this percentage of total
 # machine ticks was stolen marks the record contended.
 STEAL_WINDOW_PCT = 10.0
+# Bounded auto-retry (r16, r15 verdict item 1): a query measured in a
+# steal-dirty window is re-measured (fresh min-of-2) up to this many
+# TOTAL attempts, so a graded artifact can come out clean on a host
+# whose co-tenant bursts last minutes, not the whole run. Steal only
+# ever ADDS wall time, so the min across attempts is the best upper
+# bound on the true time, and the cleanest attempt's window steal
+# bounds the inflation that estimate can still carry (the estimate is
+# <= the cleanest attempt's time, which saw <= that much steal).
+RETRY_MAX_ATTEMPTS = 3
 
 
 def cpu_steal_sample() -> tuple[int, int] | None:
     """(total_ticks, steal_ticks) across all cpus from /proc/stat's
-    aggregate line, or None where unavailable (non-Linux)."""
+    aggregate line, or None where unavailable (non-Linux). Only the
+    first 8 fields (user..steal) are summed: guest/guest_nice are
+    already folded into user/nice by the kernel, so counting them
+    would double-count on a host running nested guests and understate
+    steal_pct (r15 advisory)."""
     try:
         with open("/proc/stat") as f:
             parts = f.readline().split()
@@ -53,7 +66,7 @@ def cpu_steal_sample() -> tuple[int, int] | None:
             return None
         vals = [int(x) for x in parts[1:]]
         steal = vals[7] if len(vals) > 7 else 0
-        return sum(vals), steal
+        return sum(vals[:8]), steal
     except (OSError, ValueError, IndexError):
         return None
 
@@ -70,6 +83,50 @@ def steal_window_pct(prev: tuple[int, int] | None,
     if total_d <= 0:
         return None
     return 100.0 * steal_d / total_d
+
+
+def timed_attempt(run_once, steal_sampler=cpu_steal_sample,
+                  clock=time.perf_counter) -> tuple[float, float | None]:
+    """One min-of-2 timing attempt (a third run when the two disagree
+    wildly — a contention blip hit one of them), with its own
+    self-contained steal window. Returns (seconds, window_steal_pct)."""
+    prev = steal_sampler()
+    runs = []
+    for _ in range(2):
+        t0 = clock()
+        run_once()
+        runs.append(clock() - t0)
+    if max(runs) > 2 * min(runs):
+        t0 = clock()
+        run_once()
+        runs.append(clock() - t0)
+    return min(runs), steal_window_pct(prev, steal_sampler())
+
+
+def measure_steal_proof(run_once, steal_sampler=cpu_steal_sample,
+                        clock=time.perf_counter,
+                        max_attempts: int = RETRY_MAX_ATTEMPTS,
+                        ) -> tuple[float, float | None, int]:
+    """Steal-proof measurement (r16, verdict item 1): re-attempt the
+    min-of-2 while its steal window is dirty, up to ``max_attempts``
+    total attempts. Returns (best_seconds, cleanest_window_steal_pct,
+    n_attempts). Keeps the MIN time across attempts (steal only adds
+    time, so every attempt is an upper bound on the true time) and
+    the CLEANEST attempt's window steal — the estimate is <= that
+    attempt's time, which saw <= that much steal, so the returned
+    steal pct bounds the residual inflation of the returned time."""
+    best: float | None = None
+    best_steal: float | None = None
+    attempts = 0
+    while attempts < max_attempts:
+        secs, pct = timed_attempt(run_once, steal_sampler, clock)
+        attempts += 1
+        best = secs if best is None else min(best, secs)
+        if pct is not None:
+            best_steal = pct if best_steal is None else min(best_steal, pct)
+        if pct is None or pct <= STEAL_WINDOW_PCT:
+            break
+    return best, best_steal, attempts
 
 
 def loadavg_1min() -> float | None:
@@ -138,20 +195,24 @@ def main() -> None:
     load_samples: list[float | None] = []
     # per-query hypervisor-steal windows (r15): steal inflates wall
     # clock without touching this guest's loadavg, so it gets its own
-    # sample chain and feeds the contention flag via its max
+    # per-query SELF-CONTAINED windows (r16: no shared sample chain —
+    # the old chain attributed Spark startup + warm-up steal to the
+    # first headline query, r15 advisory) and feeds the contention
+    # flag via its unrounded max
     steal_pcts: list[float | None] = []
     steal_by_window: dict[str, float] = {}
-    _steal_prev = cpu_steal_sample()
+    steal_retries: dict[str, int] = {}
 
-    def _sample_window(window: str | None = None) -> None:
-        nonlocal _steal_prev
+    def _measure(name: str, run_once) -> float:
+        best, best_steal, attempts = measure_steal_proof(run_once)
         load_samples.append(loadavg_1min())
-        cur = cpu_steal_sample()
-        pct = steal_window_pct(_steal_prev, cur)
-        steal_pcts.append(pct)
-        if window is not None and pct is not None:
-            steal_by_window[window] = round(pct, 2)
-        _steal_prev = cur
+        steal_pcts.append(best_steal)
+        if best_steal is not None:
+            steal_by_window[name] = round(best_steal, 2)
+        if attempts > 1:
+            steal_retries[name] = attempts - 1
+        return best
+
     spark = get_spark("bench", cpus=cpus)
     qs = entry_mod.queries()
 
@@ -175,6 +236,7 @@ def main() -> None:
     # that query runs cold; it is NOT fatal here — the timed loop
     # reports its real failure per-query.
     warm_dir = "/root/testdata/sf0.001"
+    _setup_prev = cpu_steal_sample()
     for warm_name in ["flagship_cdc_window_sum", "dedup_minhash_lsh",
                       "reference_pipeline_verbatim"]:
         try:
@@ -190,6 +252,12 @@ def main() -> None:
         ann_index_path(spark, sf_dir)
     except Exception as exc:
         print(f"# warmup ann_index: ERROR {exc}", file=sys.stderr)
+    # the startup/warm-up window's steal is recorded for evidence but
+    # EXCLUDED from the contention max — nothing in it is timed (r15
+    # advisory: it used to be attributed to the first headline query)
+    _setup_pct = steal_window_pct(_setup_prev, cpu_steal_sample())
+    if _setup_pct is not None:
+        steal_by_window["setup"] = round(_setup_pct, 2)
 
     # two timed runs per query, keep the min: the host shows heavy
     # run-to-run CPU contention (same plan measured 0.9s and 23.9s
@@ -199,22 +267,12 @@ def main() -> None:
     for name in HEADLINE:
         try:
             fn = qs[name]
-            runs = []
-            for _ in range(2):
-                t0 = time.perf_counter()
-                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-                runs.append(time.perf_counter() - t0)
-            if max(runs) > 2 * min(runs):
-                # the two runs disagree wildly -> a contention blip hit
-                # one of them; a third sample keeps the min honest
-                t0 = time.perf_counter()
-                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-                runs.append(time.perf_counter() - t0)
-            timings[name] = round(min(runs), 3)
+            best = _measure(name, lambda: fn(spark, sf_dir).write
+                            .mode("overwrite").format("noop").save())
+            timings[name] = round(best, 3)
             print(f"# {name}: {timings[name]}s", file=sys.stderr)
         except Exception as exc:
             _err(name, exc)
-        _sample_window(name)
 
     # secondary group: the round-6/7/8 pipeline operators. Tracked
     # per round but kept OUT of the headline total, which stays the
@@ -289,17 +347,13 @@ def main() -> None:
     for name in SECONDARY:
         try:
             fn = qs[name]
-            runs = []
-            for _ in range(2):
-                t0 = time.perf_counter()
-                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-                runs.append(time.perf_counter() - t0)
-            secondary[name] = round(min(runs), 3)
+            best = _measure(name, lambda: fn(spark, sf_dir).write
+                            .mode("overwrite").format("noop").save())
+            secondary[name] = round(best, 3)
             print(f"# {name}: {secondary[name]}s (secondary)",
                   file=sys.stderr)
         except Exception as exc:
             _err(name, exc)
-        _sample_window(name)
 
     # Machinery-vs-plan decomposition for the replay secondaries
     # (r11 verdict item 4): the flagship replay entry re-run at
@@ -313,19 +367,17 @@ def main() -> None:
     # per-row, so it stays ~flat across SF while plan cost scales.
     streaming_fixed_cost = None
     try:
-        runs = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            qs["streaming_scd2_replay"](spark, warm_dir) \
-                .write.mode("overwrite").format("noop").save()
-            runs.append(time.perf_counter() - t0)
-        streaming_fixed_cost = round(min(runs), 3)
+        best = _measure(
+            "streaming_fixed_cost",
+            lambda: qs["streaming_scd2_replay"](spark, warm_dir)
+            .write.mode("overwrite").format("noop").save())
+        streaming_fixed_cost = round(best, 3)
         print(f"# streaming_fixed_cost: {streaming_fixed_cost}s "
               "(scd2 replay @ sf0.001)", file=sys.stderr)
     except Exception as exc:
         _err("streaming_fixed_cost", exc)
-    _sample_window("streaming_fixed_cost")
 
+    _tp_prev = cpu_steal_sample()
     try:
         streaming_eps = _streaming_throughput(spark, sf_dir)
     except Exception as exc:
@@ -333,12 +385,22 @@ def main() -> None:
         _err("streaming_flagship", exc)
 
     total = round(sum(timings.values()), 3)
-    _sample_window("streaming_throughput")
+    # throughput window: steal recorded for evidence, excluded from
+    # the contention max — the rate metric is engine-accounted per
+    # batch and its estimator (max-of-3) already rejects blips
+    _tp_pct = steal_window_pct(_tp_prev, cpu_steal_sample())
+    if _tp_pct is not None:
+        steal_by_window["streaming_throughput"] = round(_tp_pct, 2)
+    load_samples.append(loadavg_1min())
     load_after = load_samples[-1]
     seen = [x for x in load_samples if x is not None]
     load_max = max(seen) if seen else None
     steal_seen = [x for x in steal_pcts if x is not None]
-    steal_max = round(max(steal_seen), 2) if steal_seen else None
+    # the flag keys on the UNROUNDED max (r15 advisory: 10.004%
+    # rounded to 10.0 and slipped past the strict > 10.0 check);
+    # rounding is for the record fields only
+    steal_max_raw = max(steal_seen) if steal_seen else None
+    steal_max = round(steal_max_raw, 2) if steal_max_raw is not None else None
     result = {
         "metric": "headline_queries_total",
         "value": total,
@@ -354,9 +416,12 @@ def main() -> None:
         # the steal actually hit, so a partially-contaminated run's
         # clean entries stay usable as evidence
         "steal_pct_by_query": steal_by_window,
+        # full-record only: how many bounded re-measures each dirty
+        # window cost (absent key = clean first attempt)
+        "steal_retries": steal_retries,
         "cpus": cpus,
         "contended": contention_flag(load_before, load_max, cpus,
-                                     steal_max),
+                                     steal_max_raw),
         "streaming_orders_per_sec": streaming_eps,
         "streaming_fixed_cost_sec": streaming_fixed_cost,
         "streaming_fixed_cost_metric": (

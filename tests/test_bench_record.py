@@ -97,6 +97,83 @@ def test_contention_flag_thresholds():
     assert contention_flag(0.5, 20.0, 32, steal_peak_pct=None) is False
 
 
+def _fake_host(steal_by_window_pcts, secs_per_run=1.0):
+    """A deterministic host: each timed_attempt window consumes one
+    entry of ``steal_by_window_pcts`` (as its steal percentage); runs
+    take ``secs_per_run`` fake seconds on a fake clock."""
+    state = {"t": 0.0, "ticks": 0, "steal": 0, "win": 0}
+
+    def clock():
+        return state["t"]
+
+    def run_once():
+        state["t"] += secs_per_run
+
+    def sampler():
+        # the steal charged by call k lands in the interval AFTER it,
+        # so attempt j's window (between its two sampler calls) gets
+        # steal_by_window_pcts[2*j]; odd indices are the gaps between
+        # attempts (unobserved by any window)
+        total = state["ticks"]
+        steal = state["steal"]
+        state["ticks"] += 1000
+        i = min(state["win"], len(steal_by_window_pcts) - 1)
+        state["steal"] += int(1000 * steal_by_window_pcts[i] / 100.0)
+        state["win"] += 1
+        return (total, steal)
+
+    return run_once, sampler, clock
+
+
+def test_measure_steal_proof_clean_window_single_attempt():
+    """A clean first window must not trigger any retry (the retry
+    path costs a full min-of-2 re-run)."""
+    from bench import measure_steal_proof
+
+    run_once, sampler, clock = _fake_host([2.0, 2.0])
+    best, steal, attempts = measure_steal_proof(run_once, sampler, clock)
+    assert attempts == 1
+    assert best == 1.0
+    assert steal is not None and steal <= 10.0
+
+
+def test_measure_steal_proof_retries_dirty_window_and_bounds():
+    """A dirty window (>10% steal) must be re-measured — bounded at
+    RETRY_MAX_ATTEMPTS — and the recorded steal must be the CLEANEST
+    window's (it bounds the residual inflation of the min)."""
+    from bench import RETRY_MAX_ATTEMPTS, measure_steal_proof
+
+    # attempt windows at even indices: dirty(40), dirty(25), clean(1)
+    run_once, sampler, clock = _fake_host([40.0, 0.0, 25.0, 0.0, 1.0])
+    best, steal, attempts = measure_steal_proof(run_once, sampler, clock)
+    assert attempts == 3
+    assert steal is not None and steal <= 10.0
+
+    # never-clean host: the retry loop must stop at the bound
+    run_once, sampler, clock = _fake_host([50.0] * 10)
+    best, steal, attempts = measure_steal_proof(run_once, sampler, clock)
+    assert attempts == RETRY_MAX_ATTEMPTS
+    assert steal is not None and steal > 10.0
+
+
+def test_measure_steal_proof_no_sampler_is_single_attempt():
+    """Hosts without /proc/stat (sampler returns None) must behave
+    exactly like the pre-r16 bench: one attempt, steal None."""
+    from bench import measure_steal_proof
+
+    t = {"v": 0.0}
+
+    def clock():
+        return t["v"]
+
+    def run_once():
+        t["v"] += 1.0
+
+    best, steal, attempts = measure_steal_proof(
+        run_once, lambda: None, clock)
+    assert (best, steal, attempts) == (1.0, None, 1)
+
+
 def test_steal_window_pct():
     """Steal percentage over a sample window; missing or empty
     windows yield None, never a crash or a zero-division."""
