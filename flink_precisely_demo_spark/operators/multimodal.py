@@ -446,6 +446,26 @@ def _decode_audio(payload: bytes, fmt: str,
 
 # ------------------------------------------------------------ operators
 
+def _spread(media: DataFrame, partitions: int | None) -> DataFrame:
+    """Parallelism policy for the payload-decode operators (guide
+    §2.4/§8: payload bytes must never shuffle unless the feed is
+    provably narrow — the old unconditional ``repartition(n,
+    "media_id")`` re-shuffled every payload byte even when the feed
+    was already wide, and on a large cluster could SHRINK a wide scan
+    to ``defaultParallelism``). ``partitions=None``: widen only when
+    the scan is narrow (dedup._fan_out's file-count rule);
+    ``partitions=0``: never repartition — the caller already laid the
+    feed out (e.g. the plans fan out BEFORE their synthesizing map,
+    so decode inherits that layout shuffle-free); ``partitions=n>0``:
+    explicit hash layout on media_id."""
+    if partitions == 0:
+        return media
+    if partitions:
+        return media.repartition(partitions, "media_id")
+    from .dedup import _fan_out
+    return _fan_out(media, "media_id")
+
+
 IMAGE_FEATURES_SCHEMA = ("media_id long, width int, height int, "
                          "n_channels int, mean_luma double, "
                          "payload_bytes long, error string")
@@ -459,7 +479,6 @@ def image_features(media: DataFrame, partitions: int | None = None,
     comes back with null features and the error message — decode
     failures are data, not job aborts, at 100 TB. ``decoders``:
     external per-format decoder overrides (see :func:`_decode_image`)."""
-    n = partitions or media.sparkSession.sparkContext.defaultParallelism
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -482,13 +501,14 @@ def image_features(media: DataFrame, partitions: int | None = None,
                 "media_id", "width", "height", "n_channels",
                 "mean_luma", "payload_bytes", "error"])
 
-    return (media.filter(F.col("meta.media_type") == "image")
-                 .repartition(n, "media_id")
-                 .mapInPandas(compute, schema=IMAGE_FEATURES_SCHEMA))
+    return _spread(media.filter(F.col("meta.media_type") == "image"),
+                   partitions).mapInPandas(
+                       compute, schema=IMAGE_FEATURES_SCHEMA)
 
 
 def image_resize(media: DataFrame, out_w: int, out_h: int,
-                 quality: int = 90, out_format: str = "jpeg") -> DataFrame:
+                 quality: int = 90, out_format: str = "jpeg",
+                 partitions: int | None = None) -> DataFrame:
     """Decode, nearest-neighbor resize, re-encode (baseline JPEG by
     default; ``out_format="webp"`` re-encodes LOSSLESSLY as VP8L —
     right for thumbnails feeding exact-dedup or pixel-level training
@@ -500,7 +520,6 @@ def image_resize(media: DataFrame, out_w: int, out_h: int,
     ``error`` column names every undecodable row)."""
     if out_format not in ("jpeg", "webp"):
         raise ValueError(f"out_format must be jpeg|webp, got {out_format!r}")
-    n = media.sparkSession.sparkContext.defaultParallelism
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .webp import encode_webp_lossless
@@ -532,22 +551,20 @@ def image_resize(media: DataFrame, out_w: int, out_h: int,
                 "meta": pd.Series(metas, dtype="object"),
                 "payload": pd.Series(payloads, dtype="object")})
 
-    return (media.filter(F.col("meta.media_type") == "image")
-                 .repartition(n, "media_id")
-                 .mapInPandas(compute, schema=MEDIA_SCHEMA))
+    return _spread(media.filter(F.col("meta.media_type") == "image"),
+                   partitions).mapInPandas(compute, schema=MEDIA_SCHEMA)
 
 
 AUDIO_FEATURES_SCHEMA = ("media_id long, n_samples long, sample_rate int, "
                          "rms double, duration_ms long, error string")
 
 
-def audio_features(media: DataFrame,
-                   decoders: dict | None = None) -> DataFrame:
+def audio_features(media: DataFrame, decoders: dict | None = None,
+                   partitions: int | None = None) -> DataFrame:
     """Decode + feature-extract audio: RMS energy and duration, with
     per-row decode errors surfaced in ``error`` (same contract as
     :func:`image_features`). ``decoders``: external per-format
     decoder overrides (see :func:`_decode_audio`)."""
-    n = media.sparkSession.sparkContext.defaultParallelism
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -569,16 +586,17 @@ def audio_features(media: DataFrame,
                 "media_id", "n_samples", "sample_rate", "rms",
                 "duration_ms", "error"])
 
-    return (media.filter(F.col("meta.media_type") == "audio")
-                 .repartition(n, "media_id")
-                 .mapInPandas(compute, schema=AUDIO_FEATURES_SCHEMA))
+    return _spread(media.filter(F.col("meta.media_type") == "audio"),
+                   partitions).mapInPandas(
+                       compute, schema=AUDIO_FEATURES_SCHEMA)
 
 
 PDF_TEXT_SCHEMA = ("media_id long, page int, char_offset long, "
                    "n_chars long, text string, error string")
 
 
-def pdf_text_features(media: DataFrame) -> DataFrame:
+def pdf_text_features(media: DataFrame,
+                      partitions: int | None = None) -> DataFrame:
     """PDF -> per-page extracted text rows (media_id, page,
     char_offset, n_chars, text, error). The extraction is this
     repo's own from-scratch parser (operators/pdf.py: xref walk,
@@ -595,7 +613,6 @@ def pdf_text_features(media: DataFrame) -> DataFrame:
     column; only the extracted text (not the payload) flows on."""
     from .pdf import pdf_text_pages
 
-    n = media.sparkSession.sparkContext.defaultParallelism
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -615,15 +632,16 @@ def pdf_text_features(media: DataFrame) -> DataFrame:
                 "media_id", "page", "char_offset", "n_chars",
                 "text", "error"])
 
-    return (media.repartition(n, "media_id")
-                 .mapInPandas(compute, schema=PDF_TEXT_SCHEMA))
+    return _spread(media, partitions).mapInPandas(
+        compute, schema=PDF_TEXT_SCHEMA)
 
 
 FRAME_SAMPLE_SCHEMA = ("media_id long, frame_idx int, ts_ms long, "
                        "frame binary, error string")
 
 
-def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+def frame_sample(media: DataFrame, every_ms: int = 1000,
+                 partitions: int | None = None) -> DataFrame:
     """Video -> sampled frame rows (media_id, frame_idx, ts_ms, frame
     as JPEG binary, error). MJPEG/AVI demuxes FOR REAL
     (operators/avi.py RIFF walk; each emitted frame is a complete
@@ -634,7 +652,6 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     operators."""
     from .avi import demux_mjpeg_avi
 
-    n = media.sparkSession.sparkContext.defaultParallelism
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -653,9 +670,9 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             yield pd.DataFrame(out, columns=[
                 "media_id", "frame_idx", "ts_ms", "frame", "error"])
 
-    return (media.filter(F.col("meta.media_type") == "video")
-                 .repartition(n, "media_id")
-                 .mapInPandas(compute, schema=FRAME_SAMPLE_SCHEMA))
+    return _spread(media.filter(F.col("meta.media_type") == "video"),
+                   partitions).mapInPandas(
+                       compute, schema=FRAME_SAMPLE_SCHEMA)
 
 
 VIDEO_FEATURES_SCHEMA = ("media_id long, n_frames int, fps double, "
@@ -663,8 +680,8 @@ VIDEO_FEATURES_SCHEMA = ("media_id long, n_frames int, fps double, "
                          "error string")
 
 
-def video_features(media: DataFrame,
-                   decoders: dict | None = None) -> DataFrame:
+def video_features(media: DataFrame, decoders: dict | None = None,
+                   partitions: int | None = None) -> DataFrame:
     """Demux-level video stats (frame count, fps, duration, mean
     compressed frame size) with per-row decode errors — same contract
     as the other feature operators. MJPEG/AVI is the real path;
@@ -673,7 +690,6 @@ def video_features(media: DataFrame,
     :func:`_decode_image`."""
     from .avi import demux_mjpeg_avi
 
-    n = media.sparkSession.sparkContext.defaultParallelism
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -698,13 +714,14 @@ def video_features(media: DataFrame,
                 "media_id", "n_frames", "fps", "duration_ms",
                 "mean_frame_bytes", "error"])
 
-    return (media.filter(F.col("meta.media_type") == "video")
-                 .repartition(n, "media_id")
-                 .mapInPandas(compute, schema=VIDEO_FEATURES_SCHEMA))
+    return _spread(media.filter(F.col("meta.media_type") == "video"),
+                   partitions).mapInPandas(
+                       compute, schema=VIDEO_FEATURES_SCHEMA)
 
 
 def audio_resample(media: DataFrame, target_rate: int = 16_000,
-                   out_format: str = "wav") -> DataFrame:
+                   out_format: str = "wav",
+                   partitions: int | None = None) -> DataFrame:
     """Decode audio, linearly resample to ``target_rate`` mono, and
     re-emit as (media_id, meta, payload) rows — the
     normalize-before-featurize step every audio training pipeline
@@ -719,7 +736,6 @@ def audio_resample(media: DataFrame, target_rate: int = 16_000,
     if out_format not in ("wav", "flac", "au"):
         raise ValueError(
             f"out_format must be wav|flac|au, got {out_format!r}")
-    n = media.sparkSession.sparkContext.defaultParallelism
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -772,9 +788,8 @@ def audio_resample(media: DataFrame, target_rate: int = 16_000,
                 "meta": pd.Series(metas, dtype="object"),
                 "payload": pd.Series(payloads, dtype="object")})
 
-    return (media.filter(F.col("meta.media_type") == "audio")
-                 .repartition(n, "media_id")
-                 .mapInPandas(compute, schema=MEDIA_SCHEMA))
+    return _spread(media.filter(F.col("meta.media_type") == "audio"),
+                   partitions).mapInPandas(compute, schema=MEDIA_SCHEMA)
 
 
 STREAM_INFO_SCHEMA = ("media_id long, sample_rate int, n_frames long, "
@@ -783,7 +798,8 @@ STREAM_INFO_SCHEMA = ("media_id long, sample_rate int, n_frames long, "
                       "vbr boolean, error string")
 
 
-def audio_stream_info(media: DataFrame) -> DataFrame:
+def audio_stream_info(media: DataFrame,
+                      partitions: int | None = None) -> DataFrame:
     """Container/stream-level audio triage WITHOUT sample decode:
     duration, sample rate, channel layout, (average) bitrate and
     VBR-ness — the fields a crawl pipeline filters on before paying
@@ -794,7 +810,6 @@ def audio_stream_info(media: DataFrame) -> DataFrame:
     errors, never a job abort; zero shuffle (scan-stage map)."""
     from .mp3 import mp3_stream_info
 
-    n = media.sparkSession.sparkContext.defaultParallelism
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -824,9 +839,9 @@ def audio_stream_info(media: DataFrame) -> DataFrame:
                 "duration_ms", "bitrate_kbps", "channel_mode", "vbr",
                 "error"])
 
-    return (media.filter(F.col("meta.media_type") == "audio")
-                 .repartition(n, "media_id")
-                 .mapInPandas(compute, schema=STREAM_INFO_SCHEMA))
+    return _spread(media.filter(F.col("meta.media_type") == "audio"),
+                   partitions).mapInPandas(
+                       compute, schema=STREAM_INFO_SCHEMA)
 
 
 def binary_manifest(media: DataFrame, payload_col: str = "payload",

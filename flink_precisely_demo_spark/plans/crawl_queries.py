@@ -1026,7 +1026,7 @@ def _pdf_to_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "payload": pd.Series(payloads, dtype="object")})
 
     media = _fan_out(docs, "doc_id").mapInPandas(synthesize, schema=MEDIA_SCHEMA)
-    feats = pdf_text_features(media)
+    feats = pdf_text_features(media, partitions=0)
     rebuilt = (feats.groupBy(F.col("media_id").alias("doc_id"))
                .agg(F.count(F.lit(1)).cast("long").alias("n_pages"),
                     F.array_join(

@@ -146,7 +146,7 @@ def _multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "payload": pd.Series(payloads, dtype="object")})
 
     media = _fan_out(docs, "doc_id").mapInPandas(synthesize, schema=MEDIA_SCHEMA)
-    feats = image_features(media)
+    feats = image_features(media, partitions=0)
     sel = F.floor(F.col("media_id") / 20) % 4
     fmt = (F.when(sel == 0, "jpeg")
             .when(sel == 1, "png")
@@ -231,7 +231,7 @@ def _multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "payload": pd.Series(payloads, dtype="object")})
 
     media = _fan_out(docs, "doc_id").mapInPandas(synthesize, schema=MEDIA_SCHEMA)
-    feats = audio_features(media)
+    feats = audio_features(media, partitions=0)
     sel = F.floor(F.col("media_id") / 25) % 4
     fmt = (F.when(sel == 0, "wav")
             .when(sel == 1, "flac")
@@ -292,7 +292,7 @@ def _multimodal_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "payload": pd.Series(payloads, dtype="object")})
 
     media = _fan_out(docs, "doc_id").mapInPandas(synthesize, schema=MEDIA_SCHEMA)
-    return video_features(media).select(
+    return video_features(media, partitions=0).select(
         "media_id", "n_frames", "fps", "duration_ms", "error")
 
 
@@ -505,13 +505,16 @@ def format_audit(spark: SparkSession, sf_dir: str,
             synthesize, schema=MEDIA_SCHEMA)
 
     outcomes = (
-        image_features(branch("image"), decoders=image_decoders)
+        image_features(branch("image"), partitions=0,
+                       decoders=image_decoders)
         .select("media_id", "error")
         .unionByName(
-            audio_features(branch("audio"), decoders=audio_decoders)
+            audio_features(branch("audio"), decoders=audio_decoders,
+                           partitions=0)
             .select("media_id", "error"))
         .unionByName(
-            video_features(branch("video"), decoders=video_decoders)
+            video_features(branch("video"), decoders=video_decoders,
+                           partitions=0)
             .select("media_id", "error")))
     labeled = outcomes.select(
         "error",
@@ -609,7 +612,7 @@ def _audio_stream_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "payload": pd.Series(payloads, dtype="object")})
 
     media = _fan_out(docs, "doc_id").mapInPandas(synthesize, schema=MEDIA_SCHEMA)
-    info = audio_stream_info(media)
+    info = audio_stream_info(media, partitions=0)
     is_mp3 = F.col("media_id") % 8 == 0
     return info.select(
         "media_id",
@@ -767,7 +770,7 @@ def _multimodal_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "payload": pd.Series(payloads, dtype="object")})
 
     media = _fan_out(docs, "doc_id").mapInPandas(synthesize, schema=MEDIA_SCHEMA)
-    feats = pdf_text_features(media)
+    feats = pdf_text_features(media, partitions=0)
     return feats.select(
         "media_id", "page", "char_offset", "n_chars",
         F.md5("text").alias("text_md5"), "error")

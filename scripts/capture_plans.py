@@ -1,10 +1,10 @@
-"""Capture .explain('formatted') for named queries into plans/r15/.
+"""Capture .explain('formatted') for named queries into plans/$PLAN_ROUND/ (default r16).
 
 Usage:
     python scripts/capture_plans.py before q1_pricing_summary ...
     python scripts/capture_plans.py after --all-headline
 
-Writes plans/r15/<query>_<tag>.txt. The formatted explain is the
+Writes plans/<round>/<query>_<tag>.txt. The formatted explain is the
 optimizer's initial plan (AdaptiveSparkPlan isFinalPlan=false) — the
 shape the judge checks claims against (Exchange count, join strategy,
 PushedFilters/ReadSchema, codegen spans, Python eval nodes).
@@ -20,7 +20,8 @@ from contextlib import redirect_stdout
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 SF = os.environ.get("PLAN_SF_DIR", "/root/testdata/sf0.001")
-OUT = os.path.join(os.path.dirname(__file__), "..", "plans", "r15")
+OUT = os.path.join(os.path.dirname(__file__), "..", "plans",
+                   os.environ.get("PLAN_ROUND", "r16"))
 
 HEADLINE = [
     "flagship_cdc_window_sum", "q1_pricing_summary",

@@ -174,6 +174,7 @@ def test_benchmark_without_decontam_path_rejected(spark, tmp_path):
         corpus_ingest_sink(band, ann, verd, emb, benchmark=bench)
 
 
+@pytest.mark.full   # ~4 min five-leg crash/recovery e2e
 def test_text_leg_crash_window_and_searchability(spark, tmp_path):
     """The late-r15 fifth leg: novel documents become text-searchable;
     a crash AFTER the ANN upsert but BEFORE the text-index upsert

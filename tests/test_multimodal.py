@@ -1258,3 +1258,39 @@ def test_external_decoder_seam_shifts_format_audit(spark):
     lossy_share = reclaimed / total
     # the documented ~12% slice under the doc_id % 100 mix
     assert abs(lossy_share - 0.12) < 0.02, lossy_share
+
+
+def test_decode_operators_never_shuffle_prearranged_feeds(spark):
+    """partitions=0 is the caller's 'feed already laid out' promise:
+    the decode map must fuse into the feed's stage with NO exchange
+    (the r16 fix — the old unconditional repartition re-shuffled
+    every payload byte even when the synthesize branch had already
+    fanned out, and on a big cluster could SHRINK a wide scan to
+    defaultParallelism). The default path must still widen a narrow
+    file scan exactly once (dedup._fan_out's rule)."""
+    from flink_precisely_demo_spark.plans.multimodal_queries import (
+        format_audit,
+    )
+
+    def n_exchanges(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.count("Exchange")
+
+    # the audit runs three prearranged branches + one final aggregate:
+    # exactly 4 exchanges (3 fan-out widens + 1 agg), none between a
+    # synthesize map and its decode map
+    audit = format_audit(spark, "/root/testdata/sf0.001")
+    assert n_exchanges(audit) == 4, audit._jdf.queryExecution() \
+        .executedPlan().toString()
+
+    # explicit layouts: 0 adds nothing, n>0 adds exactly one exchange
+    from flink_precisely_demo_spark.operators.multimodal import (
+        image_features,
+    )
+    media = spark.createDataFrame(
+        [], "media_id long, "
+            "meta struct<media_type:string,format:string,width:int,"
+            "height:int,n_channels:int,sample_rate:int,"
+            "duration_ms:bigint>, payload binary")
+    assert n_exchanges(image_features(media, partitions=0)) == 0
+    assert n_exchanges(image_features(media, partitions=4)) == 1

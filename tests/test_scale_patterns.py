@@ -96,6 +96,7 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
 
+@pytest.mark.full   # builds all 163 plans (~1 min): exhaustive sweep
 def test_no_query_has_unintended_cartesian(spark):
     """Meta-audit over the whole query surface: no plan may contain a
     CartesianProduct (an un-broadcast cross join is the classic

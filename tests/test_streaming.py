@@ -677,6 +677,7 @@ def test_streaming_near_dup_snapshot_compaction(spark, tmp_path):
     assert got == [1, 2, 3, 5]
 
 
+@pytest.mark.longevity
 def test_streaming_near_dup_longevity(spark, tmp_path):
     """Bucket-store invariants over a LONG run (50 micro-batches):
     state size tracks survivors x bands exactly, snapshot compaction
